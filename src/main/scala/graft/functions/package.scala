@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column-function library — the engine's scalar surface.
+  *
+  * Everything here is composed from `org.apache.spark.sql.functions._`
+  * (whole-stage-codegen'd); no Scala/Python UDFs. Semantics mirror the
+  * reference's transform layer (see SURVEY.md §2.2-§2.4):
+  *   - name/title normalization (reference `dags/spark_etl_script.py:93-103`)
+  *   - vocabulary skill tagging (reference `dags/test_extraction.py:108-129`)
+  *   - relative-time parsing (reference `dags/spark_etl_script.py:12-29`)
+  *   - bracket-string list parsing (reference `dags/spark_etl_script.py:132-135`)
+  */
+package object functions {
+
+  /** trim ∘ upper — dimension natural-key normalization
+    * (reference `dags/spark_etl_script.py:93`). */
+  def normName(c: Column): Column = upper(trim(c))
+
+  /** trim ∘ initcap — title-cased dimension normalization
+    * (reference `dags/spark_etl_script.py:98,103`). */
+  def normTitle(c: Column): Column = initcap(trim(c))
+
+  /** Whitespace tokenization. Trims first so split never yields empty
+    * leading/trailing tokens; codegen-friendly. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Vocabulary substring tagging (reference semantics: every vocab term
+    * whose lowercase form occurs as a SUBSTRING of the lowercased text is
+    * tagged — `dags/test_extraction.py:119-127`, including the quirk that
+    * short terms match inside words). Returns a deduped, sorted array so
+    * downstream compares are order-insensitive (SURVEY §7.4-2). */
+  def extractTags(text: Column, vocab: Seq[String]): Column = {
+    val lowered = lower(text)
+    val hits = vocab.distinct.sorted.map { term =>
+      when(lowered.contains(lit(term.toLowerCase)), lit(term.toLowerCase))
+    }
+    array_sort(array_distinct(filter(array(hits: _*), _.isNotNull)))
+  }
+
+  /** Relative-time string → timestamp, measured against an injectable
+    * `now` (determinism: SURVEY §7.4-4). Accepts the reference's shapes
+    * `"N hour[s] ago"`, `"N day[s] ago"`, `"yesterday"`; anything else is
+    * NULL (reference `dags/spark_etl_script.py:12-29`). Pure Column
+    * composition — stays inside whole-stage codegen. */
+  def parseRelativeTime(c: Column, now: Column): Column = {
+    val s = lower(trim(c))
+    val n = regexp_extract(s, "(\\d+)", 1).cast(LongType)
+    val oneDay  = expr("INTERVAL '1' DAY")
+    val oneHour = expr("INTERVAL '1' HOUR")
+    when(s === "yesterday", now - oneDay)
+      .when(s.rlike("^\\d+ hours? ago$"), now - oneHour * n)
+      .when(s.rlike("^\\d+ days? ago$"), now - oneDay * n)
+      .otherwise(lit(null).cast(TimestampType))
+  }
+
+  /** The reference's bracket-string list parser: strip `[]'"` then split
+    * on ", " (`dags/spark_etl_script.py:132-135`). Kept bit-compatible. */
+  def parseBracketList(c: Column): Column =
+    split(translate(c, "[]'\"", ""), ", ")
+
+  /** Correct JSON-array parse of the same payload — the "fixed" variant of
+    * the reference's from_json quirk (SURVEY §1.2). */
+  def parseJsonList(c: Column): Column =
+    from_json(c, ArrayType(StringType))
+
+  // ---------------------------------------------------------------------
+  // Stable hashing — md5-derived 60-bit non-negative longs. MD5 is
+  // bit-identical across engines (and to the DuckDB oracle), unlike
+  // Spark's xxhash64/murmur. 15 hex chars = 60 bits, always >= 0.
+  // ---------------------------------------------------------------------
+
+  /** Stable non-negative 60-bit hash of a string column. */
+  def stableHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** Seeded variant for minhash families: hash of "seed|value". */
+  def stableHashSeeded(seed: Column, c: Column): Column =
+    stableHash(concat_ws("|", seed.cast(StringType), c))
+
+  /** w-token shingles from a token array: sliding windows joined by a
+    * single space. Empty array when fewer than w tokens. */
+  def shingles(toks: Column, w: Int): Column =
+    when(size(toks) < w, array().cast(ArrayType(StringType)))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - lit(w - 1)),
+        i => concat_ws(" ", slice(toks, i, w))))
+}
