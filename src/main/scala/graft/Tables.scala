@@ -20,7 +20,17 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame      = table(spark, sfDir, "part")
   def orders(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "lineitem")
-  def events(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "events")
+  /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark's
+    * reader rejects. Read nanos as long and truncate to microseconds —
+    * exactly what DuckDB's parquet reader does natively (its TIMESTAMP
+    * is µs), so engine and oracle agree on the value. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, sfDir, "events")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 }

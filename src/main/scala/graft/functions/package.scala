@@ -24,9 +24,10 @@ package object functions {
     * (reference `dags/spark_etl_script.py:98,103`). */
   def normTitle(c: Column): Column = initcap(trim(c))
 
-  /** Whitespace tokenization. Trims first so split never yields empty
-    * leading/trailing tokens; codegen-friendly. */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  /** Whitespace tokenization. Filters empty tokens so empty/whitespace-only
+    * input yields an empty array (not `[""]`); codegen-friendly. */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
 
   /** Vocabulary substring tagging (reference semantics: every vocab term
     * whose lowercase form occurs as a SUBSTRING of the lowercased text is
@@ -42,18 +43,21 @@ package object functions {
   }
 
   /** Relative-time string → timestamp, measured against an injectable
-    * `now` (determinism: SURVEY §7.4-4). Accepts the reference's shapes
-    * `"N hour[s] ago"`, `"N day[s] ago"`, `"yesterday"`; anything else is
-    * NULL (reference `dags/spark_etl_script.py:12-29`). Pure Column
-    * composition — stays inside whole-stage codegen. */
+    * `now` (determinism: SURVEY §7.4-4). Bit-compatible with the
+    * reference (`dags/spark_etl_script.py:12-29`): "hour"/"day" are
+    * matched as SUBSTRINGS anywhere (so "posted 3 hours ago" parses),
+    * the first digit run is the magnitude, and "yesterday" yields NULL
+    * (it contains "day" but no digits — the reference's dedicated
+    * yesterday branch is unreachable). Pure Column composition — stays
+    * inside whole-stage codegen. */
   def parseRelativeTime(c: Column, now: Column): Column = {
     val s = lower(trim(c))
-    val n = regexp_extract(s, "(\\d+)", 1).cast(LongType)
+    val digits = regexp_extract(s, "(\\d+)", 1)
+    val n = when(digits =!= "", digits.cast(LongType))
     val oneDay  = expr("INTERVAL '1' DAY")
     val oneHour = expr("INTERVAL '1' HOUR")
-    when(s === "yesterday", now - oneDay)
-      .when(s.rlike("^\\d+ hours? ago$"), now - oneHour * n)
-      .when(s.rlike("^\\d+ days? ago$"), now - oneDay * n)
+    when(s.contains("hour"), now - oneHour * n)
+      .when(s.contains("day"), now - oneDay * n)
       .otherwise(lit(null).cast(TimestampType))
   }
 
@@ -87,5 +91,5 @@ package object functions {
     when(size(toks) < w, array().cast(ArrayType(StringType)))
       .otherwise(transform(
         sequence(lit(1), size(toks) - lit(w - 1)),
-        i => concat_ws(" ", slice(toks, i, w))))
+        i => concat_ws(" ", slice(toks, i, lit(w)))))
 }

@@ -1,0 +1,347 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{functions => gf}
+import graft.Tables
+
+/** Core relational query surface — projections, filters, scalar/string/
+  * date functions, joins, aggregations, windows, sort/limit/top-k, set
+  * ops (SURVEY.md §2.2-§2.8), expressed over the driver's TPC-H-ish
+  * test tables.
+  *
+  * Scale notes (100 TB): every aggregation here is a partial-agg-able
+  * `groupBy` (map-side combine); dimension joins (`nation`, `region`)
+  * are broadcast; top-k compiles to TakeOrderedAndProject (no global
+  * sort); filters/projections reach the parquet scan via Catalyst
+  * pushdown. Doubles in aggregates are rounded so the DuckDB oracle's
+  * sequential summation and Spark's partition-tree summation agree.
+  */
+object CoreQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+    // A1/F-group: TPC-H Q1-style pricing summary (reference analog:
+    // grouped COUNT over the star — superset query ids 8,11,12).
+    QueryDef("q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  count(*) AS cnt,
+        |  round(round(sum(l_quantity), 2) / count(*), 4) AS avg_qty
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          count(lit(1)).as("cnt"),
+          round(round(sum("l_quantity"), 2) / count(lit(1)), 4).as("avg_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // A2/D8/O2: month-bucketed trend (superset query ids 8, 13).
+    QueryDef("q02_monthly_trend",
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        |  count(*) AS cnt
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("month")
+    },
+
+    // A3/D2/D3: multi-key trend (superset query id=14).
+    QueryDef("q03_multi_key_trend",
+      """SELECT year(o_orderdate) AS year_number,
+        |  monthname(o_orderdate) AS month_name,
+        |  month(o_orderdate) AS month_number,
+        |  count(*) AS cnt
+        |FROM orders GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(
+          year(col("o_orderdate")).cast("long").as("year_number"),
+          date_format(col("o_orderdate"), "MMMM").as("month_name"),
+          month(col("o_orderdate")).cast("long").as("month_number"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("year_number", "month_number")
+    },
+
+    // A4: ungrouped KPI total (superset slice 1).
+    QueryDef("q04_kpi_total",
+      "SELECT count(*) AS total_rows FROM lineitem") { (s, dir) =>
+      Tables.lineitem(s, dir).agg(count(lit(1)).as("total_rows"))
+    },
+
+    // A5: max/min watermark (reference extract_postgres_table.py:72).
+    QueryDef("q05_watermark",
+      """SELECT max(o_orderdate) AS max_ts, min(o_orderdate) AS min_ts
+        |FROM orders""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .agg(max("o_orderdate").as("max_ts"), min("o_orderdate").as("min_ts"))
+    },
+
+    // A6: distinct as dedup (reference spark_etl_script.py:94 etc.).
+    QueryDef("q06_distinct_segments",
+      "SELECT DISTINCT c_mktsegment AS segment FROM customer ORDER BY 1") { (s, dir) =>
+      Tables.customer(s, dir)
+        .select(col("c_mktsegment").as("segment")).distinct().orderBy("segment")
+    },
+
+    // A7/J12: count-by-geo via broadcast dim chain (superset slice 2).
+    QueryDef("q07_count_by_nation",
+      """SELECT r_name, n_name, count(*) AS cnt
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // O1: top-k (superset query id=11 "top 15 employers") — plans as
+    // TakeOrderedAndProject, no global sort.
+    QueryDef("q08_topk_customers",
+      """SELECT o_custkey, count(*) AS cnt FROM orders
+        |GROUP BY 1 ORDER BY cnt DESC, o_custkey LIMIT 15""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("o_custkey")).limit(15)
+    },
+
+    // J12: BI star flatten — fact joined through dims, aggregated
+    // (superset tables rows 2/5).
+    QueryDef("q09_star_flatten",
+      """SELECT n_name, count(*) AS cnt,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          count(lit(1)).as("cnt"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("n_name")
+    },
+
+    // J10: left-anti (the incremental-dim primitive,
+    // populate_star_schema lines 27-28).
+    QueryDef("q10_anti_join",
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY 1 LIMIT 100""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey").orderBy("c_custkey").limit(100)
+    },
+
+    // Semi join (EXISTS) — complement of J10.
+    QueryDef("q11_semi_join",
+      """SELECT c_mktsegment, count(*) AS cnt FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_totalprice") > 200000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+        .orderBy("c_mktsegment")
+    },
+
+    // P1/P2/P5/P7: fixed projection + null-fill + literal provenance +
+    // cast (reference test_extraction.py:135-146,
+    // extract_postgres_table.py:64-65).
+    QueryDef("q12_projection",
+      """SELECT c_custkey AS id, upper(trim(c_name)) AS name_norm,
+        |  CAST(NULL AS VARCHAR) AS missing_col, 'jsearch' AS source,
+        |  CAST(floor(c_acctbal) AS BIGINT) AS acctbal_floor
+        |FROM customer ORDER BY 1 LIMIT 500""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir)
+        .select(
+          col("c_custkey").as("id"),
+          gf.normName(col("c_name")).as("name_norm"),
+          lit(null).cast("string").as("missing_col"),
+          lit("jsearch").as("source"),
+          floor(col("c_acctbal")).cast("long").as("acctbal_floor"))
+        .orderBy("id").limit(500)
+    },
+
+    // F1-F3: trim/upper/initcap/lower normalization (reference
+    // spark_etl_script.py:93-103). DuckDB lacks initcap — emulated.
+    QueryDef("q13_string_norm",
+      """SELECT p_partkey, upper(trim(p_name)) AS name_upper,
+        |  array_to_string(list_transform(string_split(lower(trim(p_type)), ' '),
+        |    w -> upper(w[1:1]) || w[2:]), ' ') AS type_title,
+        |  lower(p_brand) AS brand_lower
+        |FROM part ORDER BY 1 LIMIT 500""".stripMargin) { (s, dir) =>
+      Tables.part(s, dir)
+        .select(
+          col("p_partkey"),
+          upper(trim(col("p_name"))).as("name_upper"),
+          gf.normTitle(col("p_type")).as("type_title"),
+          lower(col("p_brand")).as("brand_lower"))
+        .orderBy("p_partkey").limit(500)
+    },
+
+    // F7: regexp digit extraction (reference spark_etl_script.py:19,22).
+    QueryDef("q14_regexp_extract",
+      """SELECT c_custkey, regexp_extract(c_name, '(\d+)', 1) AS digits,
+        |  CAST(regexp_extract(c_name, '(\d+)', 1) AS BIGINT) AS digits_num
+        |FROM customer ORDER BY 1 LIMIT 500""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir)
+        .select(
+          col("c_custkey"),
+          regexp_extract(col("c_name"), "(\\d+)", 1).as("digits"),
+          regexp_extract(col("c_name"), "(\\d+)", 1).cast("long").as("digits_num"))
+        .orderBy("c_custkey").limit(500)
+    },
+
+    // D1-D3: the date dimension (reference spark_etl_script.py:112-120).
+    QueryDef("q15_date_dim",
+      """SELECT DISTINCT
+        |  CAST(strftime(CAST(o_orderdate AS DATE), '%Y%m%d') AS BIGINT) AS date_sk,
+        |  CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS full_date,
+        |  dayname(o_orderdate) AS day_of_week,
+        |  monthname(o_orderdate) AS month_name,
+        |  CAST(month(o_orderdate) AS BIGINT) AS month_number,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS quarter_number,
+        |  CAST(year(o_orderdate) AS BIGINT) AS year_number
+        |FROM orders WHERE o_orderdate IS NOT NULL
+        |ORDER BY full_date""".stripMargin) { (s, dir) =>
+      graft.star.StarSchemaBuilder
+        .buildDateDim(Tables.orders(s, dir), col("o_orderdate"))
+        .select(
+          col("date_sk").cast("long").as("date_sk"),
+          col("full_date").cast("timestamp").as("full_date"),
+          col("day_of_week"), col("month_name"),
+          col("month_number").cast("long").as("month_number"),
+          col("quarter_number").cast("long").as("quarter_number"),
+          col("year_number").cast("long").as("year_number"))
+        .orderBy("full_date")
+    },
+
+    // D6/U1: relative-time parse against an injectable clock (reference
+    // spark_etl_script.py:12-29; strings synthesized from events).
+    QueryDef("q16_relative_time",
+      """SELECT event_id,
+        |  CASE WHEN event_type = 'click' THEN CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) || ' hours ago'
+        |       WHEN event_type = 'view' THEN CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) || ' days ago'
+        |       WHEN event_type = 'signup' THEN 'yesterday'
+        |       ELSE 'just posted' END AS posted_at,
+        |  CASE WHEN event_type = 'click' THEN TIMESTAMP '2026-01-01 00:00:00' - to_hours(CAST(floor(value) AS INTEGER))
+        |       WHEN event_type = 'view' THEN TIMESTAMP '2026-01-01 00:00:00' - to_days(CAST(floor(value) AS INTEGER))
+        |       ELSE NULL END AS posted_ts
+        |FROM events ORDER BY event_id LIMIT 2000""".stripMargin) { (s, dir) =>
+      val n = floor(col("value")).cast("long")
+      val rel = when(col("event_type") === "click", concat(n.cast("string"), lit(" hours ago")))
+        .when(col("event_type") === "view", concat(n.cast("string"), lit(" days ago")))
+        .when(col("event_type") === "signup", lit("yesterday"))
+        .otherwise(lit("just posted"))
+      val now = lit("2026-01-01 00:00:00").cast("timestamp")
+      Tables.events(s, dir)
+        .select(
+          col("event_id"),
+          rel.as("posted_at"),
+          gf.parseRelativeTime(rel, now).as("posted_ts"))
+        .orderBy("event_id").limit(2000)
+    },
+
+    // F5/F6/G1: bracket-string parse + explode (reference
+    // spark_etl_script.py:132-138).
+    QueryDef("q17_bracket_split",
+      """SELECT item, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split(
+        |    translate('[''' || p_brand || ''', ''' || p_type || ''']', '[]''"', ''),
+        |    ', ')) AS item
+        |  FROM part
+        |) GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val bracketed = concat(lit("['"), col("p_brand"), lit("', '"), col("p_type"), lit("']"))
+      Tables.part(s, dir)
+        .select(explode(gf.parseBracketList(bracketed)).as("item"))
+        .groupBy("item").agg(count(lit(1)).as("cnt"))
+        .orderBy("item")
+    },
+
+    // W1: dimension build — distinct + global row_number SK (reference
+    // spark_etl_script.py:92-95).
+    QueryDef("q18_dim_build",
+      """SELECT row_number() OVER (ORDER BY brand_name) AS brand_sk, brand_name
+        |FROM (SELECT DISTINCT p_brand AS brand_name FROM part
+        |      WHERE p_brand IS NOT NULL)
+        |ORDER BY brand_sk""".stripMargin) { (s, dir) =>
+      graft.star.StarSchemaBuilder
+        .buildDim(Tables.part(s, dir), col("p_brand"), "brand_sk", "brand_name")
+        .orderBy("brand_sk")
+    },
+
+    // Partitioned window (scalable variant of W1 — parallel, no global
+    // sort): top order per customer.
+    QueryDef("q19_window_partitioned",
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders
+        |) WHERE rn = 1 ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey")
+    },
+
+    // O5: union (multi-shard merge).
+    QueryDef("q20_union",
+      """SELECT bucket, count(*) AS cnt FROM (
+        |  SELECT o_orderkey, 'full' AS bucket FROM orders WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT o_orderkey, 'big' AS bucket FROM orders WHERE o_totalprice > 300000
+        |) GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      o.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), lit("full").as("bucket"))
+        .unionByName(
+          o.filter(col("o_totalprice") > 300000)
+            .select(col("o_orderkey"), lit("big").as("bucket")))
+        .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+        .orderBy("bucket")
+    },
+
+    // O4: row limit (superset slice 3, row_limit 1000).
+    QueryDef("q21_limit",
+      """SELECT event_id, event_type FROM events
+        |ORDER BY event_id LIMIT 1000""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .select("event_id", "event_type").orderBy("event_id").limit(1000)
+    },
+
+    // G3/D9/U2: JSON parse (reference spark_etl_script.py:126;
+    // test_extraction.py:148-151).
+    QueryDef("q22_json_extract",
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  count(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .select(from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").cast("long").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("cnt"))
+        .orderBy("k")
+    }
+  )
+}

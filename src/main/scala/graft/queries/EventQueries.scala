@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Event-stream analytics in batch form — tumbling/sliding windows,
+  * sessionization, daily funnels over the `events` table. The same
+  * transforms run incrementally under Structured Streaming via
+  * [[graft.streaming.EventStreams]]; these batch variants are the
+  * oracle-checkable surface (SURVEY.md §2.12 — the reference is batch
+  * only; streaming is the driver-mandated generalization of its
+  * hand-rolled watermark (C2)).
+  *
+  * Scale notes: tumbling/sliding aggs shuffle once on the window bucket
+  * (partial aggregation upstream); sessionization shuffles once on
+  * user_id and sorts within partitions — no global sort. Timestamps are
+  * compared in microseconds (`unix_micros`/`epoch_us`) so the oracle
+  * agrees exactly.
+  */
+object EventQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+    // Tumbling window: 1-hour buckets, count + sum (epoch-aligned in
+    // both engines).
+    QueryDef("q37_tumbling_window",
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+        |  count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("cnt"), col("sum_value"))
+        .orderBy("window_start")
+    },
+
+    // Sliding window: 1-hour windows sliding every 30 minutes — each
+    // event lands in exactly two windows.
+    QueryDef("q38_sliding_window",
+      """SELECT window_start, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM (
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, value FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value FROM events
+        |) GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("cnt"), col("sum_value"))
+        .orderBy("window_start")
+    },
+
+    // Sessionization: per-user sessions split on >30-minute gaps
+    // (lag + running sum — the batch form of session windows).
+    QueryDef("q39_sessionize",
+      """WITH flags AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |), sess AS (
+        |  SELECT user_id, event_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flags
+        |)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS cnt, min(ts) AS session_start
+        |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("_tus"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("_tus", unix_micros(col("ts")))
+        .withColumn("new_s",
+          when(lag("_tus", 1).over(w).isNull ||
+            col("_tus") - lag("_tus", 1).over(w) > 1800000000L, 1L).otherwise(0L))
+        .withColumn("session_id",
+          sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("cnt"), min("ts").as("session_start"))
+        .orderBy("user_id", "session_id")
+    },
+
+    // Daily funnel: conditional counts per event type (FILTER-style
+    // pivot; reference analog: superset trend queries ids 12-14).
+    QueryDef("q40_daily_funnel",
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |  count(*) FILTER (WHERE event_type = 'view') AS views,
+        |  count(*) FILTER (WHERE event_type = 'click') AS clicks,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signups,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+        |  count(*) FILTER (WHERE event_type = 'error') AS errors
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(
+          count(when(col("event_type") === "view", 1)).as("views"),
+          count(when(col("event_type") === "click", 1)).as("clicks"),
+          count(when(col("event_type") === "signup", 1)).as("signups"),
+          count(when(col("event_type") === "purchase", 1)).as("purchases"),
+          count(when(col("event_type") === "error", 1)).as("errors"))
+        .orderBy("day")
+    }
+  )
+}

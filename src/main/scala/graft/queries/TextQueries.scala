@@ -1,0 +1,316 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{functions => gf}
+import graft.Tables
+
+/** Training-data-pipeline operators over `documents` / `embeddings`:
+  * deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard),
+  * similarity search, and text analysis (quality scoring, language-ID
+  * heuristic, token stats, fingerprinting).
+  *
+  * Scale notes (100 TB):
+  *   - Exact dedup is a hash-groupBy — one shuffle on the hash, partial
+  *     aggregation upstream.
+  *   - MinHash: per-doc signatures via one explode + groupBy (shuffle on
+  *     doc_id), then LSH banding so candidate generation is a
+  *     self-equi-join on (band_idx, band_hash) — never an all-pairs
+  *     product. Band buckets are the classic skew risk: a degenerate
+  *     band value (e.g. all-empty docs) would hot-spot one reducer; AQE
+  *     skew-join handles it, and empty docs produce no shingles at all.
+  *   - Jaccard verification runs only within candidate buckets.
+  *   - Hashes are md5-derived (bit-identical in any engine, incl. the
+  *     DuckDB oracle), not JVM-specific xxhash/murmur.
+  *   - Brute-force cosine is the O(Q·N) baseline kept for small Q; the
+  *     scale path (IVF partition-pruned variant) is in
+  *     [[graft.operators.Similarity]].
+  */
+object TextQueries {
+
+  private val NumHashes = 16
+  private val Bands = 4
+  private val RowsPerBand = NumHashes / Bands
+
+  /** Spark-side minhash signature columns: min over shingle hashes for
+    * each seeded hash fn. Seeded as md5("i|shingle") — same on the
+    * oracle side. */
+  private def minhashAggs(tok: Column): Seq[Column] =
+    (0 until NumHashes).map { i =>
+      min(md5(concat(lit(s"$i|"), tok))).as(s"mh$i")
+    }
+
+  private def bandCol(b: Int): Column =
+    md5(concat_ws("|", (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}")): _*))
+
+  /** 3-token shingles of a doc, deduped — shared by minhash queries. */
+  private def shingled(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array_distinct(gf.shingles(gf.tokens(col("text")), 3))).as("tok"))
+
+  private val shingleSql =
+    """SELECT DISTINCT doc_id, tok FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |      generate_series(1, len(t) - 2),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tok
+      |    FROM (SELECT doc_id,
+      |            list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+      |          FROM documents)
+      |  )""".stripMargin
+
+  private val minhashSqlAggs =
+    (0 until NumHashes).map(i => s"min(md5('$i|' || tok)) AS mh$i").mkString(", ")
+
+  private def bandSql(b: Int): String =
+    "md5(concat_ws('|', " + (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}").mkString(", ") + "))"
+
+  private val SimhashBits = 16
+
+  val defs: Seq[QueryDef] = Seq(
+    // Exact dedup: hash-groupBy, keep min doc_id per content hash.
+    QueryDef("q27_dedup_exact",
+      """SELECT md5(text) AS text_hash, count(*) AS dup_cnt,
+        |  min(doc_id) AS keeper_id
+        |FROM documents GROUP BY 1 ORDER BY keeper_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(count(lit(1)).as("dup_cnt"), min("doc_id").as("keeper_id"))
+        .orderBy("keeper_id")
+    },
+
+    // MinHash + LSH near-dup candidates: shingle → 16 minhashes → 4
+    // bands → self-join on band buckets → distinct candidate pairs.
+    QueryDef("q28_minhash_lsh",
+      s"""WITH sh AS (
+         |  $shingleSql
+         |), sig AS (
+         |  SELECT doc_id, $minhashSqlAggs FROM sh GROUP BY doc_id
+         |), bands AS (
+         |  ${(0 until Bands).map(b =>
+              s"SELECT doc_id, $b AS band_idx, ${bandSql(b)} AS band_hash FROM sig")
+              .mkString("\n  UNION ALL\n  ")}
+         |)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |  AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val sig = shingled(Tables.documents(s, dir))
+        .groupBy("doc_id").agg(minhashAggs(col("tok")).head, minhashAggs(col("tok")).tail: _*)
+      val bands = (0 until Bands).map { b =>
+        sig.select(col("doc_id"), lit(b).as("band_idx"), bandCol(b).as("band_hash"))
+      }.reduce(_ unionByName _)
+      val a = bands.as("a")
+      val b = bands.as("b")
+      a.join(b,
+          col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // SimHash fingerprints: per-bit majority vote over token hashes.
+    QueryDef("q29_simhash",
+      s"""WITH toks AS (
+         |  SELECT DISTINCT doc_id, tok FROM (
+         |    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+         |    FROM documents
+         |  ) WHERE tok <> ''
+         |), hashed AS (
+         |  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+         |  FROM toks
+         |), votes AS (
+         |  SELECT doc_id,
+         |    ${(0 until SimhashBits).map(b =>
+              s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+              .mkString(",\n    ")}
+         |  FROM hashed GROUP BY doc_id
+         |)
+         |SELECT doc_id,
+         |  CAST(${(0 until SimhashBits).map(b =>
+            s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS simhash
+         |FROM votes ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(array_distinct(gf.tokens(col("text")))).as("tok"))
+      val hashed = toks.withColumn("h", gf.stableHash(col("tok")))
+      val votes = hashed.groupBy("doc_id").agg(
+        (0 until SimhashBits).map { b =>
+          sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
+        }.head,
+        (0 until SimhashBits).map { b =>
+          sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
+        }.tail: _*)
+      votes.select(col("doc_id"),
+        (0 until SimhashBits).map { b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _).as("simhash"))
+        .orderBy("doc_id")
+    },
+
+    // n-gram (token-set) Jaccard near-dup verification, bucketed by
+    // lang so the self-join is per-bucket, never all-pairs.
+    QueryDef("q30_jaccard_pairs",
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_sort(list_distinct(list_filter(
+        |      string_split_regex(trim(text), '\s+'), x -> x <> ''))) AS toks
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+        |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          array_sort(array_distinct(gf.tokens(col("text")))).as("toks"))
+      val a = t.as("a")
+      val b = t.as("b")
+      val inter = size(array_intersect(col("a.toks"), col("b.toks"))).cast("double")
+      val union = size(array_distinct(concat(col("a.toks"), col("b.toks"))))
+      val jac = inter / union
+      a.join(b, col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+        .filter(jac >= 0.9)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          round(jac, 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // Brute-force cosine similarity baseline: for each query vector
+    // (vec_id < 16), neighbor count above threshold + max cosine.
+    // Dot/norm computed as a sequential double fold in BOTH engines so
+    // the oracle agrees bit-for-bit before rounding.
+    QueryDef("q31_similarity_stats",
+      """WITH v AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+        |  FROM v
+        |), pairs AS (
+        |  SELECT q.vec_id AS qid,
+        |    list_sum(list_transform(generate_series(1, len(q.e)),
+        |      i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm) AS cos
+        |  FROM n q JOIN n c ON q.vec_id < 16 AND c.vec_id <> q.vec_id
+        |)
+        |SELECT qid AS vec_id, count(*) FILTER (WHERE cos >= 0.7) AS neighbor_cnt,
+        |  round(max(cos), 6) AS max_cos
+        |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val v = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast("double")).as("e"))
+      val n = v.withColumn("nrm",
+        sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0d), (acc, x) => acc + x)))
+      val q = n.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+      val dot = aggregate(zip_with(col("qe"), col("e"), (x, y) => x * y),
+        lit(0.0d), (acc, x) => acc + x)
+      val cos = dot / (col("qn") * col("nrm"))
+      broadcast(q).join(n, col("vec_id") =!= col("qid"))
+        .select(col("qid"), cos.as("cos"))
+        .groupBy("qid")
+        .agg(
+          count(when(col("cos") >= 0.7, 1)).as("neighbor_cnt"),
+          round(max(col("cos")), 6).as("max_cos"))
+        .select(col("qid").as("vec_id"), col("neighbor_cnt"), col("max_cos"))
+        .orderBy("vec_id")
+    },
+
+    // Text quality scoring: token counts, stopword ratio, bucket.
+    QueryDef("q32_text_quality",
+      """SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |  round(CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS DOUBLE) / len(t), 4) AS stopword_ratio,
+        |  CASE WHEN len(t) >= 30
+        |        AND CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS DOUBLE) / len(t) < 0.15
+        |       THEN 'good' ELSE 'low' END AS quality
+        |FROM (SELECT doc_id,
+        |        list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val t = gf.tokens(col("text"))
+      val nTokens = size(t)
+      val stopCnt = size(filter(t, x => x.isin("the", "a")))
+      val ratio = stopCnt.cast("double") / nTokens
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          nTokens.cast("long").as("n_tokens"),
+          round(ratio, 4).as("stopword_ratio"),
+          when(nTokens >= 30 && ratio < 0.15, "good").otherwise("low").as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // Language-ID heuristic (marker-token voting) + corpus stats by lang.
+    QueryDef("q33_lang_stats",
+      """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum("n_chars").as("total_chars"),
+          round(sum("n_chars").cast("double") / count(lit(1)), 4).as("avg_chars"))
+        .orderBy("lang")
+    },
+
+    // Language-ID prediction per doc: n-gram/stopword marker heuristic.
+    QueryDef("q34_lang_id",
+      """SELECT doc_id,
+        |  CASE WHEN contains(' ' || lower(text) || ' ', ' the ') THEN 'en'
+        |       WHEN contains(' ' || lower(text) || ' ', ' le ') THEN 'fr'
+        |       WHEN contains(' ' || lower(text) || ' ', ' der ') THEN 'de'
+        |       WHEN contains(' ' || lower(text) || ' ', ' el ') THEN 'es'
+        |       ELSE 'unk' END AS predicted_lang,
+        |  lang
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val padded = concat(lit(" "), lower(col("text")), lit(" "))
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          when(padded.contains(" the "), "en")
+            .when(padded.contains(" le "), "fr")
+            .when(padded.contains(" der "), "de")
+            .when(padded.contains(" el "), "es")
+            .otherwise("unk").as("predicted_lang"),
+          col("lang"))
+        .orderBy("doc_id")
+    },
+
+    // Token counting per source: doc count, total tokens, distinct vocab.
+    QueryDef("q35_token_stats",
+      """SELECT source, count(DISTINCT doc_id) AS docs,
+        |  count(*) AS total_tokens, count(DISTINCT tok) AS vocab
+        |FROM (
+        |  SELECT doc_id, source,
+        |    unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
+        |  FROM documents
+        |) GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), explode(gf.tokens(col("text"))).as("tok"))
+        .groupBy("source")
+        .agg(
+          countDistinct("doc_id").as("docs"),
+          count(lit(1)).as("total_tokens"),
+          countDistinct("tok").as("vocab"))
+        .orderBy("source")
+    },
+
+    // Document fingerprint: md5 over whitespace-normalized text.
+    QueryDef("q36_fingerprint",
+      """SELECT doc_id,
+        |  md5(array_to_string(list_filter(
+        |    string_split_regex(trim(text), '\s+'), x -> x <> ''), ' ')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          md5(array_join(gf.tokens(col("text")), " ")).as("fingerprint"))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -12,14 +12,16 @@ import org.apache.spark.sql.functions._
   * existing dimension and ONLY new keys are appended, with surrogate keys
   * continuing from the existing maximum. Existing attributes are never
   * updated — that is the reference's contract, documented not "fixed"
-  * (SURVEY §7.4-6).
+  * (SURVEY §7.4-6). Non-key attribute columns present in BOTH frames are
+  * carried through: existing rows keep theirs, new rows take a
+  * deterministic (min-by-attribute-tuple) pick from the incoming batch.
   *
   * Idempotent: upsert(upsert(D, x), x) == upsert(D, x).
   *
   * Scale notes: the anti-join broadcasts whichever side is small (dims
   * almost always are); the max-SK lookup is a single-row aggregate; new
   * rows get row_number over an orderBy of the natural key — fine for the
-  * per-batch delta (small), not the full dimension.
+  * per-batch delta (small), not the full dimension. SKs are LongType.
   */
 object DimensionUpsert {
 
@@ -28,17 +30,35 @@ object DimensionUpsert {
       incoming: DataFrame,
       naturalKeys: Seq[String],
       skCol: String): DataFrame = {
-    val incomingKeys = incoming.select(naturalKeys.map(col): _*)
-      .na.drop(naturalKeys).distinct()
-    val newKeys = incomingKeys.join(existing, naturalKeys, "left_anti")
+    // Attribute columns = existing's non-key, non-SK columns that the
+    // incoming batch also carries (anything else can't be populated).
+    val attrCols = existing.columns.toSeq
+      .filterNot(c => c == skCol || naturalKeys.contains(c))
+      .filter(incoming.columns.contains)
+
+    // One row per new natural key, attributes picked deterministically
+    // (min over the attribute tuple) so re-runs are stable.
+    val incomingRows = incoming
+      .select((naturalKeys ++ attrCols).map(col): _*)
+      .na.drop(naturalKeys)
+    val incomingKeyed =
+      if (attrCols.isEmpty) incomingRows.distinct()
+      else incomingRows.groupBy(naturalKeys.map(col): _*)
+        .agg(min(struct(attrCols.map(col): _*)).as("_attrs"))
+        .select(naturalKeys.map(col) ++ attrCols.map(a => col(s"_attrs.$a").as(a)): _*)
+
+    val newKeys = incomingKeyed.join(existing, naturalKeys, "left_anti")
     // Dense keys continuing after the current max. coalesce handles the
     // bootstrap case (empty existing dim).
-    val base = coalesce(max(col(skCol)), lit(0))
-    val maxSk = existing.agg(base.as("m"))
+    val base = coalesce(max(col(skCol)).cast("long"), lit(0L))
+    val maxSk = existing.agg(base.as("_m"))
+    val outCols = col(skCol) +: (naturalKeys ++ attrCols).map(col)
     val newRows = newKeys
       .withColumn("_rn", row_number().over(Window.orderBy(naturalKeys.map(col): _*)))
       .crossJoin(broadcast(maxSk))
-      .select((col("_rn") + col("m")).cast("int").as(skCol) +: naturalKeys.map(col): _*)
-    existing.select(col(skCol) +: naturalKeys.map(col): _*).unionByName(newRows)
+      .withColumn(skCol, (col("_rn") + col("_m")).cast("long"))
+      .select(outCols: _*)
+    existing.select(outCols: _*).withColumn(skCol, col(skCol).cast("long"))
+      .unionByName(newRows)
   }
 }

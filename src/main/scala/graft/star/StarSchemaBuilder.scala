@@ -49,8 +49,10 @@ object StarSchemaBuilder {
       strategy: SkStrategy.Value): DataFrame = strategy match {
     case SkStrategy.GlobalRowNumber =>
       // Reference-compatible: one global sort, single-task window.
+      // SKs stay LongType — an int cast would silently wrap past 2^31
+      // rows; the reference only needs int at the write boundary.
       df.withColumn(skName,
-        row_number().over(Window.orderBy(orderCols.map(col): _*)).cast("int"))
+        row_number().over(Window.orderBy(orderCols.map(col): _*)).cast("long"))
     case SkStrategy.ZipWithIndex =>
       // Scalable: range-partition by the order columns (so partition i
       // holds keys strictly before partition i+1), then zipWithIndex —
@@ -63,7 +65,6 @@ object StarSchemaBuilder {
       }
       sorted.sparkSession.createDataFrame(indexed,
         schema.add(skName, org.apache.spark.sql.types.LongType))
-        .withColumn(skName, col(skName).cast("int"))
   }
 
   /** Date dimension from a timestamp/date column (reference

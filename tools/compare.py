@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<query>/ parquet (written by graft.Verify),
+runs the matching oracle SQL from oracle_sql.json in DuckDB over the
+same sfDir parquet tables, and compares: row count, column names,
+dtype families, and values (exact, after sorting columns by name and
+rows by all columns — a superset of whatever the driver hashes).
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = {}
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_float_dtype(s):
+            out[c] = s.round(9)
+        elif pd.api.types.is_datetime64_any_dtype(s):
+            s2 = s
+            try:
+                s2 = s.dt.tz_localize(None)
+            except (TypeError, AttributeError):
+                try:
+                    s2 = s.dt.tz_convert(None)
+                except (TypeError, AttributeError):
+                    pass
+            out[c] = s2.astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(s):
+            out[c] = s.astype("Int64")
+        elif s.dtype == object and s.dropna().size and all(
+                hasattr(v, "year") for v in s.dropna().head(5)):
+            out[c] = pd.to_datetime(s).astype("datetime64[us]")
+        else:
+            out[c] = s.astype(str)
+    res = pd.DataFrame(out)
+    res = res.sort_values(by=list(res.columns), kind="mergesort").reset_index(drop=True)
+    return res
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    npass = nfail = 0
+    import glob
+    produced = sorted(
+        p.rstrip("/").split("/")[-1] for p in glob.glob(f"{out_dir}/*/"))
+    for name in produced:
+        try:
+            mine = pd.read_parquet(f"{out_dir}/{name}")
+        except Exception as e:
+            print(f"FAIL {name}: engine output unreadable: {e}")
+            nfail += 1
+            continue
+        if name not in oracle:
+            print(f"SKIP {name}: rows-only ({len(mine)} rows)")
+            continue
+        try:
+            ref = con.execute(oracle[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {str(e).splitlines()[0]}")
+            nfail += 1
+            continue
+        a, b = normalize(mine), normalize(ref)
+        if list(a.columns) != list(b.columns):
+            print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}")
+            nfail += 1
+            continue
+        if len(a) != len(b):
+            print(f"FAIL {name}: rows {len(a)} vs {len(b)}")
+            nfail += 1
+            continue
+        if a.equals(b):
+            print(f"PASS {name} ({len(a)} rows)")
+            npass += 1
+        else:
+            neq = (a != b) & ~(a.isna() & b.isna())
+            bad = neq.any(axis=1)
+            print(f"FAIL {name}: {int(bad.sum())}/{len(a)} rows differ")
+            idx = bad[bad].index[:3]
+            for i in idx:
+                cols = [c for c in a.columns if neq.at[i, c]]
+                print(f"  row {i} differs in {cols}:")
+                print(f"    engine: {a.loc[i, cols].to_dict()}")
+                print(f"    oracle: {b.loc[i, cols].to_dict()}")
+            nfail += 1
+    print(f"\n{npass} pass, {nfail} fail, {len(produced)} produced, "
+          f"{len(oracle)} oracles")
+    sys.exit(1 if nfail else 0)
+
+
+if __name__ == "__main__":
+    main()
