@@ -10,10 +10,11 @@ import graft.star.{DimensionUpsert, SkStrategy, StarSchemaBuilder}
   * legacy pandas populator's incremental upsert).
   *
   * Scale notes: dims are tiny relative to the fact → every dim join is
-  * an explicit `broadcast()`; the fact PK's global `row_number` is the
-  * reference-compatible strategy (SkStrategy.ZipWithIndex is the 100 TB
-  * path, exercised in tests); the bridge is explode → broadcast join →
-  * distinct (one shuffle, on the bridge's own key).
+  * an explicit `broadcast()`; surrogate keys use the scalable
+  * SkStrategy.PartitionedOffset (no single-task global sort — identical
+  * output to the reference's global row_number on distinct keys); the
+  * bridge is explode → broadcast join → distinct (one shuffle, on the
+  * bridge's own key).
   */
 object StarQueries {
 
@@ -57,7 +58,7 @@ object StarQueries {
       val existing = StarSchemaBuilder.withSurrogateKey(
         cust.filter(col("c_custkey") % 3 === 0)
           .select("c_name", "c_mktsegment").distinct(),
-        Seq("c_name"), "customer_sk", SkStrategy.GlobalRowNumber)
+        Seq("c_name"), "customer_sk", SkStrategy.PartitionedOffset)
         .select("customer_sk", "c_name", "c_mktsegment")
       val incoming = cust.select("c_name", "c_mktsegment")
       DimensionUpsert.upsert(existing, incoming, Seq("c_name"), "customer_sk")
@@ -107,14 +108,17 @@ object StarQueries {
         orders, gf.normName(col("o_orderstatus")), "status_sk", "status_name")
       val dimDate = StarSchemaBuilder.buildDateDim(orders, col("o_orderdate"))
         .select("date_sk", "full_date")
-      orders
+      val resolved = orders
         .join(cust, col("o_custkey") === col("c_custkey"))
         .join(broadcast(dimCustomer), gf.normName(col("c_name")) === col("customer_name"), "left")
         .join(broadcast(dimPriority), gf.normTitle(col("o_orderpriority")) === col("priority_name"), "left")
         .join(broadcast(dimStatus), gf.normName(col("o_orderstatus")) === col("status_name"), "left")
         .join(broadcast(dimDate), to_date(col("o_orderdate")) === col("full_date"), "left")
-        .withColumn("job_posting_pk",
-          row_number().over(Window.orderBy("o_orderkey")).cast("long"))
+      // Dense PK over the FACT — the one place where a global window
+      // would be the 100 TB cliff; PartitionedOffset keeps it parallel.
+      StarSchemaBuilder.withSurrogateKey(
+          resolved, Seq("o_orderkey"), "job_posting_pk",
+          SkStrategy.PartitionedOffset)
         .select(
           col("job_posting_pk"), col("o_orderkey"), col("customer_sk"),
           col("priority_sk"), col("status_sk"), col("date_sk").cast("long").as("date_sk"),
@@ -142,7 +146,7 @@ object StarQueries {
           explode(gf.extractTags(col("text"), skillVocab)).as("skill_name"))
       val dimSkill = StarSchemaBuilder.withSurrogateKey(
         tagged.select("skill_name").distinct(),
-        Seq("skill_name"), "skill_sk", SkStrategy.GlobalRowNumber)
+        Seq("skill_name"), "skill_sk", SkStrategy.PartitionedOffset)
       tagged.join(broadcast(dimSkill), "skill_name")
         .select("doc_id", "skill_sk").distinct()
         .orderBy("doc_id", "skill_sk")

@@ -12,15 +12,21 @@ import org.apache.spark.sql.functions._
   * joins back to the dims, bridge via explode) re-expressed Spark-first.
   *
   * Surrogate-key strategy is pluggable (SURVEY §7.4-5):
+  *   - [[SkStrategy.PartitionedOffset]] (the default) — scalable:
+  *     range-partition by the order columns, rank within each partition,
+  *     then add per-partition offsets. Two jobs, all-parallel, stays on
+  *     the columnar/codegen path (no RDD round-trip). Same dense 1..N
+  *     keys as a global row_number, safe for 100 TB dims.
   *   - [[SkStrategy.GlobalRowNumber]] — bit-compatible with the
   *     reference (`row_number over Window.orderBy`), but the global
   *     unpartitioned window is a single-task sort: correct at any scale,
-  *     bottlenecked on one core beyond ~10^8 dim rows.
-  *   - [[SkStrategy.ZipWithIndex]] — scalable: sortWithinPartitions +
-  *     per-partition offsets (two jobs, no single-task sort). Same dense
-  *     1..N contiguous keys, safe for 100 TB dims.
+  *     bottlenecked on one core beyond ~10^8 dim rows. Kept only as the
+  *     explicit bit-compat mode.
+  *
+  * Both strategies produce identical output whenever `orderCols` has no
+  * duplicate tuples (always true after the dim's `distinct()`).
   */
-object SkStrategy extends Enumeration { val GlobalRowNumber, ZipWithIndex = Value }
+object SkStrategy extends Enumeration { val PartitionedOffset, GlobalRowNumber = Value }
 
 object StarSchemaBuilder {
 
@@ -32,7 +38,7 @@ object StarSchemaBuilder {
       naturalKey: Column,
       skName: String,
       keyName: String,
-      strategy: SkStrategy.Value = SkStrategy.GlobalRowNumber): DataFrame = {
+      strategy: SkStrategy.Value = SkStrategy.PartitionedOffset): DataFrame = {
     val distinctKeys = src
       .select(naturalKey.as(keyName))
       .filter(col(keyName).isNotNull)
@@ -53,18 +59,33 @@ object StarSchemaBuilder {
       // rows; the reference only needs int at the write boundary.
       df.withColumn(skName,
         row_number().over(Window.orderBy(orderCols.map(col): _*)).cast("long"))
-    case SkStrategy.ZipWithIndex =>
-      // Scalable: range-partition by the order columns (so partition i
-      // holds keys strictly before partition i+1), then zipWithIndex —
-      // a two-pass, all-parallel dense numbering with no global window.
-      val sorted = df.repartitionByRange(orderCols.map(col): _*)
-        .sortWithinPartitions(orderCols.map(col): _*)
-      val schema = sorted.schema
-      val indexed = sorted.rdd.zipWithIndex.map { case (row, idx) =>
-        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (idx + 1L))
-      }
-      sorted.sparkSession.createDataFrame(indexed,
-        schema.add(skName, org.apache.spark.sql.types.LongType))
+    case SkStrategy.PartitionedOffset =>
+      // Scalable two-pass dense numbering, fully DataFrame-native:
+      //   1. range-partition by the order columns, so partition i holds
+      //      keys strictly before partition i+1;
+      //   2. rank within each partition (parallel, partitioned window);
+      //   3. add each partition's starting offset (running sum over the
+      //      per-partition counts — a window over ≤numShufflePartitions
+      //      rows, broadcast back).
+      // Global SK = offset(pid) + local rank. No RDD round-trip, no
+      // single-task sort over the data; stays in whole-stage codegen.
+      val ranged = df
+        .repartitionByRange(orderCols.map(col): _*)
+        .withColumn("_graft_pid", spark_partition_id())
+      val localW = Window.partitionBy("_graft_pid")
+        .orderBy(orderCols.map(col): _*)
+      val ranked = ranged.withColumn("_graft_rank",
+        row_number().over(localW).cast("long"))
+      val offsets = ranged.groupBy("_graft_pid")
+        .agg(count(lit(1)).as("_graft_cnt"))
+        .withColumn("_graft_offset",
+          coalesce(sum("_graft_cnt").over(
+            Window.orderBy("_graft_pid")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("_graft_pid"), col("_graft_offset"))
+      ranked.join(broadcast(offsets), "_graft_pid")
+        .withColumn(skName, col("_graft_rank") + col("_graft_offset"))
+        .drop("_graft_pid", "_graft_rank", "_graft_offset")
   }
 
   /** Date dimension from a timestamp/date column (reference
