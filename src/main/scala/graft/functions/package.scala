@@ -62,9 +62,13 @@ package object functions {
   }
 
   /** The reference's bracket-string list parser: strip `[]'"` then split
-    * on ", " (`dags/spark_etl_script.py:132-135`). Kept bit-compatible. */
+    * on commas (`dags/spark_etl_script.py:132-135`). Splits on `,\s*`
+    * like the legacy variant (spark_etl_script.cpython-39.pyc) rather
+    * than the literal ", " — this also accepts compact JSON (`a","b`
+    * with no space), which pandas' json.dumps never emits but Spark's
+    * to_json does. */
   def parseBracketList(c: Column): Column =
-    split(translate(c, "[]'\"", ""), ", ")
+    split(translate(c, "[]'\"", ""), ",\\s*")
 
   /** Correct JSON-array parse of the same payload — the "fixed" variant of
     * the reference's from_json quirk (SURVEY §1.2). */

@@ -1,0 +1,151 @@
+package graft.star
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.{functions => gf}
+
+/** The full dimensional model over a landing batch. */
+final case class JobStar(
+    dimCompany: DataFrame,
+    dimPublisher: DataFrame,
+    dimEmploymentType: DataFrame,
+    dimLocation: DataFrame,
+    dimDate: DataFrame,
+    dimJobDetails: DataFrame,
+    dimSkill: DataFrame,
+    fact: DataFrame,
+    bridge: DataFrame) {
+  def all: Map[String, DataFrame] = Map(
+    "dim_company" -> dimCompany,
+    "dim_publisher" -> dimPublisher,
+    "dim_employment_type" -> dimEmploymentType,
+    "dim_location" -> dimLocation,
+    "dim_date" -> dimDate,
+    "dim_job_details" -> dimJobDetails,
+    "dim_skill" -> dimSkill,
+    "fact_job_postings" -> fact,
+    "bridge_job_skill" -> bridge)
+}
+
+/** Assembles the reference's 7-dim + fact + bridge star from a landing
+  * batch (semantics: `dags/spark_etl_script.py:86-179`), Spark-first:
+  *
+  *   - every dim is distinct + normalize + dense SK (strategy pluggable,
+  *     scalable PartitionedOffset by default);
+  *   - the fact resolves SKs via a 6-join chain on COMPUTED keys
+  *     (normalized strings / dates) — dims are explicitly `broadcast()`
+  *     (they are tiny relative to the fact at any scale);
+  *   - the bridge is skills-explode → broadcast skill-dim join → inner
+  *     join back to the fact on the natural key → distinct pairs;
+  *   - `job_natural_key` is a content hash of the identifying columns
+  *     (deterministic — unlike the reference's
+  *     `monotonically_increasing_id`, which is partition-layout
+  *     dependent; SURVEY §7.4-1 mandates a canonical key).
+  *
+  * The `job_highlights` array keeps the reference's declared semantics:
+  * an ARRAY parse of an object-shaped payload → NULL for well-formed
+  * records (SURVEY §1.2 quirk, bit-compat mode).
+  */
+object JobStarBuilder {
+
+  private val naturalKeyCols = Seq(
+    "job_title", "employer_name", "job_publisher", "job_location",
+    "job_posted_at_datetime_utc")
+
+  def build(
+      landing: DataFrame,
+      now: Column,
+      strategy: SkStrategy.Value = SkStrategy.PartitionedOffset): JobStar = {
+
+    val raw = landing
+      .withColumn("job_natural_key",
+        gf.stableHash(concat_ws("", naturalKeyCols.map(col): _*)))
+      .withColumn("job_posted_at_ts",
+        gf.parseRelativeTime(col("job_posted_at"), now))
+      .withColumn("job_posted_at_utc",
+        coalesce(to_timestamp(col("job_posted_at_datetime_utc")),
+          col("job_posted_at_ts")))
+
+    val dimCompany = StarSchemaBuilder.buildDim(
+      raw, gf.normName(col("employer_name")), "company_sk", "employer_name",
+      strategy)
+    val dimPublisher = StarSchemaBuilder.buildDim(
+      raw, gf.normTitle(col("job_publisher")), "publisher_sk", "publisher_name",
+      strategy)
+    val dimEmploymentType = StarSchemaBuilder.buildDim(
+      raw, gf.normTitle(col("job_employment_type")), "employment_type_sk",
+      "employment_type_name", strategy)
+
+    val dimLocation = StarSchemaBuilder.withSurrogateKey(
+      raw.select("job_location", "job_city", "job_state", "job_country")
+        .filter(col("job_location").isNotNull).distinct(),
+      Seq("job_location"), "location_sk", strategy)
+      .select("location_sk", "job_location", "job_city", "job_state",
+        "job_country")
+
+    val dimDate = StarSchemaBuilder.buildDateDim(raw, col("job_posted_at_utc"))
+
+    val dimJobDetails = StarSchemaBuilder.withSurrogateKey(
+      raw.select(
+          col("job_natural_key"),
+          trim(col("job_title")).as("job_title"),
+          col("job_description"),
+          gf.parseJsonList(col("job_highlights")).as("job_highlights_array"),
+          col("job_is_remote").cast("boolean").as("job_is_remote"),
+          col("job_posted_at"),
+          col("job_posted_at_utc"))
+        .filter(col("job_natural_key").isNotNull).distinct(),
+      Seq("job_natural_key"), "job_sk", strategy)
+
+    // Skills: the reference's bracket-string parser → explode →
+    // normalize → non-empty filter (spark_etl_script.py:132-139).
+    val skillsExploded = raw
+      .select(col("job_natural_key"),
+        explode_outer(gf.parseBracketList(col("skills"))).as("skill_name_raw"))
+      .select(col("job_natural_key"),
+        gf.normTitle(col("skill_name_raw")).as("skill_name"))
+      .filter(col("skill_name").isNotNull && col("skill_name") =!= "")
+
+    val dimSkill = StarSchemaBuilder.withSurrogateKey(
+      skillsExploded.select("skill_name").distinct(),
+      Seq("skill_name"), "skill_sk", strategy)
+      .select("skill_sk", "skill_name")
+
+    // Fact: 6-join chain on computed keys (J1-J6), dims broadcast.
+    val resolved = raw
+      .join(broadcast(dimJobDetails.select("job_sk", "job_natural_key")),
+        Seq("job_natural_key"))
+      .join(broadcast(dimCompany),
+        gf.normName(raw("employer_name")) === dimCompany("employer_name"), "left")
+      .join(broadcast(dimPublisher),
+        gf.normTitle(raw("job_publisher")) === dimPublisher("publisher_name"), "left")
+      .join(broadcast(dimEmploymentType),
+        gf.normTitle(raw("job_employment_type")) ===
+          dimEmploymentType("employment_type_name"), "left")
+      .join(broadcast(dimLocation.select("location_sk", "job_location")),
+        raw("job_location") === dimLocation("job_location"), "left")
+      .join(broadcast(dimDate.select("date_sk", "full_date")),
+        to_date(col("job_posted_at_utc")) === dimDate("full_date"), "left")
+
+    val fact = StarSchemaBuilder.withSurrogateKey(
+        resolved.select("job_natural_key", "job_sk", "company_sk",
+          "location_sk", "date_sk", "employment_type_sk", "publisher_sk"),
+        Seq("job_natural_key"), "job_posting_pk", strategy)
+      .withColumn("job_count", lit(1L))
+      .select("job_posting_pk", "job_natural_key", "job_sk", "company_sk",
+        "location_sk", "date_sk", "employment_type_sk", "publisher_sk",
+        "job_count")
+
+    // Bridge: J7 (skill dim, inner) + J8 (fact natural key, inner) →
+    // distinct pairs (spark_etl_script.py:175-179).
+    val bridge = skillsExploded
+      .join(broadcast(dimSkill), Seq("skill_name"))
+      .join(fact.select("job_posting_pk", "job_natural_key"),
+        Seq("job_natural_key"))
+      .select("job_posting_pk", "skill_sk")
+      .distinct()
+
+    JobStar(dimCompany, dimPublisher, dimEmploymentType, dimLocation,
+      dimDate, dimJobDetails, dimSkill, fact, bridge)
+  }
+}
