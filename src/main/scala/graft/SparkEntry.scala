@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries, EventQueries, QueryDef, StarQueries, TextQueries}
+import graft.queries.{AnnQueries, CoreQueries, EventQueries, QueryDef, StarQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,8 @@ import graft.queries.{CoreQueries, EventQueries, QueryDef, StarQueries, TextQuer
 object SparkEntry {
 
   val allDefs: Seq[QueryDef] =
-    CoreQueries.defs ++ StarQueries.defs ++ TextQueries.defs ++ EventQueries.defs
+    CoreQueries.defs ++ StarQueries.defs ++ TextQueries.defs ++
+      EventQueries.defs ++ AnnQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

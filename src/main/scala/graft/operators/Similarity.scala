@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`) — the training-data-pipeline similarity operator.
+  *
+  * Two paths:
+  *   - [[bruteForceTopK]]: exact O(Q·N) baseline — broadcast the query
+  *     set against the corpus. Right answer, and the right PLAN when Q
+  *     is small (broadcast-nested-loop over a tiny build side); never
+  *     viable for Q ≈ N.
+  *   - [[ivfTopK]]: the scale path. A deterministic IVF-style index:
+  *     centroids are drawn from the corpus itself (vec_id < nCentroids
+  *     — deterministic, no RNG, no training step), every corpus vector
+  *     is assigned to its nearest centroid (one broadcast join +
+  *     windowed argmax), queries probe their `nprobe` nearest
+  *     centroids, and the exact search runs only inside the probed
+  *     buckets — an equi-join on bucket id instead of an all-pairs
+  *     product. At 100 TB the corpus side shuffles once on bucket id
+  *     and each bucket is a partition-local scan.
+  *
+  * Cosine is computed as a sequential fold (`aggregate`/`zip_with`) so
+  * the DuckDB oracle's left-to-right summation agrees bit-for-bit.
+  */
+object Similarity {
+
+  /** dot(a, b) as a left-to-right double fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, x) => acc + x))
+
+  /** Project to (id, e: array<double>, nrm). */
+  private def prep(df: DataFrame, idCol: String, embCol: String): DataFrame =
+    df.select(col(idCol),
+        transform(col(embCol), x => x.cast("double")).as("e"))
+      .withColumn("nrm", norm(col("e")))
+
+  /** Exact top-k: every (query, corpus) pair with query side broadcast,
+    * ranked per query by cosine. Output: (qid, vec_id, cos, rank). */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val c = prep(corpus, idCol, embCol)
+    val q = prep(queries, idCol, embCol)
+      .select(col(idCol).as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    val cos = dot(col("qe"), col("e")) / (col("qn") * col("nrm"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc(idCol))
+    broadcast(q).join(c, col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol), round(cos, 6).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF-bucketed approximate top-k. Centroids = corpus vectors with
+    * `idCol < nCentroids`. Output: (qid, vec_id, cos, rank) — exact
+    * cosine, searched only within the probed buckets. */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nprobe: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val c = prep(corpus, idCol, embCol)
+    val cent = prep(corpus.filter(col(idCol) < nCentroids), idCol, embCol)
+      .select(col(idCol).as("cent_id"), col("e").as("ce"), col("nrm").as("cn"))
+    val simToCent = dot(col("e"), col("ce")) / (col("nrm") * col("cn"))
+
+    // Corpus → nearest centroid (argmax cos, ties by cent_id).
+    val aw = Window.partitionBy(idCol).orderBy(desc("csim"), asc("cent_id"))
+    val assigned = c.join(broadcast(cent), lit(true))
+      .withColumn("csim", simToCent)
+      .withColumn("arank", row_number().over(aw))
+      .filter(col("arank") === 1)
+      .select(col(idCol), col("e"), col("nrm"), col("cent_id").as("bucket"))
+
+    // Query → its nprobe nearest centroids.
+    val q = prep(queries, idCol, embCol)
+      .select(col(idCol).as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    val qw = Window.partitionBy("qid").orderBy(desc("qsim"), asc("cent_id"))
+    val probes = broadcast(q).join(broadcast(cent), lit(true))
+      .withColumn("qsim", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("prank", row_number().over(qw))
+      .filter(col("prank") <= nprobe)
+      .select(col("qid"), col("qe"), col("qn"), col("cent_id").as("bucket"))
+
+    // Exact search inside the probed buckets only (equi-join on bucket).
+    val cos = dot(col("qe"), col("e")) / (col("qn") * col("nrm"))
+    val rw = Window.partitionBy("qid").orderBy(desc("cos"), asc(idCol))
+    assigned.join(broadcast(probes), Seq("bucket"))
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol), round(cos, 6).as("cos"))
+      .withColumn("rank", row_number().over(rw).cast("long"))
+      .filter(col("rank") <= k)
+  }
+}

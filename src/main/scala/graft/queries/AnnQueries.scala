@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Multimodal, Similarity}
+
+/** ANN + multimodal scoring-surface entries. The IVF query replicates
+  * [[graft.operators.Similarity.ivfTopK]]'s exact semantics in DuckDB
+  * SQL (centroids = vec_id < 16, argmax assignment, 2-probe), so the
+  * approximate index itself is oracle-checked, not just row-counted.
+  */
+object AnnQueries {
+
+  private val cosSql =
+    "list_sum(list_transform(generate_series(1, len(%s)), i -> %s[i] * %s[i])) / (%s * %s)"
+
+  private def cos(ae: String, be: String, an: String, bn: String) =
+    cosSql.format(ae, ae, be, an, bn)
+
+  val defs: Seq[QueryDef] = Seq(
+    // Exact brute-force top-5 neighbors for each query vector.
+    QueryDef("q41_ann_topk",
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
+         |), scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id,
+         |    round(${cos("q.e", "c.e", "q.nrm", "c.nrm")}, 6) AS cos
+         |  FROM n q JOIN n c ON q.vec_id < 8 AND c.vec_id <> q.vec_id
+         |), ranked AS (
+         |  SELECT qid, vec_id, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT qid, vec_id, cos, rank FROM ranked WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+        .orderBy("qid", "rank")
+    },
+
+    // IVF-bucketed ANN: centroid assignment + 2-probe search, fully
+    // oracle-replicated.
+    QueryDef("q42_ann_ivf",
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
+         |), cent AS (
+         |  SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM n WHERE vec_id < 16
+         |), assigned AS (
+         |  SELECT vec_id, e, nrm, cent_id AS bucket FROM (
+         |    SELECT c.vec_id, c.e, c.nrm, t.cent_id,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ${cos("c.e", "t.ce", "c.nrm", "t.cn")} DESC, t.cent_id) AS arank
+         |    FROM n c CROSS JOIN cent t
+         |  ) WHERE arank = 1
+         |), probes AS (
+         |  SELECT qid, qe, qn, cent_id AS bucket FROM (
+         |    SELECT q.vec_id AS qid, q.e AS qe, q.nrm AS qn, t.cent_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cos("q.e", "t.ce", "q.nrm", "t.cn")} DESC, t.cent_id) AS prank
+         |    FROM n q CROSS JOIN cent t WHERE q.vec_id < 8
+         |  ) WHERE prank <= 2
+         |), ranked AS (
+         |  SELECT p.qid, a.vec_id,
+         |    round(${cos("p.qe", "a.e", "p.qn", "a.nrm")}, 6) AS cos,
+         |    row_number() OVER (PARTITION BY p.qid ORDER BY
+         |      ${cos("p.qe", "a.e", "p.qn", "a.nrm")} DESC, a.vec_id) AS rank
+         |  FROM assigned a JOIN probes p ON a.bucket = p.bucket
+         |  WHERE a.vec_id <> p.qid
+         |)
+         |SELECT qid, vec_id, cos, rank FROM ranked WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
+          nCentroids = 16, nprobe = 2)
+        .orderBy("qid", "rank")
+    },
+
+    // Multimodal metadata over binary payloads (decode stub tested in
+    // MultimodalSpec; the byte-level plumbing is oracle-checked here).
+    QueryDef("q43_media_meta",
+      """SELECT doc_id AS media_id,
+        |  octet_length(CAST(encode(text) AS BLOB)) AS n_bytes,
+        |  md5(text) AS payload_md5,
+        |  substr(hex(CAST(encode(text) AS BLOB)), 1, 8) AS head_hex
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
+      implicit val sp = s
+      Multimodal.mediaFromDocuments(Tables.documents(s, dir)).toDF()
+        .select(
+          col("media_id"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          md5(col("payload")).as("payload_md5"),
+          hex(substring(col("payload"), 1, 4)).as("head_hex"))
+        .orderBy("media_id")
+    }
+  )
+}

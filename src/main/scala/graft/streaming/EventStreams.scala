@@ -1,0 +1,107 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY §2.12): the engine's
+  * generalization of the reference's hand-rolled incremental batch
+  * (watermark Variable + `ingested_at > $wm` pushdown,
+  * `scripts/pyspark/extract_postgres_table.py:28-76`) into real
+  * event-time streams.
+  *
+  * Each transform takes an unbounded DataFrame (`readStream` source)
+  * and returns a streaming DataFrame; the batch twins in
+  * [[graft.queries.EventQueries]] (q37-q40) are the oracle-checked
+  * semantics. Watermarks bound state: a 10-minute watermark means a
+  * 1-hour window's state is dropped ~70 minutes after its end — at
+  * 100 TB/day of events this is what keeps the state store finite.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour counts/sums with a late-data watermark
+    * (batch twin: q37). */
+  def tumblingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("cnt"), col("sum_value"))
+
+  /** Sliding 1-hour/30-minute windows (batch twin: q38). */
+  def slidingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("cnt"), col("sum_value"))
+
+  /** Built-in session windows: gap-based, watermark-bounded state. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("cnt"))
+
+  // ---- custom state: sessionization via flatMapGroupsWithState ----------
+
+  final case class Event(user_id: Long, event_id: Long, ts: Timestamp)
+  final case class SessionState(start: Long, last: Long, count: Long)
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+      cnt: Long)
+
+  /** Custom stateful sessionization — the mapGroupsWithState form of
+    * q39, for session semantics the built-in window can't express
+    * (e.g. emitting only on close). State times out via the event-time
+    * watermark, so it cannot grow unboundedly. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)(
+      implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event],
+         state: GroupState[List[SessionState]]) =>
+          if (state.hasTimedOut) {
+            // Watermark passed: close out all open sessions.
+            val out = state.getOption.getOrElse(Nil).map(s =>
+              SessionOut(userId, new Timestamp(s.start), s.count))
+            state.remove()
+            out.iterator
+          } else {
+            // Fold the batch into gap-separated sessions.
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val open = state.getOption.getOrElse(Nil)
+            val merged = sorted.foldLeft(open) { (sessions, e) =>
+              val t = e.ts.getTime
+              sessions match {
+                case head :: tail if t - head.last <= gapMs =>
+                  head.copy(last = math.max(head.last, t),
+                    count = head.count + 1) :: tail
+                case _ =>
+                  SessionState(t, t, 1L) :: sessions
+              }
+            }
+            // Emit and drop every session already closed by the gap;
+            // keep only the newest (possibly still-open) one in state.
+            merged match {
+              case head :: closed =>
+                state.update(List(head))
+                state.setTimeoutTimestamp(head.last + gapMs)
+                closed.reverseIterator.map(s =>
+                  SessionOut(userId, new Timestamp(s.start), s.count))
+              case Nil =>
+                state.remove()
+                Iterator.empty
+            }
+          }
+      }
+  }
+}
