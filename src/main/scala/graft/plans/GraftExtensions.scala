@@ -1,0 +1,79 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types.{LongType, StringType, TimestampType}
+
+/** SparkSessionExtensions entry point — registers the engine's SQL
+  * function surface so `spark.sql` users get the same scalar library
+  * as DataFrame users. Activate with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
+  *
+  *   - `stable_hash60(str)` — the native codegen'd [[StableHash60]];
+  *   - `parse_relative_time(str, now)` — the reference's relative-time
+  *     parse (reference `dags/spark_etl_script.py:12-29`) as a pure
+  *     expression composition (analysis-time expansion → fully
+  *     codegen'd, visible post-analysis as its constituent ops);
+  *   - `extract_tags(str, vocab_csv)` — vocabulary substring tagging.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("stable_hash60"),
+      info("stable_hash60", "stable_hash60(str) - 60-bit md5-derived non-negative hash"),
+      (args: Seq[Expression]) => StableHash60(args.head)))
+
+    // parse_relative_time: native node composition mirroring
+    // graft.functions.parseRelativeTime (reference semantics: substring
+    // match on hour/day, first digit run, yesterday -> NULL). Seconds
+    // arithmetic via long casts — codegen'd end to end.
+    ext.injectFunction((
+      new FunctionIdentifier("parse_relative_time"),
+      info("parse_relative_time",
+        "parse_relative_time(str, now) - 'N hours/days ago' -> timestamp"),
+      (args: Seq[Expression]) => {
+        val s = Lower(StringTrim(args(0)))
+        val digits = RegExpExtract(s, Literal("(\\d+)"), Literal(1))
+        val n = CaseWhen(
+          Seq((Not(EqualTo(digits, Literal(""))), Cast(digits, LongType))),
+          Literal.create(null, LongType))
+        val nowSecs = Cast(args(1), LongType)
+        def ago(unitSecs: Long) =
+          Cast(Subtract(nowSecs, Multiply(n, Literal(unitSecs))), TimestampType)
+        CaseWhen(
+          Seq(
+            (Contains(s, Literal("hour")), ago(3600L)),
+            (Contains(s, Literal("day")), ago(86400L))),
+          Literal.create(null, TimestampType))
+      }))
+
+    // extract_tags: unrolled per-term Contains scan (the vocabulary is
+    // a literal, so the whole scan inlines into codegen) → compact →
+    // distinct → sort, identical to graft.functions.extractTags.
+    ext.injectFunction((
+      new FunctionIdentifier("extract_tags"),
+      info("extract_tags",
+        "extract_tags(str, vocab_csv) - sorted array of vocabulary substring hits"),
+      (args: Seq[Expression]) => {
+        val vocab = args(1) match {
+          case e if e.foldable && e.eval() != null =>
+            e.eval().toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          case other => throw new IllegalArgumentException(
+            s"extract_tags vocabulary must be a string literal, got $other")
+        }
+        val lowered = Lower(args(0))
+        val hits = vocab.distinct.sorted.map { term =>
+          CaseWhen(
+            Seq((Contains(lowered, Literal(term.toLowerCase)),
+              Literal(term.toLowerCase))),
+            Literal.create(null, StringType))
+        }
+        SortArray(ArrayDistinct(ArrayCompact(CreateArray(hits))), Literal(true))
+      }))
+  }
+}

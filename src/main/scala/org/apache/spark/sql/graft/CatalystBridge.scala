@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge to Spark's `private[sql]` Column↔Expression
+  * converters — the one sanctioned way to hand a Column-composed tree
+  * to a FunctionRegistry builder. Lives in an `org.apache.spark.sql`
+  * subpackage solely for access; no Spark internals are modified. */
+object CatalystBridge {
+  def expr(c: Column): Expression = ExpressionUtils.expression(c)
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+}

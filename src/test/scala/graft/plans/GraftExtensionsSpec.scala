@@ -1,0 +1,63 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.{functions => gf}
+
+/** Own session (not SparkSpec's): extensions must be installed at
+  * session build time. */
+class GraftExtensionsSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  test("stable_hash60 SQL function matches the Column-composed stableHash bit-for-bit") {
+    import spark.implicits._
+    val viaSql = spark.sql(
+      "SELECT stable_hash60('x') AS h, stable_hash60('graft engine') AS h2")
+      .as[(Long, Long)].collect().head
+    val viaCols = Seq(("x", "graft engine")).toDF("a", "b")
+      .select(gf.stableHash($"a"), gf.stableHash($"b"))
+      .as[(Long, Long)].collect().head
+    viaSql shouldBe viaCols
+  }
+
+  test("StableHash60 survives codegen (evaluates inside a projection over rows)") {
+    import spark.implicits._
+    val n = 1000
+    val df = (1 to n).map(i => s"doc $i").toDF("t")
+      .select(org.apache.spark.sql.graft.CatalystBridge.column(
+        StableHash60(org.apache.spark.sql.graft.CatalystBridge.expr(col("t")))).as("h"))
+    df.distinct().count() shouldBe n
+    df.filter($"h" < 0).count() shouldBe 0
+  }
+
+  test("parse_relative_time SQL function applies reference semantics") {
+    val got = spark.sql(
+      """SELECT CAST(parse_relative_time('7 hours ago',
+        |  TIMESTAMP '2026-01-01 00:00:00') AS STRING) AS ts,
+        |  parse_relative_time('yesterday', TIMESTAMP '2026-01-01 00:00:00') AS y
+        |""".stripMargin).collect().head
+    got.getString(0) shouldBe "2025-12-31 17:00:00"
+    got.isNullAt(1) shouldBe true
+  }
+
+  test("extract_tags SQL function tags from a literal vocabulary") {
+    val got = spark.sql(
+      "SELECT extract_tags('Spark and SQL daily', 'spark,sql,python') AS tags")
+      .collect().head.getSeq[String](0)
+    got shouldBe Seq("spark", "sql")
+  }
+}
