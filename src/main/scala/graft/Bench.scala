@@ -19,6 +19,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warm-up outside the timed loop — otherwise the first
+    // query pays classloading + JIT for the whole session.
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag").count()
+      .write.format("noop").mode("overwrite").save()
     val results = SparkEntry.allDefs.map { d =>
       val t0 = System.nanoTime()
       try d.build(spark, sfDir).write.format("noop").mode("overwrite").save()

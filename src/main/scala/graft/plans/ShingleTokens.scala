@@ -1,0 +1,73 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd tokenize → w-gram shingle → dedupe, in one pass.
+  *
+  * The Column-composed equivalent
+  * (`array_distinct(shingles(tokens(text), w))`, see
+  * [[graft.functions]]) is built from higher-order functions
+  * (`filter`/`transform` lambdas), which Spark evaluates INTERPRETED —
+  * on a shingling hot path that is ~10× slower than generated code and
+  * allocates three intermediate arrays per row. This expression does
+  * split + window-join + dedupe in a single pass and participates in
+  * whole-stage codegen via a static call.
+  *
+  * Semantics are identical to the composed form: whitespace
+  * tokenization with empty tokens dropped, windows of `width` tokens
+  * joined by single spaces, first-occurrence-order dedupe, empty array
+  * when fewer than `width` tokens.
+  */
+case class ShingleTokens(child: Expression, width: Int)
+    extends UnaryExpression {
+
+  require(width >= 1, s"shingle width must be >= 1, got $width")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_tokens requires a string argument, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_tokens"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleTokens.shingle(input.asInstanceOf[UTF8String], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ShingleTokens.shingle($c, $width)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleTokens =
+    copy(child = newChild)
+}
+
+object ShingleTokens {
+  def shingle(text: UTF8String, w: Int): ArrayData = {
+    val toks = text.toString.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < w) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= toks.length - w) {
+      sb.setLength(0)
+      var j = 0
+      while (j < w) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+}

@@ -43,10 +43,20 @@ object TextQueries {
   private def bandCol(b: Int): Column =
     md5(concat_ws("|", (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}")): _*))
 
-  /** 3-token shingles of a doc, deduped — shared by minhash queries. */
+  /** 3-token shingles of a doc, deduped — shared by minhash queries.
+    * Uses the native codegen'd [[graft.plans.ShingleTokens]] (the
+    * higher-order-function composition runs interpreted — ~10× slower
+    * on this hot path). The repartition fans the (often single-file)
+    * scan out BEFORE the explode + 16×md5 partial aggregation —
+    * otherwise all the hash work runs in as many tasks as there are
+    * input files. */
   private def shingled(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      explode(array_distinct(gf.shingles(gf.tokens(col("text")), 3))).as("tok"))
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(org.apache.spark.sql.graft.CatalystBridge.column(
+          graft.plans.ShingleTokens(
+            org.apache.spark.sql.graft.CatalystBridge.expr(trim(col("text"))),
+            3))).as("tok"))
 
   private val shingleSql =
     """SELECT DISTINCT doc_id, tok FROM (
@@ -97,16 +107,32 @@ object TextQueries {
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       val sig = shingled(Tables.documents(s, dir))
         .groupBy("doc_id").agg(minhashAggs(col("tok")).head, minhashAggs(col("tok")).tail: _*)
-      val bands = (0 until Bands).map { b =>
-        sig.select(col("doc_id"), lit(b).as("band_idx"), bandCol(b).as("band_hash"))
-      }.reduce(_ unionByName _)
-      val a = bands.as("a")
-      val b = bands.as("b")
-      a.join(b,
-          col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // One pass over sig: explode an array of (band_idx, band_hash)
+      // structs — a per-band union would recompute the whole
+      // shingle+minhash aggregation once per band.
+      val bandStructs = array((0 until Bands).map { b =>
+        struct(lit(b).as("band_idx"), bandCol(b).as("band_hash"))
+      }: _*)
+      val bands = sig
+        .select(col("doc_id"), explode(bandStructs).as("bd"))
+        .select(col("doc_id"), col("bd.band_idx").as("band_idx"),
+          col("bd.band_hash").as("band_hash"))
+      // Candidate pairs WITHOUT a self-join: group each band bucket,
+      // emit in-bucket id combinations via higher-order array ops. A
+      // self-join would evaluate the whole shingle+minhash pipeline once
+      // per side; this computes signatures exactly once, and bucket
+      // sizes bound the pair blow-up (LSH's contract).
+      val buckets = bands
+        .groupBy("band_idx", "band_hash")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+      val pairs = flatten(transform(col("ids"), (x, i) =>
+        transform(
+          slice(col("ids"), i + lit(2), size(col("ids")) - i - lit(1)),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))
+      buckets
+        .select(explode(pairs).as("p"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
         .distinct()
         .orderBy("doc_a", "doc_b")
     },
@@ -133,6 +159,7 @@ object TextQueries {
             s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS simhash
          |FROM votes ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val toks = Tables.documents(s, dir)
+        .repartition(col("doc_id")) // fan out the single-file scan
         .select(col("doc_id"), explode(array_distinct(gf.tokens(col("text")))).as("tok"))
       val hashed = toks.withColumn("h", gf.stableHash(col("tok")))
       val votes = hashed.groupBy("doc_id").agg(
@@ -150,7 +177,13 @@ object TextQueries {
     },
 
     // n-gram (token-set) Jaccard near-dup verification, bucketed by
-    // lang so the self-join is per-bucket, never all-pairs.
+    // lang so the self-join is per-bucket, never all-pairs. Length
+    // filtering prunes before the expensive intersection: J >= 0.9
+    // forces |A| and |B| within a 9/10 factor (|B| <= |A∪B| <=
+    // |A∩B|/0.9 <= |A|/0.9), so the size-band predicate sits in the
+    // join condition and the per-pair set intersection runs only on
+    // survivors — at corpus scale this is the difference between
+    // O(pairs) string work and O(pairs) integer compares.
     QueryDef("q30_jaccard_pairs",
       """WITH t AS (
         |  SELECT doc_id, lang,
@@ -165,18 +198,52 @@ object TextQueries {
         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
         |      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      // Block decomposition: `lang` alone has ~5 values, so a plain
+      // self-equi-join degenerates to 5 giant tasks no matter how many
+      // cores exist. Each side is replicated across B block ids so the
+      // join key (lang, blk_a, blk_b) fans out to 5·B² balanced cells —
+      // the standard triangle-join parallelization for dense self-joins.
+      val B = 6
       val t = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"),
           array_sort(array_distinct(gf.tokens(col("text")))).as("toks"))
-      val a = t.as("a")
-      val b = t.as("b")
+        .withColumn("ntok", size(col("toks")))
+        .withColumn("blk", (col("doc_id") % B).cast("int"))
+      // The probe side must be physically fanned out: documents is one
+      // parquet file, and the build side broadcasts, so without this
+      // repartition the whole O(pairs) verification runs in ONE task.
+      val a = t.withColumn("blk_b", explode(sequence(lit(0), lit(B - 1))))
+        .withColumnRenamed("blk", "blk_a")
+        // explicit count: AQE would coalesce these byte-tiny but
+        // compute-heavy partitions back together
+        .repartition(B * B, col("lang"), col("blk_a"), col("blk_b")).as("a")
+      val b = t.withColumn("blk_a", explode(sequence(lit(0), lit(B - 1))))
+        .withColumnRenamed("blk", "blk_b").as("b")
+      val sizeBand = // necessary condition for J >= 0.9; cheap int math
+        col("a.ntok") * 9 <= col("b.ntok") * 10 &&
+        col("b.ntok") * 9 <= col("a.ntok") * 10
       val inter = size(array_intersect(col("a.toks"), col("b.toks"))).cast("double")
-      val union = size(array_distinct(concat(col("a.toks"), col("b.toks"))))
-      val jac = inter / union
-      a.join(b, col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
-        .filter(jac >= 0.9)
+      // |A∪B| = |A| + |B| - |A∩B| for sets — no concat+distinct array.
+      val candidates = a.join(b,
+          col("a.lang") === col("b.lang") &&
+          col("a.blk_a") === col("b.blk_a") &&
+          col("a.blk_b") === col("b.blk_b") &&
+          col("a.doc_id") < col("b.doc_id") && sizeBand)
+        .withColumn("inter", inter)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          round(jac, 4).as("jaccard"))
+          (col("inter") / (col("a.ntok") + col("b.ntok") - col("inter")))
+            .as("jaccard"))
+      // Typed-filter barrier: a Column filter here gets pushed into the
+      // join CONDITION, where the array_intersect would run (twice — it
+      // appears on both sides of the division) on every hash-bucket
+      // probe before the cheap band/order predicates. The closure is
+      // opaque to Catalyst, so the intersection stays in the post-join
+      // project, computed once per surviving candidate.
+      import s.implicits._
+      candidates.as[(Long, Long, Double)]
+        .filter(_._3 >= 0.9)
+        .toDF("doc_a", "doc_b", "jaccard")
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     },
 

@@ -12,6 +12,10 @@ trait SparkSpec extends AnyFunSuite with Matchers {
 
 object SparkSpec {
   lazy val session: SparkSession = {
+    // Force a fresh session: another spec (e.g. GraftExtensionsSpec)
+    // may have installed a default session with different configs.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")

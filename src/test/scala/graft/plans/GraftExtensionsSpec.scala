@@ -11,10 +11,18 @@ import graft.{functions => gf}
 class GraftExtensionsSpec extends AnyFunSuite with Matchers {
 
   private lazy val spark: SparkSession = {
+    // getOrCreate() would reuse the shared test session (built WITHOUT
+    // extensions); clear the defaults so this builder really applies
+    // spark.sql.extensions. The SparkContext itself is still shared.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val s = SparkSession.builder()
       .master("local[2]")
       .appName("graft-ext-test")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // spark.sql.extensions is a STATIC conf — inert once another
+      // session exists in the JVM (the shared test context), so use the
+      // programmatic injection path; production sessions use the conf.
+      .withExtensions(new GraftExtensions())
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -1,0 +1,39 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.CatalystBridge
+import graft.SparkSpec
+import graft.{functions => gf}
+
+class ShingleTokensSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def native(texts: Seq[String], w: Int): Seq[Seq[String]] =
+    texts.toDF("t")
+      .select(CatalystBridge.column(
+        ShingleTokens(CatalystBridge.expr(trim($"t")), w)).as("sh"))
+      .as[Seq[String]].collect().toSeq
+
+  private def composed(texts: Seq[String], w: Int): Seq[Seq[String]] =
+    texts.toDF("t")
+      .select(array_distinct(gf.shingles(gf.tokens($"t"), w)).as("sh"))
+      .as[Seq[String]].collect().toSeq
+
+  test("native shingles match the Column-composed form on varied inputs") {
+    val texts = Seq(
+      "a b c d e",
+      "a  b\tc", // whitespace runs
+      "x", // shorter than width
+      "", // empty
+      "a b a b a b", // duplicate shingles
+      "  leading and trailing  ")
+    native(texts, 3) shouldBe composed(texts, 3)
+    native(texts, 1) shouldBe composed(texts, 1)
+    native(texts, 2) shouldBe composed(texts, 2)
+  }
+
+  test("native shingles dedupe, keep order, and handle short input") {
+    native(Seq("a b a b a"), 2) shouldBe Seq(Seq("a b", "b a"))
+    native(Seq("one two"), 3) shouldBe Seq(Seq.empty)
+  }
+}
