@@ -65,6 +65,10 @@ object JobStarBuilder {
       .withColumn("job_posted_at_utc",
         coalesce(to_timestamp(col("job_posted_at_datetime_utc")),
           col("job_posted_at_ts")))
+      // C1 (reference spark_etl_script.py:146-153): raw feeds all 7
+      // dims plus the fact chain — without the cache every consumer
+      // re-scans and re-derives the landing batch.
+      .cache()
 
     val dimCompany = StarSchemaBuilder.buildDim(
       raw, gf.normName(col("employer_name")), "company_sk", "employer_name",
