@@ -27,12 +27,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a, b) as a left-to-right double fold. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  /** dot(a, b): native codegen'd left-to-right fold — bit-identical to
+    * the `aggregate(zip_with(...))` composition it replaces, which runs
+    * interpreted and dominates O(Q·N) similarity joins. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.CatalystBridge
+    CatalystBridge.column(graft.plans.DotProduct(
+      CatalystBridge.expr(a), CatalystBridge.expr(b)))
+  }
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, x) => acc + x))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Project to (id, e: array<double>, nrm). */
   private def prep(df: DataFrame, idCol: String, embCol: String): DataFrame =

@@ -268,16 +268,14 @@ object TextQueries {
         |SELECT qid AS vec_id, count(*) FILTER (WHERE cos >= 0.7) AS neighbor_cnt,
         |  round(max(cos), 6) AS max_cos
         |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import graft.operators.Similarity
       val v = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("label"),
           transform(col("embedding"), x => x.cast("double")).as("e"))
-      val n = v.withColumn("nrm",
-        sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0d), (acc, x) => acc + x)))
+      val n = v.withColumn("nrm", Similarity.norm(col("e")))
       val q = n.filter(col("vec_id") < 16)
         .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
-      val dot = aggregate(zip_with(col("qe"), col("e"), (x, y) => x * y),
-        lit(0.0d), (acc, x) => acc + x)
-      val cos = dot / (col("qn") * col("nrm"))
+      val cos = Similarity.dot(col("qe"), col("e")) / (col("qn") * col("nrm"))
       broadcast(q).join(n, col("vec_id") =!= col("qid"))
         .select(col("qid"), cos.as("cos"))
         .groupBy("qid")

@@ -69,9 +69,14 @@ object StarSchemaBuilder {
       //      rows, broadcast back).
       // Global SK = offset(pid) + local rank. No RDD round-trip, no
       // single-task sort over the data; stays in whole-stage codegen.
+      // Persisted: the rank pass and the offset pass both consume this
+      // frame — without the persist the entire upstream plan (for a
+      // fact PK, the whole join chain) executes twice. MEMORY_AND_DISK
+      // spills rather than OOMs on 100 TB-scale inputs.
       val ranged = df
         .repartitionByRange(orderCols.map(col): _*)
         .withColumn("_graft_pid", spark_partition_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val localW = Window.partitionBy("_graft_pid")
         .orderBy(orderCols.map(col): _*)
       val ranked = ranged.withColumn("_graft_rank",
