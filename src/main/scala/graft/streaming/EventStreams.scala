@@ -48,6 +48,21 @@ object EventStreams {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("cnt"))
 
+  /** Streaming exact dedup on event_id — watermark-bounded state (the
+    * streaming form of the exact-dedup operator q27: late duplicates
+    * beyond the watermark age out of the state store instead of
+    * growing it forever). */
+  def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates("event_id")
+
+  /** Stream-static enrichment: the streaming side joins a static
+    * dimension (broadcast per micro-batch — no stream-side shuffle). */
+  def enriched(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq("event_type"),
+      "left")
+
   // ---- custom state: sessionization via flatMapGroupsWithState ----------
 
   final case class Event(user_id: Long, event_id: Long, ts: Timestamp)

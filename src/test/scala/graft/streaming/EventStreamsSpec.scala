@@ -72,6 +72,42 @@ class EventStreamsSpec extends SparkSpec {
       (2L, ts("2026-01-01 02:30:00"), 1L))
   }
 
+  test("streaming dedup drops in-watermark duplicate event_ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Timestamp, Double)]
+    val q = EventStreams.dedupEvents(
+        mem.toDF().toDF("user_id", "event_id", "ts", "value"))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(Seq(
+      (1L, 101L, ts("2026-01-01 00:05:00"), 1.0),
+      (1L, 101L, ts("2026-01-01 00:05:00"), 1.0), // same-batch dup
+      (2L, 102L, ts("2026-01-01 00:06:00"), 2.0)))
+    q.processAllAvailable()
+    mem.addData(Seq((9L, 101L, ts("2026-01-01 00:07:00"), 9.0))) // cross-batch dup
+    q.processAllAvailable()
+    q.stop()
+    spark.table("dedup").select($"event_id").as[Long].collect().sorted shouldBe
+      Array(101L, 102L)
+  }
+
+  test("stream-static enrichment broadcast-joins a dimension per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("view", "browse"), ("click", "engage")).toDF("event_type", "category")
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.enriched(
+        mem.toDF().toDF("event_id", "event_type"), dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(Seq((1L, "view"), (2L, "click"), (3L, "signup")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enriched")
+      .select("event_id", "category").as[(Long, Option[String])]
+      .collect().sortBy(_._1)
+    got shouldBe Array((1L, Some("browse")), (2L, Some("engage")), (3L, None))
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions with counts") {
     implicit val sqlCtx = spark.sqlContext
     implicit val ss = spark
