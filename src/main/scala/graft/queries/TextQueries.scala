@@ -204,9 +204,17 @@ object TextQueries {
       // join key (lang, blk_a, blk_b) fans out to 5·B² balanced cells —
       // the standard triangle-join parallelization for dense self-joins.
       val B = 6
+      // Deduped token sets via the native ShingleTokens(w=1): the
+      // composed array_sort(array_distinct(filter(split))) runs
+      // interpreted; ordering is irrelevant to intersection size, and
+      // the repartition parallelizes the tokenize for BOTH join sides.
       val t = Tables.documents(s, dir)
+        .repartition(col("doc_id"))
         .select(col("doc_id"), col("lang"),
-          array_sort(array_distinct(gf.tokens(col("text")))).as("toks"))
+          org.apache.spark.sql.graft.CatalystBridge.column(
+            graft.plans.ShingleTokens(
+              org.apache.spark.sql.graft.CatalystBridge.expr(trim(col("text"))),
+              1)).as("toks"))
         .withColumn("ntok", size(col("toks")))
         .withColumn("blk", (col("doc_id") % B).cast("int"))
       // The probe side must be physically fanned out: documents is one

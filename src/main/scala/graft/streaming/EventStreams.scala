@@ -21,6 +21,31 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
+  /** Unbounded read of the events table from its parquet directory —
+    * the engine's `readStream` entry. The driver's events.parquet
+    * carries INT64 TIMESTAMP(NANOS), which the vectorized reader only
+    * accepts as long (see [[graft.Tables.events]]); the nanos→micros
+    * truncation here matches the batch loader, so every batch twin
+    * applies unchanged to the stream. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props",
+        org.apache.spark.sql.types.StringType)))
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Tumbling 1-hour counts/sums with a late-data watermark
     * (batch twin: q37). */
   def tumblingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =

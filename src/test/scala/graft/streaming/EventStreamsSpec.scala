@@ -72,6 +72,27 @@ class EventStreamsSpec extends SparkSpec {
       (2L, ts("2026-01-01 02:30:00"), 1L))
   }
 
+  test("file-source stream over events.parquet matches the batch tumbling result") {
+    // Stage the real testdata table into a stream-source dir.
+    val dir = java.nio.file.Files.createTempDirectory("evstream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = EventStreams.tumblingCounts(
+      EventStreams.readEventStream(spark, dir), watermark = "0 seconds")
+    val q = stream.writeStream.format("memory").queryName("filestream")
+      .outputMode(OutputMode.Complete()) // finite source; complete mode
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("filestream")
+      .orderBy("window_start").as[(Timestamp, Long, Double)].collect()
+    val batch = graft.SparkEntry.allDefs.find(_.name == "q37_tumbling_window").get
+      .build(spark, "/root/testdata/sf0.001")
+      .as[(Timestamp, Long, Double)].collect()
+    streamed shouldBe batch
+  }
+
   test("streaming dedup drops in-watermark duplicate event_ids") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Timestamp, Double)]
