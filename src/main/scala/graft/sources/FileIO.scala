@@ -50,4 +50,15 @@ object FileIO {
   def writeWarehouseTable(df: DataFrame, table: String,
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).format("parquet").saveAsTable(table)
+
+  /** Bucketed warehouse table: co-locates join keys at write time so a
+    * later join of two tables bucketed on the same key by the same
+    * count needs NO shuffle on either side — at 100 TB the fact↔bridge
+    * join shuffles nothing if both were bucketed on job_posting_pk. */
+  def writeBucketedTable(df: DataFrame, table: String, bucketCol: String,
+      numBuckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
 }

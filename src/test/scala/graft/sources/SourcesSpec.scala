@@ -99,6 +99,18 @@ class SourcesSpec extends SparkSpec {
     scan should include("PartitionFilters")
   }
 
+  test("bucketed tables join without a shuffle on either side") {
+    val orders = (1 to 1000).map(i => (i.toLong, s"o$i")).toDF("k", "o")
+    val custs = (1 to 200).map(i => (i.toLong, s"c$i")).toDF("k", "c")
+    FileIO.writeBucketedTable(orders, "b_orders", "k", 4)
+    FileIO.writeBucketedTable(custs, "b_custs", "k", 4)
+    val joined = spark.table("b_orders").join(spark.table("b_custs"), "k")
+    joined.count() shouldBe 200
+    val plan = joined.queryExecution.executedPlan.toString
+    // SortMergeJoin reads both bucketed layouts directly — no Exchange.
+    plan should not include "Exchange hashpartitioning"
+  }
+
   test("CSV and JSON sinks round-trip under explicit schemas") {
     val dir = Files.createTempDirectory("io").toString
     val df = Seq((1L, "x", "2024-01-01 00:00:00")).toDF("id", "s", "ts")
