@@ -30,7 +30,11 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] ${d.name} failed: ${e.getMessage}")
       }
-      d.name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Drop caches/persists a query left behind (SK two-pass, star
+      // builds): later queries must not inherit its memory pressure.
+      spark.catalog.clearCache()
+      d.name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
