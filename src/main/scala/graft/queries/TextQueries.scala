@@ -374,6 +374,125 @@ object TextQueries {
         .orderBy("source")
     },
 
+    // TF-IDF: top term per doc by tf·idf (idf = ln(N/df), standard
+    // smooth-free form). One explode + two aggregations — df is a
+    // broadcast-joined side table, never a cross product.
+    QueryDef("q46_tfidf",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+        |), df AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+        |), n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n
+        |), ranked AS (
+        |  SELECT doc_id, term, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+        |  FROM scored
+        |)
+        |SELECT doc_id, term, tfidf FROM ranked WHERE rk = 1
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, dir)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), explode(gf.tokens(col("text"))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      val n = Tables.documents(s, dir).count()
+      val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))
+      tf.join(broadcast(df), "term")
+        .withColumn("tfidf",
+          round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select("doc_id", "term", "tfidf")
+        .orderBy("doc_id")
+    },
+
+    // Embedding-cosine near-dup: IVF-bucketed candidate generation
+    // (same deterministic index as q42) → exact cosine threshold within
+    // buckets only — the embedding analog of minhash near-dup, never
+    // all-pairs. The synthetic embeddings have max pairwise cosine
+    // ~0.51 (no true dups), so the threshold is set low enough (0.42)
+    // that the oracle verifies real values, not an empty set.
+    QueryDef("q47_embedding_neardup",
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
+        |), cent AS (
+        |  SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM n WHERE vec_id < 16
+        |), assigned AS (
+        |  SELECT vec_id, e, nrm, cent_id AS bucket FROM (
+        |    SELECT c.vec_id, c.e, c.nrm, t.cent_id,
+        |      row_number() OVER (PARTITION BY c.vec_id
+        |        ORDER BY list_sum(list_transform(generate_series(1, len(c.e)),
+        |          i -> c.e[i] * t.ce[i])) / (c.nrm * t.cn) DESC, t.cent_id) AS arank
+        |    FROM n c CROSS JOIN cent t
+        |  ) WHERE arank = 1
+        |)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_sum(list_transform(generate_series(1, len(a.e)),
+        |    i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 6) AS cos
+        |FROM assigned a JOIN assigned b
+        |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(generate_series(1, len(a.e)),
+        |    i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) >= 0.42
+        |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
+      import graft.operators.Similarity
+      val v = Tables.embeddings(s, dir)
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+      val n = v.withColumn("nrm", Similarity.norm(col("e")))
+      val cent = n.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("e").as("ce"), col("nrm").as("cn"))
+      val aw = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(desc("csim"), asc("cent_id"))
+      val assigned = n.join(broadcast(cent), lit(true))
+        .withColumn("csim", Similarity.dot(col("e"), col("ce")) / (col("nrm") * col("cn")))
+        .withColumn("arank", row_number().over(aw))
+        .filter(col("arank") === 1)
+        .select(col("vec_id"), col("e"), col("nrm"), col("cent_id").as("bucket"))
+      val a = assigned.as("a")
+      val b = assigned.select(col("vec_id").as("b_vec_id"), col("e").as("b_e"),
+        col("nrm").as("b_nrm"), col("bucket"))
+      val cos = Similarity.dot(col("e"), col("b_e")) / (col("nrm") * col("b_nrm"))
+      import s.implicits._
+      a.join(b, Seq("bucket"))
+        .filter(col("vec_id") < col("b_vec_id"))
+        .select(col("vec_id").as("vec_a"), col("b_vec_id").as("vec_b"),
+          cos.as("cos"))
+        .as[(Long, Long, Double)].filter(_._3 >= 0.42) // pushdown barrier
+        .toDF("vec_a", "vec_b", "cos")
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+        .orderBy("vec_a", "vec_b")
+    },
+
+    // BPE-ish token counting: word pieces + standalone punctuation via
+    // regex extraction (the pre-tokenizer shape GPT-style BPE uses).
+    QueryDef("q48_bpe_token_stats",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_pieces,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_words,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      def cnt(pattern: String) =
+        size(regexp_extract_all(col("text"), lit(pattern), lit(0))).cast("long")
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          cnt("[A-Za-z0-9]+|[^A-Za-z0-9\\s]").as("n_pieces"),
+          cnt("[A-Za-z0-9]+").as("n_words"),
+          cnt("[^A-Za-z0-9\\s]").as("n_punct"))
+        .orderBy("doc_id")
+    },
+
     // Document fingerprint: md5 over whitespace-normalized text.
     QueryDef("q36_fingerprint",
       """SELECT doc_id,
