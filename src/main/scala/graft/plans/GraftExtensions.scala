@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Whole-operator extension: sort-free per-key top-k (see
+    // graft.plans.TopKPerKey).
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+
     ext.injectFunction((
       new FunctionIdentifier("stable_hash60"),
       info("stable_hash60", "stable_hash60(str) - 60-bit md5-derived non-negative hash"),

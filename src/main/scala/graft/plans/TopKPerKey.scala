@@ -1,0 +1,144 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Custom whole-operator plan: per-key top-k WITHOUT a sort.
+  *
+  * The stock way to take the top k rows per key is
+  * `row_number().over(Window.partitionBy(keys).orderBy(...)) <= k`,
+  * which shuffles on the keys and then FULLY SORTS every partition —
+  * O(n log n) in partition size, materializing rank for rows that are
+  * immediately discarded. For small k this operator keeps a bounded
+  * heap per key instead: one pass, O(n log k), no sort buffer — at
+  * 100 TB with k=3 the difference is sorting ~0 bytes versus sorting
+  * everything.
+  *
+  * Pieces (the (c) path from the builder prompt):
+  *   - [[TopKPerKey]] — the logical node;
+  *   - [[TopKPerKeyStrategy]] — a [[SparkStrategy]] planning it to
+  *     [[TopKPerKeyExec]], registered via
+  *     [[GraftExtensions]]/`injectPlannerStrategy`;
+  *   - [[TopKPerKeyExec]] — physical operator declaring
+  *     `ClusteredDistribution(keys)` so Catalyst inserts exactly one
+  *     hash shuffle (and can satisfy it for free if the child is
+  *     already clustered, e.g. bucketed input).
+  */
+final case class TopKPerKey(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k >= 1, s"k must be >= 1, got $k")
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
+    copy(child = newChild)
+}
+
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(keys, order, k, child) =>
+      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+final case class TopKPerKeyExec(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  /** One hash shuffle on the keys; no sort requirement — the heap
+    * replaces it. */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val schema = child.schema
+    val keyExprs = keys
+    val sortExprs = order
+    val childOutput = child.output
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val ordering = GenerateOrdering.generate(sortExprs, childOutput)
+      // Max-heap on the ordering: the heap root is the WORST retained
+      // row; a new row replaces it when strictly better.
+      val heapOrd = new java.util.Comparator[UnsafeRow] {
+        override def compare(a: UnsafeRow, b: UnsafeRow): Int =
+          ordering.compare(b, a)
+      }
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+      iter.foreach { row =>
+        val unsafe = row.asInstanceOf[UnsafeRow]
+        val key = keyProj(unsafe)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[UnsafeRow](k, heapOrd)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < k) heap.add(unsafe.copy())
+        else if (ordering.compare(unsafe, heap.peek()) < 0) {
+          heap.poll()
+          heap.add(unsafe.copy())
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[UnsafeRow]
+      heaps.values().forEach { h =>
+        val rows = new Array[UnsafeRow](h.size)
+        var i = rows.length - 1
+        while (i >= 0) { rows(i) = h.poll(); i -= 1 } // heap pops worst-first
+        out ++= rows
+      }
+      out.iterator
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+object TopKPerKey {
+  /** One sort key: column name + direction. */
+  final case class Key(name: String, ascending: Boolean = true)
+  def asc(name: String): Key = Key(name, ascending = true)
+  def desc(name: String): Key = Key(name, ascending = false)
+
+  /** DataFrame-level entry: top `k` rows per `keyNames` group by
+    * `order`. Names are resolved against the frame's analyzed output
+    * (a custom logical node doesn't get analyzer expression
+    * resolution, so unresolved Column trees can't be accepted here).
+    * Registers the planner strategy on first use. */
+  def apply(
+      df: org.apache.spark.sql.DataFrame,
+      keyNames: Seq[String],
+      order: Seq[Key],
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val spark = SparkSession.active
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    }
+    val plan = org.apache.spark.sql.graft.CatalystBridge.logicalPlan(df)
+    def attr(name: String): Attribute =
+      plan.output.find(a => spark.sessionState.conf.resolver(a.name, name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"column '$name' not in ${plan.output.map(_.name).mkString(", ")}"))
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending}
+    org.apache.spark.sql.graft.CatalystBridge.ofRows(spark,
+      TopKPerKey(
+        keyNames.map(attr),
+        order.map(o => SortOrder(attr(o.name),
+          if (o.ascending) Ascending else Descending)),
+        k, plan))
+  }
+}

@@ -330,6 +330,29 @@ object CoreQueries {
         .select("event_id", "event_type").orderBy("event_id").limit(1000)
     },
 
+    // Min-cost supplier per region (TPC-H Q2 shape): correlated-min via
+    // window over a broadcast dim chain — covers the supplier table.
+    QueryDef("q49_supplier_minbal",
+      """SELECT r_name, s_suppkey, s_name, s_acctbal FROM (
+        |  SELECT r.r_name, s.s_suppkey, s.s_name, s.s_acctbal,
+        |    row_number() OVER (PARTITION BY r.r_name
+        |      ORDER BY s.s_acctbal DESC, s.s_suppkey) AS rk
+        |  FROM supplier s
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |) WHERE rk <= 3 ORDER BY r_name, s_acctbal DESC, s_suppkey""".stripMargin) { (s, dir) =>
+      // Runs on the engine's custom sort-free TopKPerKey operator
+      // (graft.plans): heap per key instead of the window's full sort.
+      import graft.plans.TopKPerKey
+      val joined = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .select("r_name", "s_suppkey", "s_name", "s_acctbal")
+      TopKPerKey(joined, Seq("r_name"),
+          Seq(TopKPerKey.desc("s_acctbal"), TopKPerKey.asc("s_suppkey")), 3)
+        .orderBy(asc("r_name"), desc("s_acctbal"), asc("s_suppkey"))
+    },
+
     // G3/D9/U2: JSON parse (reference spark_etl_script.py:126;
     // test_extraction.py:148-151).
     QueryDef("q22_json_extract",
