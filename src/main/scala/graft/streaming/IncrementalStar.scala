@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+import graft.star.DimensionUpsert
+
+/** Incremental star maintenance under Structured Streaming — the
+  * engine's generalization of the reference's legacy incremental path
+  * (watermark-pushdown JDBC extract + pandas append-only dim populator,
+  * `scripts/pyspark/extract_postgres_table.py` +
+  * `populate_star_schema`): each micro-batch of landing rows upserts
+  * the dimensions (append-only, SKs continue from the stored max —
+  * SCD-0 exactly like [[graft.star.DimensionUpsert]]) and appends
+  * SK-resolved fact rows.
+  *
+  * `foreachBatch` is the idiomatic Spark shape for this: the batch
+  * body reuses the BATCH operators unchanged, the streaming engine
+  * provides exactly-once micro-batch boundaries + checkpointing, and
+  * dimension state lives in the warehouse tables themselves (re-read
+  * per batch — C3's re-read-after-write, now load-bearing: the sink IS
+  * the dim store). Dims are warehouse-table-sized reads per batch;
+  * the fact only ever appends.
+  */
+object IncrementalStar {
+
+  final case class DimSpec(table: String, skCol: String, naturalKeys: Seq[String],
+      attrs: Seq[String] = Nil)
+
+  /** Upsert one micro-batch into the dims + fact tables under `db`.
+    * Exposed for direct (batch) use and testing; `stream` wires it
+    * into foreachBatch. */
+  def processBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      db: String,
+      dims: Seq[DimSpec],
+      factTable: String,
+      factCols: Seq[String]): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val resolvedDims = dims.map { d =>
+      val fq = s"$db.${d.table}"
+      val existing =
+        if (spark.catalog.tableExists(fq)) spark.table(fq)
+        else {
+          val cols = (Seq(d.skCol) ++ d.naturalKeys ++ d.attrs)
+          val schema = org.apache.spark.sql.types.StructType(
+            org.apache.spark.sql.types.StructField(d.skCol,
+              org.apache.spark.sql.types.LongType) +:
+            (d.naturalKeys ++ d.attrs).map(c =>
+              org.apache.spark.sql.types.StructField(c, batch.schema(c).dataType)))
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], schema)
+        }
+      val updated = DimensionUpsert.upsert(
+        existing, batch.select((d.naturalKeys ++ d.attrs).map(col): _*),
+        d.naturalKeys, d.skCol)
+      // Overwrite via checkpointed temp: the upsert READS the table it
+      // replaces, so write through a staging frame.
+      val staged = updated.localCheckpoint(true)
+      staged.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(fq)
+      // The session caches the table's file listing; after the
+      // overwrite it points at deleted part files.
+      spark.catalog.refreshTable(fq)
+      d -> spark.table(fq)
+    }
+    // Fact: resolve each dim's SK by its natural keys (broadcast — dims
+    // are small relative to the batch), append-only sink.
+    val fact = resolvedDims.foldLeft(batch) { case (acc, (d, dimDf)) =>
+      acc.join(
+        broadcast(dimDf.select((d.skCol +: d.naturalKeys).map(col): _*)),
+        d.naturalKeys, "left")
+    }
+    fact.select(factCols.map(col): _*)
+      .write.mode(SaveMode.Append).format("parquet")
+      .saveAsTable(s"$db.$factTable")
+  }
+
+  /** Wire a landing stream into the incremental star. Caller starts the
+    * returned writer (choosing trigger/checkpoint). */
+  def stream(
+      landing: DataFrame,
+      db: String,
+      dims: Seq[DimSpec],
+      factTable: String,
+      factCols: Seq[String]): DataStreamWriter[Row] =
+    landing.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch.sparkSession, batch, db, dims, factTable, factCols)
+      }
+      .trigger(Trigger.AvailableNow())
+}
