@@ -493,6 +493,42 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // The composed training-data cleanup: quality gate → exact dedup
+    // (min doc per content hash) → minhash-LSH near-dup drop (greedy:
+    // greater-side of any candidate pair loses). End-to-end form of
+    // q27+q28+q32 as ONE corpus operator.
+    QueryDef("q50_clean_corpus",
+      s"""WITH sh AS (
+         |  $shingleSql
+         |), sig AS (
+         |  SELECT doc_id, $minhashSqlAggs FROM sh GROUP BY doc_id
+         |), bands AS (
+         |  ${(0 until Bands).map(b =>
+              s"SELECT doc_id, $b AS band_idx, ${bandSql(b)} AS band_hash FROM sig")
+              .mkString("\n  UNION ALL\n  ")}
+         |), losers AS (
+         |  SELECT DISTINCT b.doc_id FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |    AND a.doc_id < b.doc_id
+         |), quality AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+         |    FROM documents)
+         |  WHERE len(t) >= 30
+         |    AND CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS DOUBLE) / len(t) < 0.15
+         |), exact AS (
+         |  SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)
+         |)
+         |SELECT doc_id FROM exact
+         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = defs.find(_.name == "q28_minhash_lsh").get.build(s, dir)
+      graft.operators.Dedup.cleanCorpus(docs, pairs)
+        .select("doc_id").orderBy("doc_id")
+    },
+
     // Document fingerprint: md5 over whitespace-normalized text.
     QueryDef("q36_fingerprint",
       """SELECT doc_id,
