@@ -88,6 +88,26 @@ object EventStreams {
     events.join(org.apache.spark.sql.functions.broadcast(dim), Seq("event_type"),
       "left")
 
+  /** Stream-stream interval join: each click joins the view by the
+    * same user within the preceding `within` interval. Both sides are
+    * watermarked and the join carries a TIME-RANGE predicate — that
+    * pair is what lets Spark BOUND the join state (a view older than
+    * watermark + interval can never match and is evicted); without the
+    * range the state grows forever. */
+  def viewToClick(views: DataFrame, clicks: DataFrame,
+      within: String = "30 minutes", watermark: String = "10 minutes"): DataFrame = {
+    val v = views.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    c.join(v,
+      c("user_id") === v("user_id") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $within"))
+      .select(c("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   // ---- custom state: sessionization via flatMapGroupsWithState ----------
 
   final case class Event(user_id: Long, event_id: Long, ts: Timestamp)

@@ -129,6 +129,33 @@ class EventStreamsSpec extends SparkSpec {
     got shouldBe Array((1L, Some("browse")), (2L, Some("engage")), (3L, None))
   }
 
+  test("stream-stream interval join pairs clicks with in-window views only") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val joined = EventStreams.viewToClick(
+      views.toDF().toDF("user_id", "event_id", "ts"),
+      clicks.toDF().toDF("user_id", "event_id", "ts"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode(OutputMode.Append()).start()
+    views.addData(Seq(
+      (1L, 10L, ts("2026-01-01 00:00:00")),
+      (1L, 11L, ts("2026-01-01 01:00:00")),
+      (2L, 20L, ts("2026-01-01 00:00:00"))))
+    clicks.addData(Seq(
+      (1L, 100L, ts("2026-01-01 00:10:00")), // within 30min of view 10
+      (1L, 101L, ts("2026-01-01 01:05:00")), // within 30min of view 11 only
+      (2L, 200L, ts("2026-01-01 02:00:00")))) // no view within window
+    q.processAllAvailable()
+    views.addData(Seq((9L, 90L, ts("2026-01-02 00:00:00"))))
+    clicks.addData(Seq((9L, 900L, ts("2026-01-02 00:00:00"))))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssjoin").filter($"user_id" < 9)
+      .select("click_id", "view_id").as[(Long, Long)].collect().sorted
+    got shouldBe Array((100L, 10L), (101L, 11L))
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions with counts") {
     implicit val sqlCtx = spark.sqlContext
     implicit val ss = spark
