@@ -69,7 +69,7 @@ object JobsPipeline {
       workDir: String,
       now: Column,
       db: String = "graft",
-      strategy: SkStrategy.Value = SkStrategy.PartitionedOffset): JobStar = {
+      strategy: SkStrategy.Value = SkStrategy.Auto): JobStar = {
     val p = Paths(workDir)
     setup(spark, db)
     val raw = extract(spark, rawJsonPath, p)

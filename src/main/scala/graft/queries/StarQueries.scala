@@ -10,8 +10,8 @@ import graft.star.{DimensionUpsert, SkStrategy, StarSchemaBuilder}
   * legacy pandas populator's incremental upsert).
   *
   * Scale notes: dims are tiny relative to the fact → every dim join is
-  * an explicit `broadcast()`; surrogate keys use the scalable
-  * SkStrategy.PartitionedOffset (no single-task global sort — identical
+  * an explicit `broadcast()`; surrogate keys use SkStrategy.Auto
+  * (distributed two-pass numbering above the size threshold, identical
   * output to the reference's global row_number on distinct keys); the
   * bridge is explode → broadcast join → distinct (one shuffle, on the
   * bridge's own key).
@@ -58,7 +58,7 @@ object StarQueries {
       val existing = StarSchemaBuilder.withSurrogateKey(
         cust.filter(col("c_custkey") % 3 === 0)
           .select("c_name", "c_mktsegment").distinct(),
-        Seq("c_name"), "customer_sk", SkStrategy.PartitionedOffset)
+        Seq("c_name"), "customer_sk", SkStrategy.Auto)
         .select("customer_sk", "c_name", "c_mktsegment")
       val incoming = cust.select("c_name", "c_mktsegment")
       DimensionUpsert.upsert(existing, incoming, Seq("c_name"), "customer_sk")
@@ -118,7 +118,7 @@ object StarQueries {
       // would be the 100 TB cliff; PartitionedOffset keeps it parallel.
       StarSchemaBuilder.withSurrogateKey(
           resolved, Seq("o_orderkey"), "job_posting_pk",
-          SkStrategy.PartitionedOffset)
+          SkStrategy.Auto)
         .select(
           col("job_posting_pk"), col("o_orderkey"), col("customer_sk"),
           col("priority_sk"), col("status_sk"), col("date_sk").cast("long").as("date_sk"),
@@ -146,7 +146,7 @@ object StarQueries {
           explode(gf.extractTags(col("text"), skillVocab)).as("skill_name"))
       val dimSkill = StarSchemaBuilder.withSurrogateKey(
         tagged.select("skill_name").distinct(),
-        Seq("skill_name"), "skill_sk", SkStrategy.PartitionedOffset)
+        Seq("skill_name"), "skill_sk", SkStrategy.Auto)
       tagged.join(broadcast(dimSkill), "skill_name")
         .select("doc_id", "skill_sk").distinct()
         .orderBy("doc_id", "skill_sk")

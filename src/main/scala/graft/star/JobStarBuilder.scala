@@ -31,7 +31,7 @@ final case class JobStar(
   * batch (semantics: `dags/spark_etl_script.py:86-179`), Spark-first:
   *
   *   - every dim is distinct + normalize + dense SK (strategy pluggable,
-  *     scalable PartitionedOffset by default);
+  *     Auto by default: distributed numbering above the size threshold);
   *   - the fact resolves SKs via a 6-join chain on COMPUTED keys
   *     (normalized strings / dates) — dims are explicitly `broadcast()`
   *     (they are tiny relative to the fact at any scale);
@@ -55,7 +55,7 @@ object JobStarBuilder {
   def build(
       landing: DataFrame,
       now: Column,
-      strategy: SkStrategy.Value = SkStrategy.PartitionedOffset): JobStar = {
+      strategy: SkStrategy.Value = SkStrategy.Auto): JobStar = {
 
     val raw = landing
       .withColumn("job_natural_key",

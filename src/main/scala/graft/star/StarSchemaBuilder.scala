@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * joins back to the dims, bridge via explode) re-expressed Spark-first.
   *
   * Surrogate-key strategy is pluggable (SURVEY §7.4-5):
-  *   - [[SkStrategy.PartitionedOffset]] (the default) — scalable:
+  *   - [[SkStrategy.PartitionedOffset]] — scalable:
   *     range-partition by the order columns, rank within each partition,
   *     then add per-partition offsets. Two jobs, all-parallel, stays on
   *     the columnar/codegen path (no RDD round-trip). Same dense 1..N
@@ -23,10 +23,24 @@ import org.apache.spark.sql.functions._
   *     bottlenecked on one core beyond ~10^8 dim rows. Kept only as the
   *     explicit bit-compat mode.
   *
-  * Both strategies produce identical output whenever `orderCols` has no
+  *   - [[SkStrategy.Auto]] (the default) — counts the (persisted)
+  *     input once and picks: GlobalRowNumber when the frame is small
+  *     enough that a single-task sort is cheaper than the two-pass
+  *     machinery (sampling job + two passes), PartitionedOffset above
+  *     the threshold. Never hits the cliff at scale, never pays the
+  *     scale machinery for a 25-row dim. The count is one cheap
+  *     aggregate over a frame both paths materialize anyway.
+  *
+  * All strategies produce identical output whenever `orderCols` has no
   * duplicate tuples (always true after the dim's `distinct()`).
   */
-object SkStrategy extends Enumeration { val PartitionedOffset, GlobalRowNumber = Value }
+object SkStrategy extends Enumeration {
+  val Auto, PartitionedOffset, GlobalRowNumber = Value
+
+  /** Above this row count Auto switches to the distributed numbering;
+    * below it a single-task sort of ≤4M skinny rows is milliseconds. */
+  val AutoThreshold: Long = 4L * 1024 * 1024
+}
 
 object StarSchemaBuilder {
 
@@ -38,7 +52,7 @@ object StarSchemaBuilder {
       naturalKey: Column,
       skName: String,
       keyName: String,
-      strategy: SkStrategy.Value = SkStrategy.PartitionedOffset): DataFrame = {
+      strategy: SkStrategy.Value = SkStrategy.Auto): DataFrame = {
     val distinctKeys = src
       .select(naturalKey.as(keyName))
       .filter(col(keyName).isNotNull)
@@ -53,6 +67,13 @@ object StarSchemaBuilder {
       orderCols: Seq[String],
       skName: String,
       strategy: SkStrategy.Value): DataFrame = strategy match {
+    case SkStrategy.Auto =>
+      val persisted =
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = persisted.count()
+      withSurrogateKey(persisted, orderCols, skName,
+        if (n <= SkStrategy.AutoThreshold) SkStrategy.GlobalRowNumber
+        else SkStrategy.PartitionedOffset)
     case SkStrategy.GlobalRowNumber =>
       // Reference-compatible: one global sort, single-task window.
       // SKs stay LongType — an int cast would silently wrap past 2^31
