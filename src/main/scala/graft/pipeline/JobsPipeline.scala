@@ -51,13 +51,17 @@ object JobsPipeline {
     spark.table(s"$db.landing_job_listings")
   }
 
-  /** Stage 5 (S8): star build + warehouse save of all 9 tables. */
+  /** Stage 5 (S8): star build + warehouse save of all 9 tables. The
+    * fact is partitioned by date_sk — the classic warehouse layout, so
+    * date-filtered BI queries prune partitions at file listing (S7
+    * composed with S8). */
   def buildStar(spark: SparkSession, landing: DataFrame, now: Column,
       db: String, strategy: SkStrategy.Value): JobStar = {
     val star = JobStarBuilder.build(landing, now, strategy)
     star.all.foreach { case (name, df) =>
-      df.write.mode(SaveMode.Overwrite).format("parquet")
-        .saveAsTable(s"$db.$name")
+      val writer = df.write.mode(SaveMode.Overwrite).format("parquet")
+      (if (name == "fact_job_postings") writer.partitionBy("date_sk")
+       else writer).saveAsTable(s"$db.$name")
     }
     star
   }

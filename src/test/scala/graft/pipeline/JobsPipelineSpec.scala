@@ -74,6 +74,28 @@ class JobsPipelineSpec extends SparkSpec {
       .count() shouldBe 0
   }
 
+  test("empty raw input produces a complete, empty star (the reference's empty-input guard)") {
+    val dir = Files.createTempDirectory("rawempty")
+    val f = dir.resolve("raw_jobs.json")
+    Files.write(f, Array.empty[Byte])
+    val work = Files.createTempDirectory("pipework-empty").toString
+    val emptyStar = JobsPipeline.run(spark, f.toString, work,
+      now = lit("2026-01-01 00:00:00").cast("timestamp"), db = "graft_empty")
+    emptyStar.all.foreach { case (name, df) =>
+      withClue(name) { df.count() shouldBe 0 }
+    }
+    // schemas intact despite zero rows
+    emptyStar.fact.columns should contain("job_posting_pk")
+    emptyStar.dimCompany.columns.toSeq shouldBe Seq("company_sk", "employer_name")
+  }
+
+  test("warehouse fact table is partitioned by date_sk") {
+    star // force the main pipeline run
+    val partCols = spark.catalog.listColumns("graft_test.fact_job_postings")
+      .filter("isPartition").collect().map(_.name)
+    partCols shouldBe Array("date_sk")
+  }
+
   test("date dim covers the parsed posted dates, including relative-time fallback") {
     // 2025-12-29, 2025-12-31, 2025-12-20 from explicit UTC; the
     // "yesterday" record has no UTC timestamp and parses to NULL
