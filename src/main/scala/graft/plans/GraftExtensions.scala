@@ -24,8 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     // Whole-operator extension: sort-free per-key top-k (see
-    // graft.plans.TopKPerKey).
+    // graft.plans.TopKPerKey), plus the optimizer rewrite that turns
+    // the window-rank top-k idiom into it automatically.
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    ext.injectOptimizerRule(_ => TopKRewriteRule)
 
     ext.injectFunction((
       new FunctionIdentifier("stable_hash60"),

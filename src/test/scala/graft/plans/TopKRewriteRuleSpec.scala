@@ -1,0 +1,66 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class TopKRewriteRuleSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-topk-rewrite-test")
+      .withExtensions(new GraftExtensions())
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  import org.apache.spark.sql.DataFrame
+  private def windowTopK(k: Int): DataFrame = {
+    import spark.implicits._
+    val rows = for { key <- 1 to 20; i <- 1 to 50 }
+      yield (key.toLong, (key * 100 + i).toLong, ((i * 13) % 50).toDouble)
+    val df = rows.toDF("key", "id", "score")
+    val w = Window.partitionBy("key").orderBy(desc("score"), asc("id"))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("key", "id", "score")
+  }
+
+  test("the window-rank top-k idiom is rewritten to TopKPerKey automatically") {
+    val df = windowTopK(3)
+    df.queryExecution.optimizedPlan.toString should include("TopKPerKey")
+    df.queryExecution.optimizedPlan.toString should not include "Window"
+  }
+
+  test("the rewritten plan returns exactly the window-rank rows") {
+    import spark.implicits._
+    val got = windowTopK(3).orderBy("key", "id")
+      .as[(Long, Long, Double)].collect()
+    // reference result computed WITHOUT the rule (rank on the driver)
+    val rows = for { key <- 1 to 20; i <- 1 to 50 }
+      yield (key.toLong, (key * 100 + i).toLong, ((i * 13) % 50).toDouble)
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      g.sortBy(r => (-r._3, r._2)).take(3)
+    }.sortBy(r => (r._1, r._2)).toArray
+    got shouldBe expected
+  }
+
+  test("windows whose rank survives the projection are NOT rewritten") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, 2.0), (1L, 2L, 1.0)).toDF("key", "id", "score")
+    val w = Window.partitionBy("key").orderBy(desc("score"))
+    val kept = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 1)
+      .select("key", "rn") // rank is referenced → must stay a Window
+    kept.queryExecution.optimizedPlan.toString should include("windowspecdefinition")
+    kept.collect().map(r => (r.getLong(0), r.getInt(1))) shouldBe Array((1L, 1))
+  }
+}
