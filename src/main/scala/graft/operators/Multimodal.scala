@@ -75,6 +75,24 @@ object Multimodal {
       payload.substr(pos, lit(chunk))
     })
 
+  /** STUB resize: deterministic stride downsample of the payload to
+    * ~`targetBytes` (a real codec would decode, bilinear-resample, and
+    * re-encode; the byte-level stride keeps the plumbing — schema,
+    * size contract, distribution — identical). Runs inside the same
+    * mapPartitions pass as decode when chained. */
+  def resizeStub(media: Dataset[MediaRecord], targetBytes: Int)(
+      implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      if (r.payload.length <= targetBytes) r
+      else {
+        val stride = r.payload.length.toDouble / targetBytes
+        val out = Array.tabulate(targetBytes)(i => r.payload((i * stride).toInt))
+        r.copy(payload = out, format = r.format + ";resized")
+      }
+    })
+  }
+
   /** Wrap documents as fake media records (payload = utf-8 bytes) —
     * exercises the full plumbing without real media files. */
   def mediaFromDocuments(documents: DataFrame)(

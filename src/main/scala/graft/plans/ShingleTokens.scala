@@ -23,7 +23,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * joined by single spaces, first-occurrence-order dedupe, empty array
   * when fewer than `width` tokens.
   */
-case class ShingleTokens(child: Expression, width: Int)
+case class ShingleTokens(child: Expression, width: Int,
+    dedupe: Boolean = true)
     extends UnaryExpression {
 
   require(width >= 1, s"shingle width must be >= 1, got $width")
@@ -37,23 +38,23 @@ case class ShingleTokens(child: Expression, width: Int)
   override def prettyName: String = "shingle_tokens"
 
   override protected def nullSafeEval(input: Any): Any =
-    ShingleTokens.shingle(input.asInstanceOf[UTF8String], width)
+    ShingleTokens.shingle(input.asInstanceOf[UTF8String], width, dedupe)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.ShingleTokens.shingle($c, $width)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.ShingleTokens.shingle($c, $width, $dedupe)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleTokens =
     copy(child = newChild)
 }
 
 object ShingleTokens {
-  def shingle(text: UTF8String, w: Int): ArrayData = {
+  def shingle(text: UTF8String, w: Int, dedupe: Boolean): ArrayData = {
     val toks = text.toString.split("\\s+").filter(_.nonEmpty)
     if (toks.length < w) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+    val n = toks.length - w + 1
     val sb = new java.lang.StringBuilder
-    var i = 0
-    while (i <= toks.length - w) {
+    def window(i: Int): String = {
       sb.setLength(0)
       var j = 0
       while (j < w) {
@@ -61,13 +62,22 @@ object ShingleTokens {
         sb.append(toks(i + j))
         j += 1
       }
-      seen.add(sb.toString)
-      i += 1
+      sb.toString
     }
-    val out = new Array[Any](seen.size)
-    val it = seen.iterator()
-    var k = 0
-    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
-    new GenericArrayData(out)
+    if (dedupe) {
+      val seen = new java.util.LinkedHashSet[String](n * 2)
+      var i = 0
+      while (i < n) { seen.add(window(i)); i += 1 }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+      new GenericArrayData(out)
+    } else {
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) { out(i) = UTF8String.fromString(window(i)); i += 1 }
+      new GenericArrayData(out)
+    }
   }
 }

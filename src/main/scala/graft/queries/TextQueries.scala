@@ -43,6 +43,14 @@ object TextQueries {
   private def bandCol(b: Int): Column =
     md5(concat_ws("|", (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}")): _*))
 
+  /** Non-deduped token explode via the native expression (tf semantics
+    * need duplicates; the composed filter(split) runs interpreted). */
+  private def tokenCol =
+    org.apache.spark.sql.graft.CatalystBridge.column(
+      graft.plans.ShingleTokens(
+        org.apache.spark.sql.graft.CatalystBridge.expr(trim(col("text"))),
+        1, dedupe = false))
+
   /** 3-token shingles of a doc, deduped — shared by minhash queries.
     * Uses the native codegen'd [[graft.plans.ShingleTokens]] (the
     * higher-order-function composition runs interpreted — ~10× slower
@@ -365,7 +373,8 @@ object TextQueries {
         |  FROM documents
         |) GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"), explode(gf.tokens(col("text"))).as("tok"))
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), col("source"), explode(tokenCol).as("tok"))
         .groupBy("source")
         .agg(
           countDistinct("doc_id").as("docs"),
@@ -401,7 +410,7 @@ object TextQueries {
       import org.apache.spark.sql.expressions.Window
       val toks = Tables.documents(s, dir)
         .repartition(col("doc_id"))
-        .select(col("doc_id"), explode(gf.tokens(col("text"))).as("term"))
+        .select(col("doc_id"), explode(tokenCol).as("term"))
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val df = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
       val n = Tables.documents(s, dir).count()

@@ -43,6 +43,18 @@ class MultimodalSpec extends SparkSpec {
     got shouldBe Seq("01", "45", "89")
   }
 
+  test("resizeStub deterministically downsamples to the target size, small payloads untouched") {
+    implicit val s = spark
+    val got = Multimodal.resizeStub(records.toDS(), targetBytes = 64)
+      .collect().sortBy(_.media_id)
+    got(0).payload shouldBe records(0).payload // 5 bytes <= 64: unchanged
+    got(2).payload.length shouldBe 64
+    got(2).format should endWith(";resized")
+    // deterministic
+    Multimodal.resizeStub(records.toDS(), 64).collect().sortBy(_.media_id)
+      .apply(2).payload shouldBe got(2).payload
+  }
+
   test("mediaFromDocuments wraps text as binary payloads with metadata") {
     implicit val s = spark
     val docs = Seq((1L, "hello")).toDF("doc_id", "text")
