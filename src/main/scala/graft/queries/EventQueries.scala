@@ -82,6 +82,65 @@ object EventQueries {
         .orderBy("user_id", "session_id")
     },
 
+    // Interval join (batch twin of the streaming viewToClick): each
+    // click paired with same-user views in the preceding 30 minutes.
+    // Scale note: per-user equi-key + time band; never a full theta
+    // join — the band is part of the join condition.
+    QueryDef("q51_interval_join",
+      """SELECT c.user_id AS user_id, v.event_id AS view_id, c.event_id AS click_id
+        |FROM events c JOIN events v
+        |  ON c.event_type = 'click' AND v.event_type = 'view'
+        |  AND v.user_id = c.user_id
+        |  AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 30 MINUTE
+        |ORDER BY c.user_id, click_id, view_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user_id"), col("event_id").as("view_id"),
+          col("ts").as("view_ts"))
+      clicks.join(views,
+          col("v_user_id") === col("user_id") &&
+          col("view_ts") <= col("click_ts") &&
+          col("view_ts") >= col("click_ts") - expr("INTERVAL 30 MINUTE"))
+        .select("user_id", "view_id", "click_id")
+        .orderBy("user_id", "click_id", "view_id")
+    },
+
+    // AS-OF join: each click gets the LATEST view at-or-before it per
+    // user — via graft.operators.AsOfJoin (union + ordered window: one
+    // shuffle, no O(|L|*|R|) candidate blow-up). Oracle replicates
+    // with a window over the union.
+    QueryDef("q52_asof_join",
+      """WITH u AS (
+        |  SELECT user_id, ts, 0 AS side, event_id AS view_id,
+        |         NULL::BIGINT AS click_id
+        |  FROM events WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, ts, 1 AS side, NULL, event_id
+        |  FROM events WHERE event_type = 'click'
+        |), carried AS (
+        |  SELECT user_id, click_id, side,
+        |    last_value(view_id IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, side
+        |      ROWS UNBOUNDED PRECEDING) AS asof_view_id
+        |  FROM u
+        |)
+        |SELECT user_id, click_id, asof_view_id
+        |FROM carried WHERE side = 1
+        |ORDER BY user_id, click_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"), col("ts"))
+      graft.operators.AsOfJoin.joinAsOf(
+          clicks, views, Seq("user_id"), "ts", "ts", Seq("view_id"))
+        .select(col("user_id"), col("click_id"),
+          col("view_id").as("asof_view_id"))
+        .orderBy("user_id", "click_id")
+    },
+
     // Daily funnel: conditional counts per event type (FILTER-style
     // pivot; reference analog: superset trend queries ids 12-14).
     QueryDef("q40_daily_funnel",
