@@ -538,6 +538,61 @@ object TextQueries {
         .select("doc_id").orderBy("doc_id")
     },
 
+    // Winnowing fingerprints (MOSS-style): polynomial rolling hash
+    // over 4-token windows (native O(n) RollingHashWindows expression)
+    // → min per sliding window of 4 hashes → distinct per doc. The
+    // oracle recomputes the same mod-2^32 polynomial positionally.
+    QueryDef("q53_winnowing", {
+      val B = graft.plans.RollingHashWindows.Base
+      val mask = 0xffffffffL
+      val b2 = (B * B) & mask
+      val b3 = (b2 * B) & mask
+      s"""WITH toks AS (
+         |  SELECT doc_id, t FROM (
+         |    SELECT doc_id,
+         |      list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+         |    FROM documents)
+         |  WHERE len(t) >= 4
+         |), th AS (
+         |  SELECT doc_id,
+         |    list_transform(t, x ->
+         |      CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % 4294967296) AS h
+         |  FROM toks
+         |), wh AS (
+         |  SELECT doc_id, i AS pos,
+         |    CAST((CAST(h[i] AS HUGEINT) * $b3 + CAST(h[i+1] AS HUGEINT) * $b2
+         |          + CAST(h[i+2] AS HUGEINT) * $B + h[i+3]) % 4294967296 AS BIGINT) AS wh
+         |  FROM th, unnest(generate_series(1, len(h) - 3)) AS g(i)
+         |), winnowed AS (
+         |  SELECT doc_id,
+         |    min(wh) OVER (PARTITION BY doc_id ORDER BY pos
+         |                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp,
+         |    pos
+         |  FROM wh
+         |)
+         |SELECT doc_id, count(DISTINCT fp) AS n_fps,
+         |  min(fp) AS min_fp, max(fp) AS max_fp
+         |FROM winnowed WHERE pos >= 4
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val hashes = Tables.documents(s, dir)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"),
+          posexplode(org.apache.spark.sql.graft.CatalystBridge.column(
+            graft.plans.RollingHashWindows(
+              org.apache.spark.sql.graft.CatalystBridge.expr(trim(col("text"))),
+              4))).as(Seq("pos0", "wh")))
+      val w = Window.partitionBy("doc_id").orderBy("pos0").rowsBetween(-3, 0)
+      hashes
+        .withColumn("fp", min(col("wh")).over(w))
+        .filter(col("pos0") >= 3) // full winnow windows only
+        .groupBy("doc_id")
+        .agg(countDistinct("fp").as("n_fps"),
+          min("fp").as("min_fp"), max("fp").as("max_fp"))
+        .orderBy("doc_id")
+    },
+
     // Document fingerprint: md5 over whitespace-normalized text.
     QueryDef("q36_fingerprint",
       """SELECT doc_id,
