@@ -50,6 +50,39 @@ object EventQueries {
         .orderBy("window_start")
     },
 
+    // Pivot: event types to columns via the relational pivot operator
+    // (Spark .pivot with an explicit value list so no extra
+    // distinct-values job runs; plans as a single aggregation).
+    QueryDef("q54_pivot",
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .pivot("event_type", Seq("view", "click", "purchase"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("view", "click", "purchase"))
+        .orderBy("day")
+    },
+
+    // Rollup: subtotals + grand total over (event_type, day-of-week)
+    // — grouping-set aggregation beyond the reference's flat groupBys.
+    QueryDef("q55_rollup",
+      """SELECT event_type, CAST(dow AS BIGINT) AS dow, count(*) AS cnt
+        |FROM (SELECT event_type, dayofweek(ts) % 7 AS dow FROM events)
+        |GROUP BY ROLLUP (event_type, dow)
+        |ORDER BY event_type NULLS FIRST, dow NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        // Spark dayofweek: 1=Sunday..7; DuckDB dayofweek: 0=Sunday..6.
+        .select(col("event_type"),
+          ((dayofweek(col("ts")) - 1) % 7).cast("long").as("dow"))
+        .rollup("event_type", "dow")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("event_type"), asc_nulls_first("dow"))
+    },
+
     // Sessionization: per-user sessions split on >30-minute gaps
     // (lag + running sum — the batch form of session windows).
     QueryDef("q39_sessionize",
