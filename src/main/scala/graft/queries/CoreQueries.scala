@@ -322,6 +322,32 @@ object CoreQueries {
         .orderBy("bucket")
     },
 
+    // O5b: intersect / except set ops (union is q20).
+    QueryDef("q56_set_ops",
+      """SELECT 'both' AS tag, c_custkey FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+        |)
+        |UNION ALL
+        |SELECT 'only_seg', c_custkey FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders
+        |)
+        |ORDER BY tag, c_custkey""".stripMargin) { (s, dir) =>
+      val seg = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val both = seg.intersect(
+        Tables.orders(s, dir).filter(col("o_totalprice") > 150000)
+          .select(col("o_custkey").as("c_custkey")))
+        .select(lit("both").as("tag"), col("c_custkey"))
+      val onlySeg = seg.except(
+        Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")))
+        .select(lit("only_seg").as("tag"), col("c_custkey"))
+      both.unionByName(onlySeg).orderBy("tag", "c_custkey")
+    },
+
     // O4: row limit (superset slice 3, row_limit 1000).
     QueryDef("q21_limit",
       """SELECT event_id, event_type FROM events
