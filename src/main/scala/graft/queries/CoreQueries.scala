@@ -348,6 +348,32 @@ object CoreQueries {
       both.unionByName(onlySeg).orderBy("tag", "c_custkey")
     },
 
+    // Analytic window family beyond row_number: lag/lead deltas, rank
+    // with ties, running frame aggregates (none exist in the reference;
+    // engine breadth for trend analytics).
+    QueryDef("q57_analytics_windows",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(epoch(CAST(o_orderdate AS TIMESTAMP))
+        |       - epoch(CAST(lag(o_orderdate) OVER w AS TIMESTAMP)) AS BIGINT) AS secs_since_prev,
+        |  rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS status_rank,
+        |  round(sum(o_totalprice) OVER (w ROWS UNBOUNDED PRECEDING), 2) AS running_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey LIMIT 5000""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val rankW = Window.partitionBy("o_custkey").orderBy("o_orderstatus")
+      Tables.orders(s, dir)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          (unix_timestamp(col("o_orderdate")) -
+            unix_timestamp(lag("o_orderdate", 1).over(w))).as("secs_since_prev"),
+          rank().over(rankW).cast("long").as("status_rank"),
+          round(sum("o_totalprice")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+            .as("running_spend"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey").limit(5000)
+    },
+
     // O4: row limit (superset slice 3, row_limit 1000).
     QueryDef("q21_limit",
       """SELECT event_id, event_type FROM events
