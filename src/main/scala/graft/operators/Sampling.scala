@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.{functions => gf}
+
+/** Dataset splitting and sampling for training pipelines.
+  *
+  *   - [[hashSplit]]: deterministic, engine-independent train/val/test
+  *     assignment from a stable content/id hash — the same row lands in
+  *     the same split on every engine, every run, at any partitioning
+  *     (unlike `rand()`-based splits, which depend on partition layout).
+  *     Buckets are `hash mod 100`: [0, trainPct) → train,
+  *     [trainPct, trainPct+valPct) → val, rest → test.
+  *   - [[stratified]]: per-stratum Bernoulli sampling via `sampleBy` —
+  *     keeps group proportions when strata are imbalanced (by lang /
+  *     source / quality bucket). Seeded, but partition-layout
+  *     dependent like all Bernoulli sampling; use [[hashSplit]] when
+  *     exact reproducibility across engines matters.
+  */
+object Sampling {
+
+  def splitBucket(id: Column): Column = gf.stableHash(id.cast("string")) % 100
+
+  def hashSplit(df: DataFrame, idCol: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct + valPct <= 100, "train + val must be <= 100")
+    val b = splitBucket(col(idCol))
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  def stratified(df: DataFrame, stratumCol: String,
+      fractions: Map[String, Double], seed: Long = 42L): DataFrame =
+    df.stat.sampleBy(stratumCol, fractions, seed)
+}

@@ -593,6 +593,23 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Deterministic train/val/test hash split — same assignment on any
+    // engine/partitioning (rand()-based splits are layout-dependent).
+    QueryDef("q58_hash_split",
+      """SELECT split, lang, count(*) AS cnt FROM (
+        |  SELECT lang,
+        |    CASE WHEN b < 80 THEN 'train'
+        |         WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT lang,
+        |          CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+        |        FROM documents)
+        |) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      graft.operators.Sampling.hashSplit(
+          Tables.documents(s, dir), "doc_id")
+        .groupBy("split", "lang").agg(count(lit(1)).as("cnt"))
+        .orderBy("split", "lang")
+    },
+
     // Document fingerprint: md5 over whitespace-normalized text.
     QueryDef("q36_fingerprint",
       """SELECT doc_id,

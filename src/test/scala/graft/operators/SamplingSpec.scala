@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = (1L to 10000L).map(i => (i, s"lang${i % 4}"))
+    .toDF("doc_id", "lang")
+
+  test("hashSplit is deterministic and partition-layout independent") {
+    val a = Sampling.hashSplit(docs, "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val b = Sampling.hashSplit(docs.repartition(13), "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    a shouldBe b
+  }
+
+  test("hashSplit proportions approximate 80/10/10 and every row is assigned") {
+    val counts = Sampling.hashSplit(docs, "doc_id")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    counts.values.sum shouldBe 10000L
+    counts("train").toDouble / 10000 shouldBe 0.80 +- 0.02
+    counts("val").toDouble / 10000 shouldBe 0.10 +- 0.02
+    counts("test").toDouble / 10000 shouldBe 0.10 +- 0.02
+  }
+
+  test("stratified sampling respects per-stratum fractions") {
+    val got = Sampling.stratified(docs, "lang",
+      Map("lang0" -> 0.5, "lang1" -> 0.1, "lang2" -> 0.0, "lang3" -> 1.0))
+    val counts = got.groupBy("lang").count().as[(String, Long)].collect().toMap
+    counts.getOrElse("lang2", 0L) shouldBe 0L
+    counts("lang3") shouldBe 2500L // fraction 1.0 keeps everything
+    counts("lang0").toDouble / 2500 shouldBe 0.5 +- 0.1
+    counts("lang1").toDouble / 2500 shouldBe 0.1 +- 0.06
+  }
+}
