@@ -34,6 +34,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("stable_hash60", "stable_hash60(str) - 60-bit md5-derived non-negative hash"),
       (args: Seq[Expression]) => StableHash60(args.head)))
 
+    def intLit(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_tokens"),
+      info("shingle_tokens",
+        "shingle_tokens(str, w) - deduped array of w-token shingles"),
+      (args: Seq[Expression]) =>
+        ShingleTokens(args(0), intLit(args(1), "shingle width"))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_hash_windows"),
+      info("rolling_hash_windows",
+        "rolling_hash_windows(str, w) - Rabin-Karp hashes of w-token windows"),
+      (args: Seq[Expression]) =>
+        RollingHashWindows(args(0), intLit(args(1), "window width"))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      info("dot_product",
+        "dot_product(arr, arr) - left-to-right dot product of two double arrays"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+
     // parse_relative_time: native node composition mirroring
     // graft.functions.parseRelativeTime (reference semantics: substring
     // match on hour/day, first digit run, yesterday -> NULL). Seconds

@@ -62,6 +62,17 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     got.isNullAt(1) shouldBe true
   }
 
+  test("shingle_tokens / rolling_hash_windows / dot_product SQL functions work") {
+    val row = spark.sql(
+      """SELECT shingle_tokens('a b c d', 3) AS sh,
+        |  size(rolling_hash_windows('a b c d e', 4)) AS n_rh,
+        |  dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp
+        |""".stripMargin).collect().head
+    row.getSeq[String](0) shouldBe Seq("a b c", "b c d")
+    row.getInt(1) shouldBe 2
+    row.getDouble(2) shouldBe 11.0
+  }
+
   test("extract_tags SQL function tags from a literal vocabulary") {
     val got = spark.sql(
       "SELECT extract_tags('Spark and SQL daily', 'spark,sql,python') AS tags")
