@@ -1,0 +1,44 @@
+package graft.star
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Distributed determinism: the star build must produce IDENTICAL
+  * output — including every surrogate key — regardless of the physical
+  * partitioning of the landing batch. This is the property that makes
+  * the engine's results reproducible on a cluster (SURVEY §7.4-1: the
+  * reference's monotonically_increasing_id natural key is
+  * partition-layout dependent; ours is a content hash). */
+class JobStarBuilderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def landing(parts: Int): DataFrame =
+    (1 to 60).map { i =>
+      (s"title $i", s"employer ${i % 7}", s"board ${i % 3}",
+        if (i % 5 == 0) null else "fulltime",
+        s"desc spark sql number $i", i % 2 == 0,
+        s"${i % 9 + 1} days ago", f"2025-12-${i % 28 + 1}%02dT00:00:00Z",
+        s"city ${i % 4}", s"city ${i % 4}", "ST", "US",
+        null.asInstanceOf[String],
+        s"""["skill${i % 5}", "skill${(i + 1) % 5}"]""")
+    }.toDF("job_title", "employer_name", "job_publisher",
+        "job_employment_type", "job_description", "job_is_remote",
+        "job_posted_at", "job_posted_at_datetime_utc", "job_location",
+        "job_city", "job_state", "job_country", "job_highlights", "skills")
+      .repartition(parts)
+
+  test("star output is identical under different input partitionings") {
+    val now = lit("2026-01-01 00:00:00").cast("timestamp")
+    val a = JobStarBuilder.build(landing(1), now)
+    val b = JobStarBuilder.build(landing(7), now)
+    a.all.foreach { case (name, dfA) =>
+      val dfB = b.all(name)
+      withClue(s"$name: ") {
+        dfA.exceptAll(dfB).count() shouldBe 0
+        dfB.exceptAll(dfA).count() shouldBe 0
+        dfA.count() should be > 0L
+      }
+    }
+  }
+}
