@@ -93,6 +93,32 @@ class EventStreamsSpec extends SparkSpec {
     streamed shouldBe batch
   }
 
+  test("late data beyond the watermark is dropped, not re-aggregated") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Timestamp, Double)]
+    val q = EventStreams.tumblingCounts(
+        mem.toDF().toDF("user_id", "event_id", "ts", "value"),
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("latedrop")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(Seq((1L, 1L, ts("2026-01-01 00:10:00"), 1.0)))
+    q.processAllAvailable()
+    // Advance event time far past the first window + watermark so the
+    // [00:00, 01:00) window finalizes and emits.
+    mem.addData(Seq((1L, 2L, ts("2026-01-01 05:00:00"), 2.0)))
+    q.processAllAvailable()
+    // This event is hours behind the watermark — state for its window
+    // is gone; it must NOT emit a second [00:00, 01:00) row.
+    mem.addData(Seq((1L, 3L, ts("2026-01-01 00:20:00"), 99.0)))
+    mem.addData(Seq((1L, 4L, ts("2026-01-01 06:00:00"), 3.0)))
+    q.processAllAvailable()
+    q.stop()
+    val firstWindow = spark.table("latedrop")
+      .filter($"window_start" === ts("2026-01-01 00:00:00"))
+      .as[(Timestamp, Long, Double)].collect()
+    firstWindow shouldBe Array((ts("2026-01-01 00:00:00"), 1L, 1.0))
+  }
+
   test("streaming dedup drops in-watermark duplicate event_ids") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Timestamp, Double)]
