@@ -13,8 +13,13 @@ import org.apache.spark.sql.functions._
   *
   *   1. tag both sides and union them (schema-aligned);
   *   2. one shuffle on the key, sort within (key, ts, side-priority);
-  *   3. `last(right-value, ignoreNulls)` over the running window carries
-  *      the latest right row forward onto every left row.
+  *   3. ONE `last(struct(right-values), ignoreNulls)` over the running
+  *      window carries the latest right row forward onto every left
+  *      row, then the struct is unpacked. A single struct (not one
+  *      window per carried column) guarantees all carried columns come
+  *      from the SAME right row even when some of its value columns are
+  *      legitimately NULL — per-column `last(ignoreNulls)` would skip
+  *      past a null value to an older row for that column only.
   *
   * O(n log n) per key partition, ONE shuffle total, no pair blow-up —
   * the classic time-series alignment (ticks→quotes) shape at any
@@ -39,23 +44,27 @@ object AsOfJoin {
       rightTs: String,
       rightVals: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // All carried columns ride in ONE struct per right row; a right row
+    // is never null as a whole (even if its value columns are), so
+    // last(ignoreNulls) lands on the most recent right ROW atomically.
+    val rvalType = org.apache.spark.sql.types.StructType(
+      rightVals.map(c => right.schema(c)))
     // side = 0 sorts right rows before left rows at equal timestamps.
     val taggedRight = right.select(
-      (keyCols.map(col) :+ col(rightTs).as("_ts") :+ lit(0).as("_side")) ++
-        rightVals.map(c => col(c).as(s"_r_$c")) ++
+      (keyCols.map(col) :+ col(rightTs).as("_ts") :+ lit(0).as("_side") :+
+        struct(rightVals.map(col): _*).as("_rvals")) ++
         leftCols.filterNot(keyCols.contains).map(c => lit(null).as(c)): _*)
     val taggedLeft = left.select(
-      (keyCols.map(col) :+ col(leftTs).as("_ts") :+ lit(1).as("_side")) ++
-        rightVals.map(c => lit(null).as(s"_r_$c")) ++
+      (keyCols.map(col) :+ col(leftTs).as("_ts") :+ lit(1).as("_side") :+
+        lit(null).cast(rvalType).as("_rvals")) ++
         leftCols.filterNot(keyCols.contains).map(col): _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("_ts"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = taggedRight.unionByName(taggedLeft)
-      .select(col("*") +:
-        rightVals.map(c =>
-          last(col(s"_r_$c"), ignoreNulls = true).over(w).as(c)): _*)
+      .withColumn("_rlast", last(col("_rvals"), ignoreNulls = true).over(w))
     carried.filter(col("_side") === 1)
-      .select(leftCols.map(col) ++ rightVals.map(col): _*)
+      .select(leftCols.map(col) ++
+        rightVals.map(c => col("_rlast").getField(c).as(c)): _*)
   }
 }

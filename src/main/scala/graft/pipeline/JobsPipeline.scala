@@ -51,17 +51,34 @@ object JobsPipeline {
     spark.table(s"$db.landing_job_listings")
   }
 
-  /** Stage 5 (S8): star build + warehouse save of all 9 tables. The
-    * fact is partitioned by date_sk — the classic warehouse layout, so
-    * date-filtered BI queries prune partitions at file listing (S7
-    * composed with S8). */
+  /** Stage 5 (S8): star build + warehouse save of all 9 tables.
+    *
+    * Layout is chosen per table for the queries that hit it:
+    *   - the fact is partitioned by date_sk — the classic warehouse
+    *     layout, so date-filtered BI queries prune partitions at file
+    *     listing (S7 composed with S8) — AND bucketed on
+    *     job_posting_pk;
+    *   - the bridge is bucketed on job_posting_pk with the SAME bucket
+    *     count, so the fact↔bridge join (every skill-flatten BI query)
+    *     reads co-located buckets and shuffles NEITHER side — at 100 TB
+    *     that join is the biggest repeated shuffle in the workload.
+    */
   def buildStar(spark: SparkSession, landing: DataFrame, now: Column,
-      db: String, strategy: SkStrategy.Value): JobStar = {
+      db: String, strategy: SkStrategy.Value,
+      numBuckets: Int = 8): JobStar = {
     val star = JobStarBuilder.build(landing, now, strategy)
     star.all.foreach { case (name, df) =>
       val writer = df.write.mode(SaveMode.Overwrite).format("parquet")
-      (if (name == "fact_job_postings") writer.partitionBy("date_sk")
-       else writer).saveAsTable(s"$db.$name")
+      (name match {
+        case "fact_job_postings" =>
+          writer.partitionBy("date_sk")
+            .bucketBy(numBuckets, "job_posting_pk")
+            .sortBy("job_posting_pk")
+        case "bridge_job_skill" =>
+          writer.bucketBy(numBuckets, "job_posting_pk")
+            .sortBy("job_posting_pk")
+        case _ => writer
+      }).saveAsTable(s"$db.$name")
     }
     star
   }

@@ -20,6 +20,22 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * 100 TB with k=3 the difference is sorting ~0 bytes versus sorting
   * everything.
   *
+  * MEMORY BOUND (the trade for skipping the sort): the heap map holds
+  * `distinct-keys-per-partition × k` rows in executor memory with NO
+  * spill path — any input row may still improve any key's heap, so
+  * nothing can be emitted or evicted early. The window-sort plan this
+  * replaces spills to disk instead. Rules of thumb:
+  *   - retained bytes ≈ keysPerPartition × k × avgRowSize; with 32 MB
+  *     available per task and 100-byte rows at k=3, that is ~100k
+  *     distinct keys per partition — raise
+  *     `spark.sql.shuffle.partitions` to thin keys per partition;
+  *   - the output of the operator is the same set of rows, so if the
+  *     RESULT (keys × k) is too big per partition, so was the plan.
+  * The automatic rewrite ([[TopKRewriteRule]]) therefore only fires
+  * when the child's estimated size guarantees the retained set fits
+  * (retained ≤ input); the explicit [[TopKPerKey.apply]] entry trusts
+  * the caller to have checked cardinality.
+  *
   * Pieces (the (c) path from the builder prompt):
   *   - [[TopKPerKey]] — the logical node;
   *   - [[TopKPerKeyStrategy]] — a [[SparkStrategy]] planning it to

@@ -27,8 +27,27 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *   - the Filter is exactly `rn <= lit` / `rn < lit` / `rn = 1`;
   *   - the Project above references only child columns — the rank
   *     value itself must be dead after the filter.
+  *
+  * Memory-safety fallback: [[TopKPerKeyExec]] holds keys×k rows per
+  * partition with no spill path, where the window-sort it replaces
+  * spills to disk. The rewrite therefore also requires the child's
+  * estimated size to fit under `spark.graft.topk.maxChildBytes`
+  * (default 4 GiB): retained rows ≤ input rows, so a child that fits
+  * the bound can never OOM the heap map even at worst-case key
+  * cardinality. Oversized children keep the spilling window plan.
   */
 object TopKRewriteRule extends Rule[LogicalPlan] {
+
+  /** Upper bound on the child plan's estimated size for the automatic
+    * rewrite; `-1` disables the guard (expert opt-out). */
+  val MaxChildBytesKey = "spark.graft.topk.maxChildBytes"
+  private val DefaultMaxChildBytes = 4L * 1024 * 1024 * 1024
+
+  private def fitsMemoryBound(child: LogicalPlan): Boolean = {
+    val limit = conf.getConfString(MaxChildBytesKey,
+      DefaultMaxChildBytes.toString).toLong
+    limit < 0 || child.stats.sizeInBytes <= limit
+  }
 
   private object RankLimit {
     /** Extract k from the supported comparison shapes. */
@@ -60,7 +79,8 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
         if k >= 1 &&
           winExpr.toAttribute.semanticEquals(rnAttr) &&
           isRowNumberWindow(winExpr).isDefined &&
-          p.references.subsetOf(child.outputSet) =>
+          p.references.subsetOf(child.outputSet) &&
+          fitsMemoryBound(child) =>
       Project(projectList, TopKPerKey(partitionSpec, orderSpec, k, child))
   }
 }

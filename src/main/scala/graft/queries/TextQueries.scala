@@ -413,11 +413,17 @@ object TextQueries {
         .select(col("doc_id"), explode(tokenCol).as("term"))
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val df = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
-      val n = Tables.documents(s, dir).count()
+      // N as a LAZY broadcast 1-row aggregate (same pattern as the
+      // max-SK frame in DimensionUpsert): a driver-side count() here
+      // would eagerly scan the whole corpus at plan-build time and then
+      // scan it again in the real job.
+      val n = Tables.documents(s, dir)
+        .agg(count(lit(1)).cast("double").as("n_docs"))
       val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))
       tf.join(broadcast(df), "term")
+        .crossJoin(broadcast(n))
         .withColumn("tfidf",
-          round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+          round(col("tf") * log(col("n_docs") / col("df")), 6))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .select("doc_id", "term", "tfidf")

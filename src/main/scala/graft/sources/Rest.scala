@@ -67,4 +67,62 @@ object Rest {
     import spark.implicits._
     spark.read.schema(schema).json(records.toDS())
   }
+
+  // ---- default live transport --------------------------------------------
+
+  /** HTTP failure that [[isRetryableStatus]] classifies by status —
+    * the reference retries 429 and transient 5xx, fails fast on 4xx. */
+  final case class HttpStatusException(status: Int, url: String)
+      extends RuntimeException(s"HTTP $status from $url")
+
+  /** Retry classifier for [[httpFetchPage]]: 429 (rate limit) and 5xx
+    * are transient; connect/timeout IOExceptions too; other statuses
+    * fail fast (reference `dags/test_extraction.py:60-72`). */
+  def isRetryableStatus(t: Throwable): Boolean = t match {
+    case HttpStatusException(status, _) => status == 429 || status >= 500
+    case _: java.io.IOException => true
+    case _ => false
+  }
+
+  /** Pull the records array out of a JSON API envelope: the value at
+    * `recordsField` (e.g. the reference API's `"data"`), re-serialized
+    * one JSON string per record. A missing/null field or non-array
+    * value is an empty page (ends pagination), matching the
+    * reference's `.get("data", [])`. Jackson ships with Spark. */
+  def extractRecords(body: String, recordsField: String = "data"): Seq[String] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(body)
+    val arr = if (node == null) null else node.get(recordsField)
+    if (arr == null || !arr.isArray) Seq.empty
+    else (0 until arr.size()).map(i => arr.get(i).toString)
+  }
+
+  /** Default live transport for [[paginatedScan]]'s `fetchPage` seam:
+    * GET `buildUrl(page)` with `headers`, require 200, extract
+    * `recordsField`. Compose with the retry machinery as
+    * `paginatedScan(..., fetchPage = Rest.httpFetchPage(url),
+    * isRetryable = Rest.isRetryableStatus)`. Kept out of the default
+    * parameter so tests (and this zero-egress environment) stay on
+    * injected fakes. */
+  def httpFetchPage(
+      buildUrl: Page => String,
+      headers: Map[String, String] = Map.empty,
+      recordsField: String = "data",
+      timeout: java.time.Duration = java.time.Duration.ofSeconds(30)): Page => Seq[String] = {
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(timeout)
+      .build()
+    page => {
+      val url = buildUrl(page)
+      val builder = java.net.http.HttpRequest.newBuilder()
+        .uri(java.net.URI.create(url))
+        .timeout(timeout)
+        .GET()
+      headers.foreach { case (k, v) => builder.header(k, v) }
+      val resp = client.send(builder.build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() != 200) throw HttpStatusException(resp.statusCode(), url)
+      extractRecords(resp.body(), recordsField)
+    }
+  }
 }

@@ -33,8 +33,14 @@ final case class JobStar(
   *   - every dim is distinct + normalize + dense SK (strategy pluggable,
   *     Auto by default: distributed numbering above the size threshold);
   *   - the fact resolves SKs via a 6-join chain on COMPUTED keys
-  *     (normalized strings / dates) — dims are explicitly `broadcast()`
-  *     (they are tiny relative to the fact at any scale);
+  *     (normalized strings / dates). The 5 genuinely small dims
+  *     (company/publisher/employment-type/location/date — bounded
+  *     vocabularies) are explicitly `broadcast()`; `dim_job_details` is
+  *     NOT: it is 1:1 with distinct landing jobs, i.e. fact-sized, so a
+  *     forced broadcast would OOM the driver at scale. Its join is left
+  *     to Spark's size-checked planning (sort-merge above the
+  *     auto-broadcast threshold; co-located with no shuffle when both
+  *     sides are bucketed on `job_natural_key`);
   *   - the bridge is skills-explode → broadcast skill-dim join → inner
   *     join back to the fact on the natural key → distinct pairs;
   *   - `job_natural_key` is a content hash of the identifying columns
@@ -115,9 +121,13 @@ object JobStarBuilder {
       Seq("skill_name"), "skill_sk", strategy)
       .select("skill_sk", "skill_name")
 
-    // Fact: 6-join chain on computed keys (J1-J6), dims broadcast.
+    // Fact: 6-join chain on computed keys (J1-J6). Small dims are
+    // broadcast; dim_job_details grows with the fact (one row per
+    // distinct natural key) so it must NOT carry a broadcast hint —
+    // the hint would override Spark's size check and collect a
+    // fact-sized build side onto the driver at 100x scale.
     val resolved = raw
-      .join(broadcast(dimJobDetails.select("job_sk", "job_natural_key")),
+      .join(dimJobDetails.select("job_sk", "job_natural_key"),
         Seq("job_natural_key"))
       .join(broadcast(dimCompany),
         gf.normName(raw("employer_name")) === dimCompany("employer_name"), "left")

@@ -74,13 +74,19 @@ object EventStreams {
         col("cnt"))
 
   /** Streaming exact dedup on event_id — watermark-bounded state (the
-    * streaming form of the exact-dedup operator q27: late duplicates
-    * beyond the watermark age out of the state store instead of
-    * growing it forever). */
+    * streaming form of the exact-dedup operator q27).
+    *
+    * Must be `dropDuplicatesWithinWatermark`, NOT plain
+    * `dropDuplicates("event_id")`: the plain form only evicts state
+    * when the event-time column is part of the dedup keys, so keying on
+    * event_id alone would grow the state store forever. The
+    * within-watermark form expires each key once the watermark passes
+    * its first-seen event time + delay — the semantics this operator
+    * wants (duplicates arrive near their original in event time). */
   def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Stream-static enrichment: the streaming side joins a static
     * dimension (broadcast per micro-batch — no stream-side shuffle). */

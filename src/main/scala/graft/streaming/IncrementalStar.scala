@@ -16,12 +16,21 @@ import graft.star.DimensionUpsert
   * SK-resolved fact rows.
   *
   * `foreachBatch` is the idiomatic Spark shape for this: the batch
-  * body reuses the BATCH operators unchanged, the streaming engine
-  * provides exactly-once micro-batch boundaries + checkpointing, and
-  * dimension state lives in the warehouse tables themselves (re-read
-  * per batch — C3's re-read-after-write, now load-bearing: the sink IS
-  * the dim store). Dims are warehouse-table-sized reads per batch;
-  * the fact only ever appends.
+  * body reuses the BATCH operators unchanged, and dimension state
+  * lives in the warehouse tables themselves (re-read per batch — C3's
+  * re-read-after-write, now load-bearing: the sink IS the dim store).
+  * Dims are warehouse-table-sized reads per batch; the fact only ever
+  * appends.
+  *
+  * End-to-end idempotence under foreachBatch's AT-LEAST-ONCE replay:
+  *   - dim upsert is naturally idempotent (left-anti on the natural
+  *     key: a replayed batch finds its keys present and adds nothing);
+  *   - the fact append is made idempotent by landing each micro-batch
+  *     in its own `batch_id` partition and writing it with DYNAMIC
+  *     partition overwrite — a batch replayed after a crash (between
+  *     fact write and checkpoint commit) overwrites its own partition
+  *     instead of appending duplicate rows. A plain append would
+  *     silently double those rows.
   */
 object IncrementalStar {
 
@@ -30,14 +39,16 @@ object IncrementalStar {
 
   /** Upsert one micro-batch into the dims + fact tables under `db`.
     * Exposed for direct (batch) use and testing; `stream` wires it
-    * into foreachBatch. */
+    * into foreachBatch, threading the engine's batchId through so
+    * replays land on the same fact partition. */
   def processBatch(
       spark: SparkSession,
       batch: DataFrame,
       db: String,
       dims: Seq[DimSpec],
       factTable: String,
-      factCols: Seq[String]): Unit = {
+      factCols: Seq[String],
+      batchId: Long = 0L): Unit = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     val resolvedDims = dims.map { d =>
       val fq = s"$db.${d.table}"
@@ -66,15 +77,33 @@ object IncrementalStar {
       d -> spark.table(fq)
     }
     // Fact: resolve each dim's SK by its natural keys (broadcast — dims
-    // are small relative to the batch), append-only sink.
+    // are small relative to the batch), then land the batch in its own
+    // batch_id partition, dynamically overwritten so replays are
+    // idempotent.
     val fact = resolvedDims.foldLeft(batch) { case (acc, (d, dimDf)) =>
       acc.join(
         broadcast(dimDf.select((d.skCol +: d.naturalKeys).map(col): _*)),
         d.naturalKeys, "left")
     }
-    fact.select(factCols.map(col): _*)
-      .write.mode(SaveMode.Append).format("parquet")
-      .saveAsTable(s"$db.$factTable")
+    val factOut = fact.select(factCols.map(col): _*)
+      .withColumn("batch_id", lit(batchId))
+    val factFq = s"$db.$factTable"
+    if (!spark.catalog.tableExists(factFq)) {
+      factOut.write.partitionBy("batch_id").format("parquet")
+        .saveAsTable(factFq)
+    } else {
+      // insertInto is position-based; batch_id (the partition column)
+      // is last in both the frame and the table schema. DYNAMIC
+      // overwrite mode limits the overwrite to the partitions present
+      // in this frame — exactly {batchId}. Session conf, not a writer
+      // option: insertInto does not honor the per-writer option.
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, "dynamic")
+      try factOut.write.mode(SaveMode.Overwrite).insertInto(factFq)
+      finally spark.conf.set(key, prev)
+    }
+    spark.catalog.refreshTable(factFq)
   }
 
   /** Wire a landing stream into the incremental star. Caller starts the
@@ -86,8 +115,9 @@ object IncrementalStar {
       factTable: String,
       factCols: Seq[String]): DataStreamWriter[Row] =
     landing.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch.sparkSession, batch, db, dims, factTable, factCols)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch.sparkSession, batch, db, dims, factTable, factCols,
+          batchId)
       }
       .trigger(Trigger.AvailableNow())
 }

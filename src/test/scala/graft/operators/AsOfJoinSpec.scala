@@ -33,6 +33,24 @@ class AsOfJoinSpec extends SparkSpec {
       (300L, None))
   }
 
+  test("all carried columns come from the SAME right row, even when some are NULL") {
+    // The most recent quote has price=NULL, size=5. Per-column
+    // last(ignoreNulls) would desynchronize: price from the older row,
+    // size from the newer one. The struct carry must return the newest
+    // ROW atomically: (null, 5).
+    val quotes = Seq(
+      (1L, ts("2026-01-01 00:00:00"), Option(10.0), Option(1L)),
+      (1L, ts("2026-01-01 00:10:00"), None: Option[Double], Option(5L)))
+      .toDF("key", "qts", "price", "size")
+    val ticks = Seq((1L, 100L, ts("2026-01-01 00:20:00")))
+      .toDF("key", "tick_id", "tts")
+    val got = AsOfJoin.joinAsOf(ticks, quotes, Seq("key"), "tts", "qts",
+        Seq("price", "size"))
+      .select("tick_id", "price", "size")
+      .as[(Long, Option[Double], Option[Long])].collect()
+    got shouldBe Array((100L, None, Some(5L)))
+  }
+
   test("joinAsOf plans a single shuffle, no theta join") {
     val quotes = (1 to 100).map(i => (i.toLong % 5, ts(f"2026-01-01 00:${i % 60}%02d:00"), i.toDouble))
       .toDF("key", "qts", "price")

@@ -96,6 +96,23 @@ class JobsPipelineSpec extends SparkSpec {
     partCols shouldBe Array("date_sk")
   }
 
+  test("fact and bridge are co-bucketed on job_posting_pk: their join shuffles neither side") {
+    star // force the main pipeline run
+    // Auto-broadcast off so the tiny test tables don't short-circuit
+    // into a broadcast join — the 100 TB shape is the sort-merge path,
+    // which must read both bucketed layouts with NO Exchange.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("graft_test.fact_job_postings")
+        .join(spark.table("graft_test.bridge_job_skill"), "job_posting_pk")
+      joined.count() should be >= 3L
+      val plan = joined.queryExecution.executedPlan.toString
+      plan should include("SortMergeJoin")
+      (plan should not).include("Exchange hashpartitioning")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("date dim covers the parsed posted dates, including relative-time fallback") {
     // 2025-12-29, 2025-12-31, 2025-12-20 from explicit UTC; the
     // "yesterday" record has no UTC timestamp and parses to NULL

@@ -73,6 +73,19 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     row.getDouble(2) shouldBe 11.0
   }
 
+  test("dot_product null semantics match the composed aggregate(zip_with) form") {
+    val row = spark.sql(
+      """SELECT
+        |  dot_product(array(1.0D, CAST(NULL AS DOUBLE)), array(3.0D, 4.0D)) AS elem_null,
+        |  aggregate(zip_with(array(1.0D, CAST(NULL AS DOUBLE)), array(3.0D, 4.0D),
+        |    (x, y) -> x * y), 0.0D, (a, x) -> a + x) AS composed_elem_null,
+        |  dot_product(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) AS arr_null
+        |""".stripMargin).collect().head
+    row.isNullAt(0) shouldBe true
+    row.isNullAt(1) shouldBe true // the form we claim to match
+    row.isNullAt(2) shouldBe true
+  }
+
   test("extract_tags SQL function tags from a literal vocabulary") {
     val got = spark.sql(
       "SELECT extract_tags('Spark and SQL daily', 'spark,sql,python') AS tags")

@@ -53,6 +53,20 @@ class TopKRewriteRuleSpec extends AnyFunSuite with Matchers {
     got shouldBe expected
   }
 
+  test("children above the memory bound keep the spilling window plan") {
+    // TopKPerKeyExec holds keys×k rows with no spill path; the rule
+    // must fall back to the window-sort (which spills) when the child's
+    // estimated size exceeds spark.graft.topk.maxChildBytes.
+    spark.conf.set(TopKRewriteRule.MaxChildBytesKey, "1") // force oversize
+    try {
+      val df = windowTopK(3)
+      df.queryExecution.optimizedPlan.toString should not include "TopKPerKey"
+      df.queryExecution.optimizedPlan.toString should include("windowspecdefinition")
+    } finally spark.conf.unset(TopKRewriteRule.MaxChildBytesKey)
+    // and with the default bound the small child rewrites again
+    windowTopK(3).queryExecution.optimizedPlan.toString should include("TopKPerKey")
+  }
+
   test("windows whose rank survives the projection are NOT rewritten") {
     import spark.implicits._
     val df = Seq((1L, 1L, 2.0), (1L, 2L, 1.0)).toDF("key", "id", "score")

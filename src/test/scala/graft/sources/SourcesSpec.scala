@@ -77,6 +77,53 @@ class SourcesSpec extends SparkSpec {
       "(SELECT * FROM landing.jobs WHERE ingested_at > '2024-01-01') filtered_data"
   }
 
+  test("watermark literals are escaped: a quote-containing value round-trips") {
+    // The quoting contract, now enforced: an embedded single quote must
+    // neither break the subquery nor rewrite the predicate.
+    Jdbc.incrementalSubquery("t", "c", "it's") shouldBe
+      "(SELECT * FROM t WHERE c > 'it''s') filtered_data"
+    val conn = java.sql.DriverManager.getConnection(jdbcUrl)
+    conn.createStatement().execute(
+      "CREATE TABLE T_QUOTE (ID BIGINT, MARK VARCHAR(32))")
+    conn.close()
+    Jdbc.append(Seq((1L, "a'a"), (2L, "z'z")).toDF("ID", "MARK"),
+      jdbcUrl, "T_QUOTE")
+    val store = new WatermarkStore(
+      Files.createTempDirectory("wmq").resolve("state.properties"))
+    store.set("t_quote", "a'a") // watermark value itself contains a quote
+    val delta = Jdbc.incrementalScan(spark, jdbcUrl, "T_QUOTE", "MARK",
+      store, "t_quote")
+    delta.select("ID").as[Long].collect() shouldBe Array(2L)
+  }
+
+  test("PartitionSpec fans the JDBC read out over N connections/partitions") {
+    val conn = java.sql.DriverManager.getConnection(jdbcUrl)
+    conn.createStatement().execute(
+      "CREATE TABLE T_PAR (ID BIGINT, V VARCHAR(16))")
+    conn.close()
+    Jdbc.append((1 to 100).map(i => (i.toLong, s"v$i")).toDF("ID", "V"),
+      jdbcUrl, "T_PAR")
+    val par = Jdbc.scan(spark, jdbcUrl, "T_PAR",
+      partitioning = Some(Jdbc.PartitionSpec("ID", 1L, 100L, 4)))
+    // the read itself is parallel: one task per stride
+    par.rdd.getNumPartitions shouldBe 4
+    par.count() shouldBe 100
+    // bounds shape parallelism, not the result: rows outside the
+    // bounds still arrive (first/last stride are unbounded)
+    val narrow = Jdbc.scan(spark, jdbcUrl, "T_PAR",
+      partitioning = Some(Jdbc.PartitionSpec("ID", 40L, 60L, 3)))
+    narrow.count() shouldBe 100
+    // and the incremental path composes with partitioning
+    val store = new WatermarkStore(
+      Files.createTempDirectory("wmp").resolve("state.properties"))
+    store.set("t_par", "v") // VARCHAR compare: every 'vNN' > 'v'
+    val inc = Jdbc.incrementalScan(spark, jdbcUrl, "T_PAR", "V",
+      store, "t_par",
+      partitioning = Some(Jdbc.PartitionSpec("ID", 1L, 100L, 4)))
+    inc.rdd.getNumPartitions shouldBe 4
+    inc.count() shouldBe 100
+  }
+
   // ---- partitioned parquet sink -----------------------------------------
 
   test("partitioned parquet sink lays out partition dirs and scans prune on them") {

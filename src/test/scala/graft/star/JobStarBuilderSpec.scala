@@ -41,4 +41,38 @@ class JobStarBuilderSpec extends SparkSpec {
       }
     }
   }
+
+  test("fact chain broadcasts ONLY the 5 bounded dims; fact-sized job-details is unhinted") {
+    // dim_job_details is 1:1 with distinct landing jobs — fact-sized. A
+    // forced broadcast() there would override Spark's size check and
+    // OOM the driver at scale; only the bounded-vocabulary dims may be
+    // hinted. Auto-broadcast is disabled so the physical plan reflects
+    // hints, not tiny-test-data size estimates.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val now = lit("2026-01-01 00:00:00").cast("timestamp")
+      // GlobalRowNumber: the Auto strategy persists the joined frame
+      // for the two-pass SK assignment, and cache substitution would
+      // hide the join chain behind an InMemoryRelation — the join PLAN
+      // under inspection is identical either way.
+      val star = JobStarBuilder.build(landing(4), now,
+        strategy = SkStrategy.GlobalRowNumber)
+      import org.apache.spark.sql.catalyst.plans.logical.Join
+      val joins = star.fact.queryExecution.optimizedPlan.collect {
+        case j: Join => j
+      }
+      joins.length shouldBe 6
+      val hinted = joins.count(j =>
+        j.hint.leftHint.exists(_.strategy.isDefined) ||
+          j.hint.rightHint.exists(_.strategy.isDefined))
+      hinted shouldBe 5
+      val physical = star.fact.queryExecution.executedPlan.toString
+      "BroadcastHashJoin".r.findAllIn(physical).size shouldBe 5
+      // the unhinted job-details join sort-merges on the natural key
+      physical should include("SortMergeJoin")
+      // and the pipeline stays correct end-to-end under this plan
+      star.fact.count() shouldBe 60
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

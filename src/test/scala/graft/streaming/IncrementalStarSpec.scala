@@ -58,6 +58,7 @@ class IncrementalStarSpec extends SparkSpec {
     companies("gamma") shouldBe 3L
 
     val fact = spark.table("graft_inc.fact_jobs")
+      .select("job_id", "company_sk", "loc_sk")
       .orderBy("job_id").as[(Long, Long, Long)].collect()
     fact.length shouldBe 4
     // jobs 1 and 3 share company+city → identical SK pairs across batches
@@ -67,5 +68,41 @@ class IncrementalStarSpec extends SparkSpec {
     spark.table("graft_inc.inc_dim_loc")
       .filter($"city" === "ogdenville").select("country")
       .as[String].collect().head shouldBe "NT"
+  }
+
+  test("replayed micro-batch is idempotent: fact rows land once, SKs stable") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_replay")
+    Seq("inc_dim_company", "inc_dim_loc", "fact_jobs").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_replay.$t"))
+
+    val b1 = Seq(
+      (1L, "acme", "springfield", "US"),
+      (2L, "beta", "shelbyville", "US"))
+      .toDF("job_id", "company", "city", "country")
+    val b2 = Seq((3L, "gamma", "ogdenville", "NT"))
+      .toDF("job_id", "company", "city", "country")
+
+    IncrementalStar.processBatch(spark, b1, "graft_replay", dims,
+      "fact_jobs", factCols, batchId = 0L)
+    IncrementalStar.processBatch(spark, b2, "graft_replay", dims,
+      "fact_jobs", factCols, batchId = 1L)
+    val before = spark.table("graft_replay.fact_jobs")
+      .select("job_id", "company_sk", "loc_sk", "batch_id")
+      .orderBy("job_id").as[(Long, Long, Long, Long)].collect()
+    before.length shouldBe 3
+
+    // foreachBatch is at-least-once: a crash between the fact write and
+    // the checkpoint commit replays the SAME batchId. The replay must
+    // overwrite its own batch_id partition, not append duplicates.
+    IncrementalStar.processBatch(spark, b2, "graft_replay", dims,
+      "fact_jobs", factCols, batchId = 1L)
+    val after = spark.table("graft_replay.fact_jobs")
+      .select("job_id", "company_sk", "loc_sk", "batch_id")
+      .orderBy("job_id").as[(Long, Long, Long, Long)].collect()
+    after shouldBe before
+
+    // and other batches' partitions were untouched by the replay
+    spark.table("graft_replay.fact_jobs")
+      .filter($"batch_id" === 0L).count() shouldBe 2
   }
 }
