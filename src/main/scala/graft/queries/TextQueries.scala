@@ -32,16 +32,40 @@ object TextQueries {
   private val Bands = 4
   private val RowsPerBand = NumHashes / Bands
 
-  /** Spark-side minhash signature columns: min over shingle hashes for
-    * each seeded hash fn. Seeded as md5("i|shingle") — same on the
-    * oracle side. */
-  private def minhashAggs(tok: Column): Seq[Column] =
+  /** Universal-hash minhash family: each shingle is hashed ONCE
+    * (60-bit md5 prefix via the native [[graft.plans.StableHash60]]),
+    * then the 16 per-function values derive by cheap codegen'd integer
+    * arithmetic — `mh_i = min((A_i * (h mod P) + B_i) mod P)`,
+    * P = 2^31-1 (prime). The previous family (md5 of "i|shingle" per
+    * function) paid 16 full md5 digests per shingle; this pays one,
+    * cutting the signature aggregation — the dominant cost of
+    * MinHash+LSH at corpus scale — ~16×, and shrinks the shuffled
+    * signature from 16 strings to 16 longs. Constants come from
+    * Knuth's 2654435761 multiplier; the oracle SQL interpolates the
+    * SAME values, so results stay bit-identical across engines
+    * (products stay < 2^62 — safe in BIGINT for both). */
+  private val MinhashP = 2147483647L // 2^31 - 1
+  private val HashA: Seq[Long] =
+    (0 until NumHashes).map(i => ((i + 1) * 2654435761L) % MinhashP)
+  private val HashB: Seq[Long] =
+    (0 until NumHashes).map(i => (i * 40503L + 7L) % MinhashP)
+
+  /** Aggregates over the per-shingle hash column `h` (already reduced
+    * mod P in a projection BELOW the groupBy, so the md5 runs once per
+    * shingle, not once per aggregate expression). */
+  private def minhashAggs(h: Column): Seq[Column] =
     (0 until NumHashes).map { i =>
-      min(md5(concat(lit(s"$i|"), tok))).as(s"mh$i")
+      min((h * HashA(i) + HashB(i)) % MinhashP).as(s"mh$i")
     }
 
+  /** Per-shingle 60-bit hash via the native expression. */
+  private def shingleHash(tok: Column): Column =
+    org.apache.spark.sql.graft.CatalystBridge.column(
+      graft.plans.StableHash60(
+        org.apache.spark.sql.graft.CatalystBridge.expr(tok)))
+
   private def bandCol(b: Int): Column =
-    md5(concat_ws("|", (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}")): _*))
+    concat_ws("|", (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}")): _*)
 
   /** Non-deduped token explode via the native expression (tf semantics
     * need duplicates; the composed filter(split) runs interpreted). */
@@ -77,10 +101,16 @@ object TextQueries {
       |  )""".stripMargin
 
   private val minhashSqlAggs =
-    (0 until NumHashes).map(i => s"min(md5('$i|' || tok)) AS mh$i").mkString(", ")
+    (0 until NumHashes).map(i =>
+      s"min((${HashA(i)} * h + ${HashB(i)}) % $MinhashP) AS mh$i").mkString(", ")
+
+  /** The oracle's per-shingle hash + mod-P reduction, mirroring the
+    * Spark-side projection below the signature aggregation. */
+  private val shingleHashSql =
+    s"SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % $MinhashP AS h FROM sh"
 
   private def bandSql(b: Int): String =
-    "md5(concat_ws('|', " + (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}").mkString(", ") + "))"
+    "concat_ws('|', " + (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}").mkString(", ") + ")"
 
   private val SimhashBits = 16
 
@@ -101,8 +131,10 @@ object TextQueries {
     QueryDef("q28_minhash_lsh",
       s"""WITH sh AS (
          |  $shingleSql
+         |), hashed AS (
+         |  $shingleHashSql
          |), sig AS (
-         |  SELECT doc_id, $minhashSqlAggs FROM sh GROUP BY doc_id
+         |  SELECT doc_id, $minhashSqlAggs FROM hashed GROUP BY doc_id
          |), bands AS (
          |  ${(0 until Bands).map(b =>
               s"SELECT doc_id, $b AS band_idx, ${bandSql(b)} AS band_hash FROM sig")
@@ -114,7 +146,8 @@ object TextQueries {
          |  AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       val sig = shingled(Tables.documents(s, dir))
-        .groupBy("doc_id").agg(minhashAggs(col("tok")).head, minhashAggs(col("tok")).tail: _*)
+        .select(col("doc_id"), (shingleHash(col("tok")) % MinhashP).as("h"))
+        .groupBy("doc_id").agg(minhashAggs(col("h")).head, minhashAggs(col("h")).tail: _*)
       // One pass over sig: explode an array of (band_idx, band_hash)
       // structs — a per-band union would recompute the whole
       // shingle+minhash aggregation once per band.
@@ -515,8 +548,10 @@ object TextQueries {
     QueryDef("q50_clean_corpus",
       s"""WITH sh AS (
          |  $shingleSql
+         |), hashed AS (
+         |  $shingleHashSql
          |), sig AS (
-         |  SELECT doc_id, $minhashSqlAggs FROM sh GROUP BY doc_id
+         |  SELECT doc_id, $minhashSqlAggs FROM hashed GROUP BY doc_id
          |), bands AS (
          |  ${(0 until Bands).map(b =>
               s"SELECT doc_id, $b AS band_idx, ${bandSql(b)} AS band_hash FROM sig")
