@@ -114,6 +114,45 @@ object TextQueries {
 
   private val SimhashBits = 16
 
+  /** Oracle-side simhash CTE chain ending in `fp(doc_id, simhash)` —
+    * shared by q29 (fingerprints) and q59 (near-dup pairing). */
+  private lazy val simhashFpSql: String = {
+    val votes = (0 until SimhashBits).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b").mkString(", ")
+    val recon = (0 until SimhashBits).map(b =>
+      s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""toks AS (
+       |  SELECT DISTINCT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |    FROM documents
+       |  ) WHERE tok <> ''
+       |), hashed AS (
+       |  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+       |  FROM toks
+       |), votes AS (
+       |  SELECT doc_id, $votes FROM hashed GROUP BY doc_id
+       |), fp AS (
+       |  SELECT doc_id, CAST($recon AS BIGINT) AS simhash FROM votes
+       |)""".stripMargin
+  }
+
+  /** Spark-side simhash fingerprints `(doc_id, simhash)` — the per-bit
+    * majority vote over distinct-token hashes, one groupBy. */
+  private def simhashed(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .repartition(col("doc_id")) // fan out the single-file scan
+      .select(col("doc_id"), explode(array_distinct(gf.tokens(col("text")))).as("tok"))
+    val hashed = toks.withColumn("h", gf.stableHash(col("tok")))
+    val voteCols = (0 until SimhashBits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
+    }
+    hashed.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until SimhashBits).map { b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _).as("simhash"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // Exact dedup: hash-groupBy, keep min doc_id per content hash.
     QueryDef("q27_dedup_exact",
@@ -180,41 +219,8 @@ object TextQueries {
 
     // SimHash fingerprints: per-bit majority vote over token hashes.
     QueryDef("q29_simhash",
-      s"""WITH toks AS (
-         |  SELECT DISTINCT doc_id, tok FROM (
-         |    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
-         |    FROM documents
-         |  ) WHERE tok <> ''
-         |), hashed AS (
-         |  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
-         |  FROM toks
-         |), votes AS (
-         |  SELECT doc_id,
-         |    ${(0 until SimhashBits).map(b =>
-              s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
-              .mkString(",\n    ")}
-         |  FROM hashed GROUP BY doc_id
-         |)
-         |SELECT doc_id,
-         |  CAST(${(0 until SimhashBits).map(b =>
-            s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS simhash
-         |FROM votes ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val toks = Tables.documents(s, dir)
-        .repartition(col("doc_id")) // fan out the single-file scan
-        .select(col("doc_id"), explode(array_distinct(gf.tokens(col("text")))).as("tok"))
-      val hashed = toks.withColumn("h", gf.stableHash(col("tok")))
-      val votes = hashed.groupBy("doc_id").agg(
-        (0 until SimhashBits).map { b =>
-          sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
-        }.head,
-        (0 until SimhashBits).map { b =>
-          sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
-        }.tail: _*)
-      votes.select(col("doc_id"),
-        (0 until SimhashBits).map { b =>
-          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
-        }.reduce(_ + _).as("simhash"))
-        .orderBy("doc_id")
+      s"WITH $simhashFpSql\nSELECT doc_id, simhash FROM fp ORDER BY doc_id") { (s, dir) =>
+      simhashed(Tables.documents(s, dir)).orderBy("doc_id")
     },
 
     // n-gram (token-set) Jaccard near-dup verification, bucketed by
@@ -660,6 +666,136 @@ object TextQueries {
       Tables.documents(s, dir)
         .select(col("doc_id"),
           md5(array_join(gf.tokens(col("text")), " ")).as("fingerprint"))
+        .orderBy("doc_id")
+    },
+
+    // SimHash near-dup candidate pairing: LSH over the fingerprint's 4
+    // disjoint 4-bit bands (pigeonhole: any pair within Hamming
+    // distance 3 of 16 bits agrees exactly on >= 1 band), candidate
+    // pairs generated INSIDE grouped band buckets (never a self-join —
+    // the fingerprint aggregation runs once), verified by exact
+    // bit_count(xor) <= 2. Reported as pair counts per distance: the
+    // full candidate machinery executes, the result stays sharp. At 64
+    // fingerprint bits the same structure uses 4x 16-bit bands.
+    QueryDef("q59_simhash_neardup",
+      s"""WITH $simhashFpSql, bands AS (
+         |  SELECT doc_id, simhash, b AS band_idx, (simhash >> (b*4)) & 15 AS band_val
+         |  FROM fp, unnest([0,1,2,3]) AS u(b)
+         |), pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |    AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+         |)
+         |SELECT hamming, count(*) AS n_pairs FROM pairs
+         |GROUP BY hamming ORDER BY hamming""".stripMargin) { (s, dir) =>
+      val fp = simhashed(Tables.documents(s, dir))
+      val bandStructs = array((0 until 4).map { b =>
+        struct(lit(b).as("band_idx"),
+          shiftright(col("simhash"), b * 4).bitwiseAND(15).as("band_val"))
+      }: _*)
+      val bands = fp
+        .select(col("doc_id"), col("simhash"), explode(bandStructs).as("bd"))
+        .select(col("doc_id"), col("simhash"),
+          col("bd.band_idx").as("band_idx"), col("bd.band_val").as("band_val"))
+      // sort_array orders by the struct's leading doc_id, so generated
+      // combinations always satisfy doc_a < doc_b.
+      val buckets = bands
+        .groupBy("band_idx", "band_val")
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash"))))
+          .as("items"))
+        .filter(size(col("items")) > 1)
+      val pairs = flatten(transform(col("items"), (x, i) =>
+        transform(
+          slice(col("items"), i + lit(2), size(col("items")) - i - lit(1)),
+          y => struct(
+            x.getField("doc_id").as("doc_a"),
+            y.getField("doc_id").as("doc_b"),
+            bit_count(x.getField("simhash").bitwiseXOR(y.getField("simhash")))
+              .as("hamming")))))
+      buckets
+        .select(explode(pairs).as("p"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+          col("p.hamming").as("hamming"))
+        .filter(col("hamming") <= 2)
+        .distinct()
+        .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("hamming")
+    },
+
+    // Within-document repetition filter (the Gopher-style quality
+    // signal): fraction of duplicate 2-/3-gram occurrences. Pure
+    // per-row array arithmetic — no explode, no shuffle except the
+    // final sort; the native ShingleTokens expression keeps the n-gram
+    // construction codegen'd.
+    QueryDef("q60_repetition_filter",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  round(1.0 - CAST(len(list_distinct(list_transform(
+        |      generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1]))) AS DOUBLE)
+        |    / (len(t)-1), 6) AS dup2_frac,
+        |  round(1.0 - CAST(len(list_distinct(list_transform(
+        |      generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS DOUBLE)
+        |    / (len(t)-2), 6) AS dup3_frac,
+        |  (round(1.0 - CAST(len(list_distinct(list_transform(
+        |      generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1]))) AS DOUBLE)
+        |    / (len(t)-1), 6) < 0.1) AS keep
+        |FROM t WHERE len(t) >= 3 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      def grams(w: Int): Column =
+        org.apache.spark.sql.graft.CatalystBridge.column(
+          graft.plans.ShingleTokens(
+            org.apache.spark.sql.graft.CatalystBridge.expr(trim(col("text"))),
+            w, dedupe = false))
+      def dupFrac(g: Column): Column =
+        round(lit(1.0) -
+          size(array_distinct(g)).cast("double") / size(g), 6)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), grams(1).as("t1"), grams(2).as("g2"),
+          grams(3).as("g3"))
+        .filter(size(col("t1")) >= 3)
+        .select(col("doc_id"),
+          dupFrac(col("g2")).as("dup2_frac"),
+          dupFrac(col("g3")).as("dup3_frac"),
+          (dupFrac(col("g2")) < 0.1).as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // Out-of-vocabulary rate against the corpus' own head vocabulary
+    // (top-10 terms by document frequency): the gibberish/noise gate a
+    // training-data pipeline runs before tokenizer training. Two
+    // shuffles (df aggregation, per-doc aggregation); the vocabulary is
+    // bounded so the membership join is a broadcast.
+    QueryDef("q61_oov_rate",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents
+        |), df AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+        |), vocab AS (
+        |  SELECT term FROM df ORDER BY df DESC, term LIMIT 10
+        |)
+        |SELECT t.doc_id,
+        |  round(1.0 - CAST(count(v.term) AS DOUBLE) / count(*), 6) AS oov_rate
+        |FROM toks t LEFT JOIN vocab v USING (term)
+        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), explode(tokenCol).as("term"))
+      val dfT = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      // top-10: TakeOrderedAndProject — never a global sort
+      val vocab = dfT.orderBy(desc("df"), asc("term")).limit(10)
+        .select(col("term"), lit(1).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy("doc_id")
+        .agg(round(lit(1.0) -
+          count(col("in_vocab")).cast("double") / count(lit(1)), 6).as("oov_rate"))
         .orderBy("doc_id")
     }
   )

@@ -1,0 +1,75 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import graft.{SparkEntry, SparkSpec}
+
+/** The round-3 text operators against crafted corpora (the DuckDB
+  * oracle checks them on the synthetic tables; these specs pin the
+  * SEMANTICS on inputs where the expected answer is computable by
+  * hand or brute force). */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def q(name: String) =
+    SparkEntry.allDefs.find(_.name == name).getOrElse(fail(s"missing $name"))
+
+  /** Stage a documents.parquet under a temp dir so the q-defs (which
+    * read `$dir/documents.parquet`) run on crafted docs. */
+  private def stage(docs: Seq[(Long, String)]): String = {
+    val dir = Files.createTempDirectory("textops").toString
+    docs.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'test' AS source",
+        "length(text) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q59: band-LSH candidate generation finds EVERY pair within Hamming<=2 (pigeonhole)") {
+    // Word-soup docs with overlapping token sets → clustered simhashes.
+    val docs = (0L until 40L).map { i =>
+      val toks = (0 until 12).map(j => s"w${(i + j) % 15}")
+      (i, toks.mkString(" "))
+    }
+    val dir = stage(docs)
+    // Brute-force ground truth from the q29 fingerprints.
+    val fp = q("q29_simhash").build(spark, dir)
+      .as[(Long, Long)].collect().toSeq
+    val expected = (for {
+      (a, sa) <- fp; (b, sb) <- fp if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 2
+    } yield h).groupBy(identity).map { case (h, v) => (h, v.size.toLong) }
+    val got = q("q59_simhash_neardup").build(spark, dir)
+      .as[(Int, Long)].collect().map { case (h, n) => (h, n) }.toMap
+    got.map { case (h, n) => (h.toLong, n) } shouldBe
+      expected.map { case (h, n) => (h.toLong, n) }
+    got.values.sum should be > 0L // the property is non-vacuous
+  }
+
+  test("q60: repetition fractions match hand computation; keep flag thresholds") {
+    val dir = stage(Seq(
+      (1L, "a a a a a"),        // 2-grams: 4x "a a" → dup2 = 0.75
+      (2L, "a b c d e"),        // all n-grams unique → dup2 = dup3 = 0
+      (3L, "x y")))             // < 3 tokens → filtered out
+    val got = q("q60_repetition_filter").build(spark, dir)
+      .as[(Long, Double, Double, Boolean)].collect()
+    got shouldBe Array(
+      (1L, 0.75, 0.666667, false), // 3-grams: 3x "a a a" → round(1 - 1/3, 6)
+      (2L, 0.0, 0.0, true))
+  }
+
+  test("q61: OOV rate is the fraction of tokens outside the top-10-df vocabulary") {
+    // 12 distinct terms; t0..t9 appear in more docs than u1/u2, so the
+    // head vocabulary is exactly t0..t9.
+    val common = (0 until 10).map(i => s"t$i").mkString(" ")
+    val docs = (1L to 5L).map(i => (i, common)) :+
+      (6L, s"$common u1 u2") // 12 tokens, 2 OOV → 1/6
+    val dir = stage(docs)
+    val got = q("q61_oov_rate").build(spark, dir)
+      .as[(Long, Double)].collect().toMap
+    (1L to 5L).foreach(i => got(i) shouldBe 0.0)
+    got(6L) shouldBe (BigDecimal(1.0 / 6).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+}
