@@ -671,58 +671,78 @@ object TextQueries {
 
     // SimHash near-dup candidate pairing: LSH over the fingerprint's 4
     // disjoint 4-bit bands (pigeonhole: any pair within Hamming
-    // distance 3 of 16 bits agrees exactly on >= 1 band), candidate
-    // pairs generated INSIDE grouped band buckets (never a self-join —
-    // the fingerprint aggregation runs once), verified by exact
-    // bit_count(xor) <= 2. Reported as pair counts per distance: the
-    // full candidate machinery executes, the result stays sharp. At 64
-    // fingerprint bits the same structure uses 4x 16-bit bands.
+    // distance 3 of 16 bits agrees exactly on >= 1 band), verified by
+    // exact bit_count(xor) <= 2, reported as doc-pair counts per
+    // distance. The banding runs over DISTINCT fingerprints with group
+    // sizes carried alongside — doc pairs are recovered as m_a·m_b
+    // (cross-fingerprint) and C(m,2) (identical fingerprints, Hamming
+    // 0). That collapse is what keeps the operator safe on degenerate
+    // corpora: a million exact-duplicate docs are ONE banded row, not a
+    // 10^12-pair bucket — the same reason exact dedup precedes fuzzy
+    // matching in a production pipeline. At 64 fingerprint bits the
+    // same structure uses 4x 16-bit bands.
     QueryDef("q59_simhash_neardup",
-      s"""WITH $simhashFpSql, bands AS (
-         |  SELECT doc_id, simhash, b AS band_idx, (simhash >> (b*4)) & 15 AS band_val
-         |  FROM fp, unnest([0,1,2,3]) AS u(b)
-         |), pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      s"""WITH $simhashFpSql, fpg AS (
+         |  SELECT simhash, count(*) AS m FROM fp GROUP BY simhash
+         |), ubands AS (
+         |  SELECT simhash, b AS band_idx, (simhash >> (b*4)) & 15 AS band_val
+         |  FROM fpg, unnest([0,1,2,3]) AS u(b)
+         |), cross_fp AS (
+         |  SELECT DISTINCT a.simhash AS sa, b.simhash AS sb,
          |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-         |  FROM bands a JOIN bands b
+         |  FROM ubands a JOIN ubands b
          |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-         |    AND a.doc_id < b.doc_id
+         |    AND a.simhash < b.simhash
          |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+         |), counts AS (
+         |  SELECT 0 AS hamming, CAST(sum(m * (m - 1) // 2) AS BIGINT) AS n_pairs
+         |  FROM fpg WHERE m > 1
+         |  UNION ALL
+         |  SELECT c.hamming, CAST(sum(ga.m * gb.m) AS BIGINT) AS n_pairs
+         |  FROM cross_fp c
+         |  JOIN fpg ga ON c.sa = ga.simhash
+         |  JOIN fpg gb ON c.sb = gb.simhash
+         |  GROUP BY c.hamming
          |)
-         |SELECT hamming, count(*) AS n_pairs FROM pairs
-         |GROUP BY hamming ORDER BY hamming""".stripMargin) { (s, dir) =>
+         |SELECT hamming, n_pairs FROM counts WHERE n_pairs > 0
+         |ORDER BY hamming""".stripMargin) { (s, dir) =>
       val fp = simhashed(Tables.documents(s, dir))
+      // fingerprint groups: bounded by distinct-fingerprint count, so
+      // broadcastable below; one shuffle over the doc-level frame.
+      val fpg = fp.groupBy("simhash").agg(count(lit(1)).as("m"))
       val bandStructs = array((0 until 4).map { b =>
         struct(lit(b).as("band_idx"),
           shiftright(col("simhash"), b * 4).bitwiseAND(15).as("band_val"))
       }: _*)
-      val bands = fp
-        .select(col("doc_id"), col("simhash"), explode(bandStructs).as("bd"))
-        .select(col("doc_id"), col("simhash"),
+      val ubands = fpg
+        .select(col("simhash"), explode(bandStructs).as("bd"))
+        .select(col("simhash"),
           col("bd.band_idx").as("band_idx"), col("bd.band_val").as("band_val"))
-      // sort_array orders by the struct's leading doc_id, so generated
-      // combinations always satisfy doc_a < doc_b.
-      val buckets = bands
+      // sort_array orders the bucket, so combinations satisfy sa < sb.
+      val buckets = ubands
         .groupBy("band_idx", "band_val")
-        .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash"))))
-          .as("items"))
-        .filter(size(col("items")) > 1)
-      val pairs = flatten(transform(col("items"), (x, i) =>
+        .agg(sort_array(collect_list(col("simhash"))).as("sigs"))
+        .filter(size(col("sigs")) > 1)
+      val pairCol = flatten(transform(col("sigs"), (x, i) =>
         transform(
-          slice(col("items"), i + lit(2), size(col("items")) - i - lit(1)),
-          y => struct(
-            x.getField("doc_id").as("doc_a"),
-            y.getField("doc_id").as("doc_b"),
-            bit_count(x.getField("simhash").bitwiseXOR(y.getField("simhash")))
-              .as("hamming")))))
-      buckets
-        .select(explode(pairs).as("p"))
-        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+          slice(col("sigs"), i + lit(2), size(col("sigs")) - i - lit(1)),
+          y => struct(x.as("sa"), y.as("sb"),
+            bit_count(x.bitwiseXOR(y)).as("hamming")))))
+      val crossFp = buckets
+        .select(explode(pairCol).as("p"))
+        .select(col("p.sa").as("sa"), col("p.sb").as("sb"),
           col("p.hamming").as("hamming"))
         .filter(col("hamming") <= 2)
         .distinct()
-        .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
-        .orderBy("hamming")
+      val ham0 = fpg.filter(col("m") > 1)
+        .agg(sum(col("m") * (col("m") - 1)).as("s2"))
+        .select(lit(0).as("hamming"), (col("s2") / 2).cast("long").as("n_pairs"))
+        .filter(col("n_pairs") > 0)
+      val hamK = crossFp
+        .join(broadcast(fpg.select(col("simhash").as("sa"), col("m").as("ma"))), "sa")
+        .join(broadcast(fpg.select(col("simhash").as("sb"), col("m").as("mb"))), "sb")
+        .groupBy("hamming").agg(sum(col("ma") * col("mb")).as("n_pairs"))
+      ham0.unionByName(hamK).orderBy("hamming")
     },
 
     // Within-document repetition filter (the Gopher-style quality
