@@ -734,9 +734,11 @@ object TextQueries {
           col("p.hamming").as("hamming"))
         .filter(col("hamming") <= 2)
         .distinct()
+      // integer `div` per group (m*(m-1) is always even) — `/` would
+      // route through a double and lose exactness past 2^53 pairs.
       val ham0 = fpg.filter(col("m") > 1)
-        .agg(sum(col("m") * (col("m") - 1)).as("s2"))
-        .select(lit(0).as("hamming"), (col("s2") / 2).cast("long").as("n_pairs"))
+        .agg(sum(expr("m * (m - 1) div 2")).as("n_pairs"))
+        .select(lit(0).as("hamming"), col("n_pairs"))
         .filter(col("n_pairs") > 0)
       val hamK = crossFp
         .join(broadcast(fpg.select(col("simhash").as("sa"), col("m").as("ma"))), "sa")
