@@ -46,7 +46,17 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
   private def fitsMemoryBound(child: LogicalPlan): Boolean = {
     val limit = conf.getConfString(MaxChildBytesKey,
       DefaultMaxChildBytes.toString).toLong
-    limit < 0 || child.stats.sizeInBytes <= limit
+    val fits = limit < 0 || child.stats.sizeInBytes <= limit
+    if (!fits) {
+      // Sources with no size estimate (JDBC, streaming) report
+      // spark.sql.defaultSizeInBytes (Long.MaxValue) and land here by
+      // design: the rewrite can't prove memory safety, so they keep
+      // the spilling window plan. The explicit TopKPerKey.apply entry
+      // remains available when the caller knows the cardinality.
+      logDebug(s"TopKPerKey rewrite skipped: child estimated " +
+        s"${child.stats.sizeInBytes} bytes exceeds $MaxChildBytesKey=$limit")
+    }
+    fits
   }
 
   private object RankLimit {

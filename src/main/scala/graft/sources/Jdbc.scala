@@ -35,9 +35,19 @@ object Jdbc {
   /** Single-quoted SQL string literal with embedded quotes doubled —
     * the portable escape. The watermark comes from the engine's own
     * store, but a timestamp-ish value containing `'` must not break
-    * (or rewrite) the pushed-down subquery. */
-  def sqlLiteral(value: String): String =
+    * (or rewrite) the pushed-down subquery.
+    *
+    * Backslashes are REJECTED rather than escaped: standard-SQL
+    * engines treat `\` as a literal character while MySQL (default
+    * sql_mode) treats it as an escape — no single rendering is safe on
+    * both, and no real timestamp watermark contains one. Failing loud
+    * beats a predicate that silently means something else. */
+  def sqlLiteral(value: String): String = {
+    require(!value.contains("\\"),
+      s"refusing to embed a backslash-containing SQL literal " +
+        s"(engine-dependent escaping): $value")
     "'" + value.replace("'", "''") + "'"
+  }
 
   /** Full-table scan (reference `dags/spark_etl_script.py:65-72`);
     * pass `partitioning` to fan the read out over N connections. */

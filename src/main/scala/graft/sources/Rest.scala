@@ -77,12 +77,20 @@ object Rest {
 
   /** Retry classifier for [[httpFetchPage]]: 429 (rate limit) and 5xx
     * are transient; connect/timeout IOExceptions too; other statuses
-    * fail fast (reference `dags/test_extraction.py:60-72`). */
+    * fail fast (reference `dags/test_extraction.py:60-72`). A malformed
+    * RESPONSE BODY (Jackson parse error — subclasses IOException) is
+    * NOT transient: retrying an unparseable 200 burns the whole backoff
+    * budget on a permanent failure. */
   def isRetryableStatus(t: Throwable): Boolean = t match {
     case HttpStatusException(status, _) => status == 429 || status >= 500
+    case _: com.fasterxml.jackson.core.JsonProcessingException => false
     case _: java.io.IOException => true
     case _ => false
   }
+
+  // ObjectMapper is thread-safe and expensive to build — one per JVM,
+  // not one per page fetch.
+  private lazy val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   /** Pull the records array out of a JSON API envelope: the value at
     * `recordsField` (e.g. the reference API's `"data"`), re-serialized
@@ -90,8 +98,7 @@ object Rest {
     * value is an empty page (ends pagination), matching the
     * reference's `.get("data", [])`. Jackson ships with Spark. */
   def extractRecords(body: String, recordsField: String = "data"): Seq[String] = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val node = mapper.readTree(body)
+    val node = jsonMapper.readTree(body)
     val arr = if (node == null) null else node.get(recordsField)
     if (arr == null || !arr.isArray) Seq.empty
     else (0 until arr.size()).map(i => arr.get(i).toString)
@@ -111,6 +118,9 @@ object Rest {
       timeout: java.time.Duration = java.time.Duration.ofSeconds(30)): Page => Seq[String] = {
     val client = java.net.http.HttpClient.newBuilder()
       .connectTimeout(timeout)
+      // default is NEVER, which turns the ubiquitous http->https
+      // upgrade 301 into a hard (non-retryable) failure
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
       .build()
     page => {
       val url = buildUrl(page)

@@ -40,7 +40,14 @@ object IncrementalStar {
   /** Upsert one micro-batch into the dims + fact tables under `db`.
     * Exposed for direct (batch) use and testing; `stream` wires it
     * into foreachBatch, threading the engine's batchId through so
-    * replays land on the same fact partition. */
+    * replays land on the same fact partition.
+    *
+    * `batchId` is REQUIRED (no default on purpose): re-running with
+    * the same id REPLACES that id's fact partition — that is the
+    * replay-idempotence contract. A direct batch caller must supply a
+    * fresh id per logical load (e.g. a yyyyMMdd run date); a silent
+    * default would turn successive loads into overwrites of one
+    * partition. */
   def processBatch(
       spark: SparkSession,
       batch: DataFrame,
@@ -48,7 +55,7 @@ object IncrementalStar {
       dims: Seq[DimSpec],
       factTable: String,
       factCols: Seq[String],
-      batchId: Long = 0L): Unit = {
+      batchId: Long): Unit = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     val resolvedDims = dims.map { d =>
       val fq = s"$db.${d.table}"

@@ -94,6 +94,11 @@ class SourcesSpec extends SparkSpec {
     val delta = Jdbc.incrementalScan(spark, jdbcUrl, "T_QUOTE", "MARK",
       store, "t_quote")
     delta.select("ID").as[Long].collect() shouldBe Array(2L)
+    // backslash escaping is engine-dependent (MySQL vs standard SQL):
+    // refuse loudly instead of rendering a literal that can silently
+    // mean something else on one engine
+    an[IllegalArgumentException] should be thrownBy
+      Jdbc.sqlLiteral("2024\\")
   }
 
   test("PartitionSpec fans the JDBC read out over N connections/partitions") {
