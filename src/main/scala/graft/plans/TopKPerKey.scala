@@ -108,14 +108,16 @@ final case class TopKPerKeyExec(
           heap.add(unsafe.copy())
         }
       }
-      val out = scala.collection.mutable.ArrayBuffer.empty[UnsafeRow]
-      heaps.values().forEach { h =>
+      // Drain lazily, one heap at a time (k rows of scratch) — a
+      // single output buffer would duplicate every retained row and
+      // double the operator's peak memory.
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap { h =>
         val rows = new Array[UnsafeRow](h.size)
         var i = rows.length - 1
         while (i >= 0) { rows(i) = h.poll(); i -= 1 } // heap pops worst-first
-        out ++= rows
+        rows
       }
-      out.iterator
     }, preservesPartitioning = true)
   }
 
