@@ -819,6 +819,45 @@ object TextQueries {
         .agg(round(lit(1.0) -
           count(col("in_vocab")).cast("double") / count(lit(1)), 6).as("oov_rate"))
         .orderBy("doc_id")
+    },
+
+    // Benchmark decontamination: flag corpus docs sharing any 5-token
+    // shingle with the held-out eval set (source 'src0' plays the
+    // benchmark) — the overlap check every training pipeline runs
+    // before releasing data. One shingle pass over the table; the
+    // benchmark shingle set is broadcast (eval sets are bounded — 1e4
+    // to 1e6 n-grams — by definition); the corpus side is an equi-join
+    // on the shingle, never all-pairs. Per-doc shingles are deduped by
+    // ShingleTokens, so count(*) of join hits IS the distinct shared
+    // count.
+    QueryDef("q62_decontaminate",
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, source, tok FROM (
+        |    SELECT doc_id, source, unnest(list_transform(
+        |      generate_series(1, len(t) - 4),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS tok
+        |    FROM (SELECT doc_id, source,
+        |            list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |          FROM documents)
+        |  )
+        |), bench AS (SELECT DISTINCT tok FROM sh WHERE source = 'src0')
+        |SELECT s.doc_id, count(*) AS n_shared
+        |FROM sh s JOIN bench b ON s.tok = b.tok
+        |WHERE s.source <> 'src0'
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+      def sh5(c: Column): Column =
+        org.apache.spark.sql.graft.CatalystBridge.column(
+          graft.plans.ShingleTokens(
+            org.apache.spark.sql.graft.CatalystBridge.expr(trim(c)), 5))
+      val sh = Tables.documents(s, dir)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), col("source"),
+          explode(sh5(col("text"))).as("tok"))
+      val bench = sh.filter(col("source") === "src0").select("tok").distinct()
+      sh.filter(col("source") =!= "src0")
+        .join(broadcast(bench), "tok")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_id")
     }
   )
 }

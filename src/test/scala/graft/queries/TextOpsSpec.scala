@@ -17,10 +17,13 @@ class TextOpsSpec extends SparkSpec {
 
   /** Stage a documents.parquet under a temp dir so the q-defs (which
     * read `$dir/documents.parquet`) run on crafted docs. */
-  private def stage(docs: Seq[(Long, String)]): String = {
+  private def stage(docs: Seq[(Long, String)]): String =
+    stageWithSource(docs.map { case (id, t) => (id, t, "test") })
+
+  private def stageWithSource(docs: Seq[(Long, String, String)]): String = {
     val dir = Files.createTempDirectory("textops").toString
-    docs.toDF("doc_id", "text")
-      .selectExpr("doc_id", "text", "'en' AS lang", "'test' AS source",
+    docs.toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source",
         "length(text) AS n_chars")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     dir
@@ -57,6 +60,18 @@ class TextOpsSpec extends SparkSpec {
     got shouldBe Array(
       (1L, 0.75, 0.666667, false), // 3-grams: 3x "a a a" → round(1 - 1/3, 6)
       (2L, 0.0, 0.0, true))
+  }
+
+  test("q62: decontamination flags exactly the corpus docs sharing a 5-gram with the benchmark") {
+    val dir = stageWithSource(Seq(
+      (100L, "w1 w2 w3 w4 w5 w6", "src0"),      // the benchmark doc
+      (1L, "x w1 w2 w3 w4 w5 y", "src1"),       // shares "w1..w5"
+      (2L, "w2 w3 w4 w5 w6 z", "src2"),         // shares "w2..w6"
+      (3L, "a b c d e f g", "src1"),            // clean
+      (4L, "w1 w2 w3 w4 q w5 w6", "src2")))     // 4-token overlap only → clean
+    val got = q("q62_decontaminate").build(spark, dir)
+      .as[(Long, Long)].collect()
+    got shouldBe Array((1L, 1L), (2L, 1L))
   }
 
   test("q61: OOV rate is the fraction of tokens outside the top-10-df vocabulary") {
