@@ -858,6 +858,35 @@ object TextQueries {
         .join(broadcast(bench), "tok")
         .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
         .orderBy("doc_id")
+    },
+
+    // Corpus length profiling: exact token-count percentiles per lang
+    // — how a pipeline picks its length-filter thresholds. EXACT
+    // percentile (not approx_percentile) stays oracle-comparable AND
+    // scale-safe here: Spark's percentile aggregate buffers a
+    // value→count map per group, so memory is O(distinct lengths)
+    // (thousands), not O(rows); both engines interpolate with the same
+    // R-7 definition.
+    QueryDef("q63_length_profile",
+      """SELECT lang,
+        |  round(quantile_cont(n, 0.5), 4) AS p50,
+        |  round(quantile_cont(n, 0.9), 4) AS p90,
+        |  round(quantile_cont(n, 0.99), 4) AS p99,
+        |  count(*) AS n_docs
+        |FROM (SELECT lang,
+        |        CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                 x -> x <> '')) AS DOUBLE) AS n
+        |      FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"), size(gf.tokens(col("text"))).cast("double").as("n"))
+        .groupBy("lang")
+        .agg(
+          round(expr("percentile(n, 0.5D)"), 4).as("p50"),
+          round(expr("percentile(n, 0.9D)"), 4).as("p90"),
+          round(expr("percentile(n, 0.99D)"), 4).as("p99"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("lang")
     }
   )
 }
