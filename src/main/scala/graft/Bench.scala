@@ -5,7 +5,10 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main — runs every registered query against
   * SPARK_GRAFT_SF_DIR and prints one JSON line. Results are fully
   * materialized through the `noop` sink (not `.count()`, which would
-  * let Catalyst prune most of each query away).
+  * let Catalyst prune most of each query away). Each query is timed as
+  * the MEDIAN of `SPARK_GRAFT_BENCH_RUNS` (default 3) passes with the
+  * cache cleared between passes; `queries` carries the medians,
+  * `min_med_max` the full spread, `value` the sum of medians.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -39,9 +42,9 @@ object Bench {
         .toDF("k", "id", "s")
       val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
-      tiny.join(tiny.groupBy("k").agg(count(lit(1)).as("c")), "k")
+      try tiny.join(tiny.groupBy("k").agg(count(lit(1)).as("c")), "k")
         .write.format("noop").mode("overwrite").save()
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       tiny
         .withColumn("rn", row_number().over(
           Window.partitionBy("k").orderBy(desc("id"))))
@@ -56,22 +59,40 @@ object Bench {
         .orderBy("n")
         .write.format("noop").mode("overwrite").save()
     }
+    // Median-of-N per query (default 3). A single cold pass is not a
+    // measurement: one GC/page-cache stall poisons the official record
+    // — r2 recorded q28 at 12.8s (true ~1.4s), r3 recorded q12 at
+    // 28.1s (true ~0.2s). The median of three back-to-back runs is
+    // robust to one stall while still charging each query its real
+    // plan/shuffle cost (cache is cleared between runs, so run 2+ is
+    // warm-JIT but not warm-data).
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val results = SparkEntry.allDefs.map { d =>
-      val t0 = System.nanoTime()
-      try d.build(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${d.name} failed: ${e.getMessage}")
-      }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Drop caches/persists a query left behind (SK two-pass, star
-      // builds): later queries must not inherit its memory pressure.
-      spark.catalog.clearCache()
-      d.name -> dt
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try d.build(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${d.name} failed: ${e.getMessage}")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Drop caches/persists a query left behind (SK two-pass, star
+        // builds): later runs/queries must not inherit its memory
+        // pressure.
+        spark.catalog.clearCache()
+        dt
+      }.sorted
+      d.name -> times
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def fmt(v: Double): String = "%.4f".format(v)
+    val med = results.map { case (k, ts) => k -> ts(ts.length / 2) }
+    val qs = med.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val spread = results.map { case (k, ts) =>
+      "\"" + k + "\":[" + fmt(ts.head) + "," + fmt(ts(ts.length / 2)) +
+        "," + fmt(ts.last) + "]"
+    }.mkString("{", ",", "}")
+    val total = med.map(_._2).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$runs,"min_med_max":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
