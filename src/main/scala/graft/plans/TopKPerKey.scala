@@ -20,21 +20,26 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * 100 TB with k=3 the difference is sorting ~0 bytes versus sorting
   * everything.
   *
-  * MEMORY BOUND (the trade for skipping the sort): the heap map holds
-  * `distinct-keys-per-partition × k` rows in executor memory with NO
-  * spill path — any input row may still improve any key's heap, so
-  * nothing can be emitted or evicted early. The window-sort plan this
-  * replaces spills to disk instead. Rules of thumb:
-  *   - retained bytes ≈ keysPerPartition × k × avgRowSize; with 32 MB
-  *     available per task and 100-byte rows at k=3, that is ~100k
-  *     distinct keys per partition — raise
-  *     `spark.sql.shuffle.partitions` to thin keys per partition;
+  * MEMORY BOUND + SPILL FALLBACK: the heap map holds
+  * `distinct-keys-per-partition × k` rows in executor memory — any
+  * input row may still improve any key's heap, so nothing can be
+  * emitted early. Retained bytes are tracked per task; past
+  * `spark.graft.topk.maxTaskRetainedBytes` (default 64 MiB) the task
+  * DEGRADES to a disk-spilling external sort on (keys asc, order) —
+  * Spark's own `UnsafeExternalRowSorter`, the same machinery behind
+  * `SortExec` — followed by a streaming first-k-per-group pass. Same
+  * rows out, O(n log n) instead of O(n log k), but never an OOM: a
+  * skewed or misjudged key cardinality costs a sort, not a task.
+  * Rules of thumb:
+  *   - retained bytes ≈ keysPerPartition × k × avgRowSize; raise
+  *     `spark.sql.shuffle.partitions` to thin keys per partition and
+  *     stay on the heap fast path;
   *   - the output of the operator is the same set of rows, so if the
   *     RESULT (keys × k) is too big per partition, so was the plan.
-  * The automatic rewrite ([[TopKRewriteRule]]) therefore only fires
-  * when the child's estimated size guarantees the retained set fits
-  * (retained ≤ input); the explicit [[TopKPerKey.apply]] entry trusts
-  * the caller to have checked cardinality.
+  * The automatic rewrite ([[TopKRewriteRule]]) additionally only fires
+  * when the child's estimated size suggests the retained set fits
+  * (retained ≤ input), keeping the stock window plan for children that
+  * would mostly sort anyway.
   *
   * Pieces (the (c) path from the builder prompt):
   *   - [[TopKPerKey]] — the logical node;
@@ -84,6 +89,9 @@ final case class TopKPerKeyExec(
     val keyExprs = keys
     val sortExprs = order
     val childOutput = child.output
+    val kk = k
+    val budget = conf.getConfString(TopKPerKey.MaxTaskRetainedBytesKey,
+      TopKPerKey.DefaultMaxTaskRetainedBytes.toString).toLong
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordering = GenerateOrdering.generate(sortExprs, childOutput)
@@ -94,29 +102,98 @@ final case class TopKPerKeyExec(
           ordering.compare(b, a)
       }
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
-      iter.foreach { row =>
-        val unsafe = row.asInstanceOf[UnsafeRow]
+      var retainedBytes = 0L
+      var overBudget = false
+      while (iter.hasNext && !overBudget) {
+        val unsafe = iter.next().asInstanceOf[UnsafeRow]
         val key = keyProj(unsafe)
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = new java.util.PriorityQueue[UnsafeRow](k, heapOrd)
-          heaps.put(key.copy(), heap)
+          heap = new java.util.PriorityQueue[UnsafeRow](kk, heapOrd)
+          val keyCopy = key.copy()
+          heaps.put(keyCopy, heap)
+          retainedBytes += keyCopy.getSizeInBytes
         }
-        if (heap.size < k) heap.add(unsafe.copy())
-        else if (ordering.compare(unsafe, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(unsafe.copy())
+        if (heap.size < kk) {
+          val c = unsafe.copy()
+          heap.add(c)
+          retainedBytes += c.getSizeInBytes
+        } else if (ordering.compare(unsafe, heap.peek()) < 0) {
+          retainedBytes -= heap.poll().getSizeInBytes
+          val c = unsafe.copy()
+          heap.add(c)
+          retainedBytes += c.getSizeInBytes
         }
+        if (budget >= 0 && retainedBytes > budget) overBudget = true
       }
-      // Drain lazily, one heap at a time (k rows of scratch) — a
-      // single output buffer would duplicate every retained row and
-      // double the operator's peak memory.
       import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap { h =>
-        val rows = new Array[UnsafeRow](h.size)
-        var i = rows.length - 1
-        while (i >= 0) { rows(i) = h.poll(); i -= 1 } // heap pops worst-first
-        rows
+      if (!overBudget) {
+        // Fast path: drain lazily, one heap at a time (k rows of
+        // scratch) — a single output buffer would duplicate every
+        // retained row and double the operator's peak memory.
+        heaps.values().iterator().asScala.flatMap { h =>
+          val rows = new Array[UnsafeRow](h.size)
+          var i = rows.length - 1
+          while (i >= 0) { rows(i) = h.poll(); i -= 1 } // heap pops worst-first
+          rows
+        }
+      } else {
+        // Degraded path: too many distinct keys for the in-memory
+        // budget. Hand everything retained so far plus the rest of the
+        // input to Spark's disk-spilling external sorter, ordered by
+        // (keys asc, order), then stream the first k rows of each key
+        // group. Correct for any cardinality; costs the sort the fast
+        // path exists to avoid.
+        import org.apache.spark.sql.catalyst.expressions.Ascending
+        import org.apache.spark.sql.execution.UnsafeExternalRowSorter
+        import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
+        val fullOrder =
+          keyExprs.map(e => SortOrder(e, Ascending)) ++ sortExprs
+        val sortOrdering = GenerateOrdering.generate(fullOrder, childOutput)
+        val zeroPrefix = new UnsafeExternalRowSorter.PrefixComputer {
+          private val p = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+          override def computePrefix(row: InternalRow)
+              : UnsafeExternalRowSorter.PrefixComputer.Prefix = p
+        }
+        val sorter = UnsafeExternalRowSorter.create(
+          schema, sortOrdering, PrefixComparators.LONG, zeroPrefix,
+          org.apache.spark.sql.graft.CatalystBridge.pageSizeBytes,
+          /* canUseRadixSort = */ false)
+        heaps.values().iterator().asScala.foreach { h =>
+          var r = h.poll()
+          while (r != null) { sorter.insertRow(r); r = h.poll() }
+        }
+        heaps.clear()
+        while (iter.hasNext) {
+          sorter.insertRow(iter.next().asInstanceOf[UnsafeRow])
+        }
+        val sorted = sorter.sort()
+        // NB: the sorter's iterator REUSES its output row buffer, so
+        // the scan must stay strictly demand-driven — a returned row
+        // is valid only until the next call into this iterator.
+        new Iterator[InternalRow] {
+          private var prevKey: UnsafeRow = _
+          private var emitted = 0
+          private var pending: InternalRow = _
+          override def hasNext: Boolean = {
+            while (pending == null && sorted.hasNext) {
+              val row = sorted.next()
+              val key = keyProj(row)
+              if (prevKey == null || !key.equals(prevKey)) {
+                prevKey = key.copy()
+                emitted = 0
+              }
+              if (emitted < kk) { emitted += 1; pending = row }
+            }
+            pending != null
+          }
+          override def next(): InternalRow = {
+            if (!hasNext) throw new NoSuchElementException("empty iterator")
+            val r = pending
+            pending = null
+            r
+          }
+        }
       }
     }, preservesPartitioning = true)
   }
@@ -126,6 +203,13 @@ final case class TopKPerKeyExec(
 }
 
 object TopKPerKey {
+
+  /** Per-TASK byte budget for the in-memory heap map; past it the task
+    * degrades to a disk-spilling external sort (see
+    * [[TopKPerKeyExec.doExecute]]). `-1` disables the guard. */
+  val MaxTaskRetainedBytesKey = "spark.graft.topk.maxTaskRetainedBytes"
+  val DefaultMaxTaskRetainedBytes: Long = 64L * 1024 * 1024
+
   /** One sort key: column name + direction. */
   final case class Key(name: String, ascending: Boolean = true)
   def asc(name: String): Key = Key(name, ascending = true)

@@ -28,33 +28,42 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *   - the Project above references only child columns — the rank
   *     value itself must be dead after the filter.
   *
-  * Memory-safety fallback: [[TopKPerKeyExec]] holds keys×k rows per
-  * partition with no spill path, where the window-sort it replaces
-  * spills to disk. The rewrite therefore also requires the child's
-  * estimated size to fit under `spark.graft.topk.maxChildBytes`
-  * (default 4 GiB): retained rows ≤ input rows, so a child that fits
-  * the bound can never OOM the heap map even at worst-case key
-  * cardinality. Oversized children keep the spilling window plan.
+  * Memory heuristic: [[TopKPerKeyExec]] now degrades to a
+  * disk-spilling external sort past its per-task budget (so a wrong
+  * guess here costs a sort, never an OOM), but a child that would
+  * mostly take the degraded path gains nothing over the stock window
+  * plan. The rewrite therefore requires the child's estimated size to
+  * fit `spark.graft.topk.maxChildBytes` (a PER-TASK heap assumption,
+  * default 128 MiB) × the session's shuffle-partition count — i.e.
+  * the retained set (≤ input) plausibly fits each task's heap after
+  * the clustered shuffle. Oversized or skew-prone children keep the
+  * spilling window plan; the explicit [[TopKPerKey.apply]] entry
+  * remains available and is itself spill-safe.
   */
 object TopKRewriteRule extends Rule[LogicalPlan] {
 
-  /** Upper bound on the child plan's estimated size for the automatic
-    * rewrite; `-1` disables the guard (expert opt-out). */
+  /** PER-TASK heap assumption for the automatic rewrite: the child's
+    * estimated size must fit under `maxChildBytes × shuffle
+    * partitions`. A skewed child can still exceed it in one task —
+    * the exec's own budget then degrades that task to the external
+    * sort. `-1` disables the guard (expert opt-out). */
   val MaxChildBytesKey = "spark.graft.topk.maxChildBytes"
-  private val DefaultMaxChildBytes = 4L * 1024 * 1024 * 1024
+  private val DefaultMaxChildBytes = 128L * 1024 * 1024
 
   private def fitsMemoryBound(child: LogicalPlan): Boolean = {
     val limit = conf.getConfString(MaxChildBytesKey,
       DefaultMaxChildBytes.toString).toLong
-    val fits = limit < 0 || child.stats.sizeInBytes <= limit
+    val clusterBudget = limit * math.max(conf.numShufflePartitions, 1)
+    val fits = limit < 0 || child.stats.sizeInBytes <= clusterBudget
     if (!fits) {
       // Sources with no size estimate (JDBC, streaming) report
       // spark.sql.defaultSizeInBytes (Long.MaxValue) and land here by
-      // design: the rewrite can't prove memory safety, so they keep
-      // the spilling window plan. The explicit TopKPerKey.apply entry
+      // design: the rewrite can't argue memory fit, so they keep the
+      // spilling window plan. The explicit TopKPerKey.apply entry
       // remains available when the caller knows the cardinality.
       logDebug(s"TopKPerKey rewrite skipped: child estimated " +
-        s"${child.stats.sizeInBytes} bytes exceeds $MaxChildBytesKey=$limit")
+        s"${child.stats.sizeInBytes} bytes exceeds $MaxChildBytesKey=" +
+        s"$limit x ${conf.numShufflePartitions} partitions")
     }
     fits
   }

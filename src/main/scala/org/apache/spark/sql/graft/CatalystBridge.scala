@@ -22,4 +22,10 @@ object CatalystBridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Executor-side memory page size for external sorters (what
+    * `SortExec` passes to `UnsafeExternalRowSorter.create`) —
+    * `SparkEnv.memoryManager` is `private[spark]`, hence bridged. */
+  def pageSizeBytes: Long =
+    org.apache.spark.SparkEnv.get.memoryManager.pageSizeBytes
 }

@@ -8,6 +8,17 @@ import org.scalatest.matchers.should.Matchers
   * frames don't pay 32-task scheduling overhead. */
 trait SparkSpec extends AnyFunSuite with Matchers {
   lazy val spark: SparkSession = SparkSpec.session
+
+  /** Run `f` with the given session confs set, restoring the previous
+    * values (or unsetting) afterwards. */
+  def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
+    val previous = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally previous.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
 
 object SparkSpec {

@@ -37,6 +37,44 @@ class TopKPerKeySpec extends SparkSpec {
     got shouldBe Array((1L, 1L, 5.0), (1L, 2L, 7.0), (2L, 3L, 1.0))
   }
 
+  test("tiny per-task byte budget degrades to the external sort, same rows, no OOM") {
+    // 20k distinct keys through the EXPLICIT path under a 4 KiB budget:
+    // every task trips the heap budget almost immediately and must
+    // finish on the spill path. Result must be identical to the
+    // window/rank reference.
+    val wide = (1 to 20000).flatMap { key =>
+      (1 to 3).map(i => (key.toLong, (key * 10 + i).toLong, (i * 31 % 7).toDouble))
+    }.toDF("key", "id", "score").repartition(5)
+    val w = Window.partitionBy("key").orderBy(desc("score"), asc("id"))
+    val expected = wide.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).select("key", "id", "score")
+      .orderBy("key", "id").as[(Long, Long, Double)].collect()
+    withSQLConf(TopKPerKey.MaxTaskRetainedBytesKey -> "4096") {
+      val got = TopKPerKey(wide, Seq("key"),
+          Seq(TopKPerKey.desc("score"), TopKPerKey.asc("id")), 2)
+        .orderBy("key", "id").as[(Long, Long, Double)].collect()
+      got shouldBe expected
+    }
+  }
+
+  test("budget trip mid-stream keeps already-heaped rows (no row loss at the seam)") {
+    // Small key count but a budget sized so the trip happens after
+    // some heaps are full — exercises the heap→sorter handoff.
+    val seam = (1 to 500).flatMap { key =>
+      (1 to 10).map(i => (key.toLong, (key * 100 + i).toLong, ((i * 37) % 100).toDouble))
+    }.toDF("key", "id", "score").repartition(3)
+    val w = Window.partitionBy("key").orderBy(desc("score"), asc("id"))
+    val expected = seam.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).select("key", "id", "score")
+      .orderBy("key", "id").as[(Long, Long, Double)].collect()
+    withSQLConf(TopKPerKey.MaxTaskRetainedBytesKey -> "8192") {
+      val got = TopKPerKey(seam, Seq("key"),
+          Seq(TopKPerKey.desc("score"), TopKPerKey.asc("id")), 3)
+        .orderBy("key", "id").as[(Long, Long, Double)].collect()
+      got shouldBe expected
+    }
+  }
+
   test("TopKPerKey plans one shuffle and NO sort (the window form sorts)") {
     val topk = TopKPerKey(df, Seq("key"), Seq(TopKPerKey.desc("score"), TopKPerKey.asc("id")), 3)
     topk.count() // force final adaptive plan
