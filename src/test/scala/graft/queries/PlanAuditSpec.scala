@@ -1,5 +1,10 @@
 package graft.queries
 
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, InputAdapter, ProjectExec, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
 import graft.{SparkEntry, SparkSpec}
 
 /** Plan-quality guard: the invariants PERF.md's audits rely on, held
@@ -7,7 +12,7 @@ import graft.{SparkEntry, SparkSpec}
   * BUILT (not executed) against sf0.001, so a regression — a join that
   * degenerates to a cartesian product, a filter that stops reaching
   * the scan — fails fast here before any bench run sees it. */
-class PlanAuditSpec extends SparkSpec {
+class PlanAuditSpec extends SparkSpec with PredicateHelper {
 
   private val dir = "/root/testdata/sf0.001"
 
@@ -27,6 +32,104 @@ class PlanAuditSpec extends SparkSpec {
         p should not include "CartesianProduct"
       }
       spark.catalog.clearCache()
+    }
+  }
+
+  // ---- suite-wide invariants: every registered query, present and
+  // ---- future, inherits these guards for free. -----------------------
+
+  /** Physical tree of a built (not executed) query, unwrapped from the
+    * AQE shell. */
+  private def physical(name: String): SparkPlan = {
+    val d = SparkEntry.allDefs.find(_.name == name)
+      .getOrElse(fail(s"missing $name"))
+    d.build(spark, dir).queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  /** Queries whose nested-loop joins are all BROADCAST builds of
+    * provably bounded frames — documented here so any NEW
+    * nested-loop shape has to justify itself:
+    *   - q23: 1-row max-SK frame crossed onto the incoming dim batch;
+    *   - q46: 1-row corpus-size (N) aggregate crossed onto the term
+    *     table;
+    *   - q31/q41: the broadcast query side of brute-force cosine
+    *     (bounded query set by contract, non-equi join condition);
+    *   - q42/q47: broadcast centroid frames (≤ nCentroids rows) in the
+    *     IVF assign/probe stages.
+    */
+  private val boundedNestedLoop = Set(
+    "q23_dim_upsert", "q46_tfidf", "q31_similarity_stats", "q41_ann_topk",
+    "q42_ann_ivf", "q47_embedding_neardup")
+
+  test("suite-wide: nested-loop joins only as broadcast builds of bounded frames") {
+    val offenders = SparkEntry.allDefs.flatMap { d =>
+      val plan = physical(d.name)
+      val nlj = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+      spark.catalog.clearCache()
+      if (nlj.nonEmpty && !boundedNestedLoop.contains(d.name)) Some(d.name)
+      else None
+    }
+    withClue(s"un-allow-listed nested-loop joins in: $offenders: ") {
+      offenders shouldBe empty
+    }
+  }
+
+  /** Descend through nodes that don't change which rows a filter could
+    * have pushed past (codegen wrappers, projections) to find the
+    * parquet scans a FilterExec sits directly above. */
+  private def scansDirectlyBelow(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+    case s: FileSourceScanExec => Seq(s)
+    case w: WholeStageCodegenExec => scansDirectlyBelow(w.child)
+    case i: InputAdapter => scansDirectlyBelow(i.child)
+    case pr: ProjectExec => scansDirectlyBelow(pr.child)
+    case f: FilterExec => scansDirectlyBelow(f.child)
+    case _: InMemoryTableScanExec => Seq.empty // cached: scan already audited
+    case _ => Seq.empty // joins/aggs/shuffles: not "directly above" anymore
+  }
+
+  /** Conjuncts the parquet source could actually accept: bare
+    * attribute vs literal (what translateFilter converts). Computed
+    * predicates — `size(split(text)) >= 30`, `c_custkey % 3 = 0` —
+    * are intrinsically post-scan and must not trip the audit. */
+  private def pushableConjunct(e: Expression): Boolean = e match {
+    case IsNotNull(_: AttributeReference) => true
+    case IsNull(_: AttributeReference) => true
+    case b: BinaryComparison =>
+      (b.left.isInstanceOf[AttributeReference] && b.right.foldable) ||
+        (b.right.isInstanceOf[AttributeReference] && b.left.foldable)
+    case In(_: AttributeReference, list) => list.forall(_.foldable)
+    case InSet(_: AttributeReference, _) => true
+    case StartsWith(_: AttributeReference, _: Literal) => true
+    case EndsWith(_: AttributeReference, _: Literal) => true
+    case Contains(_: AttributeReference, _: Literal) => true
+    case _ => false
+  }
+
+  test("suite-wide: a filter directly above a parquet scan pushes something down") {
+    // If Catalyst kept a Filter adjacent to a parquet scan AND that
+    // filter has at least one source-convertible conjunct, the scan's
+    // PushedFilters must be non-empty — an empty list there means a
+    // predicate that SHOULD prune row groups is being evaluated
+    // post-scan (the regression this guard exists to catch).
+    val offenders = SparkEntry.allDefs.flatMap { d =>
+      val plan = physical(d.name)
+      val bad = plan.collect {
+        case f: FilterExec =>
+          scansDirectlyBelow(f.child).filter { s =>
+            f.condition.references.subsetOf(s.outputSet) &&
+              splitConjunctivePredicates(f.condition).exists(pushableConjunct) &&
+              s.metadata.get("PushedFilters").forall(_ == "[]")
+          }.map(s => s"${d.name}[${s.relation.location.rootPaths.headOption
+            .map(_.getName).getOrElse("?")}]")
+      }.flatten
+      spark.catalog.clearCache()
+      bad
+    }
+    withClue(s"filter above scan with empty PushedFilters: $offenders: ") {
+      offenders shouldBe empty
     }
   }
 
