@@ -40,6 +40,103 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Connected components over a near-dup pair list — the alternating
+    * large-star / small-star algorithm (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14). Deterministic,
+    * converges in O(log n) rounds on any graph (vs O(diameter) for
+    * naive label propagation), each round two hash-aggregations and
+    * one equi-join — no all-pairs shape anywhere, so the 100 TB story
+    * is the same as any groupBy. Iteration is BOUNDED by `maxIter`;
+    * on early convergence (edge set fixpoint, checked by count +
+    * order-insensitive hash) the loop exits sooner. Should maxIter be
+    * hit before the fixpoint (pathological chain lengths beyond
+    * 2^maxIter nodes), labels are still a valid refinement — every
+    * node maps to SOME smaller member of its component — just not yet
+    * the global min.
+    *
+    * Input: pairs (`aCol`, `bCol`); output: (`idCol`, component_id) =
+    * every node that appears in a pair, labeled with its component's
+    * minimum id. Isolated docs (no pairs) don't appear — callers union
+    * them back as their own singletons if needed.
+    */
+  def connectedComponents(pairs: DataFrame,
+      aCol: String = "doc_a", bCol: String = "doc_b",
+      idCol: String = "doc_id", maxIter: Int = 12): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    def canonical(e: DataFrame): DataFrame = e
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+
+    // large-star: every strictly-larger neighbor of u connects to
+    // min(neighbors(u) ∪ {u}).
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      canonical(sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+
+    // small-star: orient edges large→small; u and all its smaller
+    // neighbors connect to the smallest of them.
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = canonical(e) // (u, v) with v < u
+      val mins = or.groupBy("u").agg(min("v").as("m"))
+      canonical(or.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v"))))
+    }
+
+    // Each round references the previous edge set several times (the
+    // symmetrize union + the min-aggregate join), so the logical plan
+    // grows EXPONENTIALLY round over round if lineage is kept — an
+    // eager localCheckpoint materializes the round and resets the plan
+    // to a LogicalRDD. (On a multi-executor cluster prefer a reliable
+    // checkpoint dir for fault tolerance; the algorithm is unchanged.)
+    var edges = canonical(pairs.select(col(aCol).as("u"), col(bCol).as("v")))
+      .localCheckpoint(true)
+    var signature = checksum(edges)
+    var converged = false
+    var it = 0
+    while (it < maxIter && !converged) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextSig = checksum(next)
+      converged = nextSig == signature
+      signature = nextSig
+      edges = next
+      it += 1
+    }
+    // At the star fixpoint every edge is (member, component-min); min
+    // per member also covers the truncated-iteration case.
+    edges
+      .select(col("u").as(idCol), col("v").as("component_id"))
+      .union(edges.select(col("v").as(idCol), col("v").as("component_id")))
+      .groupBy(idCol).agg(min("component_id").as("component_id"))
+  }
+
+  /** Order-insensitive fingerprint of an edge set (convergence check):
+    * count + XOR of a per-edge hash (XOR cannot overflow under ANSI
+    * mode, unlike sum). */
+  private def checksum(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** Keep ONE document per near-dup cluster (the minimum id),
+    * computed by [[connectedComponents]] — the alternative to
+    * [[dropPairDuplicates]]'s greedy right-side drop. The two differ
+    * on non-transitively-closed pair lists: with pairs (a,c), (b,c)
+    * the greedy form keeps {a, b} (b never appears on a right side),
+    * while clustering keeps only {a} (one survivor per component). */
+  def dropClusterDuplicates(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", maxIter: Int = 12): DataFrame = {
+    val comp = connectedComponents(pairs, idCol = idCol, maxIter = maxIter)
+    val losers = comp.filter(col(idCol) =!= col("component_id")).select(idCol)
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Quality gate used by the clean-corpus pipeline (mirrors q32's
     * scoring: enough tokens, not stopword-soup). */
   def qualityFilter(docs: DataFrame, textCol: String = "text",
@@ -52,10 +149,14 @@ object Dedup {
 
   /** The composed training-data cleanup: quality → exact dedup →
     * near-dup drop (pairs supplied by the caller's chosen detector —
-    * minhash-LSH, simhash radius, or Jaccard verification). */
+    * minhash-LSH, simhash radius, or Jaccard verification).
+    * `clustered = true` switches the near-dup stage from the greedy
+    * right-side drop to one-survivor-per-connected-component. */
   def cleanCorpus(docs: DataFrame, nearDupPairs: DataFrame,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    dropPairDuplicates(
-      exact(qualityFilter(docs, textCol), idCol, textCol),
-      nearDupPairs, idCol)
+      idCol: String = "doc_id", textCol: String = "text",
+      clustered: Boolean = false): DataFrame = {
+    val base = exact(qualityFilter(docs, textCol), idCol, textCol)
+    if (clustered) dropClusterDuplicates(base, nearDupPairs, idCol)
+    else dropPairDuplicates(base, nearDupPairs, idCol)
+  }
 }

@@ -112,6 +112,61 @@ object TextQueries {
   private def bandSql(b: Int): String =
     "concat_ws('|', " + (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}").mkString(", ") + ")"
 
+  /** Oracle-side LSH candidate pairs, ending in `pairs(doc_a, doc_b)`
+    * — shared by q28 (the pair list) and q64 (clustering over it). */
+  private lazy val lshPairsSql: String =
+    s"""WITH sh AS (
+       |  $shingleSql
+       |), hashed AS (
+       |  $shingleHashSql
+       |), sig AS (
+       |  SELECT doc_id, $minhashSqlAggs FROM hashed GROUP BY doc_id
+       |), bands AS (
+       |  ${(0 until Bands).map(b =>
+            s"SELECT doc_id, $b AS band_idx, ${bandSql(b)} AS band_hash FROM sig")
+            .mkString("\n  UNION ALL\n  ")}
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |    AND a.doc_id < b.doc_id
+       |)""".stripMargin
+
+  /** Spark-side LSH candidate pairs `(doc_a, doc_b)`, doc_a < doc_b —
+    * the body shared by q28 and q64. */
+  private def lshPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = shingled(Tables.documents(s, dir))
+      .select(col("doc_id"), (shingleHash(col("tok")) % MinhashP).as("h"))
+      .groupBy("doc_id").agg(minhashAggs(col("h")).head, minhashAggs(col("h")).tail: _*)
+    // One pass over sig: explode an array of (band_idx, band_hash)
+    // structs — a per-band union would recompute the whole
+    // shingle+minhash aggregation once per band.
+    val bandStructs = array((0 until Bands).map { b =>
+      struct(lit(b).as("band_idx"), bandCol(b).as("band_hash"))
+    }: _*)
+    val bands = sig
+      .select(col("doc_id"), explode(bandStructs).as("bd"))
+      .select(col("doc_id"), col("bd.band_idx").as("band_idx"),
+        col("bd.band_hash").as("band_hash"))
+    // Candidate pairs WITHOUT a self-join: group each band bucket,
+    // emit in-bucket id combinations via higher-order array ops. A
+    // self-join would evaluate the whole shingle+minhash pipeline once
+    // per side; this computes signatures exactly once, and bucket
+    // sizes bound the pair blow-up (LSH's contract).
+    val buckets = bands
+      .groupBy("band_idx", "band_hash")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val pairs = flatten(transform(col("ids"), (x, i) =>
+      transform(
+        slice(col("ids"), i + lit(2), size(col("ids")) - i - lit(1)),
+        y => struct(x.as("doc_a"), y.as("doc_b")))))
+    buckets
+      .select(explode(pairs).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+  }
+
   private val SimhashBits = 16
 
   /** Oracle-side simhash CTE chain ending in `fp(doc_id, simhash)` —
@@ -168,53 +223,10 @@ object TextQueries {
     // MinHash + LSH near-dup candidates: shingle → 16 minhashes → 4
     // bands → self-join on band buckets → distinct candidate pairs.
     QueryDef("q28_minhash_lsh",
-      s"""WITH sh AS (
-         |  $shingleSql
-         |), hashed AS (
-         |  $shingleHashSql
-         |), sig AS (
-         |  SELECT doc_id, $minhashSqlAggs FROM hashed GROUP BY doc_id
-         |), bands AS (
-         |  ${(0 until Bands).map(b =>
-              s"SELECT doc_id, $b AS band_idx, ${bandSql(b)} AS band_hash FROM sig")
-              .mkString("\n  UNION ALL\n  ")}
-         |)
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM bands a JOIN bands b
-         |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-         |  AND a.doc_id < b.doc_id
+      s"""$lshPairsSql
+         |SELECT doc_a, doc_b FROM pairs
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      val sig = shingled(Tables.documents(s, dir))
-        .select(col("doc_id"), (shingleHash(col("tok")) % MinhashP).as("h"))
-        .groupBy("doc_id").agg(minhashAggs(col("h")).head, minhashAggs(col("h")).tail: _*)
-      // One pass over sig: explode an array of (band_idx, band_hash)
-      // structs — a per-band union would recompute the whole
-      // shingle+minhash aggregation once per band.
-      val bandStructs = array((0 until Bands).map { b =>
-        struct(lit(b).as("band_idx"), bandCol(b).as("band_hash"))
-      }: _*)
-      val bands = sig
-        .select(col("doc_id"), explode(bandStructs).as("bd"))
-        .select(col("doc_id"), col("bd.band_idx").as("band_idx"),
-          col("bd.band_hash").as("band_hash"))
-      // Candidate pairs WITHOUT a self-join: group each band bucket,
-      // emit in-bucket id combinations via higher-order array ops. A
-      // self-join would evaluate the whole shingle+minhash pipeline once
-      // per side; this computes signatures exactly once, and bucket
-      // sizes bound the pair blow-up (LSH's contract).
-      val buckets = bands
-        .groupBy("band_idx", "band_hash")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) > 1)
-      val pairs = flatten(transform(col("ids"), (x, i) =>
-        transform(
-          slice(col("ids"), i + lit(2), size(col("ids")) - i - lit(1)),
-          y => struct(x.as("doc_a"), y.as("doc_b")))))
-      buckets
-        .select(explode(pairs).as("p"))
-        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-        .distinct()
-        .orderBy("doc_a", "doc_b")
+      lshPairs(s, dir).orderBy("doc_a", "doc_b")
     },
 
     // SimHash fingerprints: per-bit majority vote over token hashes.
@@ -887,6 +899,28 @@ object TextQueries {
           round(expr("percentile(n, 0.99D)"), 4).as("p99"),
           count(lit(1)).as("n_docs"))
         .orderBy("lang")
+    },
+
+    // Near-dup CLUSTERS over the LSH candidate pairs: connected
+    // components via alternating large-star/small-star (one survivor
+    // per cluster is then a filter on id == component_id). The oracle
+    // computes the same fixpoint as a recursive min-reachability CTE —
+    // fine at sf0.01 (closure is tiny), while the Spark side stays
+    // O(E log V) and never materializes reachability.
+    QueryDef("q64_neardup_clusters",
+      s"""${lshPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ")}, edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS u, doc_a AS v FROM pairs
+         |), reach AS (
+         |  SELECT u AS id, u AS r FROM edges
+         |  UNION
+         |  SELECT x.id, e.v AS r FROM reach x JOIN edges e ON e.u = x.r
+         |)
+         |SELECT id AS doc_id, min(r) AS component_id
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Dedup.connectedComponents(lshPairs(s, dir))
+        .orderBy("doc_id")
     }
   )
 }
