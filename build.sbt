@@ -14,6 +14,11 @@ Test / fork := true
 // default-session slot (extensions tests build their own session).
 Test / parallelExecution := false
 run / fork := true
+// Emit the forked process's stdout verbatim instead of through sbt's
+// logger: the logger prefixes every line with "[info] ", which corrupts
+// the one-line JSON contract of graft.Bench / graft.Verify for any
+// consumer that json-parses stdout lines.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

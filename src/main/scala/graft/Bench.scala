@@ -68,10 +68,12 @@ object Bench {
     // warm-JIT but not warm-data).
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val results = SparkEntry.allDefs.map { d =>
+      var failures = 0
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try d.build(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
+          failures += 1
           System.err.println(s"[bench] ${d.name} failed: ${e.getMessage}")
         }
         val dt = (System.nanoTime() - t0) / 1e9
@@ -81,18 +83,40 @@ object Bench {
         spark.catalog.clearCache()
         dt
       }.sorted
-      d.name -> times
+      (d.name, times, failures)
     }
-    def fmt(v: Double): String = "%.4f".format(v)
-    val med = results.map { case (k, ts) => k -> ts(ts.length / 2) }
+    // Locale.ROOT: under a non-dot-decimal default locale (de_DE, …)
+    // "%.4f".format would emit "0,3481" — invalid JSON for the gate.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val med = results.map { case (k, ts, _) => k -> ts(ts.length / 2) }
     val qs = med.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val spread = results.map { case (k, ts) =>
+    val spread = results.map { case (k, ts, _) =>
       "\"" + k + "\":[" + fmt(ts.head) + "," + fmt(ts(ts.length / 2)) +
         "," + fmt(ts.last) + "]"
     }.mkString("{", ",", "}")
+    // A query that threw still has a timing sample (time-to-exception),
+    // which would read as a phantom speedup; `failed` lets the gate
+    // tell fast-fail from fast.
+    val failed = results.collect { case (k, _, f) if f > 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = med.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$runs,"min_med_max":$spread,"sf":"$sfDir"}""")
+    // Key order matters twice: consumers locate the line by grepping
+    // for `{"metric"` (keep it FIRST), and the driver's truncated-tail
+    // capture keeps only the LAST ~2000 chars of stdout (bulky per-run
+    // spread goes EARLY so that, if anything is cut, it's the spread —
+    // the per-query medians, total and failure list stay at the line's
+    // end and survive truncation).
+    val line = s"""{"metric":"total","unit":"sec","runs":$runs,"min_med_max":$spread,"queries":$qs,"failed":$failed,"value":${fmt(total)},"sf":"$sfDir"}"""
+    // Belt and braces: persist the full record where the tail can't
+    // truncate it (best-effort — bench must not fail on a read-only cwd).
+    try {
+      val p = java.nio.file.Paths.get("bench_last.json")
+      java.nio.file.Files.write(p,
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

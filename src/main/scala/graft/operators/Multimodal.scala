@@ -7,12 +7,15 @@ import org.apache.spark.sql.functions._
   * typed metadata, processed per-partition in batches.
   *
   * The Spark-side plumbing is real — schema, partition-preserving
-  * batch iteration, deterministic outputs. The codec itself is a
-  * STUB: this container has no image/audio libraries, so
-  * [[StubCodec.decode]] derives features from the raw bytes (byte
-  * histogram standing in for a pixel histogram). Swapping in a real
-  * codec (JavaCV, TwelveMonkeys, ffmpeg-over-pipe) changes ONLY that
-  * function — batch shape, schema, and distribution are unchanged.
+  * batch iteration, deterministic outputs. Image METADATA decode is
+  * real too: [[ImageIoCodec]] header-parses PNG/JPEG/GIF/BMP via
+  * `javax.imageio` (ships in the JDK — no external libraries). The
+  * pixel/audio/video feature path remains a STUB: this container has
+  * no media libraries beyond the JDK, so [[StubCodec.decode]] derives
+  * features from the raw bytes (byte histogram standing in for a pixel
+  * histogram). Swapping in a full codec (JavaCV, TwelveMonkeys,
+  * ffmpeg-over-pipe) changes ONLY that function — batch shape, schema,
+  * and distribution are unchanged.
   *
   * Scale notes: decode runs via `mapPartitions` — per-partition
   * imperative logic over opaque bytes is the one documented case where
@@ -63,6 +66,73 @@ object Multimodal {
       implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions(_.map(StubCodec.decode))
+  }
+
+  /** Image metadata decoded for real: id, whether a registered JDK
+    * codec recognized the payload, and the decoded (or declared, on
+    * fallback) dimensions/channels. */
+  final case class MediaMeta(
+      media_id: Long,
+      kind: String,
+      decoded: Boolean,
+      width: Int,
+      height: Int,
+      channels: Int,
+      n_bytes: Long)
+
+  /** REAL codec for the formats the JDK ships readers for (PNG, JPEG,
+    * GIF, BMP, WBMP) — no external libraries. Reads the image HEADER
+    * only: `ImageReader.getWidth/getHeight/getImageTypes` parse IHDR /
+    * SOF markers without decoding pixel data, so metadata extraction
+    * over 100 TB of media costs header bytes, not decode CPU. Payloads
+    * no reader claims (or that fail to parse) return None and the
+    * caller falls back to [[StubCodec]] semantics. */
+  object ImageIoCodec {
+    import javax.imageio.ImageIO
+
+    /** (width, height, channels) from the image header, or None. */
+    def imageMeta(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+      if (bytes == null || bytes.length == 0) return None
+      try {
+        val iis = ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis, true, true)
+              val w = reader.getWidth(0)
+              val h = reader.getHeight(0)
+              val types = reader.getImageTypes(0)
+              val channels =
+                if (types.hasNext) types.next().getNumBands else -1
+              Some((w, h, channels))
+            } finally reader.dispose()
+          }
+        } finally iis.close()
+      } catch { case _: Exception => None }
+    }
+
+    def decode(r: MediaRecord): MediaMeta = imageMeta(r.payload) match {
+      case Some((w, h, c)) =>
+        MediaMeta(r.media_id, r.kind, decoded = true, w, h, c,
+          r.payload.length.toLong)
+      case None =>
+        MediaMeta(r.media_id, r.kind, decoded = false,
+          r.declared_width, r.declared_height, 0, r.payload.length.toLong)
+    }
+  }
+
+  /** Decode real image metadata per partition — same no-shuffle
+    * plumbing as [[decodeFeatures]], real header parse via
+    * [[ImageIoCodec]], declared-metadata fallback for payloads the JDK
+    * has no reader for. */
+  def decodeMeta(media: Dataset[MediaRecord])(
+      implicit spark: SparkSession): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.mapPartitions(_.map(ImageIoCodec.decode))
   }
 
   /** Deterministic frame/chunk sampling: `n` evenly spaced slices of

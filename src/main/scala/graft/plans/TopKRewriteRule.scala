@@ -53,7 +53,14 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
   private def fitsMemoryBound(child: LogicalPlan): Boolean = {
     val limit = conf.getConfString(MaxChildBytesKey,
       DefaultMaxChildBytes.toString).toLong
-    val clusterBudget = limit * math.max(conf.numShufflePartitions, 1)
+    // NOTE: this key changed meaning in an earlier revision from
+    // ABSOLUTE child bytes to PER-TASK bytes. A user carrying a legacy
+    // large value (or Long.MaxValue as "always rewrite") must not see
+    // the multiply wrap negative and silently disable the rewrite —
+    // saturate instead. `-1` remains the documented opt-out.
+    val clusterBudget =
+      try Math.multiplyExact(limit, math.max(conf.numShufflePartitions, 1).toLong)
+      catch { case _: ArithmeticException => Long.MaxValue }
     val fits = limit < 0 || child.stats.sizeInBytes <= clusterBudget
     if (!fits) {
       // Sources with no size estimate (JDBC, streaming) report

@@ -55,6 +55,43 @@ class MultimodalSpec extends SparkSpec {
       .apply(2).payload shouldBe got(2).payload
   }
 
+  // Craft real image bytes with the JDK encoder only — no external
+  // libs, no fixture files.
+  private def imageBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for { x <- 0 until w; y <- 0 until h }
+      img.setRGB(x, y, (x * 85) << 16 | (y * 85) << 8 | 0x40)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, out)
+    out.toByteArray
+  }
+
+  test("ImageIoCodec decodes a crafted 2x2 PNG's actual dimensions from the header") {
+    val png = imageBytes(2, 2, "png")
+    Multimodal.ImageIoCodec.imageMeta(png) shouldBe Some((2, 2, 3))
+    // and a non-square JPEG (channels = 3 for RGB JFIF)
+    Multimodal.ImageIoCodec.imageMeta(imageBytes(5, 3, "jpg")) shouldBe
+      Some((5, 3, 3))
+  }
+
+  test("decodeMeta: real decode for image payloads, declared-metadata fallback otherwise") {
+    implicit val s = spark
+    val mixed = Seq(
+      MediaRecord(10L, "image", imageBytes(4, 2, "png"), "png", 0, 0),
+      // declared 640x480 but payload is not an image the JDK can read
+      MediaRecord(11L, "image", "not an image".getBytes("UTF-8"), "raw",
+        640, 480),
+      MediaRecord(12L, "audio", Array[Byte](), "raw", 0, 0)).toDS()
+    val got = Multimodal.decodeMeta(mixed).collect().sortBy(_.media_id)
+    got(0).decoded shouldBe true
+    (got(0).width, got(0).height, got(0).channels) shouldBe ((4, 2, 3))
+    got(1).decoded shouldBe false
+    (got(1).width, got(1).height, got(1).channels) shouldBe ((640, 480, 0))
+    got(2).decoded shouldBe false
+    got(2).n_bytes shouldBe 0L
+  }
+
   test("mediaFromDocuments wraps text as binary payloads with metadata") {
     implicit val s = spark
     val docs = Seq((1L, "hello")).toDF("doc_id", "text")

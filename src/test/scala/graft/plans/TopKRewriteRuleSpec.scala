@@ -67,6 +67,18 @@ class TopKRewriteRuleSpec extends AnyFunSuite with Matchers {
     windowTopK(3).queryExecution.optimizedPlan.toString should include("TopKPerKey")
   }
 
+  test("a legacy huge maxChildBytes saturates instead of wrapping negative") {
+    // limit × numShufflePartitions can overflow Long; a user carrying a
+    // legacy absolute-bytes value (or Long.MaxValue as "always
+    // rewrite") must still get the rewrite, not a silent disable via a
+    // negative budget.
+    spark.conf.set(TopKRewriteRule.MaxChildBytesKey, Long.MaxValue.toString)
+    try {
+      val df = windowTopK(3)
+      df.queryExecution.optimizedPlan.toString should include("TopKPerKey")
+    } finally spark.conf.unset(TopKRewriteRule.MaxChildBytesKey)
+  }
+
   test("windows whose rank survives the projection are NOT rewritten") {
     import spark.implicits._
     val df = Seq((1L, 1L, 2.0), (1L, 2L, 1.0)).toDF("key", "id", "score")
