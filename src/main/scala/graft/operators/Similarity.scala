@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   *     is small (broadcast-nested-loop over a tiny build side); never
   *     viable for Q ≈ N.
   *   - [[ivfTopK]]: the scale path. A deterministic IVF-style index:
-  *     centroids are drawn from the corpus itself (vec_id < nCentroids
-  *     — deterministic, no RNG, no training step), every corpus vector
+  *     centroids are hash-seeded from the corpus and Lloyd-refined on
+  *     a bounded sample ([[trainCentroids]] — deterministic, no RNG,
+  *     layout-independent), every corpus vector
   *     is assigned to its nearest centroid (one broadcast join +
   *     windowed argmax), queries probe their `nprobe` nearest
   *     centroids, and the exact search runs only inside the probed
@@ -60,16 +61,67 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** IVF-bucketed approximate top-k. Centroids = corpus vectors with
-    * `idCol < nCentroids`. Output: (qid, vec_id, cos, rank) — exact
-    * cosine, searched only within the probed buckets. */
+  /** Deterministic IVF centroid training: hash-seeded sample + Lloyd.
+    *
+    * Seeds are the `nCentroids` corpus vectors with the smallest
+    * `md5(id)` — a layout- and data-order-independent pseudo-uniform
+    * draw (first-N ids made bucket balance depend on how ids were
+    * assigned). They are then refined by `iters` Lloyd steps over a
+    * bounded training sample (the `trainN` smallest-hash vectors):
+    * assign sample → nearest centroid by cosine, recompute each
+    * centroid as the element-wise mean of its members (rounded to 6
+    * decimals so distributed summation order can't leak into the
+    * result), drop emptied buckets. True k-means++ seeding is
+    * inherently sequential (each seed conditions on the last); the
+    * hash draw + Lloyd refinement gets the balance benefit while
+    * staying one declarative plan.
+    *
+    * Scale: Lloyd touches ONLY the `trainN`-row sample — broadcastable
+    * at any corpus size (this is how IVF indexes train at 100 TB: fit
+    * on a sample, then one assignment pass over the corpus). Centroid
+    * ids are the seed ids, stable across iterations.
+    *
+    * Output: (cent_id, ce: array<double>, cn). */
+  def trainCentroids(
+      corpus: DataFrame, nCentroids: Int,
+      trainN: Int = 128, iters: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val hashed = prep(corpus, idCol, embCol)
+      .withColumn("h", md5(col(idCol).cast("string")))
+    val samp = hashed.orderBy("h").limit(trainN)
+      .select(col(idCol), col("e"), col("nrm"))
+    val seeds = hashed.orderBy("h").limit(nCentroids)
+      .select(col(idCol).as("cent_id"), col("e").as("ce"), col("nrm").as("cn"))
+    (1 to iters).foldLeft(seeds) { (cent, _) =>
+      val aw = Window.partitionBy(idCol).orderBy(desc("csim"), asc("cent_id"))
+      val assigned = samp.join(broadcast(cent), lit(true))
+        .withColumn("csim", dot(col("e"), col("ce")) / (col("nrm") * col("cn")))
+        .withColumn("arank", row_number().over(aw))
+        .filter(col("arank") === 1)
+        .select(col("cent_id"), col("e"))
+      // Element-wise mean via posexplode + per-position avg, restitched
+      // in position order. Rounded so float summation order is moot.
+      val ce = assigned
+        .select(col("cent_id"), posexplode(col("e")).as(Seq("pos", "x")))
+        .groupBy("cent_id", "pos").agg(round(avg(col("x")), 6).as("x"))
+        .groupBy("cent_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("x")))),
+          s => s.getField("x")).as("ce"))
+      ce.withColumn("cn", norm(col("ce")))
+    }
+  }
+
+  /** IVF-bucketed approximate top-k over [[trainCentroids]] centroids.
+    * Output: (qid, vec_id, cos, rank) — exact cosine, searched only
+    * within the probed buckets. */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nprobe: Int = 2,
+      trainN: Int = 128, iters: Int = 2,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val c = prep(corpus, idCol, embCol)
-    val cent = prep(corpus.filter(col(idCol) < nCentroids), idCol, embCol)
-      .select(col(idCol).as("cent_id"), col("e").as("ce"), col("nrm").as("cn"))
+    val cent = trainCentroids(corpus, nCentroids, trainN, iters, idCol, embCol)
     val simToCent = dot(col("e"), col("ce")) / (col("nrm") * col("cn"))
 
     // Corpus → nearest centroid (argmax cos, ties by cent_id).

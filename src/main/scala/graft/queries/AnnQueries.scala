@@ -17,6 +17,48 @@ object AnnQueries {
   private def cos(ae: String, be: String, an: String, bn: String) =
     cosSql.format(ae, ae, be, an, bn)
 
+  /** DuckDB twin of [[Similarity.trainCentroids]] as a WITH-clause
+    * fragment (expects a CTE `n(vec_id, e, nrm)` in scope; emits the
+    * final centroids as `cent(cent_id, ce, cn)`): md5-ordered seed and
+    * sample draw, then `iters` unrolled Lloyd steps — argmax-cosine
+    * assignment, element-wise per-position mean rounded to 6 decimals,
+    * restitched in position order. */
+  private[queries] def centroidCtes(
+      nCent: Int, trainN: Int, iters: Int): String = {
+    val b = new StringBuilder
+    b ++= s"""ehashed AS (
+       |  SELECT vec_id, e, nrm, md5(CAST(vec_id AS VARCHAR)) AS h FROM n
+       |), samp AS (
+       |  SELECT vec_id, e, nrm FROM ehashed ORDER BY h LIMIT $trainN
+       |), c0 AS (
+       |  SELECT vec_id AS cent_id, e AS ce, nrm AS cn
+       |  FROM ehashed ORDER BY h LIMIT $nCent
+       |)""".stripMargin
+    for (t <- 1 to iters) {
+      b ++= s""", a$t AS (
+         |  SELECT cent_id, e FROM (
+         |    SELECT s.e, t.cent_id,
+         |      row_number() OVER (PARTITION BY s.vec_id
+         |        ORDER BY ${cos("s.e", "t.ce", "s.nrm", "t.cn")} DESC,
+         |          t.cent_id) AS arank
+         |    FROM samp s CROSS JOIN c${t - 1} t
+         |  ) WHERE arank = 1
+         |), m$t AS (
+         |  SELECT cent_id, i, round(avg(x), 6) AS x FROM (
+         |    SELECT cent_id, unnest(range(1, len(e) + 1)) AS i,
+         |      unnest(e) AS x FROM a$t
+         |  ) GROUP BY cent_id, i
+         |), c$t AS (
+         |  SELECT cent_id, ce,
+         |    sqrt(list_sum(list_transform(ce, x -> x * x))) AS cn
+         |  FROM (SELECT cent_id, list(x ORDER BY i) AS ce
+         |        FROM m$t GROUP BY cent_id)
+         |)""".stripMargin
+    }
+    b ++= s", cent AS (SELECT cent_id, ce, cn FROM c$iters)"
+    b.toString
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // Exact brute-force top-5 neighbors for each query vector.
     QueryDef("q41_ann_topk",
@@ -41,17 +83,16 @@ object AnnQueries {
         .orderBy("qid", "rank")
     },
 
-    // IVF-bucketed ANN: centroid assignment + 2-probe search, fully
-    // oracle-replicated.
+    // IVF-bucketed ANN: hash-seeded + Lloyd-refined centroids, argmax
+    // assignment, 2-probe search — the whole index fully
+    // oracle-replicated (trainCentroids included).
     QueryDef("q42_ann_ivf",
       s"""WITH v AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
          |  FROM embeddings
          |), n AS (
          |  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
-         |), cent AS (
-         |  SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM n WHERE vec_id < 16
-         |), assigned AS (
+         |), ${centroidCtes(nCent = 16, trainN = 128, iters = 2)}, assigned AS (
          |  SELECT vec_id, e, nrm, cent_id AS bucket FROM (
          |    SELECT c.vec_id, c.e, c.nrm, t.cent_id,
          |      row_number() OVER (PARTITION BY c.vec_id

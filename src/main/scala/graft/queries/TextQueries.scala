@@ -488,14 +488,12 @@ object TextQueries {
     // ~0.51 (no true dups), so the threshold is set low enough (0.42)
     // that the oracle verifies real values, not an empty set.
     QueryDef("q47_embedding_neardup",
-      """WITH v AS (
+      s"""WITH v AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
         |  FROM embeddings
         |), n AS (
         |  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
-        |), cent AS (
-        |  SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM n WHERE vec_id < 16
-        |), assigned AS (
+        |), ${AnnQueries.centroidCtes(nCent = 16, trainN = 128, iters = 2)}, assigned AS (
         |  SELECT vec_id, e, nrm, cent_id AS bucket FROM (
         |    SELECT c.vec_id, c.e, c.nrm, t.cent_id,
         |      row_number() OVER (PARTITION BY c.vec_id
@@ -516,8 +514,8 @@ object TextQueries {
       val v = Tables.embeddings(s, dir)
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
       val n = v.withColumn("nrm", Similarity.norm(col("e")))
-      val cent = n.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cent_id"), col("e").as("ce"), col("nrm").as("cn"))
+      val cent = Similarity.trainCentroids(Tables.embeddings(s, dir),
+        nCentroids = 16, trainN = 128, iters = 2)
       val aw = org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id").orderBy(desc("csim"), asc("cent_id"))
       val assigned = n.join(broadcast(cent), lit(true))

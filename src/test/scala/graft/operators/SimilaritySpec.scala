@@ -44,6 +44,44 @@ class SimilaritySpec extends SparkSpec {
     approx shouldBe exact
   }
 
+  test("hash-seeded + Lloyd centroids keep recall on skewed, order-adversarial clusters") {
+    // Adversarial for the old first-N seeding: ids 0..15 (the would-be
+    // centroids) ALL sit in the dominant cluster, and two small
+    // clusters live at high ids only. Hash seeding is id-layout
+    // independent and Lloyd refinement pulls centroids toward the
+    // actual mass, so the probed buckets must still cover the true
+    // neighbors.
+    val rows = (0 until 120).map { i =>
+      val cluster = if (i < 100) 0 else if (i < 110) 1 else 2
+      val base = Array.fill(8)(0.05f)
+      base(cluster * 2) = 1.0f + (i % 17) * 0.01f
+      base(cluster * 2 + 1) = 0.5f
+      (i.toLong, base.toSeq)
+    }
+    val skewed = rows.toDF("vec_id", "embedding")
+    // one query per cluster, including the 10-member minority ones
+    val queries = skewed.filter($"vec_id".isin(0L, 105L, 115L))
+    val exact = Similarity.bruteForceTopK(skewed, queries, k = 4)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(skewed, queries, k = 4,
+      nCentroids = 8, nprobe = 3)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (approx intersect exact).size.toDouble / exact.size
+    recall should be >= 1.0 // separated clusters: nothing less is acceptable
+    // and the index is not degenerate: corpus occupies several buckets
+    val buckets = Similarity.trainCentroids(skewed, nCentroids = 8)
+      .select("cent_id").as[Long].collect()
+    buckets.length should be > 1
+  }
+
+  test("trainCentroids is layout-independent: same centroids under any input partitioning") {
+    val a = Similarity.trainCentroids(corpus, nCentroids = 6)
+      .select("cent_id", "ce").as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val b = Similarity.trainCentroids(corpus.repartition(7).sortWithinPartitions(desc("vec_id")), nCentroids = 6)
+      .select("cent_id", "ce").as[(Long, Seq[Double])].collect().sortBy(_._1)
+    a shouldBe b
+  }
+
   test("ivfTopK searches buckets, not all pairs: candidate join is an equi-join") {
     val plan = Similarity.ivfTopK(corpus, corpus.filter($"vec_id" < 3), k = 4)
       .queryExecution.optimizedPlan.toString
