@@ -208,6 +208,25 @@ object TextQueries {
         }.reduce(_ + _).as("simhash"))
   }
 
+  /** Approximate twin of q63 (`approx_percentile`, t-digest): for
+    * metrics whose value space is NOT bounded — raw byte lengths,
+    * float scores — the exact percentile's O(distinct values) buffer
+    * stops being safe, and the fixed-size sketch is the 100 TB path.
+    * Same output shape as q63 so the two are directly comparable;
+    * `accuracy` is Spark's inverse-error knob (error ≈ 1/accuracy of
+    * the rank, i.e. 10000 → 0.01% rank error). */
+  def lengthProfileApprox(s: SparkSession, dir: String,
+      accuracy: Int = 10000): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), size(gf.tokens(col("text"))).cast("double").as("n"))
+      .groupBy("lang")
+      .agg(
+        round(expr(s"approx_percentile(n, 0.5D, $accuracy)"), 4).as("p50"),
+        round(expr(s"approx_percentile(n, 0.9D, $accuracy)"), 4).as("p90"),
+        round(expr(s"approx_percentile(n, 0.99D, $accuracy)"), 4).as("p99"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+
   val defs: Seq[QueryDef] = Seq(
     // Exact dedup: hash-groupBy, keep min doc_id per content hash.
     QueryDef("q27_dedup_exact",
@@ -898,6 +917,11 @@ object TextQueries {
           count(lit(1)).as("n_docs"))
         .orderBy("lang")
     },
+
+    // Approximate twin of q63 — see lengthProfileApprox below. Not a
+    // registered query: approx_percentile's t-digest result has no
+    // cross-engine oracle; its error bound vs the exact profile is
+    // spec-asserted instead (LengthProfileSpec).
 
     // Near-dup CLUSTERS over the LSH candidate pairs: connected
     // components via alternating large-star/small-star (one survivor
