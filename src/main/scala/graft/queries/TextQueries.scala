@@ -943,6 +943,49 @@ object TextQueries {
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       graft.operators.Dedup.connectedComponents(lshPairs(s, dir))
         .orderBy("doc_id")
+    },
+
+    // Greedy sequence packing (docs → ≤512-token training sequences,
+    // id order, pack boundaries never span a (source, shard) cell).
+    // The fold is sequential per cell — the oracle expresses the same
+    // recurrence as a recursive CTE stepping one row per group per
+    // iteration.
+    QueryDef("q65_sequence_pack",
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, source, doc_id // 1000 AS shard,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |             x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, source, shard, n_tokens,
+        |    row_number() OVER (PARTITION BY source, shard ORDER BY doc_id) AS rn
+        |  FROM toks
+        |), pack AS (
+        |  SELECT doc_id, source, shard, n_tokens, rn,
+        |    CAST(0 AS BIGINT) AS pack_id, n_tokens AS acc
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.doc_id, t.source, t.shard, t.n_tokens, t.rn,
+        |    CASE WHEN p.acc + t.n_tokens > 512 THEN p.pack_id + 1
+        |         ELSE p.pack_id END,
+        |    CASE WHEN p.acc + t.n_tokens > 512 THEN t.n_tokens
+        |         ELSE p.acc + t.n_tokens END
+        |  FROM pack p
+        |  JOIN t ON t.source = p.source AND t.shard = p.shard
+        |        AND t.rn = p.rn + 1
+        |)
+        |SELECT doc_id, source, shard, pack_id,
+        |  row_number() OVER (PARTITION BY source, shard, pack_id
+        |                     ORDER BY doc_id) AS pack_pos,
+        |  n_tokens
+        |FROM pack ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      implicit val sp = s
+      val docs = Tables.documents(s, dir).select(
+        col("doc_id"), col("source"),
+        size(gf.tokens(col("text"))).cast("long").as("n_tokens"))
+      graft.operators.Packing
+        .packSequences(docs, maxTokens = 512, shardSize = 1000)
+        .orderBy("doc_id")
     }
   )
 }
