@@ -167,6 +167,66 @@ object TextQueries {
       .distinct()
   }
 
+  /** IVF-bucketed embedding near-dup candidate pairs with exact cosine
+    * ≥ [[EmbDupThreshold]] — shared by q47 (pair listing) and q66
+    * (semantic-dedup clustering). Buckets come from the trained
+    * centroids ([[graft.operators.Similarity.trainCentroids]]); pairs
+    * are generated within buckets only, never all-pairs. */
+  private val EmbDupThreshold = 0.42
+
+  private def embPairs(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val v = Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+    val n = v.withColumn("nrm", Similarity.norm(col("e")))
+    val cent = Similarity.trainCentroids(Tables.embeddings(s, dir),
+      nCentroids = 16, trainN = 128, iters = 2)
+    val aw = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(desc("csim"), asc("cent_id"))
+    val assigned = n.join(broadcast(cent), lit(true))
+      .withColumn("csim", Similarity.dot(col("e"), col("ce")) / (col("nrm") * col("cn")))
+      .withColumn("arank", row_number().over(aw))
+      .filter(col("arank") === 1)
+      .select(col("vec_id"), col("e"), col("nrm"), col("cent_id").as("bucket"))
+    val a = assigned.as("a")
+    val b = assigned.select(col("vec_id").as("b_vec_id"), col("e").as("b_e"),
+      col("nrm").as("b_nrm"), col("bucket"))
+    val cos = Similarity.dot(col("e"), col("b_e")) / (col("nrm") * col("b_nrm"))
+    import s.implicits._
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_id") < col("b_vec_id"))
+      .select(col("vec_id").as("vec_a"), col("b_vec_id").as("vec_b"),
+        cos.as("cos"))
+      .as[(Long, Long, Double)].filter(_._3 >= EmbDupThreshold) // pushdown barrier
+      .toDF("vec_a", "vec_b", "cos")
+  }
+
+  /** Oracle twin of [[embPairs]]: WITH chain ending in
+    * `epairs(vec_a, vec_b, cos)`. */
+  private lazy val embPairsSql: String =
+    s"""WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
+      |), ${AnnQueries.centroidCtes(nCent = 16, trainN = 128, iters = 2)}, assigned AS (
+      |  SELECT vec_id, e, nrm, cent_id AS bucket FROM (
+      |    SELECT c.vec_id, c.e, c.nrm, t.cent_id,
+      |      row_number() OVER (PARTITION BY c.vec_id
+      |        ORDER BY list_sum(list_transform(generate_series(1, len(c.e)),
+      |          i -> c.e[i] * t.ce[i])) / (c.nrm * t.cn) DESC, t.cent_id) AS arank
+      |    FROM n c CROSS JOIN cent t
+      |  ) WHERE arank = 1
+      |), epairs AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    round(list_sum(list_transform(generate_series(1, len(a.e)),
+      |      i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 6) AS cos
+      |  FROM assigned a JOIN assigned b
+      |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |  WHERE list_sum(list_transform(generate_series(1, len(a.e)),
+      |      i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) >= $EmbDupThreshold
+      |)""".stripMargin
+
   private val SimhashBits = 16
 
   /** Oracle-side simhash CTE chain ending in `fp(doc_id, simhash)` —
@@ -507,52 +567,10 @@ object TextQueries {
     // ~0.51 (no true dups), so the threshold is set low enough (0.42)
     // that the oracle verifies real values, not an empty set.
     QueryDef("q47_embedding_neardup",
-      s"""WITH v AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-        |  FROM embeddings
-        |), n AS (
-        |  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
-        |), ${AnnQueries.centroidCtes(nCent = 16, trainN = 128, iters = 2)}, assigned AS (
-        |  SELECT vec_id, e, nrm, cent_id AS bucket FROM (
-        |    SELECT c.vec_id, c.e, c.nrm, t.cent_id,
-        |      row_number() OVER (PARTITION BY c.vec_id
-        |        ORDER BY list_sum(list_transform(generate_series(1, len(c.e)),
-        |          i -> c.e[i] * t.ce[i])) / (c.nrm * t.cn) DESC, t.cent_id) AS arank
-        |    FROM n c CROSS JOIN cent t
-        |  ) WHERE arank = 1
-        |)
-        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  round(list_sum(list_transform(generate_series(1, len(a.e)),
-        |    i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 6) AS cos
-        |FROM assigned a JOIN assigned b
-        |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        |WHERE list_sum(list_transform(generate_series(1, len(a.e)),
-        |    i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) >= 0.42
+      s"""$embPairsSql
+        |SELECT vec_a, vec_b, cos FROM epairs
         |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
-      import graft.operators.Similarity
-      val v = Tables.embeddings(s, dir)
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
-      val n = v.withColumn("nrm", Similarity.norm(col("e")))
-      val cent = Similarity.trainCentroids(Tables.embeddings(s, dir),
-        nCentroids = 16, trainN = 128, iters = 2)
-      val aw = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(desc("csim"), asc("cent_id"))
-      val assigned = n.join(broadcast(cent), lit(true))
-        .withColumn("csim", Similarity.dot(col("e"), col("ce")) / (col("nrm") * col("cn")))
-        .withColumn("arank", row_number().over(aw))
-        .filter(col("arank") === 1)
-        .select(col("vec_id"), col("e"), col("nrm"), col("cent_id").as("bucket"))
-      val a = assigned.as("a")
-      val b = assigned.select(col("vec_id").as("b_vec_id"), col("e").as("b_e"),
-        col("nrm").as("b_nrm"), col("bucket"))
-      val cos = Similarity.dot(col("e"), col("b_e")) / (col("nrm") * col("b_nrm"))
-      import s.implicits._
-      a.join(b, Seq("bucket"))
-        .filter(col("vec_id") < col("b_vec_id"))
-        .select(col("vec_id").as("vec_a"), col("b_vec_id").as("vec_b"),
-          cos.as("cos"))
-        .as[(Long, Long, Double)].filter(_._3 >= 0.42) // pushdown barrier
-        .toDF("vec_a", "vec_b", "cos")
+      embPairs(s, dir)
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
         .orderBy("vec_a", "vec_b")
     },
@@ -986,6 +1004,29 @@ object TextQueries {
       graft.operators.Packing
         .packSequences(docs, maxTokens = 512, shardSize = 1000)
         .orderBy("doc_id")
+    },
+
+    // Semantic dedup (SemDeDup-shaped): cluster the embedding near-dup
+    // pairs (q47's candidate generation) via connected components and
+    // keep min-id representatives — the embedding-space analog of
+    // q64's minhash clustering, same O(E log V) large-star/small-star
+    // fixpoint, different similarity source.
+    QueryDef("q66_semantic_dedup",
+      s"""${embPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ")}, edges AS (
+         |  SELECT vec_a AS u, vec_b AS v FROM epairs
+         |  UNION ALL
+         |  SELECT vec_b AS u, vec_a AS v FROM epairs
+         |), reach AS (
+         |  SELECT u AS id, u AS r FROM edges
+         |  UNION
+         |  SELECT x.id, e.v AS r FROM reach x JOIN edges e ON e.u = x.r
+         |)
+         |SELECT id AS vec_id, min(r) AS component_id
+         |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      graft.operators.Dedup
+        .connectedComponents(embPairs(s, dir), aCol = "vec_a", bCol = "vec_b",
+          idCol = "vec_id")
+        .orderBy("vec_id")
     }
   )
 }
