@@ -35,4 +35,22 @@ object Sampling {
   def stratified(df: DataFrame, stratumCol: String,
       fractions: Map[String, Double], seed: Long = 42L): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
+
+  /** Deterministic corpus mixing: keep each row at its group's target
+    * rate, decided by the stable id hash — the sampling-by-weights
+    * step that composes a training mix from heterogeneous sources
+    * (web 10%, books 100%, …). Same guarantees as [[hashSplit]]:
+    * engine-independent, layout-independent, and a row's fate never
+    * changes as other rows come and go. Rates are applied at 1/10000
+    * granularity; one filter, no shuffle, no RNG. */
+  def weightedMix(df: DataFrame, groupCol: String, idCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    val bucket = gf.stableHash(col(idCol).cast("string")) % 10000
+    val rateCol = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(col(groupCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(bucket < (rateCol * 10000).cast("long"))
+  }
 }

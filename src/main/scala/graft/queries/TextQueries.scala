@@ -1027,6 +1027,36 @@ object TextQueries {
         .connectedComponents(embPairs(s, dir), aCol = "vec_a", bCol = "vec_b",
           idCol = "vec_id")
         .orderBy("vec_id")
+    },
+
+    // Weighted corpus mixing: deterministic hash-sampling at per-source
+    // rates (compose a training mix: keep all of src0, half of src1,
+    // a quarter of src2, 10% of the rest). One filter, no RNG, no
+    // shuffle before the final rollup; a row's fate is a pure function
+    // of its id, so the mix is reproducible on any engine and layout.
+    QueryDef("q67_corpus_mix",
+      """SELECT source, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+        |FROM (
+        |  SELECT source,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |             x -> x <> '')) AS BIGINT) AS n,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |         AS BIGINT) % 10000 AS b,
+        |    CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+        |                WHEN 'src2' THEN 2500 ELSE 1000 END AS cap
+        |  FROM documents
+        |) WHERE b < cap
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(
+        col("doc_id"), col("source"),
+        size(gf.tokens(col("text"))).cast("long").as("n_tokens"))
+      graft.operators.Sampling
+        .weightedMix(docs, groupCol = "source", idCol = "doc_id",
+          rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+          defaultRate = 0.1)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+        .orderBy("source")
     }
   )
 }

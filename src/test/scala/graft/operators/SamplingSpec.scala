@@ -26,6 +26,26 @@ class SamplingSpec extends SparkSpec {
     counts("test").toDouble / 10000 shouldBe 0.10 +- 0.02
   }
 
+  test("weightedMix keeps ~rate per group, deterministically, subset-stable") {
+    val rates = Map("lang0" -> 1.0, "lang1" -> 0.5, "lang2" -> 0.0)
+    val got = Sampling.weightedMix(docs, "lang", "doc_id", rates,
+      defaultRate = 0.1)
+    val counts = got.groupBy("lang").count().as[(String, Long)].collect().toMap
+    counts("lang0") shouldBe 2500L // rate 1.0 keeps everything
+    counts.getOrElse("lang2", 0L) shouldBe 0L
+    counts("lang1").toDouble / 2500 shouldBe 0.5 +- 0.05
+    counts("lang3").toDouble / 2500 shouldBe 0.1 +- 0.03
+    // layout-independent…
+    val again = Sampling.weightedMix(docs.repartition(17), "lang", "doc_id",
+      rates, defaultRate = 0.1).select("doc_id").as[Long].collect().sorted
+    again shouldBe got.select("doc_id").as[Long].collect().sorted
+    // …and a row's fate doesn't change when other rows disappear
+    val half = Sampling.weightedMix(docs.filter($"doc_id" <= 5000), "lang",
+      "doc_id", rates, defaultRate = 0.1)
+      .select("doc_id").as[Long].collect().sorted
+    half shouldBe again.filter(_ <= 5000L)
+  }
+
   test("stratified sampling respects per-stratum fractions") {
     val got = Sampling.stratified(docs, "lang",
       Map("lang0" -> 0.5, "lang1" -> 0.1, "lang2" -> 0.0, "lang3" -> 1.0))
