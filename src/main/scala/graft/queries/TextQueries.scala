@@ -336,16 +336,17 @@ object TextQueries {
         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
         |      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      // Block decomposition: `lang` alone has ~5 values, so a plain
-      // self-equi-join degenerates to 5 giant tasks no matter how many
-      // cores exist. Each side is replicated across B block ids so the
-      // join key (lang, blk_a, blk_b) fans out to 5·B² balanced cells —
-      // the standard triangle-join parallelization for dense self-joins.
-      val B = 6
-      // Deduped token sets via the native ShingleTokens(w=1): the
-      // composed array_sort(array_distinct(filter(split))) runs
-      // interpreted; ordering is irrelevant to intersection size, and
-      // the repartition parallelizes the tokenize for BOTH join sides.
+      // Exact-dup collapse BEFORE the quadratic verify: identical
+      // token SETS (same canonical fingerprint) pay the
+      // array_intersect once per distinct pair, not once per doc pair
+      // — on a dup-heavy corpus (10-way replicas: 100× the pairs) the
+      // verify cost tracks DISTINCT content, which is how production
+      // pipelines survive this operator (same principle as q59's
+      // distinct-fingerprint banding). Member pairs are expanded
+      // afterward: cross-group pairs inherit the representative
+      // jaccard, within-group pairs are exactly 1.0. Zero-token docs
+      // are excluded up front — their jaccard is NaN (0/0) in both
+      // engines and never reaches the output.
       val t = Tables.documents(s, dir)
         .repartition(col("doc_id"))
         .select(col("doc_id"), col("lang"),
@@ -354,16 +355,32 @@ object TextQueries {
               org.apache.spark.sql.graft.CatalystBridge.expr(trim(col("text"))),
               1)).as("toks"))
         .withColumn("ntok", size(col("toks")))
-        .withColumn("blk", (col("doc_id") % B).cast("int"))
-      // The probe side must be physically fanned out: documents is one
-      // parquet file, and the build side broadcasts, so without this
-      // repartition the whole O(pairs) verification runs in ONE task.
-      val a = t.withColumn("blk_b", explode(sequence(lit(0), lit(B - 1))))
+        .filter(col("ntok") > 0)
+      // ShingleTokens(w=1) output is sorted+distinct → md5(join) is a
+      // canonical set fingerprint. collect_list is bounded by the dup
+      // group size — inherent to this operator's contract, whose
+      // OUTPUT already lists every member pair.
+      val groups = t
+        .withColumn("fp", md5(array_join(col("toks"), " ")))
+        .groupBy("lang", "fp")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"),
+          first(col("toks")).as("toks"), first(col("ntok")).as("ntok"))
+      // Block decomposition over REPRESENTATIVES: `lang` alone has ~5
+      // values, so a plain self-equi-join degenerates to 5 giant tasks
+      // no matter how many cores exist. Each side is replicated across
+      // B block ids so the join key (lang, blk_a, blk_b) fans out to
+      // 5·B² balanced cells — the standard triangle-join
+      // parallelization for dense self-joins.
+      val B = 6
+      val g = groups.withColumn("blk",
+        (gf.stableHash(col("fp")) % B).cast("int"))
+      // The probe side must be physically fanned out; explicit count
+      // because AQE would coalesce these byte-tiny but compute-heavy
+      // partitions back together.
+      val a = g.withColumn("blk_b", explode(sequence(lit(0), lit(B - 1))))
         .withColumnRenamed("blk", "blk_a")
-        // explicit count: AQE would coalesce these byte-tiny but
-        // compute-heavy partitions back together
         .repartition(B * B, col("lang"), col("blk_a"), col("blk_b")).as("a")
-      val b = t.withColumn("blk_a", explode(sequence(lit(0), lit(B - 1))))
+      val b = g.withColumn("blk_a", explode(sequence(lit(0), lit(B - 1))))
         .withColumnRenamed("blk", "blk_b").as("b")
       val sizeBand = // necessary condition for J >= 0.9; cheap int math
         col("a.ntok") * 9 <= col("b.ntok") * 10 &&
@@ -374,9 +391,9 @@ object TextQueries {
           col("a.lang") === col("b.lang") &&
           col("a.blk_a") === col("b.blk_a") &&
           col("a.blk_b") === col("b.blk_b") &&
-          col("a.doc_id") < col("b.doc_id") && sizeBand)
+          col("a.fp") < col("b.fp") && sizeBand)
         .withColumn("inter", inter)
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        .select(col("a.ids").as("ids_a"), col("b.ids").as("ids_b"),
           (col("inter") / (col("a.ntok") + col("b.ntok") - col("inter")))
             .as("jaccard"))
       // Typed-filter barrier: a Column filter here gets pushed into the
@@ -386,9 +403,21 @@ object TextQueries {
       // opaque to Catalyst, so the intersection stays in the post-join
       // project, computed once per surviving candidate.
       import s.implicits._
-      candidates.as[(Long, Long, Double)]
+      val crossPairs = candidates.as[(Seq[Long], Seq[Long], Double)]
         .filter(_._3 >= 0.9)
-        .toDF("doc_a", "doc_b", "jaccard")
+        .toDF("ids_a", "ids_b", "jaccard")
+        .select(explode(col("ids_a")).as("x"), col("ids_b"), col("jaccard"))
+        .select(col("x"), explode(col("ids_b")).as("y"), col("jaccard"))
+        .select(least(col("x"), col("y")).as("doc_a"),
+          greatest(col("x"), col("y")).as("doc_b"), col("jaccard"))
+      // Within-group pairs: identical token sets, jaccard exactly 1.0.
+      val withinPairs = groups.filter(size(col("ids")) > 1)
+        .select(explode(flatten(transform(col("ids"), (x, i) =>
+          transform(
+            slice(col("ids"), i + lit(2), size(col("ids")) - i - lit(1)),
+            y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"), lit(1.0).as("jaccard"))
+      crossPairs.union(withinPairs)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     },
