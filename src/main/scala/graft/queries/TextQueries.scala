@@ -1086,6 +1086,86 @@ object TextQueries {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
         .orderBy("source")
+    },
+
+    // Unigram log-probability scoring: mean log corpus frequency of a
+    // doc's tokens — the cheap LM-perplexity proxy pipelines use to
+    // rank quality before a real model sees anything. Corpus
+    // frequencies are one explode+groupBy; the corpus total is a lazy
+    // 1-row broadcast aggregate (the q46 pattern, no driver count());
+    // per-doc scoring is an equi-join on token then a groupBy on
+    // doc_id — two shuffles, both key-partitioned, nothing all-pairs.
+    QueryDef("q68_unigram_logprob",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
+        |  FROM documents
+        |), freqs AS (
+        |  SELECT tok, count(*) AS freq FROM toks GROUP BY tok
+        |), total AS (
+        |  SELECT CAST(sum(freq) AS DOUBLE) AS n FROM freqs
+        |)
+        |SELECT t.doc_id, count(*) AS n_toks,
+        |  round(avg(ln(f.freq / total.n)), 6) AS avg_logprob
+        |FROM toks t JOIN freqs f ON t.tok = f.tok CROSS JOIN total
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), explode(gf.tokens(col("text"))).as("tok"))
+      val freqs = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+      val total = freqs.agg(sum("freq").cast("double").as("n"))
+      toks.join(freqs, "tok")
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          round(avg(log(col("freq") / col("n"))), 6).as("avg_logprob"))
+        .orderBy("doc_id")
+    },
+
+    // Token-window chunking with overlap (window 64, stride 48): the
+    // RAG / long-context prep step that splits docs into fixed token
+    // windows. Pure per-row array arithmetic — transform over a
+    // bounded index sequence + slice — no shuffle at all before the
+    // final sort; chunk content is witnessed by an md5 over the joined
+    // window so the oracle checks bytes, not just offsets.
+    QueryDef("q69_token_chunks",
+      """WITH docs AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents
+        |), nz AS (
+        |  SELECT doc_id, toks, len(toks) AS n FROM docs WHERE len(toks) > 0
+        |), idx AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(0, CAST(CASE WHEN n <= 64 THEN 1
+        |      ELSE ceil((n - 64) / 48.0) + 1 END AS BIGINT))) AS i
+        |  FROM nz
+        |)
+        |SELECT doc_id, i AS chunk_idx,
+        |  CAST(i * 48 + 1 AS BIGINT) AS chunk_start,
+        |  CAST(len(list_slice(toks, CAST(i * 48 + 1 AS BIGINT),
+        |    CAST(i * 48 + 64 AS BIGINT))) AS BIGINT) AS chunk_len,
+        |  md5(array_to_string(list_slice(toks, CAST(i * 48 + 1 AS BIGINT),
+        |    CAST(i * 48 + 64 AS BIGINT)), ' ')) AS chunk_md5
+        |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      val (w, st) = (64, 48)
+      Tables.documents(s, dir)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), gf.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .withColumn("n_chunks",
+          when(size(col("toks")) <= w, lit(1L))
+            .otherwise(ceil((size(col("toks")) - w) / lit(st.toDouble))
+              .cast("long") + 1))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0L), col("n_chunks") - 1)).as("i"))
+        .withColumn("chunk",
+          slice(col("toks"), (col("i") * st + 1).cast("int"), lit(w)))
+        .select(col("doc_id"), col("i").as("chunk_idx"),
+          (col("i") * st + 1).as("chunk_start"),
+          size(col("chunk")).cast("long").as("chunk_len"),
+          md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
     }
   )
 }

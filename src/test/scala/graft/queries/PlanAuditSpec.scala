@@ -58,11 +58,13 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
     *   - q31/q41: the broadcast query side of brute-force cosine
     *     (bounded query set by contract, non-equi join condition);
     *   - q42/q47: broadcast centroid frames (≤ nCentroids rows) in the
-    *     IVF assign/probe stages.
+    *     IVF assign/probe stages;
+    *   - q68: 1-row corpus-token-total aggregate crossed onto the
+    *     per-token rows (the q46 lazy-N pattern).
     */
   private val boundedNestedLoop = Set(
     "q23_dim_upsert", "q46_tfidf", "q31_similarity_stats", "q41_ann_topk",
-    "q42_ann_ivf", "q47_embedding_neardup")
+    "q42_ann_ivf", "q47_embedding_neardup", "q68_unigram_logprob")
 
   test("suite-wide: nested-loop joins only as broadcast builds of bounded frames") {
     val offenders = SparkEntry.allDefs.flatMap { d =>
