@@ -614,12 +614,20 @@ object TextQueries {
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       def cnt(pattern: String) =
         size(regexp_extract_all(col("text"), lit(pattern), lit(0))).cast("long")
+      // n_pieces is NOT a third regex pass: the alternation's matches
+      // partition exactly into maximal word runs and single punct
+      // chars, so n_pieces = n_words + n_punct — 1/3 less regex CPU
+      // on the hot path (regexp dominates this query's profile).
       Tables.documents(s, dir)
+        .repartition(col("doc_id")) // fan out the single-file scan
         .select(
           col("doc_id"),
-          cnt("[A-Za-z0-9]+|[^A-Za-z0-9\\s]").as("n_pieces"),
           cnt("[A-Za-z0-9]+").as("n_words"),
           cnt("[^A-Za-z0-9\\s]").as("n_punct"))
+        .select(
+          col("doc_id"),
+          (col("n_words") + col("n_punct")).as("n_pieces"),
+          col("n_words"), col("n_punct"))
         .orderBy("doc_id")
     },
 
