@@ -102,4 +102,45 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("packing laws on arbitrary corpora: partition, budget, order, greediness") {
+    import graft.operators.Packing
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      toks <- Gen.listOfN(n, Gen.choose(0L, 700L))
+      budget <- Gen.choose(200L, 900L)
+    } yield (toks, budget)
+    forAll(gen, cases = 8) { case (toks: List[Long], budget: Long) =>
+      implicit val s = spark
+      val rows = toks.zipWithIndex.map { case (t, i) =>
+        (i.toLong, s"g${i % 2}", t)
+      }
+      val got = Packing.packSequences(
+          rows.toDF("doc_id", "source", "n_tokens"),
+          maxTokens = budget, shardSize = 25)
+        .as[Packing.PackedDoc].collect()
+      // every doc lands exactly once
+      got.map(_.doc_id).sorted shouldBe rows.map(_._1).toArray
+      got.groupBy(d => (d.source, d.shard, d.pack_id)).foreach { case (_, ds) =>
+        val sorted = ds.sortBy(_.doc_id)
+        // multi-doc packs respect the budget
+        if (ds.length > 1) ds.map(_.n_tokens).sum should be <= budget
+        // pack positions are dense 1..m in id order
+        sorted.map(_.pack_pos).toSeq shouldBe (1L to ds.length)
+      }
+      // greediness: a doc opens a new pack only because it had to —
+      // its tokens would not have fit the previous pack of its cell
+      got.groupBy(d => (d.source, d.shard)).foreach { case (_, cell) =>
+        val byId = cell.sortBy(_.doc_id)
+        byId.zip(byId.drop(1)).foreach { case (prev, cur) =>
+          if (cur.pack_id != prev.pack_id) {
+            val prevPackSum = cell.filter(_.pack_id == prev.pack_id)
+              .map(_.n_tokens).sum
+            assert(prevPackSum + cur.n_tokens > budget,
+              s"doc ${cur.doc_id} opened pack ${cur.pack_id} although it fit")
+          }
+        }
+      }
+    }
+  }
 }
