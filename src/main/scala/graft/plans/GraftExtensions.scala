@@ -60,6 +60,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "dot_product(arr, arr) - left-to-right dot product of two double arrays"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))))
 
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_intersect_size"),
+      info("sorted_intersect_size",
+        "sorted_intersect_size(arr, arr) - |A n B| of two SORTED-DISTINCT string arrays (two-pointer, no allocation)"),
+      (args: Seq[Expression]) => SortedIntersectSize(args(0), args(1))))
+
     // parse_relative_time: native node composition mirroring
     // graft.functions.parseRelativeTime (reference semantics: substring
     // match on hour/day, first digit run, yesterday -> NULL). Seconds

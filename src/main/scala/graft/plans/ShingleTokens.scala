@@ -21,10 +21,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * Semantics are identical to the composed form: whitespace
   * tokenization with empty tokens dropped, windows of `width` tokens
   * joined by single spaces, first-occurrence-order dedupe, empty array
-  * when fewer than `width` tokens.
+  * when fewer than `width` tokens. With `sorted = true` the output is
+  * additionally sorted in UTF8 binary order — a CANONICAL set
+  * representation, so `md5(array_join(...))` is an order-insensitive
+  * set fingerprint and [[SortedIntersectSize]]'s two-pointer contract
+  * holds.
   */
 case class ShingleTokens(child: Expression, width: Int,
-    dedupe: Boolean = true)
+    dedupe: Boolean = true, sorted: Boolean = false)
     extends UnaryExpression {
 
   require(width >= 1, s"shingle width must be >= 1, got $width")
@@ -38,18 +42,24 @@ case class ShingleTokens(child: Expression, width: Int,
   override def prettyName: String = "shingle_tokens"
 
   override protected def nullSafeEval(input: Any): Any =
-    ShingleTokens.shingle(input.asInstanceOf[UTF8String], width, dedupe)
+    ShingleTokens.shingle(input.asInstanceOf[UTF8String], width, dedupe, sorted)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.plans.ShingleTokens.shingle($c, $width, $dedupe)")
+      c => s"graft.plans.ShingleTokens.shingle($c, $width, $dedupe, $sorted)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleTokens =
     copy(child = newChild)
 }
 
 object ShingleTokens {
-  def shingle(text: UTF8String, w: Int, dedupe: Boolean): ArrayData = {
+  private val utf8Order = new java.util.Comparator[Any] {
+    override def compare(a: Any, b: Any): Int =
+      a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+  }
+
+  def shingle(text: UTF8String, w: Int, dedupe: Boolean,
+      sorted: Boolean): ArrayData = {
     val toks = text.toString.split("\\s+").filter(_.nonEmpty)
     if (toks.length < w) return new GenericArrayData(Array.empty[Any])
     val n = toks.length - w + 1
@@ -64,20 +74,26 @@ object ShingleTokens {
       }
       sb.toString
     }
-    if (dedupe) {
-      val seen = new java.util.LinkedHashSet[String](n * 2)
-      var i = 0
-      while (i < n) { seen.add(window(i)); i += 1 }
-      val out = new Array[Any](seen.size)
-      val it = seen.iterator()
-      var k = 0
-      while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
-      new GenericArrayData(out)
-    } else {
-      val out = new Array[Any](n)
-      var i = 0
-      while (i < n) { out(i) = UTF8String.fromString(window(i)); i += 1 }
-      new GenericArrayData(out)
-    }
+    val out: Array[Any] =
+      if (dedupe) {
+        val seen = new java.util.LinkedHashSet[String](n * 2)
+        var i = 0
+        while (i < n) { seen.add(window(i)); i += 1 }
+        val arr = new Array[Any](seen.size)
+        val it = seen.iterator()
+        var k = 0
+        while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
+        arr
+      } else {
+        val arr = new Array[Any](n)
+        var i = 0
+        while (i < n) { arr(i) = UTF8String.fromString(window(i)); i += 1 }
+        arr
+      }
+    // UTF8 BINARY order (not java String UTF-16 order): the canonical
+    // form SortedIntersectSize's merge scan compares with.
+    if (sorted)
+      java.util.Arrays.sort(out.asInstanceOf[Array[AnyRef]], utf8Order)
+    new GenericArrayData(out)
   }
 }

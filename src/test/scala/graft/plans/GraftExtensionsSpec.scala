@@ -66,11 +66,13 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     val row = spark.sql(
       """SELECT shingle_tokens('a b c d', 3) AS sh,
         |  size(rolling_hash_windows('a b c d e', 4)) AS n_rh,
-        |  dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp
+        |  dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp,
+        |  sorted_intersect_size(array('a','b','c'), array('b','c','x')) AS sis
         |""".stripMargin).collect().head
     row.getSeq[String](0) shouldBe Seq("a b c", "b c d")
     row.getInt(1) shouldBe 2
     row.getDouble(2) shouldBe 11.0
+    row.getInt(3) shouldBe 2
   }
 
   test("dot_product null semantics match the composed aggregate(zip_with) form") {
