@@ -1174,6 +1174,53 @@ object TextQueries {
           size(col("chunk")).cast("long").as("chunk_len"),
           md5(array_join(col("chunk"), " ")).as("chunk_md5"))
         .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Cardinality profiling: exact distinct-token and doc counts per
+    // source — vocabulary growth is how pipelines detect corpus drift
+    // and near-duplicate ingestion batches. Exact distinct is the
+    // oracle-checked path (two-phase aggregate: Spark plans the
+    // partial-distinct expansion before the final count); the one-pass
+    // fixed-state HLL twin for 100 TB lives next to it
+    // (cardinalityProfileApprox, error spec'd in CardinalitySpec —
+    // sketches have no cross-engine oracle).
+    QueryDef("q70_vocab_profile",
+      """SELECT source,
+        |  CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_toks,
+        |  count(*) AS n_tokens,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM (
+        |  SELECT doc_id, source, unnest(list_filter(
+        |    string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
+        |  FROM documents
+        |) GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      tokensBySource(s, dir)
+        .groupBy("source")
+        .agg(countDistinct(col("tok")).as("n_distinct_toks"),
+          count(lit(1)).as("n_tokens"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("source")
     }
   )
+
+  private def tokensBySource(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("source"),
+        explode(gf.tokens(col("text"))).as("tok"))
+
+  /** HLL twin of q70: one pass, fixed sketch state per group — the
+    * 100 TB path for cardinality (exact count(DISTINCT) shuffles every
+    * distinct value; the sketch shuffles kilobytes). `rsd` is Spark's
+    * relative-standard-deviation knob. No oracle entry: sketch values
+    * have no cross-engine twin; CardinalitySpec bounds the error
+    * against the exact profile instead. */
+  def cardinalityProfileApprox(s: SparkSession, dir: String,
+      rsd: Double = 0.02): DataFrame =
+    tokensBySource(s, dir)
+      .groupBy("source")
+      .agg(approx_count_distinct(col("tok"), rsd).as("n_distinct_toks"),
+        count(lit(1)).as("n_tokens"),
+        approx_count_distinct(col("doc_id"), rsd).as("n_docs"))
+      .orderBy("source")
 }
