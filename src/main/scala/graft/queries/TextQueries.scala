@@ -1200,6 +1200,53 @@ object TextQueries {
           count(lit(1)).as("n_tokens"),
           countDistinct(col("doc_id")).as("n_docs"))
         .orderBy("source")
+    },
+
+    // Source divergence: KL(source unigram dist || global unigram
+    // dist) — the corpus-drift / mixture-shift detector pipelines run
+    // per ingestion batch. Every distribution is derived from ONE
+    // (source, tok) count aggregate: per-source totals are a tiny
+    // broadcast frame, the global total is the q46-pattern lazy 1-row
+    // broadcast, and per-token global counts equi-join back on tok —
+    // key-partitioned shuffles only, and Spark's ReuseExchange
+    // collapses the four reads of the shared aggregate into one
+    // shuffle. KL needs no smoothing here: a source's tokens are by
+    // construction a subset of the global support.
+    QueryDef("q71_source_divergence",
+      """WITH toks AS (
+        |  SELECT source, unnest(list_filter(
+        |    string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
+        |  FROM documents
+        |), st AS (
+        |  SELECT source, tok, count(*) AS cnt FROM toks GROUP BY source, tok
+        |), src AS (
+        |  SELECT source, CAST(sum(cnt) AS DOUBLE) AS src_n FROM st GROUP BY source
+        |), gt AS (
+        |  SELECT tok, CAST(sum(cnt) AS DOUBLE) AS tok_n FROM st GROUP BY tok
+        |), tot AS (
+        |  SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM st
+        |)
+        |SELECT st.source, CAST(src.src_n AS BIGINT) AS n_tokens,
+        |  round(sum((st.cnt / src.src_n)
+        |    * ln((st.cnt / src.src_n) / (gt.tok_n / tot.n))), 6) AS kl_vs_global
+        |FROM st JOIN src USING (source) JOIN gt USING (tok) CROSS JOIN tot
+        |GROUP BY st.source, src.src_n ORDER BY st.source""".stripMargin) { (s, dir) =>
+      val st = Tables.documents(s, dir)
+        .select(col("source"), explode(gf.tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+      val src = st.groupBy("source").agg(sum("cnt").cast("double").as("src_n"))
+      val gt = st.groupBy("tok").agg(sum("cnt").cast("double").as("tok_n"))
+      val tot = st.agg(sum("cnt").cast("double").as("n"))
+      val p = col("cnt") / col("src_n")
+      st.join(broadcast(src), "source")
+        .join(gt, "tok")
+        .crossJoin(broadcast(tot))
+        .groupBy(col("source"), col("src_n"))
+        .agg(round(sum(p * log(p / (col("tok_n") / col("n")))), 6)
+          .as("kl_vs_global"))
+        .select(col("source"), col("src_n").cast("long").as("n_tokens"),
+          col("kl_vs_global"))
+        .orderBy("source")
     }
   )
 
