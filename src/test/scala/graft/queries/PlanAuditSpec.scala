@@ -60,11 +60,14 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
     *   - q42/q47: broadcast centroid frames (≤ nCentroids rows) in the
     *     IVF assign/probe stages;
     *   - q68: 1-row corpus-token-total aggregate crossed onto the
-    *     per-token rows (the q46 lazy-N pattern).
+    *     per-token rows (the q46 lazy-N pattern);
+    *   - q71: the same 1-row corpus-total frame crossed onto the
+    *     (source, tok) counts for the KL denominator.
     */
   private val boundedNestedLoop = Set(
     "q23_dim_upsert", "q46_tfidf", "q31_similarity_stats", "q41_ann_topk",
-    "q42_ann_ivf", "q47_embedding_neardup", "q68_unigram_logprob")
+    "q42_ann_ivf", "q47_embedding_neardup", "q68_unigram_logprob",
+    "q71_source_divergence")
 
   test("suite-wide: nested-loop joins only as broadcast builds of bounded frames") {
     val offenders = SparkEntry.allDefs.flatMap { d =>
