@@ -1247,6 +1247,93 @@ object TextQueries {
         .select(col("source"), col("src_n").cast("long").as("n_tokens"),
           col("kl_vs_global"))
         .orderBy("source")
+    },
+
+    // Boilerplate detection: per-doc fraction of 3-gram instances that
+    // fall in the corpus-wide top-50 most frequent 3-grams — the
+    // C4-style "most common lines" removal gate, re-expressed at
+    // shingle granularity (this corpus has no line structure). The
+    // boilerplate set is bounded by construction (top-k via
+    // TakeOrderedAndProject, never a global sort) so membership is a
+    // broadcast join; ties at the cutoff break on the gram text in
+    // both engines. Two key-partitioned shuffles total.
+    QueryDef("q72_boilerplate",
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        |  FROM t WHERE len(t) >= 3
+        |), freq AS (
+        |  SELECT g, count(*) AS cnt FROM sh GROUP BY g
+        |), top AS (
+        |  SELECT g FROM freq ORDER BY cnt DESC, g LIMIT 50
+        |)
+        |SELECT s.doc_id,
+        |  round(CAST(count(t.g) AS DOUBLE) / count(*), 6) AS boiler_frac,
+        |  (CAST(count(t.g) AS DOUBLE) / count(*) < 0.05) AS keep
+        |FROM sh s LEFT JOIN top t USING (g)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+      val grams3 = org.apache.spark.sql.graft.CatalystBridge.column(
+        graft.plans.ShingleTokens(
+          org.apache.spark.sql.graft.CatalystBridge.expr(trim(col("text"))),
+          3, dedupe = false))
+      val sh = Tables.documents(s, dir)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), explode(grams3).as("g"))
+      val freq = sh.groupBy("g").agg(count(lit(1)).as("cnt"))
+      val top = freq.orderBy(desc("cnt"), asc("g")).limit(50)
+        .select(col("g"), lit(1).as("hit"))
+      val frac = count(col("hit")).cast("double") / count(lit(1))
+      sh.join(broadcast(top), Seq("g"), "left")
+        .groupBy("doc_id")
+        .agg(round(frac, 6).as("boiler_frac"), (frac < 0.05).as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // Pairwise source-vocabulary overlap (exact Jaccard): the corpus
+    // composition diagnostic run before choosing mixture weights. The
+    // self-join pairs sources WITHIN a token's postings — cost per
+    // token is |sources(tok)|², bounded by the source count squared,
+    // never doc×doc. Vocabulary sizes ride in as a broadcast. At a
+    // 100 TB scale with millions of domains the same query runs on
+    // MinHash signatures per source (q28 machinery) instead of exact
+    // postings; with a bounded source set the exact form is the right
+    // plan.
+    QueryDef("q73_vocab_overlap",
+      """WITH st AS (
+        |  SELECT DISTINCT source, tok FROM (
+        |    SELECT source, unnest(list_filter(
+        |      string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
+        |    FROM documents)
+        |), sz AS (
+        |  SELECT source, count(*) AS n FROM st GROUP BY source
+        |)
+        |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared,
+        |  round(CAST(count(*) AS DOUBLE)
+        |    / (CAST(sa.n AS DOUBLE) + sb.n - count(*)), 6) AS jaccard
+        |FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+        |JOIN sz sa ON sa.source = a.source
+        |JOIN sz sb ON sb.source = b.source
+        |GROUP BY a.source, b.source, sa.n, sb.n
+        |ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
+      val st = Tables.documents(s, dir)
+        .select(col("source"), explode(gf.tokens(col("text"))).as("tok"))
+        .distinct()
+      val sz = st.groupBy("source").agg(count(lit(1)).as("n"))
+      st.toDF("src_a", "tok")
+        .join(st.toDF("src_b", "tok"), Seq("tok"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(sz.toDF("src_a", "na")), "src_a")
+        .join(broadcast(sz.toDF("src_b", "nb")), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_shared"),
+          round(col("n_shared").cast("double")
+            / (col("na").cast("double") + col("nb") - col("n_shared")), 6)
+            .as("jaccard"))
+        .orderBy("src_a", "src_b")
     }
   )
 
