@@ -1334,6 +1334,160 @@ object TextQueries {
             / (col("na").cast("double") + col("nb") - col("n_shared")), 6)
             .as("jaccard"))
         .orderBy("src_a", "src_b")
+    },
+
+    // Decontamination, scale path: q62's exact eval-overlap check with
+    // a Bloom-filter PREFILTER in front of the verify join. The eval
+    // side (bounded by contract) collapses to a ~MB bitmap built
+    // distributed (`stat.bloomFilter` treeAggregate) and embedded in
+    // the plan as a literal, so the corpus side drops non-overlapping
+    // shingles BEFORE its shuffle — at 100 TB that's the difference
+    // between shuffling every corpus shingle and shuffling only the
+    // ~overlapping sliver. False positives cost nothing but a little
+    // extra shuffle: the equi-join behind the probe removes them, so
+    // the result is oracle-EXACT (false negatives are impossible).
+    // Output is the keep/drop decision table q62's counts imply.
+    QueryDef("q74_bloom_decontaminate",
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, source, tok FROM (
+        |    SELECT doc_id, source, unnest(list_transform(
+        |      generate_series(1, len(t) - 4),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS tok
+        |    FROM (SELECT doc_id, source,
+        |            list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |          FROM documents)
+        |  )
+        |), bench AS (SELECT DISTINCT tok FROM sh WHERE source = 'src0'),
+        |cnt AS (
+        |  SELECT s.doc_id, count(*) AS n_shared
+        |  FROM sh s JOIN bench b ON s.tok = b.tok
+        |  WHERE s.source <> 'src0' GROUP BY s.doc_id
+        |)
+        |SELECT d.doc_id, d.source, coalesce(c.n_shared, 0) AS n_shared,
+        |  coalesce(c.n_shared, 0) >= 2 AS contaminated
+        |FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
+        |WHERE d.source <> 'src0'
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.graft.CatalystBridge
+      def sh5(c: Column): Column = CatalystBridge.column(
+        graft.plans.ShingleTokens(CatalystBridge.expr(trim(c)), 5))
+      val sh = Tables.documents(s, dir)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), col("source"),
+          explode(sh5(col("text"))).as("tok"))
+      val bench = sh.filter(col("source") === "src0").select("tok").distinct()
+      val bloom = graft.plans.BloomProbe.serialize(
+        bench.stat.bloomFilter("tok", 500000, 0.01))
+      val probe = CatalystBridge.column(graft.plans.BloomProbe(
+        Literal(bloom), CatalystBridge.expr(col("tok"))))
+      val counts = sh.filter(col("source") =!= "src0").filter(probe)
+        .join(broadcast(bench), "tok")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      Tables.documents(s, dir).filter(col("source") =!= "src0")
+        .select(col("doc_id"), col("source"))
+        .join(counts, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          (coalesce(col("n_shared"), lit(0L)) >= 2).as("contaminated"))
+        .orderBy("doc_id")
+    },
+
+    // PII scrubbing: detect-and-redact emails / IPv4s / phone-shaped
+    // numbers with codegen'd regexp_replace chains — a pure per-row
+    // map, no shuffle, the shape every privacy pass over a training
+    // corpus takes. The synthetic corpus carries no PII (no digits at
+    // all), so the query DETERMINISTICALLY INJECTS doc_id-derived PII
+    // inside the query text itself — identically in Spark and the
+    // oracle — making the scrubbed-text md5 a real cross-engine
+    // witness of match boundaries and replacement semantics. Patterns
+    // are kept to the RE2 ∩ java.util.regex common dialect.
+    QueryDef("q75_pii_scrub",
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    trim(text) || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail.example.com or call 555-01'
+        |      || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+        |      || repeat(' ping 10.0.0.' || CAST(doc_id % 250 AS VARCHAR),
+        |                CAST(1 + doc_id % 3 AS INT)) AS s
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(s, '[a-z0-9._]+@[a-z0-9.]+\.[a-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(s, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS n_ip,
+        |  len(regexp_extract_all(s, '\d{3}-\d{2,4}')) AS n_phone,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(s,
+        |    '[a-z0-9._]+@[a-z0-9.]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g'),
+        |    '\d{3}-\d{2,4}', '<PHONE>', 'g')) AS scrubbed_md5
+        |FROM aug ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val emailPat = """[a-z0-9._]+@[a-z0-9.]+\.[a-z]{2,}"""
+      val ipPat = """\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"""
+      val phonePat = """\d{3}-\d{2,4}"""
+      val aug = concat(
+        trim(col("text")),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or call 555-01"),
+        lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+        expr("repeat(concat(' ping 10.0.0.', cast(doc_id % 250 as string)), " +
+          "cast(1 + doc_id % 3 as int))"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), aug.as("s"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("s"), lit(emailPat), lit(0))).cast("long").as("n_email"),
+          size(regexp_extract_all(col("s"), lit(ipPat), lit(0))).cast("long").as("n_ip"),
+          size(regexp_extract_all(col("s"), lit(phonePat), lit(0))).cast("long").as("n_phone"),
+          md5(regexp_replace(regexp_replace(regexp_replace(col("s"),
+            emailPat, "<EMAIL>"),
+            ipPat, "<IP>"),
+            phonePat, "<PHONE>")).as("scrubbed_md5"))
+        .orderBy("doc_id")
+    },
+
+    // Zipf rank-frequency slope per source: least-squares slope of
+    // ln(freq) over ln(rank) across the top-100 ranks — the "does this
+    // source look like natural language" drift check. The per-source
+    // top-100 is the row_number-window top-k idiom, which
+    // TopKRewriteRule turns into the sort-free TopKPerKey plan when
+    // stats allow; past the rank cut only ≤100 points per source
+    // remain, so the regression aggregate is a bounded groupBy. The
+    // slope is computed from explicit sum moments (not regr_slope) so
+    // both engines evaluate the identical formula.
+    QueryDef("q76_zipf_slope",
+      """WITH tf AS (
+        |  SELECT source, tok, count(*) AS cnt FROM (
+        |    SELECT source, unnest(list_filter(
+        |      string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
+        |    FROM documents) GROUP BY source, tok
+        |), ranked AS (
+        |  SELECT source, tok, cnt, row_number() OVER (
+        |    PARTITION BY source ORDER BY cnt DESC, tok) AS r
+        |  FROM tf
+        |), pts AS (
+        |  SELECT source, ln(CAST(r AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+        |  FROM ranked WHERE r <= 100
+        |)
+        |SELECT source, count(*) AS n_ranks,
+        |  round((count(*) * sum(x*y) - sum(x) * sum(y))
+        |    / (count(*) * sum(x*x) - sum(x) * sum(x)), 6) AS zipf_slope
+        |FROM pts GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.documents(s, dir)
+        .select(col("source"), explode(gf.tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("source").orderBy(desc("cnt"), asc("tok"))
+      val pts = tf.withColumn("r", row_number().over(w))
+        .filter(col("r") <= 100)
+        .select(col("source"),
+          log(col("r").cast("double")).as("x"),
+          log(col("cnt").cast("double")).as("y"))
+      val n = count(lit(1))
+      pts.groupBy("source").agg(
+        n.as("n_ranks"),
+        round((n * sum(col("x") * col("y")) - sum(col("x")) * sum(col("y")))
+          / (n * sum(col("x") * col("x")) - sum(col("x")) * sum(col("x"))), 6)
+          .as("zipf_slope"))
+        .orderBy("source")
     }
   )
 
