@@ -66,6 +66,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "sorted_intersect_size(arr, arr) - |A n B| of two SORTED-DISTINCT string arrays (two-pointer, no allocation)"),
       (args: Seq[Expression]) => SortedIntersectSize(args(0), args(1))))
 
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_probe"),
+      info("bloom_probe",
+        "bloom_probe(filterBytes, str) - membership in a serialized Bloom filter (no false negatives)"),
+      (args: Seq[Expression]) => BloomProbe(args(0), args(1))))
+
     // parse_relative_time: native node composition mirroring
     // graft.functions.parseRelativeTime (reference semantics: substring
     // match on hour/day, first digit run, yesterday -> NULL). Seconds

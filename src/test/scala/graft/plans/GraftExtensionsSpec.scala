@@ -75,6 +75,22 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     row.getInt(3) shouldBe 2
   }
 
+  test("bloom_probe SQL function probes a serialized filter hex literal") {
+    import spark.implicits._
+    val bytes = BloomProbe.serialize(
+      Seq("alpha", "beta").toDF("v").stat.bloomFilter("v", 100, 0.01))
+    val hex = bytes.map("%02X".format(_)).mkString
+    val row = spark.sql(
+      s"""SELECT bloom_probe(X'$hex', 'alpha') AS hit,
+         |  bloom_probe(X'$hex', 'zzz_absent') AS miss,
+         |  bloom_probe(X'$hex', CAST(NULL AS STRING)) AS nul
+         |""".stripMargin).collect().head
+    row.getBoolean(0) shouldBe true
+    // Murmur is seed-fixed, so this is deterministic, not a flake risk.
+    row.getBoolean(1) shouldBe false
+    row.isNullAt(2) shouldBe true
+  }
+
   test("dot_product null semantics match the composed aggregate(zip_with) form") {
     val row = spark.sql(
       """SELECT
