@@ -1488,6 +1488,121 @@ object TextQueries {
           / (n * sum(col("x") * col("x")) - sum(col("x")) * sum(col("x"))), 6)
           .as("zipf_slope"))
         .orderBy("source")
+    },
+
+    // Cross-doc repeated-passage coverage: for every doc, the fraction
+    // of its 6-token windows whose rolling hash also occurs in some
+    // OTHER doc — the per-doc verbatim-duplication metric behind
+    // exact-substring dedup (drop/trim docs that are mostly copies of
+    // passages seen elsewhere). Windows come from the native O(n)
+    // Rabin-Karp expression; the shared set is one (wh → distinct-doc
+    // count) aggregate and an equi-join back on the hash —
+    // key-partitioned shuffles only, nothing doc×doc. Matching is at
+    // hash granularity (32-bit) by design, as in production passage
+    // dedup; both engines compute the identical hash, so the oracle is
+    // exact.
+    QueryDef("q77_repeated_passages", {
+      val B = graft.plans.RollingHashWindows.Base
+      val mask = 0xffffffffL
+      val b2 = (B * B) & mask
+      val b3 = (b2 * B) & mask
+      val b4 = (b3 * B) & mask
+      val b5 = (b4 * B) & mask
+      s"""WITH toks AS (
+         |  SELECT doc_id, t FROM (
+         |    SELECT doc_id,
+         |      list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+         |    FROM documents)
+         |  WHERE len(t) >= 6
+         |), th AS (
+         |  SELECT doc_id,
+         |    list_transform(t, x ->
+         |      CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % 4294967296) AS h
+         |  FROM toks
+         |), wins AS (
+         |  SELECT doc_id,
+         |    CAST((CAST(h[i] AS HUGEINT) * $b5 + CAST(h[i+1] AS HUGEINT) * $b4
+         |          + CAST(h[i+2] AS HUGEINT) * $b3 + CAST(h[i+3] AS HUGEINT) * $b2
+         |          + CAST(h[i+4] AS HUGEINT) * $B + h[i+5]) % 4294967296 AS BIGINT) AS wh
+         |  FROM th, unnest(generate_series(1, len(h) - 5)) AS g(i)
+         |), rep AS (
+         |  SELECT wh FROM wins GROUP BY wh HAVING count(DISTINCT doc_id) >= 2
+         |), per_doc AS (
+         |  SELECT doc_id, count(*) AS n_windows FROM wins GROUP BY doc_id
+         |), shared AS (
+         |  SELECT w.doc_id, count(*) AS n_shared
+         |  FROM wins w JOIN rep r ON w.wh = r.wh GROUP BY w.doc_id
+         |)
+         |SELECT p.doc_id, p.n_windows, coalesce(s.n_shared, 0) AS n_shared,
+         |  round(CAST(coalesce(s.n_shared, 0) AS DOUBLE) / p.n_windows, 6) AS shared_frac
+         |FROM per_doc p LEFT JOIN shared s ON p.doc_id = s.doc_id
+         |ORDER BY p.doc_id""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.graft.CatalystBridge
+      val wins = Tables.documents(s, dir)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), explode(CatalystBridge.column(
+          graft.plans.RollingHashWindows(
+            CatalystBridge.expr(trim(col("text"))), 6))).as("wh"))
+      val rep = wins.groupBy("wh")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select("wh")
+      val perDoc = wins.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+      val shared = wins.join(rep, "wh")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      perDoc.join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_windows"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          round(coalesce(col("n_shared"), lit(0L)).cast("double")
+            / col("n_windows"), 6).as("shared_frac"))
+        .orderBy("doc_id")
+    },
+
+    // The blocklist view of the same windows: the top-20 most-repeated
+    // 6-token passages by (distinct docs, total occurrences) — what a
+    // pipeline materializes before hand-reviewing and blocklisting
+    // boilerplate passages. Bounded top-k (TakeOrderedAndProject),
+    // ties broken on the hash so the cut is total in both engines.
+    QueryDef("q78_passage_heavy_hitters", {
+      val B = graft.plans.RollingHashWindows.Base
+      val mask = 0xffffffffL
+      val b2 = (B * B) & mask
+      val b3 = (b2 * B) & mask
+      val b4 = (b3 * B) & mask
+      val b5 = (b4 * B) & mask
+      s"""WITH toks AS (
+         |  SELECT doc_id, t FROM (
+         |    SELECT doc_id,
+         |      list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+         |    FROM documents)
+         |  WHERE len(t) >= 6
+         |), th AS (
+         |  SELECT doc_id,
+         |    list_transform(t, x ->
+         |      CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % 4294967296) AS h
+         |  FROM toks
+         |), wins AS (
+         |  SELECT doc_id,
+         |    CAST((CAST(h[i] AS HUGEINT) * $b5 + CAST(h[i+1] AS HUGEINT) * $b4
+         |          + CAST(h[i+2] AS HUGEINT) * $b3 + CAST(h[i+3] AS HUGEINT) * $b2
+         |          + CAST(h[i+4] AS HUGEINT) * $B + h[i+5]) % 4294967296 AS BIGINT) AS wh
+         |  FROM th, unnest(generate_series(1, len(h) - 5)) AS g(i)
+         |)
+         |SELECT wh, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+         |FROM wins GROUP BY wh
+         |ORDER BY n_docs DESC, n_occurrences DESC, wh LIMIT 20""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.graft.CatalystBridge
+      Tables.documents(s, dir)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), explode(CatalystBridge.column(
+          graft.plans.RollingHashWindows(
+            CatalystBridge.expr(trim(col("text"))), 6))).as("wh"))
+        .groupBy("wh")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"))
+        .orderBy(desc("n_docs"), desc("n_occurrences"), asc("wh"))
+        .limit(20)
     }
   )
 
