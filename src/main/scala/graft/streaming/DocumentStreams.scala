@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.CatalystBridge
+import org.apache.spark.sql.types._
+
+/** Streaming corpus ingest: the training-data gates (quality floor,
+  * benchmark decontamination, exact dedup) as a Structured Streaming
+  * pipeline, so a 100 TB corpus can be cleaned ON ARRIVAL instead of
+  * re-scanned per snapshot. Every stage is a stateless per-row map
+  * except the dedup, whose state is watermark-bounded.
+  *
+  * Decontamination is the conservative streaming shape: a doc is
+  * dropped if ANY of its 5-token shingles probes positive against the
+  * plan-embedded Bloom filter of eval-set shingles
+  * ([[graft.plans.BloomProbe]]). No contaminated doc ever passes
+  * (Bloom filters have no false negatives); a clean doc is dropped at
+  * ~the filter's fpp — the documented price of not keeping an exact
+  * verify join in the stream. Pipelines that cannot pay it route the
+  * probe-positive sliver to a batch exact-verify side channel (q74's
+  * join) instead of dropping.
+  *
+  * Dedup keys on the md5 content hash inside
+  * `dropDuplicatesWithinWatermark`, so state holds only the watermark
+  * window, not the corpus — the q27 exact-dedup semantics made
+  * incremental. Batch twins: q32 (quality), q62/q74 (decontamination),
+  * q27 (dedup); `DocumentStreamsSpec` holds stream-vs-batch parity.
+  */
+object DocumentStreams {
+
+  /** documents.parquet schema plus the ingest timestamp a streaming
+    * source stamps on arrival (used only to bound dedup state). */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  def readDocumentStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(docSchema).parquet(dir)
+      .withColumn("ingest_ts", current_timestamp())
+
+  /** True iff any w-token shingle of `text` probes positive against
+    * the serialized Bloom filter — the per-row contamination test. */
+  def contaminated(text: Column, bloomBytes: Array[Byte], w: Int = 5): Column = {
+    val sh = CatalystBridge.column(
+      graft.plans.ShingleTokens(CatalystBridge.expr(trim(text)), w))
+    exists(sh, t => CatalystBridge.column(
+      graft.plans.BloomProbe(Literal(bloomBytes), CatalystBridge.expr(t))))
+  }
+
+  /** Quality floor: token count within bounds (the q32 length gate —
+    * the other q32 ratios are pure per-row Columns and compose the
+    * same way). */
+  def qualityGate(text: Column, minTokens: Int, maxTokens: Int): Column = {
+    val n = size(graft.functions.tokens(text))
+    n.between(minTokens, maxTokens)
+  }
+
+  /** The full gate chain over a document stream (or a batch frame —
+    * the plan is identical, which is what the spec asserts):
+    * quality floor → decontamination probe → watermarked exact dedup
+    * on content hash. `ingest_ts` must exist on streaming input for
+    * the dedup state bound; batch input dedups globally. */
+  def cleanDocStream(
+      docs: DataFrame,
+      bloomBytes: Array[Byte],
+      minTokens: Int = 5,
+      maxTokens: Int = 1 << 20,
+      watermark: String = "10 minutes"): DataFrame = {
+    val gated = docs
+      .filter(qualityGate(col("text"), minTokens, maxTokens))
+      .filter(!contaminated(col("text"), bloomBytes))
+      .withColumn("content_hash", md5(trim(col("text"))))
+    if (docs.isStreaming)
+      gated
+        .withWatermark("ingest_ts", watermark)
+        .dropDuplicatesWithinWatermark("content_hash")
+    else
+      gated.dropDuplicates("content_hash")
+  }
+}

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+/** Streaming corpus gates vs their batch twins: the same docs through
+  * `cleanDocStream` as a MemoryStream (two micro-batches) and as a
+  * batch frame must agree on which CONTENT survives. */
+class DocumentStreamsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // Eval set: two "benchmark" docs; their 5-gram shingles feed the filter.
+  private val evalDocs = Seq(
+    "alpha beta gamma delta epsilon zeta eta",
+    "one two three four five six seven eight")
+
+  private lazy val bloomBytes: Array[Byte] = {
+    val sh = evalDocs.toDF("text")
+      .select(explode(org.apache.spark.sql.graft.CatalystBridge.column(
+        graft.plans.ShingleTokens(
+          org.apache.spark.sql.graft.CatalystBridge.expr(trim(col("text"))),
+          5))).as("tok"))
+      .distinct()
+    graft.plans.BloomProbe.serialize(sh.stat.bloomFilter("tok", 1000, 0.01))
+  }
+
+  // (doc_id, text, ingest_ts): one clean doc, one contaminated (carries
+  // an eval 5-gram verbatim), one too short, one exact dup of the clean
+  // doc (cross-batch), one distinct clean doc in batch 2.
+  private val batch1 = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog today", ts("2026-01-01 00:01:00")),
+    (2L, "prefix alpha beta gamma delta epsilon suffix words here", ts("2026-01-01 00:02:00")),
+    (3L, "too short", ts("2026-01-01 00:03:00")))
+  private val batch2 = Seq(
+    (4L, "the quick brown fox jumps over the lazy dog today", ts("2026-01-01 00:04:00")),
+    (5L, "an entirely different clean document with plenty of tokens", ts("2026-01-01 00:05:00")))
+
+  test("streaming gates match the batch twin on surviving content") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val q = DocumentStreams.cleanDocStream(
+        mem.toDF().toDF("doc_id", "text", "ingest_ts"), bloomBytes)
+      .writeStream.format("memory").queryName("cleandocs")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(batch1)
+    q.processAllAvailable()
+    mem.addData(batch2)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("cleandocs")
+      .select($"content_hash").as[String].collect().sorted
+
+    val batch = DocumentStreams.cleanDocStream(
+        (batch1 ++ batch2).toDF("doc_id", "text", "ingest_ts"), bloomBytes)
+      .select($"content_hash").as[String].collect().sorted
+
+    streamed shouldBe batch
+    // Exactly the two distinct clean texts survive.
+    streamed.length shouldBe 2
+  }
+
+  test("contamination probe has no false negatives at the doc level") {
+    // Every eval doc itself must probe contaminated.
+    val hits = evalDocs.toDF("text")
+      .filter(DocumentStreams.contaminated(col("text"), bloomBytes))
+      .count()
+    hits shouldBe evalDocs.size
+  }
+
+  test("the dup that arrives inside the watermark is dropped, the first kept") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val q = DocumentStreams.cleanDocStream(
+        mem.toDF().toDF("doc_id", "text", "ingest_ts"), bloomBytes)
+      .writeStream.format("memory").queryName("dedupdocs")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(batch1)
+    q.processAllAvailable()
+    mem.addData(batch2)
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedupdocs").select($"doc_id").as[Long].collect().sorted
+    ids shouldBe Array(1L, 5L) // doc 4 deduped against doc 1; 2 and 3 gated
+  }
+
+  test("file-source document stream applies the same gates") {
+    val outDocs = DocumentStreams.cleanDocStream(
+      DocumentStreams.readDocumentStream(spark, "/root/testdata/sf0.001")
+        .drop("ingest_ts").withColumn("ingest_ts", current_timestamp()),
+      bloomBytes)
+    val q = outDocs.writeStream.format("memory").queryName("filedocs")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val n = spark.table("filedocs").count()
+    // The synthetic corpus shares no 5-grams with the eval docs and has
+    // no sub-5-token docs, so only exact dups drop relative to 500.
+    val batchN = DocumentStreams.cleanDocStream(
+      graft.Tables.documents(spark, "/root/testdata/sf0.001")
+        .withColumn("ingest_ts", current_timestamp()),
+      bloomBytes).count()
+    n shouldBe batchN
+    n should be > 400L
+  }
+}
