@@ -72,6 +72,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "bloom_probe(filterBytes, str) - membership in a serialized Bloom filter (no false negatives)"),
       (args: Seq[Expression]) => BloomProbe(args(0), args(1))))
 
+    ext.injectFunction((
+      new FunctionIdentifier("freq_sketch"),
+      info("freq_sketch",
+        "freq_sketch(str, k) - Misra-Gries heavy-hitter aggregate: <=k (item, count_min, err) candidates"),
+      (args: Seq[Expression]) =>
+        FreqSketch(args(0), intLit(args(1), "freq_sketch k"))))
+
     // parse_relative_time: native node composition mirroring
     // graft.functions.parseRelativeTime (reference semantics: substring
     // match on hour/day, first digit run, yesterday -> NULL). Seconds

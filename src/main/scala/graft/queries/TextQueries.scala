@@ -1626,4 +1626,23 @@ object TextQueries {
         count(lit(1)).as("n_tokens"),
         approx_count_distinct(col("doc_id"), rsd).as("n_docs"))
       .orderBy("source")
+
+  /** One-pass bounded-memory heavy-hitter candidates via the native
+    * Misra–Gries aggregate ([[graft.plans.FreqSketch]]) — the scale
+    * twin of exact token top-k (q08's TakeOrderedAndProject shape
+    * still shuffles one row per DISTINCT token; the sketch ships ≤ k
+    * counters per partition). Guarantee: any token with frequency
+    * > N/(k+1) is present; counts undercount by at most the reported
+    * `err` (spec'd in `FreqSketchSpec`, no cross-engine oracle). */
+  def topTokensApprox(s: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.graft.CatalystBridge
+    Tables.documents(s, dir)
+      .select(explode(gf.tokens(col("text"))).as("tok"))
+      .agg(CatalystBridge.column(
+        graft.plans.FreqSketch(CatalystBridge.expr(col("tok")), k)
+          .toAggregateExpression()).as("sketch"))
+      .select(explode(col("sketch")).as("hh"))
+      .select(col("hh.item").as("item"),
+        col("hh.count_min").as("count_min"), col("hh.err").as("err"))
+  }
 }

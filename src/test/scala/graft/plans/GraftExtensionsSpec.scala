@@ -91,6 +91,20 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     row.isNullAt(2) shouldBe true
   }
 
+  test("freq_sketch SQL aggregate returns <=k bracketed heavy hitters") {
+    val rows = spark.sql(
+      """SELECT hh.item, hh.count_min, hh.err FROM (
+        |  SELECT explode(freq_sketch(v, 4)) AS hh FROM (
+        |    SELECT explode(array('a','a','a','b','b','c','d','e','f')) AS v))
+        |""".stripMargin).collect()
+    rows.length should be <= 4
+    val byItem = rows.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 'a' (freq 3 > 9/5) must survive, count bracketed.
+    val (aMin, aErr) = byItem("a")
+    aMin should be <= 3L
+    3L should be <= (aMin + aErr)
+  }
+
   test("dot_product null semantics match the composed aggregate(zip_with) form") {
     val row = spark.sql(
       """SELECT
