@@ -8,11 +8,14 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing is real — schema, partition-preserving
   * batch iteration, deterministic outputs. Image METADATA decode is
-  * real too: [[ImageIoCodec]] header-parses PNG/JPEG/GIF/BMP via
-  * `javax.imageio` (ships in the JDK — no external libraries). The
-  * pixel/audio/video feature path remains a STUB: this container has
-  * no media libraries beyond the JDK, so [[StubCodec.decode]] derives
-  * features from the raw bytes (byte histogram standing in for a pixel
+  * real ([[ImageIoCodec.imageMeta]] header-parses PNG/JPEG/GIF/BMP via
+  * `javax.imageio` — ships in the JDK, no external libraries), and so
+  * are PIXEL features for images within the decode cap:
+  * [[decodePixels]] fully rasters the payload and reports mean-R/G/B
+  * and Rec.601 luma. What remains a STUB is audio/video feature
+  * extraction and oversize-image pixels: this container has no media
+  * libraries beyond the JDK, so [[StubCodec.decode]] derives features
+  * from the raw bytes (byte histogram standing in for a sample
   * histogram). Swapping in a full codec (JavaCV, TwelveMonkeys,
   * ffmpeg-over-pipe) changes ONLY that function — batch shape, schema,
   * and distribution are unchanged.
@@ -106,14 +109,62 @@ object Multimodal {
               val w = reader.getWidth(0)
               val h = reader.getHeight(0)
               val types = reader.getImageTypes(0)
+              // 0 = "unknown", documented: a reader that can size the
+              // image but advertises no image type gives no band count;
+              // -1 would read as a valid-looking sentinel downstream.
               val channels =
-                if (types.hasNext) types.next().getNumBands else -1
+                if (types.hasNext) types.next().getNumBands else 0
               Some((w, h, channels))
             } finally reader.dispose()
           }
         } finally iis.close()
       } catch { case _: Exception => None }
     }
+
+    /** Full pixel decode is bounded by this cap (header-only above it):
+      * a decoded ARGB raster costs 4 bytes/pixel of executor heap, so
+      * an unbounded `ImageIO.read` on adversarial dimensions (a 1 GB
+      * decompression-bomb PNG header claiming 50k×50k) would OOM the
+      * task. 1 MPix ≈ 4 MB raster — safe at full mapPartitions
+      * parallelism. */
+    val DefaultMaxDecodePixels: Long = 1L << 20
+
+    /** REAL pixel statistics — mean R/G/B and Rec.601 luma — via a full
+      * `ImageIO.read` when the header-declared pixel count is within
+      * `maxPixels`; None above the cap, for non-images, or when the
+      * reader sizes but cannot raster the payload. */
+    def pixelStats(bytes: Array[Byte], maxPixels: Long = DefaultMaxDecodePixels)
+        : Option[(Int, Int, Double, Double, Double, Double)] =
+      imageMeta(bytes) match {
+        case Some((hw, hh, _)) if hw.toLong * hh > 0 && hw.toLong * hh <= maxPixels =>
+          try {
+            val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            if (img == null) None
+            else {
+              val w = img.getWidth
+              val h = img.getHeight
+              var sr = 0.0; var sg = 0.0; var sb = 0.0
+              val row = new Array[Int](w)
+              var y = 0
+              while (y < h) {
+                img.getRGB(0, y, w, 1, row, 0, w)
+                var x = 0
+                while (x < w) {
+                  val p = row(x)
+                  sr += (p >> 16) & 0xff
+                  sg += (p >> 8) & 0xff
+                  sb += p & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              val n = w.toDouble * h
+              val (mr, mg, mb) = (sr / n, sg / n, sb / n)
+              Some((w, h, mr, mg, mb, 0.299 * mr + 0.587 * mg + 0.114 * mb))
+            }
+          } catch { case _: Exception => None }
+        case _ => None
+      }
 
     def decode(r: MediaRecord): MediaMeta = imageMeta(r.payload) match {
       case Some((w, h, c)) =>
@@ -133,6 +184,45 @@ object Multimodal {
       implicit spark: SparkSession): Dataset[MediaMeta] = {
     import spark.implicits._
     media.mapPartitions(_.map(ImageIoCodec.decode))
+  }
+
+  /** Real pixel features when the payload is a JDK-decodable image
+    * within the pixel cap; header/declared fallback otherwise
+    * (`decoded_pixels = false`, means 0.0 — read the flag, not the
+    * zeros). */
+  final case class PixelFeatures(
+      media_id: Long,
+      kind: String,
+      decoded_pixels: Boolean,
+      width: Int,
+      height: Int,
+      mean_r: Double,
+      mean_g: Double,
+      mean_b: Double,
+      mean_luma: Double,
+      n_bytes: Long)
+
+  /** Mean-RGB / luma per image, full decode bounded by `maxPixels`
+    * ([[ImageIoCodec.pixelStats]]) — same no-shuffle mapPartitions
+    * plumbing as [[decodeMeta]]; oversize or unreadable payloads keep
+    * the header-only path so one poison row can't OOM a task. */
+  def decodePixels(media: Dataset[MediaRecord],
+      maxPixels: Long = ImageIoCodec.DefaultMaxDecodePixels)(
+      implicit spark: SparkSession): Dataset[PixelFeatures] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      ImageIoCodec.pixelStats(r.payload, maxPixels) match {
+        case Some((w, h, mr, mg, mb, luma)) =>
+          PixelFeatures(r.media_id, r.kind, decoded_pixels = true,
+            w, h, mr, mg, mb, luma, r.payload.length.toLong)
+        case None =>
+          val (w, h) = ImageIoCodec.imageMeta(r.payload)
+            .map { case (w0, h0, _) => (w0, h0) }
+            .getOrElse((r.declared_width, r.declared_height))
+          PixelFeatures(r.media_id, r.kind, decoded_pixels = false,
+            w, h, 0.0, 0.0, 0.0, 0.0, r.payload.length.toLong)
+      }
+    })
   }
 
   /** Deterministic frame/chunk sampling: `n` evenly spaced slices of

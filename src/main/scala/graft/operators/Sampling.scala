@@ -51,6 +51,9 @@ object Sampling {
     val rateCol = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
       when(col(groupCol) === k, lit(v)).otherwise(acc)
     }
-    df.filter(bucket < (rateCol * 10000).cast("long"))
+    // round, not truncate: 0.29 * 10000 is 2899.999… in doubles and a
+    // cast would silently keep one fewer bucket than the documented
+    // 1/10000 granularity.
+    df.filter(bucket < round(rateCol * 10000).cast("long"))
   }
 }

@@ -59,6 +59,12 @@ case class BloomProbe(left: Expression, right: Expression)
     else if (right.dataType != StringType)
       TypeCheckResult.TypeCheckFailure(
         s"bloom_probe value argument must be STRING, got ${right.dataType}")
+    else if (left.eval(null) == null)
+      // A foldable NULL (e.g. CAST(NULL AS BINARY)) would otherwise NPE
+      // deep in readFrom at first eval / codegen — fail analysis cleanly.
+      TypeCheckResult.TypeCheckFailure(
+        "bloom_probe filter argument must not be NULL (expected a " +
+          "serialized BloomFilter built on the bounded side)")
     else TypeCheckResult.TypeCheckSuccess
 
   override def dataType: DataType = BooleanType

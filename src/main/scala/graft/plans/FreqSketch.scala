@@ -93,7 +93,11 @@ case class FreqSketch(
     out.writeLong(buf.err)
     out.writeInt(buf.counts.size)
     buf.counts.foreach { case (item, c) =>
-      out.writeUTF(item)
+      // int length + raw UTF-8 bytes: writeUTF caps items at 64 KiB and
+      // would fail the whole aggregation on a pathological token.
+      val b = item.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length)
+      out.write(b)
       out.writeLong(c)
     }
     out.flush()
@@ -107,7 +111,10 @@ case class FreqSketch(
     val n = in.readInt()
     var i = 0
     while (i < n) {
-      buf.counts.update(in.readUTF(), in.readLong())
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.counts.update(new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
       i += 1
     }
     buf
@@ -145,6 +152,7 @@ object FreqSketch {
       val minC = counts.valuesIterator.min
       err += minC
       counts.filterInPlace { case (_, c) => c > minC }
+      counts.mapValuesInPlace { case (_, c) => c - minC }
     }
 
     def mergeIn(other: Buffer): Unit = {

@@ -92,6 +92,41 @@ class MultimodalSpec extends SparkSpec {
     got(2).n_bytes shouldBe 0L
   }
 
+  test("decodePixels computes the ACTUAL channel means of a crafted PNG") {
+    implicit val s = spark
+    // 2x1 PNG, lossless: pixel0 = (10, 20, 30), pixel1 = (50, 100, 200)
+    val img = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 10 << 16 | 20 << 8 | 30)
+    img.setRGB(1, 0, 50 << 16 | 100 << 8 | 200)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val ds = Seq(MediaRecord(1L, "image", out.toByteArray, "png", 0, 0)).toDS()
+    val got = Multimodal.decodePixels(ds).collect().head
+    got.decoded_pixels shouldBe true
+    (got.width, got.height) shouldBe ((2, 1))
+    got.mean_r shouldBe 30.0 +- 1e-9 // (10+50)/2
+    got.mean_g shouldBe 60.0 +- 1e-9 // (20+100)/2
+    got.mean_b shouldBe 115.0 +- 1e-9 // (30+200)/2
+    got.mean_luma shouldBe (0.299 * 30 + 0.587 * 60 + 0.114 * 115) +- 1e-9
+  }
+
+  test("decodePixels honors the size cap and falls back to header-only above it") {
+    implicit val s = spark
+    val png = imageBytes(4, 4, "png") // 16 pixels
+    val ds = Seq(
+      MediaRecord(1L, "image", png, "png", 0, 0),
+      MediaRecord(2L, "image", "not an image".getBytes("UTF-8"), "raw", 640, 480))
+      .toDS()
+    val got = Multimodal.decodePixels(ds, maxPixels = 8L).collect().sortBy(_.media_id)
+    // over the cap: header dims survive, pixels honestly not decoded
+    got(0).decoded_pixels shouldBe false
+    (got(0).width, got(0).height) shouldBe ((4, 4))
+    // non-image: declared metadata fallback
+    got(1).decoded_pixels shouldBe false
+    (got(1).width, got(1).height) shouldBe ((640, 480))
+  }
+
   test("mediaFromDocuments wraps text as binary payloads with metadata") {
     implicit val s = spark
     val docs = Seq((1L, "hello")).toDF("doc_id", "text")

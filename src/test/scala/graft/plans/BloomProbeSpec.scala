@@ -72,6 +72,21 @@ class BloomProbeSpec extends SparkSpec {
     bad.getMessage.toLowerCase should include ("foldable")
   }
 
+  test("a foldable NULL filter argument fails analysis cleanly, not NPE at eval") {
+    // CAST(NULL AS BINARY) is foldable and binary-typed — without the
+    // explicit check it passes analysis and NPEs inside the lazy
+    // BloomFilter.readFrom at first eval / codegen.
+    val bad = intercept[Exception] {
+      Seq("k").toDF("v")
+        .select(CatalystBridge.column(BloomProbe(
+          Literal.create(null, org.apache.spark.sql.types.BinaryType),
+          CatalystBridge.expr(col("v")))))
+        .collect()
+    }
+    bad.getMessage.toLowerCase should include ("null")
+    bad should not be a[NullPointerException]
+  }
+
   test("q74's physical plan probes before the verify join") {
     val d = graft.SparkEntry.allDefs.find(_.name == "q74_bloom_decontaminate")
       .getOrElse(fail("q74 missing"))

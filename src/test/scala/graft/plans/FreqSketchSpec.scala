@@ -89,6 +89,32 @@ class FreqSketchSpec extends SparkSpec {
     recovered.toSeq shouldBe trueTop
   }
 
+  test("late-arriving heavy hitter survives saturated counters (MG drain)") {
+    // Regression for the prune bug: without subtracting minC from the
+    // survivors, saturated counters never drain and a heavy item that
+    // arrives AFTER the sketch fills is evicted on every arrival.
+    // k=2; a*10, b*10, then h*11 over N=31: true(h)=11 > N/3 ≈ 10.3,
+    // so classic Misra–Gries MUST report h.
+    val data = (Seq.fill(10)("a") ++ Seq.fill(10)("b") ++ Seq.fill(11)("h")).toDF("v")
+    val got = sketch(data.coalesce(1), "v", 2)
+    got.keySet should contain ("h")
+    val (cMin, err) = got("h")
+    cMin should be <= 11L
+    11L should be <= (cMin + err)
+  }
+
+  test("items longer than 64 KiB survive serialization (shuffle path)") {
+    // writeUTF would throw UTFDataFormatException here; the raw-bytes
+    // codec must round-trip a >65535-byte token through the merge path.
+    val big = "x" * 70000
+    val data = (Seq.fill(6)(big) ++ Seq("a", "b")).toDF("v")
+    val got = sketch(data.repartition(4), "v", 4)
+    got.keySet should contain (big)
+    val (cMin, err) = got(big)
+    cMin should be <= 6L
+    6L should be <= (cMin + err)
+  }
+
   test("non-string input is rejected at analysis") {
     val bad = intercept[Exception] {
       Seq(1L, 2L).toDF("v")
