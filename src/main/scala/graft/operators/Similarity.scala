@@ -112,29 +112,24 @@ object Similarity {
     }
   }
 
-  /** IVF-bucketed approximate top-k over [[trainCentroids]] centroids.
-    * Output: (qid, vec_id, cos, rank) — exact cosine, searched only
-    * within the probed buckets. */
-  def ivfTopK(
-      corpus: DataFrame, queries: DataFrame, k: Int,
-      nCentroids: Int = 16, nprobe: Int = 2,
-      trainN: Int = 128, iters: Int = 2,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val c = prep(corpus, idCol, embCol)
-    val cent = trainCentroids(corpus, nCentroids, trainN, iters, idCol, embCol)
-    val simToCent = dot(col("e"), col("ce")) / (col("nrm") * col("cn"))
-
-    // Corpus → nearest centroid (argmax cos, ties by cent_id).
+  /** Corpus → nearest centroid (argmax cosine, ties by cent_id).
+    * Output: (idCol, e, nrm, bucket). */
+  def assignToCentroids(c: DataFrame, cent: DataFrame,
+      idCol: String = "vec_id"): DataFrame = {
     val aw = Window.partitionBy(idCol).orderBy(desc("csim"), asc("cent_id"))
-    val assigned = c.join(broadcast(cent), lit(true))
-      .withColumn("csim", simToCent)
+    c.join(broadcast(cent), lit(true))
+      .withColumn("csim", dot(col("e"), col("ce")) / (col("nrm") * col("cn")))
       .withColumn("arank", row_number().over(aw))
       .filter(col("arank") === 1)
       .select(col(idCol), col("e"), col("nrm"), col("cent_id").as("bucket"))
+  }
 
-    // Query → its nprobe nearest centroids.
-    val q = prep(queries, idCol, embCol)
-      .select(col(idCol).as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+  /** Probe + exact in-bucket search over an already-assigned corpus:
+    * queries probe their `nprobe` nearest centroids, the exact cosine
+    * ranking runs only inside the probed buckets (equi-join on bucket
+    * id). Output: (qid, idCol, cos, rank). */
+  private def searchBuckets(assigned: DataFrame, cent: DataFrame,
+      q: DataFrame, k: Int, nprobe: Int, idCol: String): DataFrame = {
     val qw = Window.partitionBy("qid").orderBy(desc("qsim"), asc("cent_id"))
     val probes = broadcast(q).join(broadcast(cent), lit(true))
       .withColumn("qsim", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
@@ -142,7 +137,6 @@ object Similarity {
       .filter(col("prank") <= nprobe)
       .select(col("qid"), col("qe"), col("qn"), col("cent_id").as("bucket"))
 
-    // Exact search inside the probed buckets only (equi-join on bucket).
     val cos = dot(col("qe"), col("e")) / (col("qn") * col("nrm"))
     val rw = Window.partitionBy("qid").orderBy(desc("cos"), asc(idCol))
     assigned.join(broadcast(probes), Seq("bucket"))
@@ -151,4 +145,102 @@ object Similarity {
       .withColumn("rank", row_number().over(rw).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** IVF-bucketed approximate top-k over [[trainCentroids]] centroids,
+    * training + assigning inline (one-shot use). For repeated queries
+    * build the index ONCE with [[buildIndex]]/[[indexFor]] and probe it
+    * — at 100 TB the assignment is a full corpus scan you do not want
+    * to pay per query. Output: (qid, vec_id, cos, rank) — exact cosine,
+    * searched only within the probed buckets. */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nprobe: Int = 2,
+      trainN: Int = 128, iters: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val cent = trainCentroids(corpus, nCentroids, trainN, iters, idCol, embCol)
+    val assigned = assignToCentroids(prep(corpus, idCol, embCol), cent, idCol)
+    val q = prep(queries, idCol, embCol)
+      .select(col(idCol).as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    searchBuckets(assigned, cent, q, k, nprobe, idCol)
+  }
+
+  /** Handle to a persisted IVF index: a centroid table plus the
+    * assigned corpus written as a warehouse table BUCKETED on the
+    * centroid id — the probe-time bucket equi-join reads only the
+    * probed buckets' files and shuffles nothing on the corpus side. */
+  final case class IvfIndex(centroidTable: String, assignedTable: String)
+
+  /** Train once, assign once, persist — the 100 TB shape: the Lloyd
+    * chain and the full-corpus assignment pass run ONE time, after
+    * which every query is a broadcast probe against the bucketed
+    * table. Results are bit-identical to the inline [[ivfTopK]]:
+    * centroid coordinates are rounded to 6 decimals before persisting
+    * and doubles round-trip parquet exactly, so index-vs-inline cannot
+    * diverge. Stale tables/locations from a previous session (the
+    * in-memory catalog forgets them across JVMs) are dropped before
+    * the write. */
+  def buildIndex(
+      corpus: DataFrame, name: String,
+      nCentroids: Int = 16, trainN: Int = 128, iters: Int = 2,
+      numBuckets: Int = 16,
+      idCol: String = "vec_id", embCol: String = "embedding"): IvfIndex = {
+    val spark = corpus.sparkSession
+    val centTbl = s"${name}_centroids"
+    val asgTbl = s"${name}_assigned"
+    Seq(centTbl, asgTbl).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      // A dropped-from-catalog (or never-registered) managed location
+      // blocks CREATE — clear it directly.
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    val cent = trainCentroids(corpus, nCentroids, trainN, iters, idCol, embCol)
+    graft.sources.FileIO.writeWarehouseTable(cent, centTbl)
+    // Assign against the PERSISTED centroids so the training chain is
+    // computed exactly once (saveAsTable materialized it above).
+    val assigned = assignToCentroids(
+      prep(corpus, idCol, embCol), spark.table(centTbl), idCol)
+    graft.sources.FileIO.writeBucketedTable(assigned, asgTbl, "bucket", numBuckets)
+    IvfIndex(centTbl, asgTbl)
+  }
+
+  /** Memoized [[buildIndex]]: reuse the persisted tables when they
+    * already exist in this session's catalog (zero jobs), build
+    * otherwise. The name keys the (corpus, params) pair — callers must
+    * not reuse a name across different corpora. */
+  def indexFor(
+      corpus: DataFrame, name: String,
+      nCentroids: Int = 16, trainN: Int = 128, iters: Int = 2,
+      numBuckets: Int = 16,
+      idCol: String = "vec_id", embCol: String = "embedding"): IvfIndex = {
+    val spark = corpus.sparkSession
+    val idx = IvfIndex(s"${name}_centroids", s"${name}_assigned")
+    if (spark.catalog.tableExists(idx.centroidTable) &&
+        spark.catalog.tableExists(idx.assignedTable)) idx
+    else buildIndex(corpus, name, nCentroids, trainN, iters, numBuckets,
+      idCol, embCol)
+  }
+
+  /** Approximate top-k probing a PERSISTED index — no training, no
+    * assignment pass; the corpus side is the bucketed table. Same
+    * output contract as the inline [[ivfTopK]]. */
+  def ivfTopK(index: IvfIndex, queries: DataFrame, k: Int,
+      nprobe: Int, idCol: String, embCol: String): DataFrame = {
+    val spark = queries.sparkSession
+    val q = prep(queries, idCol, embCol)
+      .select(col(idCol).as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    searchBuckets(spark.table(index.assignedTable),
+      spark.table(index.centroidTable), q, k, nprobe, idCol)
+  }
+
+  def ivfTopK(index: IvfIndex, queries: DataFrame, k: Int): DataFrame =
+    ivfTopK(index, queries, k, nprobe = 2, idCol = "vec_id",
+      embCol = "embedding")
+
+  /** Catalog-safe index name for a data directory (one index per
+    * corpus location per session). */
+  def indexName(prefix: String, dir: String): String =
+    prefix + "_" + dir.replaceAll("[^a-zA-Z0-9]+", "_").toLowerCase
 }

@@ -117,8 +117,10 @@ object AnnQueries {
          |SELECT qid, vec_id, cos, rank FROM ranked WHERE rank <= 5
          |ORDER BY qid, rank""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
-          nCentroids = 16, nprobe = 2)
+      // Probe the session-persisted index (train + assign run once per
+      // corpus, not once per query — the 100 TB shape).
+      val idx = Similarity.indexFor(emb, Similarity.indexName("ivf", dir))
+      Similarity.ivfTopK(idx, emb.filter(col("vec_id") < 8), k = 5)
         .orderBy("qid", "rank")
     },
 

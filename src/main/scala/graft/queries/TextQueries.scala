@@ -176,18 +176,12 @@ object TextQueries {
 
   private def embPairs(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Similarity
-    val v = Tables.embeddings(s, dir)
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
-    val n = v.withColumn("nrm", Similarity.norm(col("e")))
-    val cent = Similarity.trainCentroids(Tables.embeddings(s, dir),
-      nCentroids = 16, trainN = 128, iters = 2)
-    val aw = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(desc("csim"), asc("cent_id"))
-    val assigned = n.join(broadcast(cent), lit(true))
-      .withColumn("csim", Similarity.dot(col("e"), col("ce")) / (col("nrm") * col("cn")))
-      .withColumn("arank", row_number().over(aw))
-      .filter(col("arank") === 1)
-      .select(col("vec_id"), col("e"), col("nrm"), col("cent_id").as("bucket"))
+    // Shared session-persisted IVF index (same name/params as q42):
+    // the training chain and the full-corpus assignment pass run once
+    // per corpus, and the bucket column is the table's bucketing key.
+    val idx = Similarity.indexFor(Tables.embeddings(s, dir),
+      Similarity.indexName("ivf", dir))
+    val assigned = s.table(idx.assignedTable)
     val a = assigned.as("a")
     val b = assigned.select(col("vec_id").as("b_vec_id"), col("e").as("b_e"),
       col("nrm").as("b_nrm"), col("bucket"))

@@ -82,6 +82,68 @@ class SimilaritySpec extends SparkSpec {
     a shouldBe b
   }
 
+  test("persisted index: probe results == inline ivfTopK, and reuse runs ZERO jobs") {
+    val queries = corpus.filter($"vec_id" < 3)
+    val inline = Similarity.ivfTopK(corpus, queries, k = 4,
+        nCentroids = 9, nprobe = 3)
+      .select("qid", "vec_id", "cos", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+
+    val idx = Similarity.buildIndex(corpus, "ivf_spec_reuse",
+      nCentroids = 9, numBuckets = 4)
+    val probed = Similarity.ivfTopK(idx, queries, k = 4, nprobe = 3,
+        idCol = "vec_id", embCol = "embedding")
+      .select("qid", "vec_id", "cos", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    probed shouldBe inline
+
+    // Index reuse: a second indexFor with the same name must find the
+    // persisted tables and trigger NO Spark jobs (no retraining, no
+    // assignment pass).
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // The bus is async FIFO: sentinel A flushes any straggler events
+      // from the collects above; everything counted after n0 started
+      // after A — i.e. inside the indexFor window. RDD count is exactly
+      // ONE job (a SQL sentinel could be several under AQE).
+      def flushWith(atLeast: Int): Unit = {
+        spark.sparkContext.parallelize(Seq(1), 1).count()
+        val deadline = System.currentTimeMillis + 30000
+        while (jobs.get() < atLeast && System.currentTimeMillis < deadline)
+          Thread.sleep(20)
+      }
+      flushWith(1)
+      val n0 = jobs.get()
+      val idx2 = Similarity.indexFor(corpus, "ivf_spec_reuse",
+        nCentroids = 9, numBuckets = 4)
+      idx2 shouldBe idx
+      flushWith(n0 + 1)
+      jobs.get() shouldBe (n0 + 1) // ONLY sentinel B — indexFor ran no jobs
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    // and the reused index still answers correctly
+    Similarity.ivfTopK(idx, queries, k = 4, nprobe = 3,
+        idCol = "vec_id", embCol = "embedding")
+      .select("qid", "vec_id", "cos", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet shouldBe inline
+  }
+
+  test("the persisted assignment table is bucketed on the probe join key") {
+    val idx = Similarity.indexFor(corpus, "ivf_spec_reuse",
+      nCentroids = 9, numBuckets = 4)
+    val cat = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        idx.assignedTable))
+    cat.bucketSpec.map(_.bucketColumnNames) shouldBe Some(Seq("bucket"))
+    cat.bucketSpec.map(_.numBuckets) shouldBe Some(4)
+  }
+
   test("ivfTopK searches buckets, not all pairs: candidate join is an equi-join") {
     val plan = Similarity.ivfTopK(corpus, corpus.filter($"vec_id" < 3), k = 4)
       .queryExecution.optimizedPlan.toString
