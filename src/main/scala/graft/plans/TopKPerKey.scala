@@ -3,7 +3,8 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeSet, Expression, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
@@ -55,9 +56,18 @@ final case class TopKPerKey(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    rankOutput: Option[Attribute] = None) extends UnaryNode {
   require(k >= 1, s"k must be >= 1, got $k")
-  override def output: Seq[Attribute] = child.output
+  // `rankOutput`: optionally ALSO emit the within-key rank (1..k, the
+  // exact row_number the window idiom would have produced) as a new
+  // trailing column — lets the rewrite fire even when the rank is
+  // still referenced above the filter (e.g. q76 regresses on log rank).
+  // The heap already drains best-first, so the rank is the emission
+  // index: no sort reintroduced.
+  override def output: Seq[Attribute] = child.output ++ rankOutput
+  override def producedAttributes: AttributeSet =
+    AttributeSet(rankOutput.toSeq)
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
     copy(child = newChild)
@@ -65,8 +75,8 @@ final case class TopKPerKey(
 
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+    case TopKPerKey(keys, order, k, child, rankOutput) =>
+      TopKPerKeyExec(keys, order, k, planLater(child), rankOutput) :: Nil
     case _ => Nil
   }
 }
@@ -75,9 +85,12 @@ final case class TopKPerKeyExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    rankOutput: Option[Attribute] = None) extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output
+  override def output: Seq[Attribute] = child.output ++ rankOutput
+  override def producedAttributes: AttributeSet =
+    AttributeSet(rankOutput.toSeq)
 
   /** One hash shuffle on the keys; no sort requirement — the heap
     * replaces it. */
@@ -90,6 +103,11 @@ final case class TopKPerKeyExec(
     val sortExprs = order
     val childOutput = child.output
     val kk = k
+    val emitRank = rankOutput.isDefined
+    val outSchema = org.apache.spark.sql.types.StructType(
+      schema.fields ++ rankOutput.map(a =>
+        org.apache.spark.sql.types.StructField(a.name, a.dataType,
+          nullable = false)))
     val budget = conf.getConfString(TopKPerKey.MaxTaskRetainedBytesKey,
       TopKPerKey.DefaultMaxTaskRetainedBytes.toString).toLong
     child.execute().mapPartitions({ iter =>
@@ -127,6 +145,19 @@ final case class TopKPerKeyExec(
         if (budget >= 0 && retainedBytes > budget) overBudget = true
       }
       import scala.jdk.CollectionConverters._
+      // Rank append (when requested): the emission order below is
+      // best-first within each key on BOTH paths, so the rank is just
+      // the emission index — projected once per EMITTED row (≤ k per
+      // key), not per input row.
+      val joined = new JoinedRow
+      val rankRow = new GenericInternalRow(1)
+      lazy val rankProj = UnsafeProjection.create(outSchema)
+      def withRank(row: InternalRow, rank: Int): InternalRow =
+        if (!emitRank) row
+        else {
+          rankRow.setInt(0, rank)
+          rankProj(joined(row, rankRow))
+        }
       if (!overBudget) {
         // Fast path: drain lazily, one heap at a time (k rows of
         // scratch) — a single output buffer would duplicate every
@@ -135,7 +166,10 @@ final case class TopKPerKeyExec(
           val rows = new Array[UnsafeRow](h.size)
           var i = rows.length - 1
           while (i >= 0) { rows(i) = h.poll(); i -= 1 } // heap pops worst-first
-          rows
+          if (!emitRank) rows.iterator
+          else rows.iterator.zipWithIndex.map { case (r, idx) =>
+            withRank(r, idx + 1)
+          }
         }
       } else {
         // Degraded path: too many distinct keys for the in-memory
@@ -183,7 +217,12 @@ final case class TopKPerKeyExec(
                 prevKey = key.copy()
                 emitted = 0
               }
-              if (emitted < kk) { emitted += 1; pending = row }
+              if (emitted < kk) {
+                emitted += 1
+                // withRank materializes into the projection's own
+                // buffer, so the sorter's row reuse stays safe.
+                pending = withRank(row, emitted)
+              }
             }
             pending != null
           }

@@ -105,8 +105,16 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
         if k >= 1 &&
           winExpr.toAttribute.semanticEquals(rnAttr) &&
           isRowNumberWindow(winExpr).isDefined &&
-          p.references.subsetOf(child.outputSet) &&
+          p.references.subsetOf(child.outputSet + rnAttr) &&
           fitsMemoryBound(child) =>
-      Project(projectList, TopKPerKey(partitionSpec, orderSpec, k, child))
+      // If the rank is still referenced above the filter, have the
+      // operator emit it (same attribute, same exprId — upstream
+      // references resolve unchanged; the heap drains best-first, so
+      // the emission index IS the row_number). A dead rank is simply
+      // not emitted.
+      val rankOut =
+        if (p.references.contains(rnAttr)) Some(rnAttr) else None
+      Project(projectList,
+        TopKPerKey(partitionSpec, orderSpec, k, child, rankOut))
   }
 }

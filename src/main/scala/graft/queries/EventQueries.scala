@@ -193,6 +193,27 @@ object EventQueries {
           count(when(col("event_type") === "purchase", 1)).as("purchases"),
           count(when(col("event_type") === "error", 1)).as("errors"))
         .orderBy("day")
+    },
+
+    // Salted two-phase aggregation over the zipf-ish events key
+    // distribution: phase 1 partially aggregates on (user_id, salt) so
+    // a hot user's rows spread over `salts` reducers, phase 2 merges
+    // the ≤salts tiny partials per key — same result as the plain
+    // groupBy the oracle runs, but no single reducer ever owns a hot
+    // key's full row set. Algebraic aggregates only (count/sum/max
+    // re-merge exactly); the float sum is rounded in both engines so
+    // summation order can't leak into the hash.
+    QueryDef("q80_salted_agg",
+      """SELECT user_id, count(*) AS cnt,
+        |  round(sum(value), 6) AS sum_value, max(value) AS max_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import graft.operators.Skew
+      Skew.saltedAggregate(Tables.events(s, dir), col("user_id"), "user_id",
+          salts = 8,
+          Seq(Skew.count2p, Skew.sum2p("value"), Skew.max2p("value")))
+        .select(col("user_id"), col("cnt"),
+          round(col("sum_value"), 6).as("sum_value"), col("max_value"))
+        .orderBy("user_id")
     }
   )
 }

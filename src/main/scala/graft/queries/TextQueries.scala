@@ -1597,6 +1597,49 @@ object TextQueries {
           count(lit(1)).as("n_occurrences"))
         .orderBy(desc("n_docs"), desc("n_occurrences"), asc("wh"))
         .limit(20)
+    },
+
+    // Per-source top-5 tokens via the Misra-Gries sketch + exact
+    // rescore: the sketch pass ships ≤k counters per partition instead
+    // of one row per DISTINCT token (the 100 TB shape — billions of
+    // distinct tokens never reach a shuffle), the rescore pass recounts
+    // ONLY the ≤k surviving candidates (broadcast semi-join) so the
+    // final ranks are exact, not approximate. Exactness bar: MG with
+    // k=64 cannot evict any token with count > N_src/65 — a true top-5
+    // token below that bar would mean an essentially uniform source
+    // where "top" is meaningless. Oracle = the plain GROUP BY + rank
+    // the sketch path must reproduce.
+    QueryDef("q79_sketch_topk",
+      """WITH toks AS (
+        |  SELECT source, unnest(list_filter(
+        |    string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
+        |  FROM documents
+        |), cnts AS (
+        |  SELECT source, tok, count(*) AS cnt FROM toks GROUP BY source, tok
+        |), ranked AS (
+        |  SELECT source, tok, cnt,
+        |    row_number() OVER (PARTITION BY source ORDER BY cnt DESC, tok) AS rank
+        |  FROM cnts
+        |)
+        |SELECT source, tok, cnt, rank FROM ranked WHERE rank <= 5
+        |ORDER BY source, rank""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.graft.CatalystBridge
+      val toks = Tables.documents(s, dir)
+        .select(col("source"), explode(gf.tokens(col("text"))).as("tok"))
+      val cand = toks.groupBy("source")
+        .agg(CatalystBridge.column(graft.plans.FreqSketch(
+            CatalystBridge.expr(col("tok")), 64).toAggregateExpression())
+          .as("sk"))
+        .select(col("source"), explode(col("sk")).as("hh"))
+        .select(col("source"), col("hh.item").as("tok"))
+      val rescored = toks.join(broadcast(cand), Seq("source", "tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(desc("cnt"), asc("tok"))
+      rescored
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .orderBy("source", "rank")
     }
   )
 

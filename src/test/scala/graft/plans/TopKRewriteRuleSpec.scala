@@ -79,14 +79,55 @@ class TopKRewriteRuleSpec extends AnyFunSuite with Matchers {
     } finally spark.conf.unset(TopKRewriteRule.MaxChildBytesKey)
   }
 
-  test("windows whose rank survives the projection are NOT rewritten") {
+  test("a LIVE rank rewrites too: TopKPerKey emits the row_number") {
     import spark.implicits._
-    val df = Seq((1L, 1L, 2.0), (1L, 2L, 1.0)).toDF("key", "id", "score")
-    val w = Window.partitionBy("key").orderBy(desc("score"))
-    val kept = df.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 1)
-      .select("key", "rn") // rank is referenced → must stay a Window
-    kept.queryExecution.optimizedPlan.toString should include("windowspecdefinition")
-    kept.collect().map(r => (r.getLong(0), r.getInt(1))) shouldBe Array((1L, 1))
+    val rows = for { key <- 1 to 20; i <- 1 to 50 }
+      yield (key.toLong, (key * 100 + i).toLong, ((i * 13) % 50).toDouble)
+    val w = Window.partitionBy("key").orderBy(desc("score"), asc("id"))
+    val kept = rows.toDF("key", "id", "score")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("key", "id", "rn") // rank referenced → operator emits it
+    kept.queryExecution.optimizedPlan.toString should include("TopKPerKey")
+    kept.queryExecution.optimizedPlan.toString should not include "windowspecdefinition"
+    val got = kept.orderBy("key", "rn").as[(Long, Long, Int)].collect()
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      g.sortBy(r => (-r._3, r._2)).take(3).zipWithIndex
+        .map { case (r, idx) => (r._1, r._2, idx + 1) }
+    }.sortBy(r => (r._1, r._3)).toArray
+    got shouldBe expected
+  }
+
+  test("q76's executed plan under GraftExtensions carries TopKPerKeyExec, not a window sort") {
+    // q76 ranks (source, tok) counts and then USES the rank (log r is
+    // the regression x) — the live-rank rewrite must fire: top-100 per
+    // source via the bounded heap, no full per-source sort.
+    val d = graft.SparkEntry.allDefs.find(_.name == "q76_zipf_slope").get
+    val plan = d.build(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    plan should include("TopKPerKey")
+    plan should not include "windowspecdefinition"
+  }
+
+  test("emitted ranks are correct on the DEGRADED (spill) path too") {
+    import spark.implicits._
+    val rows = for { key <- 1 to 200; i <- 1 to 20 }
+      yield (key.toLong, (key * 1000 + i).toLong, ((i * 7) % 20).toDouble)
+    val w = Window.partitionBy("key").orderBy(desc("score"), asc("id"))
+    // Force the external-sort fallback with a tiny retained-bytes budget.
+    spark.conf.set(TopKPerKey.MaxTaskRetainedBytesKey, "1024")
+    try {
+      val kept = rows.toDF("key", "id", "score")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select("key", "id", "rn")
+      kept.queryExecution.optimizedPlan.toString should include("TopKPerKey")
+      val got = kept.orderBy("key", "rn").as[(Long, Long, Int)].collect()
+      val expected = rows.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+        g.sortBy(r => (-r._3, r._2)).take(2).zipWithIndex
+          .map { case (r, idx) => (r._1, r._2, idx + 1) }
+      }.sortBy(r => (r._1, r._3)).toArray
+      got shouldBe expected
+    } finally spark.conf.unset(TopKPerKey.MaxTaskRetainedBytesKey)
   }
 }

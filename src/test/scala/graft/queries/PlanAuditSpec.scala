@@ -162,4 +162,20 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
     p should include("BroadcastHashJoin")
     p should not include "SortMergeJoin" // benchmark side must never shuffle-sort
   }
+
+  test("q80: the salted aggregate is genuinely two-stage — salt in phase 1, merged on key") {
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val p = physical("q80_salted_agg")
+    // Phase 1 groups on (user_id, _salt); phase 2 merges on user_id
+    // alone: two distinct grouping shapes, and the salt must appear in
+    // at least one exchange's partitioning (the hot key fans out).
+    val aggs = p.collect { case h: HashAggregateExec => h }
+    val groupings = aggs.map(_.groupingExpressions.map(_.name).toSet).distinct
+    groupings should contain (Set("user_id", "_salt"))
+    groupings.filter(_ == Set("user_id")) should not be empty
+    val exchanges = p.collect { case e: ShuffleExchangeExec => e }
+    exchanges.map(_.outputPartitioning.toString)
+      .exists(_.contains("_salt")) shouldBe true
+  }
 }
