@@ -61,8 +61,20 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame,
       aCol: String = "doc_a", bCol: String = "doc_b",
-      idCol: String = "doc_id", maxIter: Int = 12): DataFrame = {
+      idCol: String = "doc_id", maxIter: Int = 12,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    // Per-round materialization: localCheckpoint pins the round's edge
+    // set to EXECUTOR memory/disk — fine single-node, but on a real
+    // cluster it ties the job to executor lifetimes and pins their
+    // storage. With `checkpointDir` set, rounds go to a RELIABLE
+    // checkpoint (HDFS/S3) instead: executor loss replays from the
+    // checkpoint, and executor storage is not the bottleneck.
+    val sc = pairs.sparkSession.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    def materialize(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
     def canonical(e: DataFrame): DataFrame = e
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
@@ -92,16 +104,15 @@ object Dedup {
     // Each round references the previous edge set several times (the
     // symmetrize union + the min-aggregate join), so the logical plan
     // grows EXPONENTIALLY round over round if lineage is kept — an
-    // eager localCheckpoint materializes the round and resets the plan
-    // to a LogicalRDD. (On a multi-executor cluster prefer a reliable
-    // checkpoint dir for fault tolerance; the algorithm is unchanged.)
-    var edges = canonical(pairs.select(col(aCol).as("u"), col(bCol).as("v")))
-      .localCheckpoint(true)
+    // eager checkpoint materializes the round and resets the plan to a
+    // LogicalRDD (local or reliable per `checkpointDir`, see above).
+    var edges = materialize(
+      canonical(pairs.select(col(aCol).as("u"), col(bCol).as("v"))))
     var signature = checksum(edges)
     var converged = false
     var it = 0
     while (it < maxIter && !converged) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = materialize(smallStar(largeStar(edges)))
       val nextSig = checksum(next)
       converged = nextSig == signature
       signature = nextSig

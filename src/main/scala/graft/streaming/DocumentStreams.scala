@@ -17,10 +17,11 @@ import org.apache.spark.sql.types._
   * plan-embedded Bloom filter of eval-set shingles
   * ([[graft.plans.BloomProbe]]). No contaminated doc ever passes
   * (Bloom filters have no false negatives); a clean doc is dropped at
-  * ~the filter's fpp — the documented price of not keeping an exact
-  * verify join in the stream. Pipelines that cannot pay it route the
-  * probe-positive sliver to a batch exact-verify side channel (q74's
-  * join) instead of dropping.
+  * ~the filter's fpp — the documented price of keeping the stream
+  * join-free. Pipelines that cannot pay it use
+  * [[cleanDocStreamExact]]: the probe-positive sliver routes through
+  * q74's exact verify join per micro-batch ([[decontaminateExact]])
+  * and Bloom false positives pass.
   *
   * Dedup keys on the md5 content hash inside
   * `dropDuplicatesWithinWatermark`, so state holds only the watermark
@@ -81,5 +82,59 @@ object DocumentStreams {
         .dropDuplicatesWithinWatermark("content_hash")
     else
       gated.dropDuplicates("content_hash")
+  }
+
+  /** EXACT decontamination of a (micro-)batch — the side channel the
+    * conservative probe gate documents: probe-NEGATIVE docs pass with
+    * no join at all (Bloom filters have no false negatives), only the
+    * probe-positive sliver pays q74's exact shingle equi-join against
+    * the eval set, and a doc drops only when it truly shares
+    * `minShared`+ shingles (default 1 — the exact twin of the
+    * conservative gate's ANY-shingle drop; q74's >= 2 decision table
+    * is one parameter away). A Bloom false positive is verified clean
+    * and passes — zero fpp-rate corpus loss, at the cost of a
+    * sliver-sized join per batch. */
+  def decontaminateExact(
+      docs: DataFrame, bloomBytes: Array[Byte], benchShingles: DataFrame,
+      w: Int = 5, minShared: Int = 1): DataFrame = {
+    val probed = docs.withColumn("_suspect",
+      contaminated(col("text"), bloomBytes, w))
+    val suspects = probed.filter(col("_suspect")).drop("_suspect")
+    val sh = CatalystBridge.column(
+      graft.plans.ShingleTokens(CatalystBridge.expr(trim(col("text"))), w))
+    val confirmed = suspects
+      .select(col("doc_id"), explode(sh).as("tok"))
+      .join(broadcast(benchShingles.select(col("tok")).distinct()), "tok")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select("doc_id")
+    probed.filter(!col("_suspect")).drop("_suspect")
+      .unionByName(suspects.join(confirmed, Seq("doc_id"), "left_anti"))
+  }
+
+  /** The gate chain with the EXACT decontamination side channel wired
+    * in: the stateless quality gate and the watermark-bounded dedup
+    * run in the stream; each micro-batch then routes its
+    * probe-positive sliver through [[decontaminateExact]] inside
+    * `foreachBatch`, so the stream passes exactly what the batch
+    * pipeline passes — a manufactured Bloom false positive survives
+    * instead of being dropped at ~fpp. `onBatch` receives each
+    * verified-clean micro-batch (sink it however the pipeline needs);
+    * caller configures trigger/checkpoint and starts the returned
+    * writer. */
+  def cleanDocStreamExact(
+      docs: DataFrame, bloomBytes: Array[Byte], benchShingles: DataFrame,
+      onBatch: (DataFrame, Long) => Unit,
+      minTokens: Int = 5, maxTokens: Int = 1 << 20,
+      watermark: String = "10 minutes", w: Int = 5, minShared: Int = 1)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val gated = docs
+      .filter(qualityGate(col("text"), minTokens, maxTokens))
+      .withColumn("content_hash", md5(trim(col("text"))))
+      .withWatermark("ingest_ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+    gated.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      onBatch(decontaminateExact(batch, bloomBytes, benchShingles, w, minShared), id)
+    }
   }
 }

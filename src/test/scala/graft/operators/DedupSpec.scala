@@ -55,6 +55,32 @@ class DedupSpec extends SparkSpec {
     a.map(_._1) shouldBe (1L to 40L).toArray
   }
 
+  test("connectedComponents with a reliable checkpoint dir: same labels, rounds go to the dir") {
+    // Cluster shape: localCheckpoint pins rounds to executor storage;
+    // the checkpointDir option must route them to a reliable location
+    // (and still converge to identical labels).
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+    try {
+      val pairs = Seq((5L, 6L), (1L, 2L), (3L, 4L), (2L, 3L), (4L, 5L),
+          (10L, 11L), (11L, 12L), (10L, 12L))
+        .toDF("doc_a", "doc_b")
+      val got = Dedup.connectedComponents(pairs,
+          checkpointDir = Some(dir.toString))
+        .as[(Long, Long)].collect().sortBy(_._1)
+      got shouldBe Array(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+        6L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L)
+      // The rounds really checkpointed into the reliable dir.
+      import scala.jdk.CollectionConverters._
+      val files = java.nio.file.Files.walk(dir).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_)).toSeq
+      files should not be empty
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("greedy and clustered dedup differ on non-transitively-closed pairs") {
     // pairs (1,3) and (2,3): doc 2 never appears on a right side, so
     // the greedy form keeps {1, 2}; clustering puts {1,2,3} in one

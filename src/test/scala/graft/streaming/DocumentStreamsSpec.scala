@@ -92,6 +92,68 @@ class DocumentStreamsSpec extends SparkSpec {
     ids shouldBe Array(1L, 5L) // doc 4 deduped against doc 1; 2 and 3 gated
   }
 
+  test("manufactured Bloom FALSE POSITIVE: conservative gate drops the clean doc, exact side channel passes it") {
+    implicit val sqlCtx = spark.sqlContext
+    // Eval shingle set (exact) and a bloom that ALSO contains one
+    // shingle of clean doc 1 — a manufactured false positive: the
+    // probe says contaminated, the exact join says clean.
+    val benchShingles = evalDocs.toDF("text")
+      .select(explode(org.apache.spark.sql.graft.CatalystBridge.column(
+        graft.plans.ShingleTokens(
+          org.apache.spark.sql.graft.CatalystBridge.expr(trim(col("text"))),
+          5))).as("tok"))
+      .distinct()
+    val fpBloomBytes = {
+      val f = benchShingles.stat.bloomFilter("tok", 1000, 0.01)
+      f.putBinary("the quick brown fox jumps".getBytes("UTF-8"))
+      graft.plans.BloomProbe.serialize(f)
+    }
+    // Sanity: doc 1 now probes positive under the conservative gate...
+    batch1.take(1).toDF("doc_id", "text", "ingest_ts")
+      .filter(DocumentStreams.contaminated(col("text"), fpBloomBytes))
+      .count() shouldBe 1L
+    // ...and the conservative stream-shape gate drops it.
+    DocumentStreams.cleanDocStream(
+        (batch1 ++ batch2).toDF("doc_id", "text", "ingest_ts"), fpBloomBytes)
+      .filter($"doc_id" === 1L).count() shouldBe 0L
+
+    // Exact side channel: stream the same two micro-batches through
+    // foreachBatch.
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val q = DocumentStreams.cleanDocStreamExact(
+        mem.toDF().toDF("doc_id", "text", "ingest_ts"),
+        fpBloomBytes, benchShingles,
+        (batch, _) => batch.select($"doc_id", $"content_hash")
+          .as[(Long, String)].collect().foreach(got.add))
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(batch1)
+    q.processAllAvailable()
+    mem.addData(batch2)
+    q.processAllAvailable()
+    q.stop()
+
+    import scala.jdk.CollectionConverters._
+    val streamed = got.asScala.toSeq.sortBy(_._1)
+    // Doc 1 (the false positive) SURVIVES; doc 2 (truly contaminated:
+    // carries the eval shingle "alpha beta gamma delta epsilon"
+    // verbatim) still drops; doc 3 quality-gated; doc 4 deduped
+    // against doc 1; doc 5 clean.
+    streamed.map(_._1) shouldBe Seq(1L, 5L)
+
+    // And the stream's output equals the exact BATCH pipeline on the
+    // same corpus (q74 semantics: probe prefilter + exact verify).
+    val batchExact = DocumentStreams.decontaminateExact(
+        (batch1 ++ batch2).toDF("doc_id", "text", "ingest_ts")
+          .filter(DocumentStreams.qualityGate(col("text"), 5, 1 << 20))
+          .withColumn("content_hash", md5(trim(col("text"))))
+          .dropDuplicates("content_hash"),
+        fpBloomBytes, benchShingles)
+      .select($"doc_id", $"content_hash").as[(Long, String)]
+      .collect().toSeq.sortBy(_._1)
+    streamed shouldBe batchExact
+  }
+
   test("file-source document stream applies the same gates") {
     val outDocs = DocumentStreams.cleanDocStream(
       DocumentStreams.readDocumentStream(spark, "/root/testdata/sf0.001")
