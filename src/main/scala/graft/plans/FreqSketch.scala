@@ -68,7 +68,11 @@ case class FreqSketch(
 
   override def update(buf: FreqSketch.Buffer, input: InternalRow): FreqSketch.Buffer = {
     val v = child.eval(input)
-    if (v != null) buf.add(v.asInstanceOf[UTF8String].toString, 1L)
+    // Keys stay UTF8String end-to-end — no per-row decode to
+    // java.lang.String. The buffer copies on first insert (the eval
+    // value points into a reused row buffer); increments hash the
+    // transient bytes without copying.
+    if (v != null) buf.add(v.asInstanceOf[UTF8String], 1L)
     buf
   }
 
@@ -78,11 +82,13 @@ case class FreqSketch(
   }
 
   override def eval(buf: FreqSketch.Buffer): Any = {
+    // Ties sort in UTF8String binary order — the same order Spark SQL
+    // gives StringType comparisons.
+    implicit val ord: Ordering[UTF8String] =
+      (a: UTF8String, b: UTF8String) => a.compareTo(b)
     val rows: Array[Any] = buf.counts.toArray
       .sortBy { case (item, c) => (-c, item) }
-      .map { case (item, c) =>
-        InternalRow(UTF8String.fromString(item), c, buf.err)
-      }
+      .map { case (item, c) => InternalRow(item, c, buf.err) }
     new GenericArrayData(rows)
   }
 
@@ -95,7 +101,7 @@ case class FreqSketch(
     buf.counts.foreach { case (item, c) =>
       // int length + raw UTF-8 bytes: writeUTF caps items at 64 KiB and
       // would fail the whole aggregation on a pathological token.
-      val b = item.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = item.getBytes
       out.writeInt(b.length)
       out.write(b)
       out.writeLong(c)
@@ -114,7 +120,7 @@ case class FreqSketch(
       val len = in.readInt()
       val b = new Array[Byte](len)
       in.readFully(b)
-      buf.counts.update(new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      buf.counts.update(UTF8String.fromBytes(b), in.readLong())
       i += 1
     }
     buf
@@ -133,14 +139,15 @@ object FreqSketch {
     * counters by the minimum on overflow (the Misra–Gries step) keeps
     * c ≤ true ≤ c + err for every tracked item. */
   final class Buffer(val k: Int) {
-    val counts: mutable.HashMap[String, Long] = mutable.HashMap.empty
+    val counts: mutable.HashMap[UTF8String, Long] = mutable.HashMap.empty
     var err: Long = 0L
 
-    def add(item: String, by: Long): Unit = {
+    def add(item: UTF8String, by: Long): Unit = {
       counts.get(item) match {
         case Some(c) => counts.update(item, c + by)
         case None =>
-          counts.update(item, by)
+          // copy: `item` may point into a reused row/scan buffer
+          counts.update(item.clone(), by)
           if (counts.size > k) prune()
       }
     }
