@@ -73,6 +73,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => BloomProbe(args(0), args(1))))
 
     ext.injectFunction((
+      new FunctionIdentifier("pii_scrub"),
+      info("pii_scrub",
+        "pii_scrub(str) - struct(n_email, n_ip, n_phone, scrubbed): counts on the original, chained email->ip->phone redaction"),
+      (args: Seq[Expression]) => PiiScrub(args(0))))
+
+    ext.injectFunction((
       new FunctionIdentifier("freq_sketch"),
       info("freq_sketch",
         "freq_sketch(str, k) - Misra-Gries heavy-hitter aggregate: <=k (item, count_min, err) candidates"),

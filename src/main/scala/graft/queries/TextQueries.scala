@@ -1415,9 +1415,7 @@ object TextQueries {
         |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g'),
         |    '\d{3}-\d{2,4}', '<PHONE>', 'g')) AS scrubbed_md5
         |FROM aug ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val emailPat = """[a-z0-9._]+@[a-z0-9.]+\.[a-z]{2,}"""
-      val ipPat = """\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"""
-      val phonePat = """\d{3}-\d{2,4}"""
+      import org.apache.spark.sql.graft.CatalystBridge
       val aug = concat(
         trim(col("text")),
         lit(" contact user"), col("doc_id").cast("string"),
@@ -1425,16 +1423,22 @@ object TextQueries {
         lpad((col("doc_id") % 100).cast("string"), 2, "0"),
         expr("repeat(concat(' ping 10.0.0.', cast(doc_id % 250 as string)), " +
           "cast(1 + doc_id % 3 as int))"))
+      // One native pass (graft.plans.PiiScrub): counts on the original
+      // string, chained email→ip→phone redaction — same semantics as
+      // the 6-expression regexp composition the oracle runs, one
+      // decode and five matcher passes instead of six independent
+      // regex executions per row (PiiScrubSpec holds the equivalence,
+      // including the overlap corner where a fused single pass would
+      // diverge).
       Tables.documents(s, dir)
-        .select(col("doc_id"), aug.as("s"))
         .select(col("doc_id"),
-          size(regexp_extract_all(col("s"), lit(emailPat), lit(0))).cast("long").as("n_email"),
-          size(regexp_extract_all(col("s"), lit(ipPat), lit(0))).cast("long").as("n_ip"),
-          size(regexp_extract_all(col("s"), lit(phonePat), lit(0))).cast("long").as("n_phone"),
-          md5(regexp_replace(regexp_replace(regexp_replace(col("s"),
-            emailPat, "<EMAIL>"),
-            ipPat, "<IP>"),
-            phonePat, "<PHONE>")).as("scrubbed_md5"))
+          CatalystBridge.column(graft.plans.PiiScrub(
+            CatalystBridge.expr(aug))).as("p"))
+        .select(col("doc_id"),
+          col("p.n_email").as("n_email"),
+          col("p.n_ip").as("n_ip"),
+          col("p.n_phone").as("n_phone"),
+          md5(col("p.scrubbed")).as("scrubbed_md5"))
         .orderBy("doc_id")
     },
 

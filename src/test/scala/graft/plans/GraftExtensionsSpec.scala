@@ -31,6 +31,15 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     s
   }
 
+  test("pii_scrub SQL function: chained-replace semantics from plain SQL") {
+    import spark.implicits._
+    val r = spark.sql(
+      "SELECT pii_scrub('123-45a@b.co or 1.2.3.4 and x@y.io') AS p")
+      .select($"p.n_email", $"p.n_ip", $"p.n_phone", $"p.scrubbed")
+      .as[(Long, Long, Long, String)].collect().head
+    r shouldBe ((2L, 1L, 1L, "123-<EMAIL> or <IP> and <EMAIL>"))
+  }
+
   test("stable_hash60 SQL function matches the Column-composed stableHash bit-for-bit") {
     import spark.implicits._
     val viaSql = spark.sql(
