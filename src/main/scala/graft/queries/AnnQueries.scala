@@ -124,6 +124,109 @@ object AnnQueries {
         .orderBy("qid", "rank")
     },
 
+    // Symmetric int8 scalar quantization of the embedding column with
+    // per-vector scales — the memory-side half of ANN at 100 TB (4×
+    // smaller vectors before any index sees them) — plus the
+    // reconstruction-error profile that decides whether int8 is safe
+    // for a given corpus. Pure per-row array arithmetic (codegen'd
+    // transform/aggregate), no shuffle before the final sort; both
+    // engines quantize with floor(x/scale + 0.5) so half-rounding
+    // agrees bit-for-bit.
+    QueryDef("q82_embedding_quantize",
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings
+        |), s AS (
+        |  SELECT vec_id, e,
+        |    list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+        |  FROM v
+        |), q AS (
+        |  SELECT vec_id, e, scale,
+        |    list_transform(e, x -> CASE WHEN scale = 0 THEN 0.0
+        |      ELSE floor(x / scale + 0.5) END) AS qv
+        |  FROM s
+        |), err AS (
+        |  SELECT vec_id, scale,
+        |    list_transform(generate_series(1, len(e)),
+        |      i -> abs(e[i] - qv[i] * scale)) AS ae
+        |  FROM q
+        |)
+        |SELECT vec_id, round(scale, 9) AS scale,
+        |  round(list_max(ae), 9) AS max_abs_err,
+        |  round(list_sum(list_transform(ae, x -> x * x)) / len(ae), 12) AS mse
+        |FROM err ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("e"))
+        .withColumn("scale",
+          array_max(transform(col("e"), x => abs(x))) / 127.0)
+        .withColumn("qv", transform(col("e"), x =>
+          when(col("scale") === 0, lit(0.0))
+            .otherwise(floor(x / col("scale") + 0.5))))
+        .withColumn("ae", zip_with(col("e"), col("qv"),
+          (x, q) => abs(x - q * col("scale"))))
+        .select(col("vec_id"),
+          round(col("scale"), 9).as("scale"),
+          round(array_max(col("ae")), 9).as("max_abs_err"),
+          round(aggregate(col("ae"), lit(0.0), (a, x) => a + x * x)
+            / size(col("ae")), 12).as("mse"))
+        .orderBy("vec_id")
+    },
+
+    // Per-label centroid cohesion — the embedding-space QA a pipeline
+    // runs after clustering/semantic-dedup: positionwise label
+    // centroids (rounded to 6 decimals in BOTH engines so every
+    // downstream cosine starts from identical doubles), then each
+    // vector's cosine to its own label centroid, aggregated per label.
+    // Scale shape: the centroid pass is one (label, pos) aggregate
+    // (#labels × dim rows — always tiny), centroids broadcast into a
+    // per-row codegen'd dot product, one final per-label aggregate.
+    QueryDef("q83_label_centroid_cos",
+      """WITH v AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings
+        |), cm AS (
+        |  SELECT label, i, round(avg(e[i]), 6) AS x
+        |  FROM v, unnest(generate_series(1, len(e))) AS g(i)
+        |  GROUP BY label, i
+        |), cent0 AS (
+        |  SELECT label, list(x ORDER BY i) AS ce FROM cm GROUP BY label
+        |), cent AS (
+        |  SELECT label, ce,
+        |    sqrt(list_sum(list_transform(ce, y -> y * y))) AS cn
+        |  FROM cent0
+        |), scored AS (
+        |  SELECT v.vec_id, v.label,
+        |    round(list_sum(list_transform(generate_series(1, len(v.e)),
+        |        i -> v.e[i] * c.ce[i]))
+        |      / (sqrt(list_sum(list_transform(v.e, x -> x * x))) * c.cn), 6) AS cos
+        |  FROM v JOIN cent c ON v.label = c.label
+        |)
+        |SELECT label, count(*) AS n_vecs,
+        |  round(avg(cos), 6) AS avg_cos, round(min(cos), 6) AS min_cos
+        |FROM scored GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+      val v = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast("double")).as("e"))
+      val cent = v
+        .select(col("label"), posexplode(col("e")).as(Seq("i", "x")))
+        .groupBy("label", "i").agg(round(avg("x"), 6).as("x"))
+        .groupBy("label")
+        .agg(collect_list(struct(col("i"), col("x"))).as("pairs"))
+        .select(col("label"),
+          transform(array_sort(col("pairs")), p => p.getField("x")).as("ce"))
+        .withColumn("cn", Similarity.norm(col("ce")))
+      v.join(broadcast(cent), "label")
+        .select(col("label"), round(
+          Similarity.dot(col("e"), col("ce"))
+            / (Similarity.norm(col("e")) * col("cn")), 6).as("cos"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg("cos"), 6).as("avg_cos"),
+          round(min("cos"), 6).as("min_cos"))
+        .orderBy("label")
+    },
+
     // Multimodal metadata over binary payloads (decode stub tested in
     // MultimodalSpec; the byte-level plumbing is oracle-checked here).
     QueryDef("q43_media_meta",

@@ -847,22 +847,22 @@ object TextQueries {
         |      generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1]))) AS DOUBLE)
         |    / (len(t)-1), 6) < 0.1) AS keep
         |FROM t WHERE len(t) >= 3 ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      def grams(w: Int): Column =
-        org.apache.spark.sql.graft.CatalystBridge.column(
-          graft.plans.ShingleTokens(
-            org.apache.spark.sql.graft.CatalystBridge.expr(trim(col("text"))),
-            w, dedupe = false))
-      def dupFrac(g: Column): Column =
-        round(lit(1.0) -
-          size(array_distinct(g)).cast("double") / size(g), 6)
+      // ONE tokenization pass via the fused native NgramDupStats
+      // (struct(n_toks, d2, d3)) — the composed ShingleTokens×3 +
+      // array_distinct×2 form tokenized every doc three times and
+      // materialized five per-row arrays (PERF.md log #15).
+      val stats = org.apache.spark.sql.graft.CatalystBridge.column(
+        graft.plans.NgramDupStats(
+          org.apache.spark.sql.graft.CatalystBridge.expr(trim(col("text")))))
+      def dupFrac(d: Column, denom: Column): Column =
+        round(lit(1.0) - d.cast("double") / denom, 6)
       Tables.documents(s, dir)
-        .select(col("doc_id"), grams(1).as("t1"), grams(2).as("g2"),
-          grams(3).as("g3"))
-        .filter(size(col("t1")) >= 3)
+        .select(col("doc_id"), stats.as("st"))
+        .filter(col("st.n_toks") >= 3)
         .select(col("doc_id"),
-          dupFrac(col("g2")).as("dup2_frac"),
-          dupFrac(col("g3")).as("dup3_frac"),
-          (dupFrac(col("g2")) < 0.1).as("keep"))
+          dupFrac(col("st.d2"), col("st.n_toks") - 1).as("dup2_frac"),
+          dupFrac(col("st.d3"), col("st.n_toks") - 2).as("dup3_frac"),
+          (dupFrac(col("st.d2"), col("st.n_toks") - 1) < 0.1).as("keep"))
         .orderBy("doc_id")
     },
 
@@ -1644,6 +1644,58 @@ object TextQueries {
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5)
         .orderBy("source", "rank")
+    },
+
+    // DSIR-style importance weighting (Data Selection via Importance
+    // Resampling): score every doc by the mean log-ratio of a target
+    // domain's smoothed unigram model (source 'src1' plays the
+    // high-quality target) vs the whole-corpus model — the cheap
+    // importance weight pipelines use to up-sample target-like data.
+    // Scale shape: ONE (tok) aggregate carries both models (the target
+    // count rides along as a conditional count), totals are a lazy
+    // 1-row broadcast (the q46/q68 pattern), scoring is a token
+    // equi-join + per-doc aggregate. Laplace (+1, / (N+V)) smoothing
+    // keeps out-of-target tokens finite.
+    QueryDef("q81_dsir_weights",
+      """WITH toks AS (
+        |  SELECT doc_id, source, unnest(list_filter(
+        |    string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
+        |  FROM documents
+        |), freqs AS (
+        |  SELECT tok, count(*) AS c_g,
+        |    count(*) FILTER (WHERE source = 'src1') AS c_t
+        |  FROM toks GROUP BY tok
+        |), totals AS (
+        |  SELECT CAST(sum(c_g) AS DOUBLE) AS n_g,
+        |    CAST(sum(c_t) AS DOUBLE) AS n_t,
+        |    CAST(count(*) AS DOUBLE) AS v
+        |  FROM freqs
+        |)
+        |SELECT t.doc_id, count(*) AS n_toks,
+        |  round(avg(ln(((f.c_t + 1) / (totals.n_t + totals.v))
+        |           / ((f.c_g + 1) / (totals.n_g + totals.v)))), 6) AS dsir_logweight
+        |FROM toks t JOIN freqs f ON t.tok = f.tok CROSS JOIN totals
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), col("source"),
+          explode(gf.tokens(col("text"))).as("tok"))
+      val freqs = toks.groupBy("tok").agg(
+        count(lit(1)).as("c_g"),
+        count(when(col("source") === "src1", 1)).as("c_t"))
+      val totals = freqs.agg(
+        sum("c_g").cast("double").as("n_g"),
+        sum("c_t").cast("double").as("n_t"),
+        count(lit(1)).cast("double").as("v"))
+      toks.join(freqs, "tok")
+        .crossJoin(broadcast(totals))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          round(avg(log(
+            ((col("c_t") + 1) / (col("n_t") + col("v"))) /
+              ((col("c_g") + 1) / (col("n_g") + col("v"))))), 6)
+            .as("dsir_logweight"))
+        .orderBy("doc_id")
     }
   )
 

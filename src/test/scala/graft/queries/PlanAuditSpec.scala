@@ -62,12 +62,14 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
     *   - q68: 1-row corpus-token-total aggregate crossed onto the
     *     per-token rows (the q46 lazy-N pattern);
     *   - q71: the same 1-row corpus-total frame crossed onto the
-    *     (source, tok) counts for the KL denominator.
+    *     (source, tok) counts for the KL denominator;
+    *   - q81: the same 1-row model-totals frame (N_target, N_global, V)
+    *     crossed onto the per-token rows for DSIR smoothing.
     */
   private val boundedNestedLoop = Set(
     "q23_dim_upsert", "q46_tfidf", "q31_similarity_stats", "q41_ann_topk",
     "q42_ann_ivf", "q47_embedding_neardup", "q68_unigram_logprob",
-    "q71_source_divergence")
+    "q71_source_divergence", "q81_dsir_weights")
 
   test("suite-wide: nested-loop joins only as broadcast builds of bounded frames") {
     val offenders = SparkEntry.allDefs.flatMap { d =>
