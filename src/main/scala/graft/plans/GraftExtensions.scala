@@ -79,6 +79,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => PiiScrub(args(0))))
 
     ext.injectFunction((
+      new FunctionIdentifier("ngram_dup_stats"),
+      info("ngram_dup_stats",
+        "ngram_dup_stats(str) - struct(n_toks, d2, d3): token count + distinct 2-/3-gram counts in one pass"),
+      (args: Seq[Expression]) => NgramDupStats(args.head)))
+
+    ext.injectFunction((
       new FunctionIdentifier("freq_sketch"),
       info("freq_sketch",
         "freq_sketch(str, k) - Misra-Gries heavy-hitter aggregate: <=k (item, count_min, err) candidates"),

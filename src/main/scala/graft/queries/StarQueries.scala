@@ -114,6 +114,13 @@ object StarQueries {
         .join(broadcast(dimPriority), gf.normTitle(col("o_orderpriority")) === col("priority_name"), "left")
         .join(broadcast(dimStatus), gf.normName(col("o_orderstatus")) === col("status_name"), "left")
         .join(broadcast(dimDate), to_date(col("o_orderdate")) === col("full_date"), "left")
+        // Project down to the 5 output columns BEFORE the PK pass:
+        // withSurrogateKey persists its input and sorts it by the PK
+        // order — done on the full join width that's a ~10× wider
+        // persist + sort than the fact actually needs.
+        .select(
+          col("o_orderkey"), col("customer_sk"), col("priority_sk"),
+          col("status_sk"), col("date_sk").cast("long").as("date_sk"))
       // Dense PK over the FACT — the one place where a global window
       // would be the 100 TB cliff; PartitionedOffset keeps it parallel.
       StarSchemaBuilder.withSurrogateKey(
@@ -121,7 +128,7 @@ object StarQueries {
           SkStrategy.Auto)
         .select(
           col("job_posting_pk"), col("o_orderkey"), col("customer_sk"),
-          col("priority_sk"), col("status_sk"), col("date_sk").cast("long").as("date_sk"),
+          col("priority_sk"), col("status_sk"), col("date_sk"),
           lit(1L).as("job_count"))
         .orderBy("job_posting_pk")
     },
@@ -141,9 +148,14 @@ object StarQueries {
          |SELECT DISTINCT t.doc_id, ds.skill_sk
          |FROM tagged t JOIN dim_skill ds ON t.skill_name = ds.skill_name
          |ORDER BY doc_id, skill_sk""".stripMargin) { (s, dir) =>
+      // Persisted: the dim derivation AND the bridge join both consume
+      // the tagged frame — without it the vocabulary substring scan
+      // over the corpus runs twice (the C1 cache-dims+fact pattern;
+      // Bench/Verify clear the cache between queries).
       val tagged = Tables.documents(s, dir)
         .select(col("doc_id"),
           explode(gf.extractTags(col("text"), skillVocab)).as("skill_name"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dimSkill = StarSchemaBuilder.withSurrogateKey(
         tagged.select("skill_name").distinct(),
         Seq("skill_name"), "skill_sk", SkStrategy.Auto)

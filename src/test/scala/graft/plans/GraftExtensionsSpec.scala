@@ -40,6 +40,15 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     r shouldBe ((2L, 1L, 1L, "123-<EMAIL> or <IP> and <EMAIL>"))
   }
 
+  test("ngram_dup_stats SQL function: fused repetition profile from plain SQL") {
+    import spark.implicits._
+    val r = spark.sql(
+      "SELECT ngram_dup_stats('a b a b a') AS st")
+      .select($"st.n_toks", $"st.d2", $"st.d3")
+      .as[(Int, Int, Int)].collect().head
+    r shouldBe ((5, 2, 2))
+  }
+
   test("stable_hash60 SQL function matches the Column-composed stableHash bit-for-bit") {
     import spark.implicits._
     val viaSql = spark.sql(

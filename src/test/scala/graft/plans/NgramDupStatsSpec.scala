@@ -1,0 +1,60 @@
+package graft.plans
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{size => fsize}
+import org.apache.spark.sql.graft.CatalystBridge
+import graft.SparkSpec
+
+class NgramDupStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def native(texts: Seq[String]): Seq[(Int, Int, Int)] =
+    texts.toDF("t")
+      .select(CatalystBridge.column(
+        NgramDupStats(CatalystBridge.expr(trim($"t")))).as("st"))
+      .select($"st.n_toks", $"st.d2", $"st.d3")
+      .as[(Int, Int, Int)].collect().toSeq
+
+  /** The composed form the expression fuses: ShingleTokens ×3 +
+    * array_distinct ×2. */
+  private def composed(texts: Seq[String]): Seq[(Int, Int, Int)] =
+    texts.toDF("t")
+      .select(
+        fsize(CatalystBridge.column(
+          ShingleTokens(CatalystBridge.expr(trim($"t")), 1, dedupe = false))),
+        fsize(array_distinct(CatalystBridge.column(
+          ShingleTokens(CatalystBridge.expr(trim($"t")), 2, dedupe = false)))),
+        fsize(array_distinct(CatalystBridge.column(
+          ShingleTokens(CatalystBridge.expr(trim($"t")), 3, dedupe = false)))))
+      .as[(Int, Int, Int)].collect().toSeq
+      // size() of ShingleTokens' empty array is 0 for short inputs in
+      // both forms, so the tuples line up directly.
+
+  test("fused profile matches the composed ShingleTokens+distinct form") {
+    val texts = Seq(
+      "a b c d e",
+      "a a a a", // maximal repetition: d2 = 1, d3 = 1
+      "a  b\tc", // whitespace runs
+      "x", // single token: no 2-grams
+      "x y", // no 3-grams
+      "", // empty
+      "a b a b a b", // alternating dups
+      "  leading and trailing  ")
+    native(texts) shouldBe composed(texts)
+  }
+
+  test("counts on a known doc") {
+    // tokens: [a b a b a] -> 2-grams: ab ba ab ba -> d2 = 2;
+    // 3-grams: aba bab aba -> d3 = 2
+    native(Seq("a b a b a")) shouldBe Seq((5, 2, 2))
+  }
+
+  test("null text yields null struct") {
+    val rows = Seq[String](null).toDF("t")
+      .select(CatalystBridge.column(
+        NgramDupStats(CatalystBridge.expr($"t"))).as("st"))
+      .collect()
+    rows.head.getAs[Row]("st") shouldBe null
+  }
+}
