@@ -1696,6 +1696,223 @@ object TextQueries {
               ((col("c_g") + 1) / (col("n_g") + col("v"))))), 6)
             .as("dsir_logweight"))
         .orderBy("doc_id")
+    },
+
+    // Per-source document caps (RefinedWeb-style domain caps): bound
+    // any one source's contribution to the mix by keeping only its
+    // top-`cap` docs under a quality ordering (content length here;
+    // the score column is pluggable). The row_number idiom is
+    // TopKPerKey-rewrite-eligible (q76's live-rank path): under
+    // GraftExtensions the executed plan is a bounded heap per source
+    // — one shuffle, no per-source sort, ≤ cap rows out per key no
+    // matter how skewed a source's doc count is.
+    QueryDef("q84_source_caps",
+      """SELECT source, doc_id, n_chars, rank FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id) AS rank
+        |  FROM documents)
+        |WHERE rank <= 10 ORDER BY source, rank""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(desc("n_chars"), asc("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .orderBy("source", "rank")
+    },
+
+    // Per-language length-outlier band filter: exact p05/p95
+    // token-count thresholds per lang (R-7 interpolation on both
+    // engines — the q63 parity), then a keep/drop census against the
+    // band — how a pipeline calibrates and audits its length filter.
+    // Scale shape: the percentile aggregate's state is
+    // O(distinct lengths) per lang (thousands, not rows), the
+    // threshold table is lang-sized → broadcast back onto the corpus;
+    // no window over the full corpus.
+    QueryDef("q85_length_band",
+      """WITH n AS (
+        |  SELECT lang,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |             x -> x <> '')) AS DOUBLE) AS n
+        |  FROM documents
+        |), b AS (
+        |  SELECT lang, quantile_cont(n, 0.05) AS lo, quantile_cont(n, 0.95) AS hi
+        |  FROM n GROUP BY lang
+        |)
+        |SELECT n.lang, round(b.lo, 4) AS lo, round(b.hi, 4) AS hi,
+        |  CAST(sum(CASE WHEN n.n BETWEEN b.lo AND b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN n.n BETWEEN b.lo AND b.hi THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+        |FROM n JOIN b ON n.lang = b.lang
+        |GROUP BY n.lang, b.lo, b.hi ORDER BY n.lang""".stripMargin) { (s, dir) =>
+      val n = Tables.documents(s, dir)
+        .select(col("lang"), size(gf.tokens(col("text"))).cast("double").as("n"))
+      val b = n.groupBy("lang").agg(
+        expr("percentile(n, 0.05D)").as("lo"),
+        expr("percentile(n, 0.95D)").as("hi"))
+      val kept = when(col("n").between(col("lo"), col("hi")), 1L).otherwise(0L)
+      n.join(broadcast(b), "lang")
+        .select(col("lang"), col("lo"), col("hi"), kept.as("k"))
+        .groupBy("lang", "lo", "hi")
+        .agg(sum("k").as("n_kept"),
+          (count(lit(1)) - sum(col("k"))).as("n_dropped"))
+        .select(col("lang"), round(col("lo"), 4).as("lo"),
+          round(col("hi"), 4).as("hi"), col("n_kept"), col("n_dropped"))
+        .orderBy("lang")
+    },
+
+    // Bigram LM estimation: conditional transition probabilities
+    // P(w2|w1) = c(w1 w2) / Σ_w c(w1 w) — the KenLM-style building
+    // block behind model-based quality filters. Bigrams are per-row
+    // array arithmetic (zip_with of the token array with its own tail
+    // — no index join, no shuffle to form the pairs); c12 is one
+    // (bigram) aggregate with partial agg upstream; the denominator
+    // reuses c12 itself (grouped by first token — distinct-bigram
+    // volume, far below corpus volume), so the corpus is tokenized
+    // exactly once.
+    QueryDef("q86_bigram_lm",
+      """WITH docs AS (
+        |  SELECT list_filter(string_split_regex(trim(text), '\s+'),
+        |         x -> x <> '') AS t
+        |  FROM documents
+        |), bg AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1])) AS bigram
+        |  FROM docs WHERE len(t) >= 2
+        |), c12 AS (
+        |  SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram
+        |), c1 AS (
+        |  SELECT split_part(bigram, ' ', 1) AS w1,
+        |    CAST(sum(cnt) AS DOUBLE) AS c1
+        |  FROM c12 GROUP BY 1
+        |)
+        |SELECT c12.bigram, c12.cnt, round(c12.cnt / c1.c1, 6) AS cond_p
+        |FROM c12 JOIN c1 ON split_part(c12.bigram, ' ', 1) = c1.w1
+        |ORDER BY cnt DESC, bigram LIMIT 25""".stripMargin) { (s, dir) =>
+      val bg = Tables.documents(s, dir)
+        .repartition(col("doc_id"))
+        .select(gf.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("bigram"))
+      val c12 = bg.groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      val c1 = c12
+        .groupBy(split_part(col("bigram"), lit(" "), lit(1)).as("w1"))
+        .agg(sum("cnt").cast("double").as("c1"))
+      c12.withColumn("w1", split_part(col("bigram"), lit(" "), lit(1)))
+        .join(c1, "w1")
+        .select(col("bigram"), col("cnt"),
+          round(col("cnt") / col("c1"), 6).as("cond_p"))
+        .orderBy(desc("cnt"), asc("bigram"))
+        .limit(25)
+    },
+
+    // Incremental dedup: probe a NEW slice of the corpus against the
+    // EXISTING corpus' LSH band buckets without ever self-joining the
+    // whole corpus — the daily-ingest shape where today's crawl is
+    // checked against a persisted index (q42's build-once story,
+    // minhash flavor). The new/existing split is the stable doc_id
+    // hash (10% new) — engine- and layout-independent. Signatures are
+    // computed ONCE over the union; band buckets emit only
+    // new×existing pairs (never new×new or existing×existing);
+    // candidates are verified with exact 3-shingle Jaccard via the
+    // codegen'd two-pointer [[graft.plans.SortedIntersectSize]] over
+    // [[graft.plans.ShingleTokens]]' canonical sorted mode.
+    QueryDef("q87_incremental_dedup",
+      s"""WITH sh AS (
+         |  $shingleSql
+         |), hashed AS (
+         |  $shingleHashSql
+         |), sig AS (
+         |  SELECT doc_id, $minhashSqlAggs FROM hashed GROUP BY doc_id
+         |), bands AS (
+         |  ${(0 until Bands).map(b =>
+              s"SELECT doc_id, $b AS band_idx, ${bandSql(b)} AS band_hash FROM sig")
+              .mkString("\n  UNION ALL\n  ")}
+         |), flagged AS (
+         |  SELECT doc_id, band_idx, band_hash,
+         |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+         |         AS BIGINT) % 10000 < 1000 AS is_new
+         |  FROM bands
+         |), cand AS (
+         |  SELECT DISTINCT n.doc_id AS doc_new, e.doc_id AS doc_old
+         |  FROM flagged n JOIN flagged e
+         |    ON n.band_idx = e.band_idx AND n.band_hash = e.band_hash
+         |   AND n.is_new AND NOT e.is_new
+         |), sizes AS (
+         |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+         |), inter AS (
+         |  SELECT c.doc_new, c.doc_old, count(*) AS i
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc_new
+         |  JOIN sh b ON b.doc_id = c.doc_old AND b.tok = a.tok
+         |  GROUP BY c.doc_new, c.doc_old
+         |)
+         |SELECT c.doc_new, c.doc_old,
+         |  round(CAST(coalesce(i.i, 0) AS DOUBLE)
+         |        / (sa.n + sb.n - coalesce(i.i, 0)), 4) AS jaccard
+         |FROM cand c
+         |LEFT JOIN inter i ON i.doc_new = c.doc_new AND i.doc_old = c.doc_old
+         |JOIN sizes sa ON sa.doc_id = c.doc_new
+         |JOIN sizes sb ON sb.doc_id = c.doc_old
+         |ORDER BY c.doc_new, c.doc_old""".stripMargin) { (s, dir) =>
+      val isNew = gf.stableHash(col("doc_id").cast("string")) % 10000 < 1000
+      val sig = shingled(Tables.documents(s, dir))
+        .select(col("doc_id"), (shingleHash(col("tok")) % MinhashP).as("h"))
+        .groupBy("doc_id")
+        .agg(minhashAggs(col("h")).head, minhashAggs(col("h")).tail: _*)
+      val bandStructs = array((0 until Bands).map { b =>
+        struct(lit(b).as("band_idx"), bandCol(b).as("band_hash"))
+      }: _*)
+      val bands = sig
+        .select(col("doc_id"), isNew.as("is_new"),
+          explode(bandStructs).as("bd"))
+        .select(col("doc_id"), col("is_new"),
+          col("bd.band_idx").as("band_idx"),
+          col("bd.band_hash").as("band_hash"))
+      // One pass over the buckets: collect the new and existing
+      // members separately, emit only the cross pairs — bucket sizes
+      // bound the blow-up (LSH's contract), and the asymmetric split
+      // means a bucket full of existing docs emits nothing.
+      val buckets = bands
+        .groupBy("band_idx", "band_hash")
+        .agg(
+          sort_array(collect_list(when(col("is_new"), col("doc_id"))))
+            .as("new_ids"),
+          sort_array(collect_list(when(!col("is_new"), col("doc_id"))))
+            .as("old_ids"))
+        .filter(size(col("new_ids")) > 0 && size(col("old_ids")) > 0)
+      val cand = buckets
+        .select(explode(flatten(transform(col("new_ids"), a =>
+          transform(col("old_ids"), b =>
+            struct(a.as("doc_new"), b.as("doc_old")))))).as("p"))
+        .select(col("p.doc_new").as("doc_new"), col("p.doc_old").as("doc_old"))
+        .distinct()
+      // Exact verify on candidates only: canonical sorted shingle sets
+      // joined in by doc_id (the candidate side is bucket-bounded), a
+      // codegen'd two-pointer intersection per pair.
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          org.apache.spark.sql.graft.CatalystBridge.column(
+            graft.plans.ShingleTokens(
+              org.apache.spark.sql.graft.CatalystBridge.expr(trim(col("text"))),
+              3, dedupe = true, sorted = true)).as("toks"))
+        .withColumn("n", size(col("toks")))
+      val a = toks.select(col("doc_id").as("doc_new"), col("toks").as("ta"),
+        col("n").as("na"))
+      val b = toks.select(col("doc_id").as("doc_old"), col("toks").as("tb"),
+        col("n").as("nb"))
+      val inter = org.apache.spark.sql.graft.CatalystBridge.column(
+        graft.plans.SortedIntersectSize(
+          org.apache.spark.sql.graft.CatalystBridge.expr(col("ta")),
+          org.apache.spark.sql.graft.CatalystBridge.expr(col("tb"))))
+      cand.join(a, "doc_new").join(b, "doc_old")
+        .select(col("doc_new"), col("doc_old"),
+          round(inter.cast("double") / (col("na") + col("nb") - inter), 4)
+            .as("jaccard"))
+        .orderBy("doc_new", "doc_old")
     }
   )
 

@@ -109,6 +109,17 @@ class TopKRewriteRuleSpec extends AnyFunSuite with Matchers {
     plan should not include "windowspecdefinition"
   }
 
+  test("q84's executed plan under GraftExtensions carries TopKPerKeyExec, not a window sort") {
+    // q84 (per-source domain caps) keeps the rank as an output column
+    // — same live-rank shape as q76; the cap must plan as a bounded
+    // heap per source, not a full per-source sort.
+    val d = graft.SparkEntry.allDefs.find(_.name == "q84_source_caps").get
+    val plan = d.build(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    plan should include("TopKPerKey")
+    plan should not include "windowspecdefinition"
+  }
+
   test("emitted ranks are correct on the DEGRADED (spill) path too") {
     import spark.implicits._
     val rows = for { key <- 1 to 200; i <- 1 to 20 }
