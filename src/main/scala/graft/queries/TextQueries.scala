@@ -1913,6 +1913,153 @@ object TextQueries {
           round(inter.cast("double") / (col("na") + col("nb") - inter), 4)
             .as("jaccard"))
         .orderBy("doc_new", "doc_old")
+    },
+
+    // Bigram-LM perplexity scoring: each doc's mean negative log
+    // P(w2|w1) under the corpus bigram LM (q86's model) — the
+    // CCNet/KenLM-style model-based quality filter, here with the LM
+    // estimated and applied in one job. Scale shape: the corpus is
+    // tokenized once (bigrams are per-row zip_with arithmetic); the LM
+    // is two aggregates over DISTINCT-bigram volume; scoring is one
+    // equi-join on the bigram key + one doc-keyed aggregate — every
+    // shuffle is key-partitioned, nothing all-pairs, and the LM join
+    // input is bigram-distinct (far below corpus volume). Log/exp
+    // parity with the oracle follows the q68 precedent (round after
+    // the aggregate).
+    QueryDef("q88_bigram_perplexity",
+      """WITH docs AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+        |         x -> x <> '') AS t
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1])) AS bigram
+        |  FROM docs WHERE len(t) >= 2
+        |), c12 AS (
+        |  SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram
+        |), c1 AS (
+        |  SELECT split_part(bigram, ' ', 1) AS w1,
+        |    CAST(sum(cnt) AS DOUBLE) AS c1
+        |  FROM c12 GROUP BY 1
+        |), lm AS (
+        |  SELECT c12.bigram, c12.cnt / c1.c1 AS p
+        |  FROM c12 JOIN c1 ON split_part(c12.bigram, ' ', 1) = c1.w1
+        |)
+        |SELECT bg.doc_id, count(*) AS n_bigrams,
+        |  round(-avg(ln(lm.p)), 6) AS avg_nll,
+        |  round(exp(-avg(ln(lm.p))), 4) AS ppl
+        |FROM bg JOIN lm ON bg.bigram = lm.bigram
+        |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin) { (s, dir) =>
+      val bg = Tables.documents(s, dir)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), gf.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("bigram"))
+      val c12 = bg.groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      val c1 = c12
+        .groupBy(split_part(col("bigram"), lit(" "), lit(1)).as("w1"))
+        .agg(sum("cnt").cast("double").as("c1"))
+      val lm = c12
+        .withColumn("w1", split_part(col("bigram"), lit(" "), lit(1)))
+        .join(c1, "w1")
+        .select(col("bigram"), (col("cnt") / col("c1")).as("p"))
+      bg.join(lm, "bigram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(-avg(log(col("p"))), 6).as("avg_nll"),
+          round(exp(-avg(log(col("p")))), 4).as("ppl"))
+        .orderBy("doc_id")
+    },
+
+    // Cross-source duplication matrix: LSH near-dup candidate pairs
+    // rolled up to (source_a, source_b) counts — the audit that tells
+    // a pipeline WHICH ingest feeds duplicate each other (mirrors
+    // within one crawl, re-posts across crawls) before it decides
+    // per-source survivorship. Reuses the shared signature/banding
+    // pipeline (signatures computed once); the source lookup is a
+    // skinny (doc_id, source) projection equi-joined onto the
+    // bucket-bounded pair list — pair volume, not corpus volume, pays
+    // the join; the matrix itself is ≤ sources² rows.
+    QueryDef("q89_dup_matrix",
+      s"""$lshPairsSql
+         |SELECT least(da.source, db.source) AS source_a,
+         |  greatest(da.source, db.source) AS source_b,
+         |  count(*) AS n_pairs
+         |FROM pairs p
+         |JOIN documents da ON da.doc_id = p.doc_a
+         |JOIN documents db ON db.doc_id = p.doc_b
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val sa = Tables.documents(s, dir)
+        .select(col("doc_id").as("doc_a"), col("source").as("sa"))
+      val sb = Tables.documents(s, dir)
+        .select(col("doc_id").as("doc_b"), col("source").as("sb"))
+      lshPairs(s, dir)
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    },
+
+    // Gopher-style quality-rule census: the published rule bundle
+    // (doc length band, mean-word-length band, minimum stopword
+    // evidence, repetition via distinct-token ratio) evaluated per doc
+    // and rolled up per source — the calibration view a pipeline reads
+    // before committing to thresholds. All four rules are per-row
+    // array arithmetic over ONE tokenization (no shuffle before the
+    // source rollup); mean word length is computed as
+    // sum(len)/count in BOTH engines so the band compare is
+    // bit-identical at the boundary.
+    QueryDef("q90_gopher_rules",
+      """WITH t AS (
+        |  SELECT source, list_filter(string_split_regex(trim(text), '\s+'),
+        |         x -> x <> '') AS t
+        |  FROM documents
+        |), r AS (
+        |  SELECT source,
+        |    CASE WHEN len(t) BETWEEN 30 AND 10000 THEN 1 ELSE 0 END AS r_len,
+        |    CASE WHEN CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+        |              / len(t) BETWEEN 3.9 AND 5.1 THEN 1 ELSE 0 END AS r_wordlen,
+        |    CASE WHEN len(list_filter(t, x -> x IN ('the', 'a'))) >= 2
+        |         THEN 1 ELSE 0 END AS r_stop,
+        |    CASE WHEN CAST(len(list_distinct(t)) AS DOUBLE) / len(t) >= 0.5
+        |         THEN 1 ELSE 0 END AS r_rep
+        |  FROM t
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(r_len) AS BIGINT) AS pass_len,
+        |  CAST(sum(r_wordlen) AS BIGINT) AS pass_wordlen,
+        |  CAST(sum(r_stop) AS BIGINT) AS pass_stop,
+        |  CAST(sum(r_rep) AS BIGINT) AS pass_rep,
+        |  CAST(sum(r_len * r_wordlen * r_stop * r_rep) AS BIGINT) AS pass_all
+        |FROM r GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val t = col("t")
+      val rLen = when(size(t).between(30, 10000), 1L).otherwise(0L)
+      val meanWl = aggregate(t, lit(0L), (acc, x) => acc + length(x))
+        .cast("double") / size(t)
+      val rWordlen = when(meanWl.between(3.9, 5.1), 1L).otherwise(0L)
+      val rStop = when(size(filter(t, x => x.isin("the", "a"))) >= 2, 1L)
+        .otherwise(0L)
+      val rRep = when(
+        size(array_distinct(t)).cast("double") / size(t) >= 0.5, 1L)
+        .otherwise(0L)
+      Tables.documents(s, dir)
+        .select(col("source"), gf.tokens(col("text")).as("t"))
+        .select(col("source"), rLen.as("r_len"), rWordlen.as("r_wordlen"),
+          rStop.as("r_stop"), rRep.as("r_rep"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("r_len").as("pass_len"),
+          sum("r_wordlen").as("pass_wordlen"),
+          sum("r_stop").as("pass_stop"),
+          sum("r_rep").as("pass_rep"),
+          sum(col("r_len") * col("r_wordlen") * col("r_stop") * col("r_rep"))
+            .as("pass_all"))
+        .orderBy("source")
     }
   )
 
