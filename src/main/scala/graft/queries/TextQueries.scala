@@ -2060,6 +2060,106 @@ object TextQueries {
           sum(col("r_len") * col("r_wordlen") * col("r_stop") * col("r_rep"))
             .as("pass_all"))
         .orderBy("source")
+    },
+
+    // n-gram diversity per source: distinct-trigram / total-trigram
+    // ratio — the self-repetition metric (inverse Self-BLEU proxy)
+    // that flags template-generated or boilerplate-heavy feeds before
+    // they flood the mix. One explode + one source-keyed aggregate;
+    // the exact count(DISTINCT) shuffles distinct trigrams (the exact
+    // path — its fixed-state HLL twin is the q70 pattern,
+    // `cardinalityProfileApprox`).
+    QueryDef("q91_ngram_diversity",
+      """WITH tg AS (
+        |  SELECT source, unnest(list_transform(
+        |    generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tok
+        |  FROM (SELECT source, list_filter(
+        |          string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |        FROM documents)
+        |)
+        |SELECT source, count(*) AS n_trigrams,
+        |  count(DISTINCT tok) AS n_distinct,
+        |  round(CAST(count(DISTINCT tok) AS DOUBLE) / count(*), 6) AS diversity
+        |FROM tg GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val tg = Tables.documents(s, dir)
+        .repartition(col("doc_id"))
+        .select(col("source"),
+          explode(org.apache.spark.sql.graft.CatalystBridge.column(
+            graft.plans.ShingleTokens(
+              org.apache.spark.sql.graft.CatalystBridge.expr(trim(col("text"))),
+              3, dedupe = false))).as("tok"))
+      tg.groupBy("source")
+        .agg(count(lit(1)).as("n_trigrams"),
+          countDistinct(col("tok")).as("n_distinct"),
+          round(countDistinct(col("tok")).cast("double") / count(lit(1)), 6)
+            .as("diversity"))
+        .orderBy("source")
+    },
+
+    // Per-doc token-distribution Shannon entropy: −Σ p·ln p over the
+    // doc's unigram distribution — low entropy = degenerate/repetitive
+    // text, a quality gate orthogonal to length and stopword rules.
+    // Two key-partitioned aggregates ((doc, tok) counts, then doc
+    // rollup) — partial aggregation upstream of both shuffles, state
+    // bounded by per-doc distinct tokens.
+    QueryDef("q92_token_entropy",
+      """WITH c AS (
+        |  SELECT doc_id, tok, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_filter(
+        |      string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
+        |    FROM documents) GROUP BY doc_id, tok
+        |), n AS (
+        |  SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n,
+        |    count(*) AS n_distinct
+        |  FROM c GROUP BY doc_id
+        |)
+        |SELECT c.doc_id, CAST(n.n AS BIGINT) AS n_tokens, n.n_distinct,
+        |  round(-sum((c.c / n.n) * ln(c.c / n.n)), 6) AS entropy
+        |FROM c JOIN n ON c.doc_id = n.doc_id
+        |GROUP BY c.doc_id, n.n, n.n_distinct ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
+      val c = Tables.documents(s, dir)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), explode(gf.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val n = c.groupBy("doc_id")
+        .agg(sum("c").cast("double").as("n"), count(lit(1)).as("n_distinct"))
+      val p = col("c") / col("n")
+      c.join(n, "doc_id")
+        .groupBy(col("doc_id"), col("n"), col("n_distinct"))
+        .agg(round(-sum(p * log(p)), 6).as("entropy"))
+        .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+          col("n_distinct"), col("entropy"))
+        .orderBy("doc_id")
+    },
+
+    // Exact-duplicate rate per source: how much of each feed is
+    // byte-identical content already present elsewhere in the corpus
+    // — the census a pipeline reads before deciding which feeds to
+    // keep crawling. Global text-hash counts (one md5-keyed
+    // aggregate), joined back by hash (skinny side), rolled up per
+    // source — q27's machinery turned into a monitoring view.
+    QueryDef("q95_dup_rate_by_source",
+      """WITH h AS (
+        |  SELECT md5(text) AS h, count(*) AS cnt FROM documents GROUP BY 1
+        |)
+        |SELECT d.source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN h.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_docs,
+        |  round(CAST(sum(CASE WHEN h.cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*), 6) AS dup_rate
+        |FROM documents d JOIN h ON md5(d.text) = h.h
+        |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("source"), md5(col("text")).as("h"))
+      val h = docs.groupBy("h").agg(count(lit(1)).as("cnt"))
+      val isDup = when(col("cnt") > 1, 1L).otherwise(0L)
+      docs.join(h, "h")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(isDup).as("n_dup_docs"),
+          round(sum(isDup).cast("double") / count(lit(1)), 6).as("dup_rate"))
+        .orderBy("source")
     }
   )
 
