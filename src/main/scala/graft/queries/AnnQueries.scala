@@ -227,6 +227,37 @@ object AnnQueries {
         .orderBy("label")
     },
 
+    // Embedding-dimension health profile: per-position mean / std /
+    // min / max across the corpus — the QA view that catches dead
+    // dimensions (std ≈ 0), saturated clamps (|min|=|max|=bound), and
+    // mis-scaled encoders before ANN indexes are built over the
+    // vectors. One posexplode + ONE pos-keyed aggregate with partial
+    // aggregation upstream; output is dim-bounded (64 rows) no matter
+    // the corpus size.
+    QueryDef("q93_embedding_dims",
+      """WITH v AS (
+        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings
+        |), x AS (
+        |  SELECT i - 1 AS pos, e[i] AS x
+        |  FROM v, unnest(generate_series(1, len(e))) AS g(i)
+        |)
+        |SELECT pos, count(*) AS n,
+        |  round(avg(x), 6) AS mean, round(stddev_samp(x), 6) AS std,
+        |  round(min(x), 6) AS vmin, round(max(x), 6) AS vmax
+        |FROM x GROUP BY pos ORDER BY pos""".stripMargin) { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(transform(col("embedding"), x => x.cast("double")).as("e"))
+        .select(posexplode(col("e")).as(Seq("pos", "x")))
+        .groupBy("pos")
+        .agg(count(lit(1)).as("n"),
+          round(avg("x"), 6).as("mean"),
+          round(stddev_samp(col("x")), 6).as("std"),
+          round(min("x"), 6).as("vmin"),
+          round(max("x"), 6).as("vmax"))
+        .orderBy("pos")
+    },
+
     // Multimodal metadata over binary payloads (decode stub tested in
     // MultimodalSpec; the byte-level plumbing is oracle-checked here).
     QueryDef("q43_media_meta",

@@ -2160,6 +2160,65 @@ object TextQueries {
           sum(isDup).as("n_dup_docs"),
           round(sum(isDup).cast("double") / count(lit(1)), 6).as("dup_rate"))
         .orderBy("source")
+    },
+
+    // Contamination overlap fraction: q62 counts shared eval
+    // 5-shingles for docs that have any; this is the full census — for
+    // EVERY non-benchmark doc, the fraction of its distinct 5-shingles
+    // present in the benchmark source, zero-overlap docs included
+    // (left join), plus the threshold flag a pipeline would gate on.
+    // The continuous signal matters at scale: a hard any-overlap drop
+    // (q62's shape) over-rejects long documents that share one common
+    // phrase; the fraction lets the gate be calibrated. Bench shingles
+    // broadcast (eval sets are tiny relative to the corpus); per-doc
+    // totals and shared counts are doc-keyed aggregates.
+    QueryDef("q94_contamination_frac",
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, source, tok FROM (
+        |    SELECT doc_id, source, unnest(list_transform(
+        |      generate_series(1, len(t) - 4),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS tok
+        |    FROM (SELECT doc_id, source,
+        |            list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |          FROM documents)
+        |  )
+        |), bench AS (SELECT DISTINCT tok FROM sh WHERE source = 'src0'),
+        |tot AS (
+        |  SELECT doc_id, count(*) AS n_sh FROM sh
+        |  WHERE source <> 'src0' GROUP BY doc_id
+        |), shared AS (
+        |  SELECT s.doc_id, count(*) AS n_shared
+        |  FROM sh s JOIN bench b ON s.tok = b.tok
+        |  WHERE s.source <> 'src0' GROUP BY s.doc_id
+        |)
+        |SELECT t.doc_id, t.n_sh,
+        |  CAST(coalesce(sh2.n_shared, 0) AS BIGINT) AS n_shared,
+        |  round(CAST(coalesce(sh2.n_shared, 0) AS DOUBLE) / t.n_sh, 6) AS overlap,
+        |  CAST(CASE WHEN CAST(coalesce(sh2.n_shared, 0) AS DOUBLE) / t.n_sh
+        |       >= 0.01 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        |FROM tot t LEFT JOIN shared sh2 ON t.doc_id = sh2.doc_id
+        |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      def sh5(c: Column): Column =
+        org.apache.spark.sql.graft.CatalystBridge.column(
+          graft.plans.ShingleTokens(
+            org.apache.spark.sql.graft.CatalystBridge.expr(trim(c)), 5))
+      val sh = Tables.documents(s, dir)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), col("source"),
+          explode(sh5(col("text"))).as("tok"))
+      val bench = sh.filter(col("source") === "src0").select("tok").distinct()
+      val rest = sh.filter(col("source") =!= "src0")
+      val tot = rest.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val shared = rest.join(broadcast(bench), "tok")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared0"))
+      val nShared = coalesce(col("n_shared0"), lit(0L))
+      val overlap = nShared.cast("double") / col("n_sh")
+      tot.join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_sh"),
+          nShared.as("n_shared"),
+          round(overlap, 6).as("overlap"),
+          when(overlap >= 0.01, 1L).otherwise(0L).as("contaminated"))
+        .orderBy("doc_id")
     }
   )
 
