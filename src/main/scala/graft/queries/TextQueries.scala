@@ -347,13 +347,15 @@ object TextQueries {
           org.apache.spark.sql.graft.CatalystBridge.column(
             graft.plans.ShingleTokens(
               org.apache.spark.sql.graft.CatalystBridge.expr(trim(col("text"))),
-              1)).as("toks"))
+              1, dedupe = true, sorted = true)).as("toks"))
         .withColumn("ntok", size(col("toks")))
         .filter(col("ntok") > 0)
-      // ShingleTokens(w=1) output is sorted+distinct → md5(join) is a
-      // canonical set fingerprint. collect_list is bounded by the dup
-      // group size — inherent to this operator's contract, whose
-      // OUTPUT already lists every member pair.
+      // sorted+distinct output → md5(join) is a CANONICAL set
+      // fingerprint (docs with the same token set collapse regardless
+      // of token order), and the sorted arrays feed the two-pointer
+      // intersection below. collect_list is bounded by the dup group
+      // size — inherent to this operator's contract, whose OUTPUT
+      // already lists every member pair.
       val groups = t
         .withColumn("fp", md5(array_join(col("toks"), " ")))
         .groupBy("lang", "fp")
@@ -379,25 +381,36 @@ object TextQueries {
       val sizeBand = // necessary condition for J >= 0.9; cheap int math
         col("a.ntok") * 9 <= col("b.ntok") * 10 &&
         col("b.ntok") * 9 <= col("a.ntok") * 10
-      val inter = size(array_intersect(col("a.toks"), col("b.toks"))).cast("double")
+      // |A ∩ B| via the native two-pointer merge over the sorted
+      // arrays — size(array_intersect(..)) builds a hash set AND an
+      // output array per pair only to throw both away for the scalar;
+      // on millions of candidate pairs that allocation rate (not heap
+      // size) is what stalls the suite. The two-pointer kernel is
+      // O(|A|+|B|) compares with ZERO allocation.
+      val inter = org.apache.spark.sql.graft.CatalystBridge.column(
+        graft.plans.SortedIntersectSize(
+          org.apache.spark.sql.graft.CatalystBridge.expr(col("a.toks")),
+          org.apache.spark.sql.graft.CatalystBridge.expr(col("b.toks"))))
       // |A∪B| = |A| + |B| - |A∩B| for sets — no concat+distinct array.
       val candidates = a.join(b,
           col("a.lang") === col("b.lang") &&
           col("a.blk_a") === col("b.blk_a") &&
           col("a.blk_b") === col("b.blk_b") &&
           col("a.fp") < col("b.fp") && sizeBand)
-        .withColumn("inter", inter)
         .select(col("a.ids").as("ids_a"), col("b.ids").as("ids_b"),
-          (col("inter") / (col("a.ntok") + col("b.ntok") - col("inter")))
-            .as("jaccard"))
-      // Typed-filter barrier: a Column filter here gets pushed into the
-      // join CONDITION, where the array_intersect would run (twice — it
-      // appears on both sides of the division) on every hash-bucket
-      // probe before the cheap band/order predicates. The closure is
-      // opaque to Catalyst, so the intersection stays in the post-join
-      // project, computed once per surviving candidate.
+          col("a.ntok").as("na"), col("b.ntok").as("nb"), inter.as("inter"))
+      // Typed barrier: a Column filter on the jaccard would get pushed
+      // into the join CONDITION, where the intersection would run on
+      // every hash-bucket probe before the cheap band/order
+      // predicates; and a Project computing inter/(na+nb-inter) would
+      // evaluate the intersection TWICE after project collapse. The
+      // closure is opaque to Catalyst: the intersection stays in the
+      // post-join project, computed once per surviving candidate, and
+      // the division is plain JVM arithmetic.
       import s.implicits._
-      val crossPairs = candidates.as[(Seq[Long], Seq[Long], Double)]
+      val crossPairs = candidates.as[(Seq[Long], Seq[Long], Int, Int, Int)]
+        .map { case (ia, ib, na, nb, i) =>
+          (ia, ib, i.toDouble / (na + nb - i)) }
         .filter(_._3 >= 0.9)
         .toDF("ids_a", "ids_b", "jaccard")
         .select(explode(col("ids_a")).as("x"), col("ids_b"), col("jaccard"))
