@@ -85,7 +85,7 @@ case class FreqSketch(
     // Ties sort in UTF8String binary order — the same order Spark SQL
     // gives StringType comparisons.
     implicit val ord: Ordering[UTF8String] =
-      (a: UTF8String, b: UTF8String) => a.compareTo(b)
+      (a: UTF8String, b: UTF8String) => a.binaryCompare(b)
     val rows: Array[Any] = buf.counts.toArray
       .sortBy { case (item, c) => (-c, item) }
       .map { case (item, c) => InternalRow(item, c, buf.err) }

@@ -53,9 +53,12 @@ case class ShingleTokens(child: Expression, width: Int,
 }
 
 object ShingleTokens {
+  // binaryCompare, NOT compareTo: Spark 4's compareTo is a deprecation
+  // shim that consults System.getenv on every call — per-element cost
+  // inside an n·log n sort.
   private val utf8Order = new java.util.Comparator[Any] {
     override def compare(a: Any, b: Any): Int =
-      a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+      a.asInstanceOf[UTF8String].binaryCompare(b.asInstanceOf[UTF8String])
   }
 
   def shingle(text: UTF8String, w: Int, dedupe: Boolean,

@@ -72,7 +72,11 @@ object SortedIntersectSize {
       else {
         val x: UTF8String = a.getUTF8String(i)
         val y: UTF8String = b.getUTF8String(j)
-        val c = x.compareTo(y)
+        // binaryCompare, NOT compareTo: Spark 4's compareTo is a
+        // deprecation shim that consults System.getenv per call —
+        // measured at ~100ns × hundreds of millions of merge steps on
+        // the q30 verify (the dominant suite cost on some hosts).
+        val c = x.binaryCompare(y)
         if (c == 0) { n += 1; i += 1; j += 1 }
         else if (c < 0) i += 1
         else j += 1

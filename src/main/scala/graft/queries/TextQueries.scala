@@ -347,20 +347,26 @@ object TextQueries {
           org.apache.spark.sql.graft.CatalystBridge.column(
             graft.plans.ShingleTokens(
               org.apache.spark.sql.graft.CatalystBridge.expr(trim(col("text"))),
-              1, dedupe = true, sorted = true)).as("toks"))
+              1)).as("toks"))
         .withColumn("ntok", size(col("toks")))
         .filter(col("ntok") > 0)
-      // sorted+distinct output → md5(join) is a CANONICAL set
-      // fingerprint (docs with the same token set collapse regardless
-      // of token order), and the sorted arrays feed the two-pointer
-      // intersection below. collect_list is bounded by the dup group
-      // size — inherent to this operator's contract, whose OUTPUT
-      // already lists every member pair.
+      // Occurrence-order fingerprint, DELIBERATELY not canonical-set:
+      // byte-identical dups (the case that dominates real corpora)
+      // still collapse, while same-set-different-order docs stay in
+      // separate groups — merging them measured SLOWER (PERF.md #11:
+      // giant merged groups concentrate the qualifying-pair
+      // expansion). The verify kernel below still wants sorted input,
+      // so each GROUP (not each pair) sorts one copy of its token
+      // array. collect_list is bounded by the dup group size —
+      // inherent to this operator's contract, whose OUTPUT already
+      // lists every member pair.
       val groups = t
         .withColumn("fp", md5(array_join(col("toks"), " ")))
         .groupBy("lang", "fp")
         .agg(sort_array(collect_list(col("doc_id"))).as("ids"),
-          first(col("toks")).as("toks"), first(col("ntok")).as("ntok"))
+          first(col("toks")).as("toks0"), first(col("ntok")).as("ntok"))
+        .withColumn("toks", sort_array(col("toks0")))
+        .drop("toks0")
       // Block decomposition over REPRESENTATIVES: `lang` alone has ~5
       // values, so a plain self-equi-join degenerates to 5 giant tasks
       // no matter how many cores exist. Each side is replicated across
