@@ -24,10 +24,17 @@ package object functions {
     * (reference `dags/spark_etl_script.py:98,103`). */
   def normTitle(c: Column): Column = initcap(trim(c))
 
-  /** Whitespace tokenization. Filters empty tokens so empty/whitespace-only
-    * input yields an empty array (not `[""]`); codegen-friendly. */
+  /** Whitespace tokenization. Empty/whitespace-only input yields an
+    * empty array (not `[""]`). Backed by the native codegen'd
+    * [[graft.plans.ShingleTokens]] at width 1 (same `\s+` regex, same
+    * nonEmpty filter, occurrence order with duplicates) — the composed
+    * `filter(split(...))` form runs its lambda INTERPRETED per element
+    * (PERF.md log #3), which taxed all 21 token-array call sites. */
   def tokens(text: Column): Column =
-    filter(split(trim(text), "\\s+"), t => t =!= "")
+    org.apache.spark.sql.graft.CatalystBridge.column(
+      graft.plans.ShingleTokens(
+        org.apache.spark.sql.graft.CatalystBridge.expr(trim(text)),
+        1, dedupe = false))
 
   /** Vocabulary substring tagging (reference semantics: every vocab term
     * whose lowercase form occurs as a SUBSTRING of the lowercased text is
