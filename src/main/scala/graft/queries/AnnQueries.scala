@@ -258,6 +258,53 @@ object AnnQueries {
         .orderBy("pos")
     },
 
+    // Inter-label centroid separation matrix: pairwise cosine between
+    // label centroids — q83's cohesion (how tight is each cluster)
+    // paired with separation (how far apart the clusters sit), the
+    // two numbers that together say whether a labeling/clustering is
+    // usable for stratified sampling or semantic dedup. Centroids are
+    // the same (label, pos) aggregate as q83, rounded to 6dp in both
+    // engines; the pair join is over #labels rows — bounded, broadcast,
+    // upper-triangle only.
+    QueryDef("q97_label_separation",
+      """WITH v AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings
+        |), cm AS (
+        |  SELECT label, i, round(avg(e[i]), 6) AS x
+        |  FROM v, unnest(generate_series(1, len(e))) AS g(i)
+        |  GROUP BY label, i
+        |), cent AS (
+        |  SELECT label, ce, sqrt(list_sum(list_transform(ce, y -> y * y))) AS cn
+        |  FROM (SELECT label, list(x ORDER BY i) AS ce FROM cm GROUP BY label)
+        |)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |  round(list_sum(list_transform(generate_series(1, len(a.ce)),
+        |      i -> a.ce[i] * b.ce[i])) / (a.cn * b.cn), 6) AS cos
+        |FROM cent a JOIN cent b ON a.label < b.label
+        |ORDER BY label_a, label_b""".stripMargin) { (s, dir) =>
+      val v = Tables.embeddings(s, dir)
+        .select(col("label"),
+          transform(col("embedding"), x => x.cast("double")).as("e"))
+      val cent = v
+        .select(col("label"), posexplode(col("e")).as(Seq("i", "x")))
+        .groupBy("label", "i").agg(round(avg("x"), 6).as("x"))
+        .groupBy("label")
+        .agg(collect_list(struct(col("i"), col("x"))).as("pairs"))
+        .select(col("label"),
+          transform(array_sort(col("pairs")), p => p.getField("x")).as("ce"))
+        .withColumn("cn", Similarity.norm(col("ce")))
+      val a = cent.select(col("label").as("label_a"), col("ce").as("ca"),
+        col("cn").as("na"))
+      val b = cent.select(col("label").as("label_b"), col("ce").as("cb"),
+        col("cn").as("nb"))
+      a.join(broadcast(b), col("label_a") < col("label_b"))
+        .select(col("label_a"), col("label_b"),
+          round(Similarity.dot(col("ca"), col("cb"))
+            / (col("na") * col("nb")), 6).as("cos"))
+        .orderBy("label_a", "label_b")
+    },
+
     // Multimodal metadata over binary payloads (decode stub tested in
     // MultimodalSpec; the byte-level plumbing is oracle-checked here).
     QueryDef("q43_media_meta",

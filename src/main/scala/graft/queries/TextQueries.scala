@@ -2238,6 +2238,59 @@ object TextQueries {
           round(overlap, 6).as("overlap"),
           when(overlap >= 0.01, 1L).otherwise(0L).as("contaminated"))
         .orderBy("doc_id")
+    },
+
+    // Lexical-richness profile per source: type-token ratio and hapax
+    // fraction (types seen exactly once) — the vocabulary-health
+    // signals that catch template-generated feeds (low TTR) and
+    // OCR/noise feeds (hapax explosion) before either pollutes a
+    // tokenizer's merge table. One (source, tok) aggregate with
+    // partial aggregation, then a source rollup over DISTINCT-type
+    // volume — never a second corpus scan.
+    QueryDef("q96_lexical_richness",
+      """WITH c AS (
+        |  SELECT source, tok, count(*) AS cnt FROM (
+        |    SELECT source, unnest(list_filter(
+        |      string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
+        |    FROM documents) GROUP BY source, tok
+        |)
+        |SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_types,
+        |  round(CAST(count(*) AS DOUBLE) / sum(cnt), 6) AS ttr,
+        |  round(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*), 6) AS hapax_frac
+        |FROM c GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val c = tokensBySource(s, dir)
+        .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+      c.groupBy("source")
+        .agg(sum("cnt").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          round(count(lit(1)).cast("double") / sum("cnt"), 6).as("ttr"),
+          round(sum(when(col("cnt") === 1, 1L).otherwise(0L)).cast("double")
+            / count(lit(1)), 6).as("hapax_frac"))
+        .orderBy("source")
+    },
+
+    // Exact-dup cluster-size histogram: how many duplicate clusters of
+    // each size the corpus carries — the census that sizes a dedup
+    // pass (expected row reduction = Σ (size-1)·n_clusters) before
+    // running it. Two bounded aggregates over hash volume; the
+    // histogram itself is ≤ max-cluster-size rows.
+    QueryDef("q98_dup_histogram",
+      """WITH h AS (
+        |  SELECT md5(text) AS h, count(*) AS sz FROM documents GROUP BY 1
+        |)
+        |SELECT sz AS cluster_size, count(*) AS n_clusters,
+        |  CAST(sz * count(*) AS BIGINT) AS n_docs
+        |FROM h GROUP BY sz ORDER BY sz""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"))
+        .orderBy("cluster_size")
     }
   )
 
