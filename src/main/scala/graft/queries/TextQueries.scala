@@ -430,8 +430,17 @@ object TextQueries {
             slice(col("ids"), i + lit(2), size(col("ids")) - i - lit(1)),
             y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
         .select(col("p.doc_a"), col("p.doc_b"), lit(1.0).as("jaccard"))
+      // The final total-order sort range-partitions its input, and
+      // RangePartitioner's sample pass EXECUTES the child once before
+      // the sort pass executes it again — for a cheap child that's
+      // noise, but here the child is the whole blocked verify join.
+      // Persisting the skinny pair frame (3 columns, output-sized)
+      // makes the sample pass the only full execution; the contract
+      // ORDER BY then reads the cache. Verify/Bench clear caches
+      // between queries.
       crossPairs.union(withinPairs)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         .orderBy("doc_a", "doc_b")
     },
 
@@ -1927,10 +1936,14 @@ object TextQueries {
         graft.plans.SortedIntersectSize(
           org.apache.spark.sql.graft.CatalystBridge.expr(col("ta")),
           org.apache.spark.sql.graft.CatalystBridge.expr(col("tb"))))
+      // Persist before the contract ORDER BY: the sort's range-
+      // partitioner sample pass would otherwise re-execute the verify
+      // join (the q30 note) — the pair frame is output-sized.
       cand.join(a, "doc_new").join(b, "doc_old")
         .select(col("doc_new"), col("doc_old"),
           round(inter.cast("double") / (col("na") + col("nb") - inter), 4)
             .as("jaccard"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         .orderBy("doc_new", "doc_old")
     },
 

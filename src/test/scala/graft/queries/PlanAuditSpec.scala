@@ -65,11 +65,14 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
     *     (source, tok) counts for the KL denominator;
     *   - q81: the same 1-row model-totals frame (N_target, N_global, V)
     *     crossed onto the per-token rows for DSIR smoothing.
+    *   - q97: the broadcast label-centroid pair join (both sides
+    *     ≤ #labels rows by construction, inequality condition for the
+    *     upper triangle).
     */
   private val boundedNestedLoop = Set(
     "q23_dim_upsert", "q46_tfidf", "q31_similarity_stats", "q41_ann_topk",
     "q42_ann_ivf", "q47_embedding_neardup", "q68_unigram_logprob",
-    "q71_source_divergence", "q81_dsir_weights")
+    "q71_source_divergence", "q81_dsir_weights", "q97_label_separation")
 
   test("suite-wide: nested-loop joins only as broadcast builds of bounded frames") {
     val offenders = SparkEntry.allDefs.flatMap { d =>
