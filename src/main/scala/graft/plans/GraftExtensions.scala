@@ -85,6 +85,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => NgramDupStats(args.head)))
 
     ext.injectFunction((
+      new FunctionIdentifier("token_class_counts"),
+      info("token_class_counts",
+        "token_class_counts(str) - struct(n_words, n_punct): [A-Za-z0-9]+ runs and non-alnum non-ws code points in one byte scan"),
+      (args: Seq[Expression]) => TokenClassCounts(args.head)))
+
+    ext.injectFunction((
       new FunctionIdentifier("freq_sketch"),
       info("freq_sketch",
         "freq_sketch(str, k) - Misra-Gries heavy-hitter aggregate: <=k (item, count_min, err) candidates"),

@@ -634,22 +634,23 @@ object TextQueries {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_words,
         |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      def cnt(pattern: String) =
-        size(regexp_extract_all(col("text"), lit(pattern), lit(0))).cast("long")
-      // n_pieces is NOT a third regex pass: the alternation's matches
-      // partition exactly into maximal word runs and single punct
-      // chars, so n_pieces = n_words + n_punct — 1/3 less regex CPU
-      // on the hot path (regexp dominates this query's profile).
+      // ONE native byte scan replaces both regexp_extract_all passes
+      // (which also materialized full match arrays only to size them)
+      // — java.util.regex dominated this query's sf1x profile
+      // (PERF.md #16); exact character-class parity argued in
+      // [[graft.plans.TokenClassCounts]]. n_pieces = n_words + n_punct
+      // because the alternation's matches partition into maximal word
+      // runs and single punct chars.
+      val tc = org.apache.spark.sql.graft.CatalystBridge.column(
+        graft.plans.TokenClassCounts(
+          org.apache.spark.sql.graft.CatalystBridge.expr(col("text"))))
       Tables.documents(s, dir)
         .repartition(col("doc_id")) // fan out the single-file scan
+        .select(col("doc_id"), tc.as("tc"))
         .select(
           col("doc_id"),
-          cnt("[A-Za-z0-9]+").as("n_words"),
-          cnt("[^A-Za-z0-9\\s]").as("n_punct"))
-        .select(
-          col("doc_id"),
-          (col("n_words") + col("n_punct")).as("n_pieces"),
-          col("n_words"), col("n_punct"))
+          (col("tc.n_words") + col("tc.n_punct")).as("n_pieces"),
+          col("tc.n_words").as("n_words"), col("tc.n_punct").as("n_punct"))
         .orderBy("doc_id")
     },
 

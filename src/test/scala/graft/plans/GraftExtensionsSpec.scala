@@ -31,6 +31,15 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     s
   }
 
+  test("token_class_counts SQL function: word runs + punct code points") {
+    import spark.implicits._
+    val r = spark.sql(
+      "SELECT token_class_counts('hi there, world!').n_words AS w, " +
+        "token_class_counts('hi there, world!').n_punct AS p")
+      .as[(Long, Long)].collect().head
+    r shouldBe ((3L, 2L))
+  }
+
   test("pii_scrub SQL function: chained-replace semantics from plain SQL") {
     import spark.implicits._
     val r = spark.sql(
