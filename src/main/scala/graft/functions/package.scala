@@ -36,6 +36,15 @@ package object functions {
         org.apache.spark.sql.graft.CatalystBridge.expr(trim(text)),
         1, dedupe = false))
 
+  /** Count of array elements equal to any of `terms` (duplicates
+    * counted). `size(filter(arr, _.isin(terms:_*)))` is the natural
+    * spelling, but higher-order lambdas run INTERPRETED per element
+    * (PERF.md log #3); the size-difference over codegen'd
+    * `array_remove`s is the whole-stage-codegen form of the same
+    * count. */
+  def countIn(arr: Column, terms: Seq[String]): Column =
+    size(arr) - size(terms.foldLeft(arr)((a, t) => array_remove(a, t)))
+
   /** Vocabulary substring tagging (reference semantics: every vocab term
     * whose lowercase form occurs as a SUBSTRING of the lowercased text is
     * tagged — `dags/test_extraction.py:119-127`, including the quirk that

@@ -154,7 +154,7 @@ object Dedup {
       minTokens: Int = 30, maxStopwordRatio: Double = 0.15): DataFrame = {
     val t = gf.tokens(col(textCol))
     val nTokens = size(t)
-    val ratio = size(filter(t, x => x.isin("the", "a"))).cast("double") / nTokens
+    val ratio = gf.countIn(t, Seq("the", "a")).cast("double") / nTokens
     docs.filter(nTokens >= minTokens && ratio < maxStopwordRatio)
   }
 

@@ -496,7 +496,7 @@ object TextQueries {
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val t = gf.tokens(col("text"))
       val nTokens = size(t)
-      val stopCnt = size(filter(t, x => x.isin("the", "a")))
+      val stopCnt = gf.countIn(t, Seq("the", "a"))
       val ratio = stopCnt.cast("double") / nTokens
       Tables.documents(s, dir)
         .select(
@@ -1818,14 +1818,15 @@ object TextQueries {
         |SELECT c12.bigram, c12.cnt, round(c12.cnt / c1.c1, 6) AS cond_p
         |FROM c12 JOIN c1 ON split_part(c12.bigram, ' ', 1) = c1.w1
         |ORDER BY cnt DESC, bigram LIMIT 25""".stripMargin) { (s, dir) =>
+      // Bigrams ARE width-2 shingles: the native ShingleTokens pass
+      // (space-joined, occurrence order, duplicates kept) replaces the
+      // interpreted zip_with(slice, slice) lambda (PERF.md log #3).
       val bg = Tables.documents(s, dir)
         .repartition(col("doc_id"))
-        .select(gf.tokens(col("text")).as("t"))
-        .filter(size(col("t")) >= 2)
-        .select(explode(zip_with(
-          slice(col("t"), lit(1), size(col("t")) - 1),
-          slice(col("t"), lit(2), size(col("t")) - 1),
-          (a, b) => concat_ws(" ", a, b))).as("bigram"))
+        .select(explode(org.apache.spark.sql.graft.CatalystBridge.column(
+          graft.plans.ShingleTokens(
+            org.apache.spark.sql.graft.CatalystBridge.expr(trim(col("text"))),
+            2, dedupe = false))).as("bigram"))
       val c12 = bg.groupBy("bigram").agg(count(lit(1)).as("cnt"))
       val c1 = c12
         .groupBy(split_part(col("bigram"), lit(" "), lit(1)).as("w1"))
@@ -1983,14 +1984,14 @@ object TextQueries {
         |  round(exp(-avg(ln(lm.p))), 4) AS ppl
         |FROM bg JOIN lm ON bg.bigram = lm.bigram
         |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin) { (s, dir) =>
+      // Bigrams via the native width-2 shingle pass (the q86 note).
       val bg = Tables.documents(s, dir)
         .repartition(col("doc_id"))
-        .select(col("doc_id"), gf.tokens(col("text")).as("t"))
-        .filter(size(col("t")) >= 2)
-        .select(col("doc_id"), explode(zip_with(
-          slice(col("t"), lit(1), size(col("t")) - 1),
-          slice(col("t"), lit(2), size(col("t")) - 1),
-          (a, b) => concat_ws(" ", a, b))).as("bigram"))
+        .select(col("doc_id"),
+          explode(org.apache.spark.sql.graft.CatalystBridge.column(
+            graft.plans.ShingleTokens(
+              org.apache.spark.sql.graft.CatalystBridge.expr(trim(col("text"))),
+              2, dedupe = false))).as("bigram"))
       val c12 = bg.groupBy("bigram").agg(count(lit(1)).as("cnt"))
       val c1 = c12
         .groupBy(split_part(col("bigram"), lit(" "), lit(1)).as("w1"))
@@ -2075,7 +2076,7 @@ object TextQueries {
       val meanWl = aggregate(t, lit(0L), (acc, x) => acc + length(x))
         .cast("double") / size(t)
       val rWordlen = when(meanWl.between(3.9, 5.1), 1L).otherwise(0L)
-      val rStop = when(size(filter(t, x => x.isin("the", "a"))) >= 2, 1L)
+      val rStop = when(gf.countIn(t, Seq("the", "a")) >= 2, 1L)
         .otherwise(0L)
       val rRep = when(
         size(array_distinct(t)).cast("double") / size(t) >= 0.5, 1L)
