@@ -2306,6 +2306,94 @@ object TextQueries {
         .select(col("cluster_size"), col("n_clusters"),
           (col("cluster_size") * col("n_clusters")).as("n_docs"))
         .orderBy("cluster_size")
+    },
+
+    // Log2-bucketed token-length histogram per source: the coarse
+    // length-distribution signature used for drift monitoring between
+    // crawls (a shifted histogram flags a feed change long before the
+    // exact percentiles of q63/q85 are recomputed). Per-row arithmetic
+    // into a bounded (source × ~log2(maxlen)) output; floor(log2(n))
+    // is exact in IEEE for the integer inputs both engines see.
+    QueryDef("q99_length_histogram",
+      """SELECT source,
+        |  CAST(floor(log2(n)) AS BIGINT) AS bucket,
+        |  count(*) AS n_docs,
+        |  CAST(min(n) AS BIGINT) AS min_len, CAST(max(n) AS BIGINT) AS max_len
+        |FROM (SELECT source, len(list_filter(
+        |        string_split_regex(trim(text), '\s+'), x -> x <> '')) AS n
+        |      FROM documents)
+        |WHERE n > 0
+        |GROUP BY source, bucket ORDER BY source, bucket""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("source"), size(gf.tokens(col("text"))).as("n"))
+        .filter(col("n") > 0)
+        .groupBy(col("source"), floor(log2(col("n"))).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min("n").cast("long").as("min_len"),
+          max("n").cast("long").as("max_len"))
+        .orderBy("source", "bucket")
+    },
+
+    // Clean-corpus savings audit: what the q50 cleanup actually buys,
+    // per source — docs and bytes kept vs dropped. The per-source view
+    // is what decides whether a feed is worth its ingest cost.
+    // Composes the same survivor set as q50 (quality gate → exact
+    // dedup → greedy LSH near-dup drop), then one broadcast-friendly
+    // semi/anti pattern: a skinny survivor-id frame joined back onto
+    // the full corpus, rolled up by source.
+    QueryDef("q100_clean_savings",
+      s"""WITH sh AS (
+         |  $shingleSql
+         |), hashed AS (
+         |  $shingleHashSql
+         |), sig AS (
+         |  SELECT doc_id, $minhashSqlAggs FROM hashed GROUP BY doc_id
+         |), bands AS (
+         |  ${(0 until Bands).map(b =>
+              s"SELECT doc_id, $b AS band_idx, ${bandSql(b)} AS band_hash FROM sig")
+              .mkString("\n  UNION ALL\n  ")}
+         |), losers AS (
+         |  SELECT DISTINCT b.doc_id FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |    AND a.doc_id < b.doc_id
+         |), quality AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+         |    FROM documents)
+         |  WHERE len(t) >= 30
+         |    AND CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS DOUBLE) / len(t) < 0.15
+         |), exact AS (
+         |  SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)
+         |), survivors AS (
+         |  SELECT e.doc_id FROM exact e
+         |  WHERE e.doc_id NOT IN (SELECT doc_id FROM losers)
+         |)
+         |SELECT d.source,
+         |  count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN s.doc_id IS NOT NULL THEN d.n_chars ELSE 0 END) AS BIGINT) AS bytes_kept,
+         |  CAST(sum(CASE WHEN s.doc_id IS NULL THEN d.n_chars ELSE 0 END) AS BIGINT) AS bytes_dropped
+         |FROM documents d LEFT JOIN survivors s ON d.doc_id = s.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = defs.find(_.name == "q28_minhash_lsh").get.build(s, dir)
+      val survivors = graft.operators.Dedup.cleanCorpus(docs, pairs)
+        .select(col("doc_id"))
+      // NO broadcast hint: the survivor set is corpus-sized (most docs
+      // survive a healthy cleanup) — this is a skinny 1-column
+      // shuffle join on the id, not a broadcastable dim.
+      val kept = when(col("s_id").isNotNull, 1L).otherwise(0L)
+      docs.join(survivors.withColumnRenamed("doc_id", "s_id"),
+          col("doc_id") === col("s_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(kept).as("n_kept"),
+          sum(when(col("s_id").isNotNull, col("n_chars")).otherwise(0L))
+            .as("bytes_kept"),
+          sum(when(col("s_id").isNull, col("n_chars")).otherwise(0L))
+            .as("bytes_dropped"))
+        .orderBy("source")
     }
   )
 
