@@ -499,6 +499,7 @@ object TextQueries {
       val stopCnt = gf.countIn(t, Seq("the", "a"))
       val ratio = stopCnt.cast("double") / nTokens
       Tables.documents(s, dir)
+        .repartition(col("doc_id")) // fan out the single-file scan
         .select(
           col("doc_id"),
           nTokens.cast("long").as("n_tokens"),
@@ -688,7 +689,8 @@ object TextQueries {
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val pairs = defs.find(_.name == "q28_minhash_lsh").get.build(s, dir)
-      graft.operators.Dedup.cleanCorpus(docs, pairs)
+      // Fan out the quality gate's tokenize (single-file scan trap).
+      graft.operators.Dedup.cleanCorpus(docs.repartition(col("doc_id")), pairs)
         .select("doc_id").orderBy("doc_id")
     },
 
@@ -886,6 +888,7 @@ object TextQueries {
       def dupFrac(d: Column, denom: Column): Column =
         round(lit(1.0) - d.cast("double") / denom, 6)
       Tables.documents(s, dir)
+        .repartition(col("doc_id")) // fan out the single-file scan
         .select(col("doc_id"), stats.as("st"))
         .filter(col("st.n_toks") >= 3)
         .select(col("doc_id"),
@@ -986,6 +989,7 @@ object TextQueries {
         |      FROM documents)
         |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
       Tables.documents(s, dir)
+        .repartition(col("doc_id")) // fan out the single-file scan
         .select(col("lang"), size(gf.tokens(col("text"))).cast("double").as("n"))
         .groupBy("lang")
         .agg(
@@ -1460,6 +1464,7 @@ object TextQueries {
       // including the overlap corner where a fused single pass would
       // diverge).
       Tables.documents(s, dir)
+        .repartition(col("doc_id")) // fan out the single-file scan
         .select(col("doc_id"),
           CatalystBridge.column(graft.plans.PiiScrub(
             CatalystBridge.expr(aug))).as("p"))
@@ -1775,6 +1780,7 @@ object TextQueries {
         |FROM n JOIN b ON n.lang = b.lang
         |GROUP BY n.lang, b.lo, b.hi ORDER BY n.lang""".stripMargin) { (s, dir) =>
       val n = Tables.documents(s, dir)
+        .repartition(col("doc_id")) // fan out the single-file scan
         .select(col("lang"), size(gf.tokens(col("text"))).cast("double").as("n"))
       val b = n.groupBy("lang").agg(
         expr("percentile(n, 0.05D)").as("lo"),
@@ -2325,6 +2331,7 @@ object TextQueries {
         |WHERE n > 0
         |GROUP BY source, bucket ORDER BY source, bucket""".stripMargin) { (s, dir) =>
       Tables.documents(s, dir)
+        .repartition(col("doc_id")) // fan out the single-file scan
         .select(col("source"), size(gf.tokens(col("text"))).as("n"))
         .filter(col("n") > 0)
         .groupBy(col("source"), floor(log2(col("n"))).cast("long").as("bucket"))
@@ -2378,8 +2385,8 @@ object TextQueries {
          |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val pairs = defs.find(_.name == "q28_minhash_lsh").get.build(s, dir)
-      val survivors = graft.operators.Dedup.cleanCorpus(docs, pairs)
-        .select(col("doc_id"))
+      val survivors = graft.operators.Dedup.cleanCorpus(
+        docs.repartition(col("doc_id")), pairs).select(col("doc_id"))
       // NO broadcast hint: the survivor set is corpus-sized (most docs
       // survive a healthy cleanup) — this is a skinny 1-column
       // shuffle join on the id, not a broadcastable dim.
