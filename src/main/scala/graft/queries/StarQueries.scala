@@ -110,7 +110,11 @@ object StarQueries {
         .select("date_sk", "full_date")
       val resolved = orders
         .join(cust, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(dimCustomer), gf.normName(col("c_name")) === col("customer_name"), "left")
+        // NO broadcast hint on dim_customer: its cardinality is
+        // O(customers) (unbounded at scale), unlike the three bounded
+        // dims below. AQE auto-broadcasts it while it fits the
+        // threshold and falls back to a shuffle join when it doesn't.
+        .join(dimCustomer, gf.normName(col("c_name")) === col("customer_name"), "left")
         .join(broadcast(dimPriority), gf.normTitle(col("o_orderpriority")) === col("priority_name"), "left")
         .join(broadcast(dimStatus), gf.normName(col("o_orderstatus")) === col("status_name"), "left")
         .join(broadcast(dimDate), to_date(col("o_orderdate")) === col("full_date"), "left")
