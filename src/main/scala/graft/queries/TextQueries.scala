@@ -602,7 +602,10 @@ object TextQueries {
       val n = Tables.documents(s, dir)
         .agg(count(lit(1)).cast("double").as("n_docs"))
       val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))
-      tf.join(broadcast(df), "term")
+      // NO broadcast hint on df: it is vocabulary-sized (unbounded at
+      // corpus scale, unlike the bounded 1-row N frame). AQE still
+      // auto-broadcasts it while it fits the threshold.
+      tf.join(df, "term")
         .crossJoin(broadcast(n))
         .withColumn("tfidf",
           round(col("tf") * log(col("n_docs") / col("df")), 6))
@@ -849,9 +852,14 @@ object TextQueries {
         .agg(sum(expr("m * (m - 1) div 2")).as("n_pairs"))
         .select(lit(0).as("hamming"), col("n_pairs"))
         .filter(col("n_pairs") > 0)
-      val hamK = crossFp
-        .join(broadcast(fpg.select(col("simhash").as("sa"), col("m").as("ma"))), "sa")
-        .join(broadcast(fpg.select(col("simhash").as("sb"), col("m").as("mb"))), "sb")
+      // Broadcast the PAIR side, not fpg: the distinct-fingerprint
+      // table is O(unique docs) (unbounded at corpus scale), while
+      // crossFp's volume is bounded by the banding contract — the
+      // bounded frame is the one that rides the broadcast, and fpg
+      // streams through both joins with no shuffle.
+      val hamK = broadcast(crossFp)
+        .join(fpg.select(col("simhash").as("sa"), col("m").as("ma")), "sa")
+        .join(fpg.select(col("simhash").as("sb"), col("m").as("mb")), "sb")
         .groupBy("hamming").agg(sum(col("ma") * col("mb")).as("n_pairs"))
       ham0.unionByName(hamK).orderBy("hamming")
     },
