@@ -1,7 +1,6 @@
 package graft.star
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Incremental append-only dimension maintenance (SCD type 0).
@@ -53,8 +52,14 @@ object DimensionUpsert {
     val base = coalesce(max(col(skCol)).cast("long"), lit(0L))
     val maxSk = existing.agg(base.as("_m"))
     val outCols = col(skCol) +: (naturalKeys ++ attrCols).map(col)
-    val newRows = newKeys
-      .withColumn("_rn", row_number().over(Window.orderBy(naturalKeys.map(col): _*)))
+    // Dense numbering of the delta via the shared SK machinery: Auto
+    // takes the single-task window only below its threshold and the
+    // parallel PartitionedOffset path above it — a dim delta is
+    // usually small, but nothing guarantees it (a backfill replays
+    // history), and a hand-rolled global Window.orderBy here was the
+    // one SK assignment outside that guard.
+    val newRows = StarSchemaBuilder
+      .withSurrogateKey(newKeys, naturalKeys, "_rn", SkStrategy.Auto)
       .crossJoin(broadcast(maxSk))
       .withColumn(skCol, (col("_rn") + col("_m")).cast("long"))
       .select(outCols: _*)
