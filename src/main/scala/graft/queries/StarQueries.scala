@@ -108,13 +108,19 @@ object StarQueries {
         orders, gf.normName(col("o_orderstatus")), "status_sk", "status_name")
       val dimDate = StarSchemaBuilder.buildDateDim(orders, col("o_orderdate"))
         .select("date_sk", "full_date")
+      // Resolve customer_sk onto the CUSTOMER table first, then join
+      // the fact on the integer custkey. dim_customer is O(customers)
+      // (unbounded at scale — no broadcast hint; AQE decides), and
+      // resolving it here means the name-keyed shuffle is
+      // customer-sized; joining it after the fact join would shuffle
+      // the whole FACT by normalized name. Inner join on custkey
+      // preserves the reference's orders⟕customer existence filter.
+      val custWithSk = cust
+        .join(dimCustomer,
+          gf.normName(col("c_name")) === col("customer_name"), "left")
+        .select(col("c_custkey"), col("customer_sk"))
       val resolved = orders
-        .join(cust, col("o_custkey") === col("c_custkey"))
-        // NO broadcast hint on dim_customer: its cardinality is
-        // O(customers) (unbounded at scale), unlike the three bounded
-        // dims below. AQE auto-broadcasts it while it fits the
-        // threshold and falls back to a shuffle join when it doesn't.
-        .join(dimCustomer, gf.normName(col("c_name")) === col("customer_name"), "left")
+        .join(custWithSk, col("o_custkey") === col("c_custkey"))
         .join(broadcast(dimPriority), gf.normTitle(col("o_orderpriority")) === col("priority_name"), "left")
         .join(broadcast(dimStatus), gf.normName(col("o_orderstatus")) === col("status_name"), "left")
         .join(broadcast(dimDate), to_date(col("o_orderdate")) === col("full_date"), "left")
