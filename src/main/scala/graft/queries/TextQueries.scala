@@ -1967,13 +1967,22 @@ object TextQueries {
     // P(w2|w1) under the corpus bigram LM (q86's model) — the
     // CCNet/KenLM-style model-based quality filter, here with the LM
     // estimated and applied in one job. Scale shape: the corpus is
-    // tokenized once (bigrams are per-row zip_with arithmetic); the LM
-    // is two aggregates over DISTINCT-bigram volume; scoring is one
-    // equi-join on the bigram key + one doc-keyed aggregate — every
-    // shuffle is key-partitioned, nothing all-pairs, and the LM join
-    // input is bigram-distinct (far below corpus volume). Log/exp
-    // parity with the oracle follows the q68 precedent (round after
-    // the aggregate).
+    // tokenized ONCE — the shingle explode feeds a single aggregate at
+    // the (doc_id, bigram) grain, and everything downstream (the LM's
+    // c12/c1 counts AND the per-doc scoring) derives from that counted
+    // frame, which is bounded by distinct-bigrams-per-doc, far below
+    // raw bigram volume. The counted frame is PERSISTED (the q30
+    // precedent): exchange reuse cannot cover the shingle CPU here —
+    // the explode sits above the repartition exchange, and the LM
+    // branch grows an inferred isnotnull(split_part(bigram)) filter
+    // that breaks canonical subtree equality, so without the cache the
+    // heaviest per-row work in the suite runs once per consumer
+    // (PlanAuditSpec's q88 test pins the single-pass shape).
+    // Verify/Bench clear caches between queries. Scoring is one
+    // equi-join on the bigram key + one doc-keyed weighted aggregate:
+    // avg over raw bigrams == sum(k·ln p)/sum(k) over counted rows,
+    // and the oracle uses the identical weighted form so term grouping
+    // matches. Every shuffle is key-partitioned, nothing all-pairs.
     QueryDef("q88_bigram_perplexity",
       """WITH docs AS (
         |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
@@ -1983,8 +1992,10 @@ object TextQueries {
         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
         |    i -> t[i] || ' ' || t[i+1])) AS bigram
         |  FROM docs WHERE len(t) >= 2
+        |), d AS (
+        |  SELECT doc_id, bigram, count(*) AS k FROM bg GROUP BY 1, 2
         |), c12 AS (
-        |  SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram
+        |  SELECT bigram, sum(k) AS cnt FROM d GROUP BY bigram
         |), c1 AS (
         |  SELECT split_part(bigram, ' ', 1) AS w1,
         |    CAST(sum(cnt) AS DOUBLE) AS c1
@@ -1993,20 +2004,25 @@ object TextQueries {
         |  SELECT c12.bigram, c12.cnt / c1.c1 AS p
         |  FROM c12 JOIN c1 ON split_part(c12.bigram, ' ', 1) = c1.w1
         |)
-        |SELECT bg.doc_id, count(*) AS n_bigrams,
-        |  round(-avg(ln(lm.p)), 6) AS avg_nll,
-        |  round(exp(-avg(ln(lm.p))), 4) AS ppl
-        |FROM bg JOIN lm ON bg.bigram = lm.bigram
-        |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin) { (s, dir) =>
-      // Bigrams via the native width-2 shingle pass (the q86 note).
-      val bg = Tables.documents(s, dir)
+        |SELECT d.doc_id, CAST(sum(d.k) AS BIGINT) AS n_bigrams,
+        |  round(-sum(d.k * ln(lm.p)) / sum(d.k), 6) AS avg_nll,
+        |  round(exp(-sum(d.k * ln(lm.p)) / sum(d.k)), 4) AS ppl
+        |FROM d JOIN lm ON d.bigram = lm.bigram
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      // Bigrams via the native width-2 shingle pass (the q86 note),
+      // immediately collapsed to (doc_id, bigram, k) and persisted so
+      // the shingle CPU runs exactly once for all three consumers.
+      val d = Tables.documents(s, dir)
         .repartition(col("doc_id"))
         .select(col("doc_id"),
           explode(org.apache.spark.sql.graft.CatalystBridge.column(
             graft.plans.ShingleTokens(
               org.apache.spark.sql.graft.CatalystBridge.expr(trim(col("text"))),
               2, dedupe = false))).as("bigram"))
-      val c12 = bg.groupBy("bigram").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id", "bigram")
+        .agg(count(lit(1)).as("k"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val c12 = d.groupBy("bigram").agg(sum("k").as("cnt"))
       val c1 = c12
         .groupBy(split_part(col("bigram"), lit(" "), lit(1)).as("w1"))
         .agg(sum("cnt").cast("double").as("c1"))
@@ -2014,11 +2030,12 @@ object TextQueries {
         .withColumn("w1", split_part(col("bigram"), lit(" "), lit(1)))
         .join(c1, "w1")
         .select(col("bigram"), (col("cnt") / col("c1")).as("p"))
-      bg.join(lm, "bigram")
+      val wnll = sum(col("k").cast("double") * log(col("p")))
+      d.join(lm, "bigram")
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          round(-avg(log(col("p"))), 6).as("avg_nll"),
-          round(exp(-avg(log(col("p")))), 4).as("ppl"))
+        .agg(sum("k").as("n_bigrams"),
+          round(-wnll / sum(col("k").cast("double")), 6).as("avg_nll"),
+          round(exp(-wnll / sum(col("k").cast("double"))), 4).as("ppl"))
         .orderBy("doc_id")
     },
 

@@ -168,6 +168,30 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
     p should not include "SortMergeJoin" // benchmark side must never shuffle-sort
   }
 
+  test("q88: one shingle pass — every consumer reads the persisted counted-bigram frame") {
+    // The (doc_id, bigram, k) aggregate is the only consumer of the
+    // width-2 shingle explode, and it is persisted: the LM build and
+    // the final scoring join must all read InMemoryTableScan, never
+    // re-run the per-row shingle CPU (the round-6 finding: the
+    // heaviest map work in the suite ran once per consumer). Exchange
+    // reuse can NOT cover it — the explode sits above the repartition
+    // exchange, and the LM branch grows an inferred
+    // isnotnull(split_part(bigram)) filter that breaks canonical
+    // subtree equality — so the cache is load-bearing, not belt and
+    // braces.
+    import org.apache.spark.sql.execution.GenerateExec
+    val p = physical("q88_bigram_perplexity")
+    val shingleGenerates = p.collect {
+      case g: GenerateExec if g.boundGenerator.toString.contains("shingle_tokens") => g
+    }
+    val cacheScans = p.collect { case s: InMemoryTableScanExec => s }
+    spark.catalog.clearCache()
+    withClue(s"plan:\n$p\n") {
+      shingleGenerates shouldBe empty // all shingle work lives inside the cache
+      cacheScans.size should be >= 2 // LM build + scoring join both ride it
+    }
+  }
+
   test("q80: the salted aggregate is genuinely two-stage — salt in phase 1, merged on key") {
     import org.apache.spark.sql.execution.aggregate.HashAggregateExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
