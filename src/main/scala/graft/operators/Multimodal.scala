@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   * ffmpeg-over-pipe) changes ONLY that function — batch shape, schema,
   * and distribution are unchanged.
   *
+  * Audio METADATA is real too ([[AudioIoCodec.audioMeta]]): the JDK
+  * ships WAV/AIFF/AU parsers in `javax.sound.sampled`, so container
+  * type, encoding, sample rate, channels, bit depth, and frame count
+  * come from `AudioSystem.getAudioFileFormat` — a header parse, no
+  * sample decode. The remaining stub surface is video features and
+  * oversize-image pixels only.
+  *
   * Scale notes: decode runs via `mapPartitions` — per-partition
   * imperative logic over opaque bytes is the one documented case where
   * dropping below the Column API is warranted (builder prompt (d);
@@ -223,6 +230,74 @@ object Multimodal {
             w, h, 0.0, 0.0, 0.0, 0.0, r.payload.length.toLong)
       }
     })
+  }
+
+  /** Audio metadata decoded for real from the container header — the
+    * audio twin of [[MediaMeta]]. `frame_count` is -1 when the header
+    * does not declare it (streamed/truncated containers);
+    * `duration_sec` is derived (frames / frame rate) and -1.0 when
+    * either side is unknown. */
+  final case class AudioMeta(
+      media_id: Long,
+      kind: String,
+      decoded: Boolean,
+      container: String, // WAVE | AIFF | AU
+      encoding: String, // PCM_SIGNED | ULAW | ...
+      sample_rate: Double,
+      channels: Int,
+      bit_depth: Int,
+      frame_count: Long,
+      duration_sec: Double,
+      n_bytes: Long)
+
+  /** REAL codec for the audio containers the JDK ships parsers for
+    * (WAV, AIFF, AU — `javax.sound.sampled`, no external libraries).
+    * `AudioSystem.getAudioFileFormat` reads the CONTAINER HEADER only
+    * (RIFF/FORM/.snd chunks): sample rate, channels, bit depth, and
+    * frame count cost header bytes, not sample-decode CPU — the same
+    * 100 TB story as [[ImageIoCodec.imageMeta]]. Payloads no provider
+    * claims return None and the caller keeps declared metadata. */
+  object AudioIoCodec {
+
+    /** (container, encoding, sampleRate, channels, bitDepth, frames)
+      * from the audio header, or None. ByteArrayInputStream supports
+      * mark/reset, which `getAudioFileFormat(InputStream)` requires. */
+    def audioMeta(bytes: Array[Byte])
+        : Option[(String, String, Double, Int, Int, Long)] = {
+      if (bytes == null || bytes.length == 0) return None
+      try {
+        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(bytes))
+        val f = aff.getFormat
+        Some((aff.getType.toString, f.getEncoding.toString,
+          f.getSampleRate.toDouble, f.getChannels, f.getSampleSizeInBits,
+          aff.getFrameLength.toLong))
+      } catch {
+        // UnsupportedAudioFileException for non-audio payloads; any
+        // IO/parse failure means "not decodable", same as ImageIoCodec.
+        case _: Exception => None
+      }
+    }
+
+    def decode(r: MediaRecord): AudioMeta = audioMeta(r.payload) match {
+      case Some((container, enc, rate, ch, bits, frames)) =>
+        val dur =
+          if (frames >= 0 && rate > 0) frames / rate else -1.0
+        AudioMeta(r.media_id, r.kind, decoded = true, container, enc,
+          rate, ch, bits, frames, dur, r.payload.length.toLong)
+      case None =>
+        AudioMeta(r.media_id, r.kind, decoded = false, "", "",
+          -1.0, 0, 0, -1L, -1.0, r.payload.length.toLong)
+    }
+  }
+
+  /** Decode real audio metadata per partition — same no-shuffle
+    * plumbing as [[decodeMeta]], real header parse via
+    * [[AudioIoCodec]]. */
+  def decodeAudioMeta(media: Dataset[MediaRecord])(
+      implicit spark: SparkSession): Dataset[AudioMeta] = {
+    import spark.implicits._
+    media.mapPartitions(_.map(AudioIoCodec.decode))
   }
 
   /** Deterministic frame/chunk sampling: `n` evenly spaced slices of

@@ -127,6 +127,69 @@ class MultimodalSpec extends SparkSpec {
     (got(1).width, got(1).height) shouldBe ((640, 480))
   }
 
+  // Craft real audio bytes with the JDK encoder only — raw PCM frames
+  // wrapped in a container by AudioSystem.write; no external libs.
+  private def audioBytes(fileType: javax.sound.sampled.AudioFileFormat.Type,
+      sampleRate: Float, channels: Int, bits: Int,
+      frames: Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(sampleRate, bits, channels,
+      /* signed = */ true, /* bigEndian = */ false)
+    val raw = new Array[Byte](frames * fmt.getFrameSize)
+    java.util.Arrays.fill(raw, 7.toByte)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, frames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, fileType, out)
+    out.toByteArray
+  }
+
+  test("AudioIoCodec reads a crafted WAV's actual format from the header") {
+    import javax.sound.sampled.AudioFileFormat
+    val wav = audioBytes(AudioFileFormat.Type.WAVE, 8000f, 1, 16, 1000)
+    val Some((container, enc, rate, ch, bits, frames)) =
+      Multimodal.AudioIoCodec.audioMeta(wav)
+    container shouldBe "WAVE"
+    enc shouldBe "PCM_SIGNED"
+    rate shouldBe 8000.0
+    ch shouldBe 1
+    bits shouldBe 16
+    frames shouldBe 1000L
+    // and a stereo AIFF at a different rate/depth
+    val aiff = audioBytes(AudioFileFormat.Type.AIFF, 44100f, 2, 8, 441)
+    val Some((c2, _, r2, ch2, b2, f2)) =
+      Multimodal.AudioIoCodec.audioMeta(aiff)
+    c2 shouldBe "AIFF"
+    r2 shouldBe 44100.0
+    ch2 shouldBe 2
+    b2 shouldBe 8
+    f2 shouldBe 441L
+  }
+
+  test("decodeAudioMeta: real header decode for audio payloads, fallback otherwise") {
+    import javax.sound.sampled.AudioFileFormat
+    implicit val s = spark
+    val mixed = Seq(
+      MediaRecord(20L, "audio",
+        audioBytes(AudioFileFormat.Type.WAVE, 16000f, 2, 16, 3200), "wav",
+        0, 0),
+      MediaRecord(21L, "audio", "not audio at all".getBytes("UTF-8"), "raw",
+        0, 0),
+      MediaRecord(22L, "audio", Array[Byte](), "raw", 0, 0)).toDS()
+    val got = Multimodal.decodeAudioMeta(mixed).collect().sortBy(_.media_id)
+    got(0).decoded shouldBe true
+    got(0).container shouldBe "WAVE"
+    got(0).sample_rate shouldBe 16000.0
+    got(0).channels shouldBe 2
+    got(0).bit_depth shouldBe 16
+    got(0).frame_count shouldBe 3200L
+    got(0).duration_sec shouldBe 0.2 +- 1e-9 // 3200 frames / 16 kHz
+    got(1).decoded shouldBe false
+    got(1).frame_count shouldBe -1L
+    got(2).decoded shouldBe false
+    got(2).n_bytes shouldBe 0L
+  }
+
   test("mediaFromDocuments wraps text as binary payloads with metadata") {
     implicit val s = spark
     val docs = Seq((1L, "hello")).toDF("doc_id", "text")
