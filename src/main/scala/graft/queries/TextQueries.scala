@@ -367,14 +367,29 @@ object TextQueries {
           first(col("toks")).as("toks0"), first(col("ntok")).as("ntok"))
         .withColumn("toks", sort_array(col("toks0")))
         .drop("toks0")
-      // Block decomposition over REPRESENTATIVES: `lang` alone has ~5
-      // values, so a plain self-equi-join degenerates to 5 giant tasks
-      // no matter how many cores exist. Each side is replicated across
-      // B block ids so the join key (lang, blk_a, blk_b) fans out to
-      // 5·B² balanced cells — the standard triangle-join
-      // parallelization for dense self-joins.
+      // Candidate generation: triangle-block decomposition, KEPT over
+      // the PPJoin prefix filter after measuring both (PERF #21, the
+      // #11 precedent). The published prefix filter (Chaudhuri/Ganti/
+      // Kaushik SSJoin; Vernica/Carey/Li SIGMOD'10 for the MapReduce
+      // shape) indexes each set's p = |s| - ceil(0.9·|s|) + 1 rarest
+      // tokens and equi-joins on them; on THIS corpus it cut distinct
+      // candidates only 973k → 945k (-3%) while generating 2.2M
+      // pre-distinct pairs plus a df aggregate, a per-group window
+      // sort, and two array re-attach joins — sf1x standalone median
+      // 16 s vs 7 s for the blocked shape. The synthetic vocabulary
+      // is too small for "rare token" selectivity; the size band
+      // already does the pruning prefix filtering would. The groups
+      // frame IS now persisted (the experiment's one keeper): the
+      // fingerprint pipeline above feeds both join sides and the
+      // within-group expansion — one materialization, not three.
+      val gp = graft.CacheRegistry.persistTracked(groups)
+      // `lang` alone has ~5 values, so a plain self-equi-join
+      // degenerates to 5 giant tasks no matter how many cores exist.
+      // Each side is replicated across B block ids so the join key
+      // (lang, blk_a, blk_b) fans out to 5·B² balanced cells — the
+      // standard triangle-join parallelization for dense self-joins.
       val B = 6
-      val g = groups.withColumn("blk",
+      val g = gp.withColumn("blk",
         (gf.stableHash(col("fp")) % B).cast("int"))
       // The probe side must be physically fanned out; explicit count
       // because AQE would coalesce these byte-tiny but compute-heavy
@@ -424,7 +439,7 @@ object TextQueries {
         .select(least(col("x"), col("y")).as("doc_a"),
           greatest(col("x"), col("y")).as("doc_b"), col("jaccard"))
       // Within-group pairs: identical token sets, jaccard exactly 1.0.
-      val withinPairs = groups.filter(size(col("ids")) > 1)
+      val withinPairs = gp.filter(size(col("ids")) > 1)
         .select(explode(flatten(transform(col("ids"), (x, i) =>
           transform(
             slice(col("ids"), i + lit(2), size(col("ids")) - i - lit(1)),
@@ -437,10 +452,10 @@ object TextQueries {
       // Persisting the skinny pair frame (3 columns, output-sized)
       // makes the sample pass the only full execution; the contract
       // ORDER BY then reads the cache. Verify/Bench clear caches
-      // between queries.
-      crossPairs.union(withinPairs)
-        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // between queries; embedded callers use CacheRegistry.drain().
+      graft.CacheRegistry.persistTracked(crossPairs.union(withinPairs)
+          .select(col("doc_a"), col("doc_b"),
+            round(col("jaccard"), 4).as("jaccard")))
         .orderBy("doc_a", "doc_b")
     },
 
@@ -1954,12 +1969,13 @@ object TextQueries {
           org.apache.spark.sql.graft.CatalystBridge.expr(col("tb"))))
       // Persist before the contract ORDER BY: the sort's range-
       // partitioner sample pass would otherwise re-execute the verify
-      // join (the q30 note) — the pair frame is output-sized.
-      cand.join(a, "doc_new").join(b, "doc_old")
-        .select(col("doc_new"), col("doc_old"),
-          round(inter.cast("double") / (col("na") + col("nb") - inter), 4)
-            .as("jaccard"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // join (the q30 note) — the pair frame is output-sized. Tracked
+      // for CacheRegistry.drain() by embedded callers.
+      graft.CacheRegistry.persistTracked(
+          cand.join(a, "doc_new").join(b, "doc_old")
+            .select(col("doc_new"), col("doc_old"),
+              round(inter.cast("double") / (col("na") + col("nb") - inter), 4)
+                .as("jaccard")))
         .orderBy("doc_new", "doc_old")
     },
 
@@ -2011,8 +2027,9 @@ object TextQueries {
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
       // Bigrams via the native width-2 shingle pass (the q86 note),
       // immediately collapsed to (doc_id, bigram, k) and persisted so
-      // the shingle CPU runs exactly once for all three consumers.
-      val d = Tables.documents(s, dir)
+      // the shingle CPU runs exactly once for all three consumers
+      // (tracked for CacheRegistry.drain() by embedded callers).
+      val d = graft.CacheRegistry.persistTracked(Tables.documents(s, dir)
         .repartition(col("doc_id"))
         .select(col("doc_id"),
           explode(org.apache.spark.sql.graft.CatalystBridge.column(
@@ -2020,8 +2037,7 @@ object TextQueries {
               org.apache.spark.sql.graft.CatalystBridge.expr(trim(col("text"))),
               2, dedupe = false))).as("bigram"))
         .groupBy("doc_id", "bigram")
-        .agg(count(lit(1)).as("k"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .agg(count(lit(1)).as("k")))
       val c12 = d.groupBy("bigram").agg(sum("k").as("cnt"))
       val c1 = c12
         .groupBy(split_part(col("bigram"), lit(" "), lit(1)).as("w1"))
@@ -2234,9 +2250,13 @@ object TextQueries {
     // (left join), plus the threshold flag a pipeline would gate on.
     // The continuous signal matters at scale: a hard any-overlap drop
     // (q62's shape) over-rejects long documents that share one common
-    // phrase; the fraction lets the gate be calibrated. Bench shingles
-    // broadcast (eval sets are tiny relative to the corpus); per-doc
-    // totals and shared counts are doc-keyed aggregates.
+    // phrase; the fraction lets the gate be calibrated. The benchmark
+    // side here is src0 — one of the CORPUS sources, not a bounded
+    // eval table — so it carries NO broadcast hint (the round-6
+    // unbounded-broadcast rule): AQE broadcasts it at runtime while
+    // it measures small and degrades to a shuffle join when it
+    // doesn't. Per-doc totals and shared counts are doc-keyed
+    // aggregates.
     QueryDef("q94_contamination_frac",
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, source, tok FROM (
@@ -2274,7 +2294,7 @@ object TextQueries {
       val bench = sh.filter(col("source") === "src0").select("tok").distinct()
       val rest = sh.filter(col("source") =!= "src0")
       val tot = rest.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val shared = rest.join(broadcast(bench), "tok")
+      val shared = rest.join(bench, "tok")
         .groupBy("doc_id").agg(count(lit(1)).as("n_shared0"))
       val nShared = coalesce(col("n_shared0"), lit(0L))
       val overlap = nShared.cast("double") / col("n_sh")

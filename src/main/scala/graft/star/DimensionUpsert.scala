@@ -21,6 +21,12 @@ import org.apache.spark.sql.functions._
   * almost always are); the max-SK lookup is a single-row aggregate; new
   * rows get row_number over an orderBy of the natural key — fine for the
   * per-batch delta (small), not the full dimension. SKs are LongType.
+  *
+  * Caching contract: the SK assignment persists the delta internally
+  * (SkStrategy.Auto). Long-lived sessions issuing repeated upserts
+  * should reclaim those frames with [[graft.CacheRegistry.drain]]
+  * after materializing each result (the Verify/Bench harness uses
+  * `clearCache()` instead).
   */
 object DimensionUpsert {
 

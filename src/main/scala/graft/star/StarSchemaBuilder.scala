@@ -68,8 +68,10 @@ object StarSchemaBuilder {
       skName: String,
       strategy: SkStrategy.Value): DataFrame = strategy match {
     case SkStrategy.Auto =>
-      val persisted =
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Tracked persist: the count below + the numbering pass both
+      // read this frame; embedded callers reclaim it via
+      // CacheRegistry.drain() (Verify/Bench use clearCache).
+      val persisted = graft.CacheRegistry.persistTracked(df)
       val n = persisted.count()
       withSurrogateKey(persisted, orderCols, skName,
         if (n <= SkStrategy.AutoThreshold) SkStrategy.GlobalRowNumber
@@ -93,11 +95,11 @@ object StarSchemaBuilder {
       // Persisted: the rank pass and the offset pass both consume this
       // frame — without the persist the entire upstream plan (for a
       // fact PK, the whole join chain) executes twice. MEMORY_AND_DISK
-      // spills rather than OOMs on 100 TB-scale inputs.
-      val ranged = df
+      // spills rather than OOMs on 100 TB-scale inputs; tracked so
+      // embedded callers reclaim it via CacheRegistry.drain().
+      val ranged = graft.CacheRegistry.persistTracked(df
         .repartitionByRange(orderCols.map(col): _*)
-        .withColumn("_graft_pid", spark_partition_id())
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .withColumn("_graft_pid", spark_partition_id()))
       val localW = Window.partitionBy("_graft_pid")
         .orderBy(orderCols.map(col): _*)
       val ranked = ranged.withColumn("_graft_rank",

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class CacheRegistrySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("persistTracked caches the frame; drain unpersists every tracked frame") {
+    CacheRegistry.drain() // start clean regardless of spec order
+    spark.catalog.clearCache()
+    val before = CacheRegistry.trackedCount
+    before shouldBe 0
+
+    val a = CacheRegistry.persistTracked(
+      (1 to 100).toDF("x").groupBy(($"x" % 7).as("k")).count())
+    val b = CacheRegistry.persistTracked(
+      (1 to 50).toDF("y").select(($"y" * 2).as("z")))
+    CacheRegistry.trackedCount shouldBe 2
+
+    a.count(); b.count() // materialize both caches
+    a.storageLevel.useMemory shouldBe true
+    spark.sharedState.cacheManager.isEmpty shouldBe false
+
+    CacheRegistry.drain(blocking = true)
+    CacheRegistry.trackedCount shouldBe 0
+    spark.sharedState.cacheManager.isEmpty shouldBe true
+  }
+
+  test("a graft query's internal persists are reclaimable by an embedded caller") {
+    CacheRegistry.drain()
+    spark.catalog.clearCache()
+    // q88 persists its counted-bigram frame internally (the documented
+    // embedded-caller contract: materialize, then drain).
+    val out = SparkEntry.queries("q88_bigram_perplexity")(
+      spark, "/root/testdata/sf0.001")
+    out.write.format("noop").mode("overwrite").save()
+    CacheRegistry.trackedCount should be >= 1
+    CacheRegistry.drain(blocking = true)
+    CacheRegistry.trackedCount shouldBe 0
+    spark.sharedState.cacheManager.isEmpty shouldBe true
+  }
+
+  test("drain is safe to call twice and with nothing tracked") {
+    CacheRegistry.drain()
+    noException should be thrownBy CacheRegistry.drain()
+  }
+}
