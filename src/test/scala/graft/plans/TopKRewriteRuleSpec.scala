@@ -54,9 +54,13 @@ class TopKRewriteRuleSpec extends AnyFunSuite with Matchers {
   }
 
   test("children above the memory bound keep the spilling window plan") {
-    // TopKPerKeyExec holds keys×k rows with no spill path; the rule
-    // must fall back to the window-sort (which spills) when the child's
-    // estimated size exceeds spark.graft.topk.maxChildBytes.
+    // TopKPerKeyExec DOES have a runtime spill fallback (the per-task
+    // retained-bytes budget degrades to UnsafeExternalRowSorter —
+    // TopKPerKeySpec drives 20k keys through it under a 4 KiB budget),
+    // but the plan-time estimate is still the cheaper guard: when the
+    // child's estimated size exceeds spark.graft.topk.maxChildBytes
+    // the rule keeps the stock window-sort, which would do the same
+    // sort the degraded path does without first filling a heap map.
     spark.conf.set(TopKRewriteRule.MaxChildBytesKey, "1") // force oversize
     try {
       val df = windowTopK(3)

@@ -143,6 +143,78 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
     }
   }
 
+  /** Queries whose scans legitimately read a table's full width —
+    * every entry must justify itself here, so a NEW full-width scan
+    * fails the audit until it does:
+    *   - q12/q13: projection/normalization passes whose CONTRACT is
+    *     "every column of documents, cleaned" — the output carries
+    *     the full width;
+    *   - q21: LIMIT over the full orders row (the BI preview query —
+    *     all columns by design);
+    *   - q23: the dim upsert carries every dimension attribute of its
+    *     5-column customer batch through the SCD append;
+    *   - q24/q25/q26: the star fact/bridge builds consume every column
+    *     of the 4-5-wide source frames they normalize (jobs-style
+    *     facts keep all attributes; nation/region dims are 3-4 cols);
+    *   - q50/q58/q67/q84/q100: corpus gates/sampling emit the full
+    *     document row by contract (the cleaned corpus IS the output);
+    *   - q44/q45/q54/q55: BI views over the 3-4-column nation/region
+    *     dims (full width = the join keys + the one attribute);
+    *   - q07: nation's 3 columns are join key in, name out, region
+    *     key onward — all consumed;
+    *   - q49: supplier's 4 columns are key, name, balance, nation FK —
+    *     the TPC-H Q2 shape consumes all of them;
+    *   - ivf_* (q42/q47): purpose-built index tables — their schema
+    *     IS the set of columns the probe needs (see tableOk below).
+    */
+  private val fullWidthOk: Map[String, Set[String]] = Map(
+    "q07_count_by_nation" -> Set("nation"),
+    "q49_supplier_minbal" -> Set("supplier"),
+    "q12_projection" -> Set("documents"),
+    "q13_string_norm" -> Set("customer"),
+    "q21_limit" -> Set("orders"),
+    "q23_dim_upsert" -> Set("customer"),
+    "q24_fact_build" -> Set("nation", "region"),
+    "q25_skill_bridge" -> Set("documents"),
+    "q26_skill_counts" -> Set("documents"),
+    "q44_sql_view_flatten" -> Set("nation", "region"),
+    "q45_sql_topk_having" -> Set("nation"),
+    "q54_pivot" -> Set("nation"),
+    "q55_rollup" -> Set("nation", "region"),
+    "q50_clean_corpus" -> Set("documents"),
+    "q58_hash_split" -> Set("documents"),
+    "q67_corpus_mix" -> Set("documents"),
+    "q84_source_caps" -> Set("documents"),
+    "q100_clean_savings" -> Set("documents"))
+
+  test("suite-wide: every parquet scan is column-pruned unless allow-listed") {
+    // ReadSchema minimality, mechanically: a scan whose requiredSchema
+    // is as wide as the table it reads means column pruning failed (or
+    // the query genuinely consumes every column — then it's in the
+    // allow-list above, with a reason). Tables narrower than 3 columns
+    // are exempt: there is nothing to prune (region is
+    // (r_regionkey, r_name, r_comment) and most uses want all three).
+    val offenders = SparkEntry.allDefs.flatMap { d =>
+      val plan = physical(d.name)
+      val scans = plan.collect { case s: FileSourceScanExec => s }
+      spark.catalog.clearCache()
+      scans.flatMap { s =>
+        val table = s.relation.location.rootPaths.headOption
+          .map(_.getName.stripSuffix(".parquet")).getOrElse("?")
+        val tableWidth = s.relation.dataSchema.size
+        val readWidth = s.requiredSchema.size
+        val tableOk = table.startsWith("ivf_") || // purpose-built index
+          fullWidthOk.get(d.name).exists(_.contains(table))
+        if (tableWidth >= 3 && readWidth >= tableWidth && !tableOk)
+          Some(s"${d.name}[$table $readWidth/$tableWidth]")
+        else None
+      }
+    }
+    withClue(s"full-width scans not in the allow-list: $offenders: ") {
+      offenders shouldBe empty
+    }
+  }
+
   test("q01: the shipdate filter reaches the parquet scan, schema pruned") {
     val p = plan("q01_pricing_summary")
     p should include("PushedFilters: [IsNotNull(l_shipdate)")
