@@ -34,10 +34,20 @@ object CacheRegistry {
 
   private val frames = mutable.ArrayBuffer.empty[Dataset[_]]
 
-  /** Persist `ds` at MEMORY_AND_DISK and track it for [[drain]].
-    * Returns `ds` for chaining. */
-  def persistTracked[T](ds: Dataset[T]): Dataset[T] = {
-    ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** Persist `ds` and track it for [[drain]]. Returns `ds` for
+    * chaining. Default level MEMORY_AND_DISK fits frames that are
+    * re-READ by compute (SK inputs, q30's groups, q88's counted
+    * bigrams); pass DISK_ONLY for OUTPUT-SIZED frames read once under
+    * a contract sort (q30/q87 pair frames) — disk writes stream with
+    * zero unroll memory, where a memory-first level must unroll each
+    * partition on-heap first and an output-sized frame (pairs can be
+    * 100× the corpus on dup-heavy data) OOMs executors at scale for
+    * cache residency nothing will ever re-read. */
+  def persistTracked[T](
+      ds: Dataset[T],
+      level: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): Dataset[T] = {
+    ds.persist(level)
     synchronized { frames += ds }
     ds
   }

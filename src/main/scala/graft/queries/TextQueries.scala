@@ -451,11 +451,16 @@ object TextQueries {
       // noise, but here the child is the whole blocked verify join.
       // Persisting the skinny pair frame (3 columns, output-sized)
       // makes the sample pass the only full execution; the contract
-      // ORDER BY then reads the cache. Verify/Bench clear caches
-      // between queries; embedded callers use CacheRegistry.drain().
+      // ORDER BY then reads the cache. DISK_ONLY, not memory-first:
+      // on dup-heavy data the pair frame is ~100× the corpus (the
+      // sf10x probe measured 2.48 B rows from 500 k docs) and a
+      // memory-first unroll OOMs for residency nothing re-reads.
+      // Verify/Bench clear caches between queries; embedded callers
+      // use CacheRegistry.drain().
       graft.CacheRegistry.persistTracked(crossPairs.union(withinPairs)
           .select(col("doc_a"), col("doc_b"),
-            round(col("jaccard"), 4).as("jaccard")))
+            round(col("jaccard"), 4).as("jaccard")),
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
         .orderBy("doc_a", "doc_b")
     },
 
@@ -1969,13 +1974,15 @@ object TextQueries {
           org.apache.spark.sql.graft.CatalystBridge.expr(col("tb"))))
       // Persist before the contract ORDER BY: the sort's range-
       // partitioner sample pass would otherwise re-execute the verify
-      // join (the q30 note) — the pair frame is output-sized. Tracked
-      // for CacheRegistry.drain() by embedded callers.
+      // join (the q30 note) — the pair frame is output-sized, so
+      // DISK_ONLY (streamed write, no unroll; see CacheRegistry).
+      // Tracked for CacheRegistry.drain() by embedded callers.
       graft.CacheRegistry.persistTracked(
           cand.join(a, "doc_new").join(b, "doc_old")
             .select(col("doc_new"), col("doc_old"),
               round(inter.cast("double") / (col("na") + col("nb") - inter), 4)
-                .as("jaccard")))
+                .as("jaccard")),
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
         .orderBy("doc_new", "doc_old")
     },
 

@@ -40,6 +40,19 @@ class CacheRegistrySpec extends SparkSpec {
     spark.sharedState.cacheManager.isEmpty shouldBe true
   }
 
+  test("persistTracked honors an explicit DISK_ONLY level (output-sized frames)") {
+    CacheRegistry.drain()
+    spark.catalog.clearCache()
+    val p = CacheRegistry.persistTracked(
+      (1 to 100).toDF("x"),
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    p.count()
+    p.storageLevel.useDisk shouldBe true
+    p.storageLevel.useMemory shouldBe false
+    CacheRegistry.drain(blocking = true)
+    CacheRegistry.trackedCount shouldBe 0
+  }
+
   test("drain is safe to call twice and with nothing tracked") {
     CacheRegistry.drain()
     noException should be thrownBy CacheRegistry.drain()
