@@ -66,4 +66,8 @@ object CacheRegistry {
 
   /** Number of currently tracked frames (test/diagnostic hook). */
   def trackedCount: Int = synchronized(frames.length)
+
+  /** Storage levels of the tracked frames (test/diagnostic hook). */
+  def trackedLevels: List[org.apache.spark.storage.StorageLevel] =
+    synchronized(frames.toList).map(_.storageLevel)
 }

@@ -53,6 +53,24 @@ class CacheRegistrySpec extends SparkSpec {
     CacheRegistry.trackedCount shouldBe 0
   }
 
+  test("q30/q87 cache their output-sized pair frames DISK_ONLY, hot frames in memory") {
+    for (q <- Seq("q30_jaccard_pairs", "q87_incremental_dedup")) {
+      CacheRegistry.drain(blocking = true)
+      spark.catalog.clearCache()
+      SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .write.format("noop").mode("overwrite").save()
+      val levels = CacheRegistry.trackedLevels
+      // Exactly one disk-only frame (the pair frame under the contract
+      // sort — the sf10x OOM lesson, PERF log #23); any other internal
+      // persist is a re-read compute frame and stays memory-first.
+      withClue(s"$q tracked levels $levels: ") {
+        levels.count(l => l.useDisk && !l.useMemory) shouldBe 1
+        levels.filter(_.useMemory).foreach(_.useDisk shouldBe true)
+      }
+    }
+    CacheRegistry.drain(blocking = true)
+  }
+
   test("drain is safe to call twice and with nothing tracked") {
     CacheRegistry.drain()
     noException should be thrownBy CacheRegistry.drain()
