@@ -162,10 +162,9 @@ object StarQueries {
       // the tagged frame — without it the vocabulary substring scan
       // over the corpus runs twice (the C1 cache-dims+fact pattern;
       // Bench/Verify clear the cache between queries).
-      val tagged = Tables.documents(s, dir)
+      val tagged = graft.CacheRegistry.persistTracked(Tables.documents(s, dir)
         .select(col("doc_id"),
-          explode(gf.extractTags(col("text"), skillVocab)).as("skill_name"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          explode(gf.extractTags(col("text"), skillVocab)).as("skill_name")))
       val dimSkill = StarSchemaBuilder.withSurrogateKey(
         tagged.select("skill_name").distinct(),
         Seq("skill_name"), "skill_sk", SkStrategy.Auto)
