@@ -107,23 +107,41 @@ object Bench {
     // `value` stays the sum of IN-SUITE medians, round-comparable.
     val standaloneOn =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_STANDALONE", "true").toBoolean
-    val standalone: Seq[(String, Double)] =
+    val standaloneRuns: Seq[(String, Seq[Double], Int)] =
       if (!standaloneOn) Seq.empty
       else results.collect {
         case (name, ts, 0) if ts.head > 0 && ts.last > 2.0 * ts.head =>
           val d = SparkEntry.allDefs.find(_.name == name).get
           System.gc()
+          var reFailures = 0
           val times = (1 to runs).map { _ =>
             val t0 = System.nanoTime()
             try d.build(spark, sfDir).write.format("noop").mode("overwrite").save()
-            catch { case _: Throwable => () } // already tallied in `failed`
+            catch { case e: Throwable =>
+              // A rerun failure is NOT covered by `failed` (that only
+              // tallies the in-suite pass, which this query survived):
+              // count it here so a transient OOM on the noisy host
+              // can't masquerade as a clean "corrected" median.
+              reFailures += 1
+              System.err.println(s"[bench] $name standalone failed: ${e.getMessage}")
+            }
             val dt = (System.nanoTime() - t0) / 1e9
             CacheRegistry.drain()
             spark.catalog.clearCache()
             dt
           }.sorted
-          (name, times(times.length / 2))
+          (name, times, reFailures)
       }
+    // Only fully clean reruns earn a standalone median; a query whose
+    // rerun threw is listed in `standalone_failed` instead, so PERF's
+    // "read the standalone column as authoritative" rule can't be fed
+    // a time-to-exception sample.
+    val standalone: Seq[(String, Double)] = standaloneRuns.collect {
+      case (name, times, 0) => (name, times(times.length / 2))
+    }
+    val standaloneFailed: Seq[String] = standaloneRuns.collect {
+      case (name, _, f) if f > 0 => name
+    }
     val qs = med.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, ts, _) =>
@@ -145,7 +163,9 @@ object Bench {
     val standaloneJson = standalone
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","unit":"sec","runs":$runs,"min_med_max":$spread,"standalone":$standaloneJson,"queries":$qs,"failed":$failed,"value":${fmt(total)},"sf":"$sfDir"}"""
+    val standaloneFailedJson =
+      standaloneFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","unit":"sec","runs":$runs,"min_med_max":$spread,"standalone":$standaloneJson,"standalone_failed":$standaloneFailedJson,"queries":$qs,"failed":$failed,"value":${fmt(total)},"sf":"$sfDir"}"""
     // Belt and braces: persist the full record where the tail can't
     // truncate it (best-effort — bench must not fail on a read-only cwd).
     try {

@@ -21,9 +21,25 @@ object SparkEntry {
     allDefs.find(_.name == "q09_star_flatten").get
       .build(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Lifecycle: each returned builder installs [[CacheRegistry]]'s
+    * auto-drain listener on the session and arms the query's internal
+    * persists once construction finishes — an embedded caller who
+    * materializes the result (write/collect/count) gets those caches
+    * reclaimed automatically, scoped to the frames that query's plan
+    * actually references. Manual [[CacheRegistry.drain]] stays
+    * available for multi-query composition; the Verify/Bench harness
+    * bypasses this wrapper via [[allDefs]] and manages caches itself. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    allDefs.map(d => d.name -> d.build).toMap
+    allDefs.map { d =>
+      d.name -> { (spark: SparkSession, dir: String) =>
+        CacheRegistry.installAutoDrain(spark)
+        val df = d.build(spark, dir)
+        CacheRegistry.armAll()
+        df
+      }
+    }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

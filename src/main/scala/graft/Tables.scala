@@ -20,16 +20,30 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame      = table(spark, sfDir, "part")
   def orders(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "lineitem")
-  /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark's
-    * reader rejects. Read nanos as long and truncate to microseconds —
-    * exactly what DuckDB's parquet reader does natively (its TIMESTAMP
-    * is µs), so engine and oracle agree on the value. */
+  /** `events.ts` has shipped as two physical encodings across
+    * testdata generations: INT64 TIMESTAMP(NANOS) (which Spark's
+    * reader rejects outright — read nanos as long, truncate to µs,
+    * exactly what DuckDB's µs-native reader does) and plain
+    * TIMESTAMP(MICROS) (read as-is, like orders/lineitem dates).
+    * Dispatch on the schema actually read so either generation works;
+    * both yield the same instants, so the oracle agrees either way. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        // isAdjustedToUTC=false parquet reads as TIMESTAMP_NTZ; every
+        // event query (windows, watermarks, unix_timestamp math) was
+        // written against the LTZ TimestampType the nanos path
+        // produced. Sessions run UTC, so the cast is value-identical.
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")

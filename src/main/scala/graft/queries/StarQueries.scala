@@ -164,7 +164,8 @@ object StarQueries {
       // Bench/Verify clear the cache between queries).
       val tagged = graft.CacheRegistry.persistTracked(Tables.documents(s, dir)
         .select(col("doc_id"),
-          explode(gf.extractTags(col("text"), skillVocab)).as("skill_name")))
+          explode(gf.extractTags(col("text"), skillVocab)).as("skill_name")),
+        graft.CacheRegistry.DataSized) // ≤ vocab hits per doc, vocab is fixed
       val dimSkill = StarSchemaBuilder.withSurrogateKey(
         tagged.select("skill_name").distinct(),
         Seq("skill_name"), "skill_sk", SkStrategy.Auto)

@@ -63,7 +63,7 @@ object JobStarBuilder {
       now: Column,
       strategy: SkStrategy.Value = SkStrategy.Auto): JobStar = {
 
-    val raw = landing
+    val raw0 = landing
       .withColumn("job_natural_key",
         gf.stableHash(concat_ws("", naturalKeyCols.map(col): _*)))
       .withColumn("job_posted_at_ts",
@@ -71,10 +71,13 @@ object JobStarBuilder {
       .withColumn("job_posted_at_utc",
         coalesce(to_timestamp(col("job_posted_at_datetime_utc")),
           col("job_posted_at_ts")))
-      // C1 (reference spark_etl_script.py:146-153): raw feeds all 7
-      // dims plus the fact chain — without the cache every consumer
-      // re-scans and re-derives the landing batch.
-      .cache()
+    // C1 (reference spark_etl_script.py:146-153): raw feeds all 7
+    // dims plus the fact chain — without the cache every consumer
+    // re-scans and re-derives the landing batch. Tracked (DataSized:
+    // one row per landing record) so embedded callers reclaim it via
+    // CacheRegistry's drain/auto-drain like every other graft persist.
+    val raw = graft.CacheRegistry.persistTracked(raw0,
+      graft.CacheRegistry.DataSized)
 
     val dimCompany = StarSchemaBuilder.buildDim(
       raw, gf.normName(col("employer_name")), "company_sk", "employer_name",

@@ -71,7 +71,8 @@ object StarSchemaBuilder {
       // Tracked persist: the count below + the numbering pass both
       // read this frame; embedded callers reclaim it via
       // CacheRegistry.drain() (Verify/Bench use clearCache).
-      val persisted = graft.CacheRegistry.persistTracked(df)
+      val persisted = graft.CacheRegistry.persistTracked(df,
+        graft.CacheRegistry.DataSized)
       val n = persisted.count()
       withSurrogateKey(persisted, orderCols, skName,
         if (n <= SkStrategy.AutoThreshold) SkStrategy.GlobalRowNumber
@@ -99,7 +100,8 @@ object StarSchemaBuilder {
       // embedded callers reclaim it via CacheRegistry.drain().
       val ranged = graft.CacheRegistry.persistTracked(df
         .repartitionByRange(orderCols.map(col): _*)
-        .withColumn("_graft_pid", spark_partition_id()))
+        .withColumn("_graft_pid", spark_partition_id()),
+        graft.CacheRegistry.DataSized)
       val localW = Window.partitionBy("_graft_pid")
         .orderBy(orderCols.map(col): _*)
       val ranked = ranged.withColumn("_graft_rank",

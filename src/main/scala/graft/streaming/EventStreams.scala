@@ -22,13 +22,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object EventStreams {
 
   /** Unbounded read of the events table from its parquet directory —
-    * the engine's `readStream` entry. The driver's events.parquet
-    * carries INT64 TIMESTAMP(NANOS), which the vectorized reader only
-    * accepts as long (see [[graft.Tables.events]]); the nanos→micros
-    * truncation here matches the batch loader, so every batch twin
-    * applies unchanged to the stream. */
+    * the engine's `readStream` entry. `ts` has shipped as two physical
+    * encodings across testdata generations (INT64 TIMESTAMP(NANOS)
+    * and plain TIMESTAMP(MICROS) — see [[graft.Tables.events]]);
+    * streams must declare their schema up front, so sniff the footer
+    * with a one-off batch read (driver-side, setup-time only) and
+    * apply the matching conversion. Both paths end at the LTZ
+    * TimestampType every batch twin was written against. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("event_id",
         org.apache.spark.sql.types.LongType),
@@ -36,14 +39,18 @@ object EventStreams {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("event_type",
         org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("ts",
-        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", tsType),
       org.apache.spark.sql.types.StructField("value",
         org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.StructField("props",
         org.apache.spark.sql.types.StringType)))
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.readStream.schema(schema).parquet(dir)
+    tsType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Tumbling 1-hour counts/sums with a late-data watermark

@@ -12,9 +12,11 @@ class CacheRegistrySpec extends SparkSpec {
     before shouldBe 0
 
     val a = CacheRegistry.persistTracked(
-      (1 to 100).toDF("x").groupBy(($"x" % 7).as("k")).count())
+      (1 to 100).toDF("x").groupBy(($"x" % 7).as("k")).count(),
+      CacheRegistry.DataSized)
     val b = CacheRegistry.persistTracked(
-      (1 to 50).toDF("y").select(($"y" * 2).as("z")))
+      (1 to 50).toDF("y").select(($"y" * 2).as("z")),
+      CacheRegistry.DataSized)
     CacheRegistry.trackedCount shouldBe 2
 
     a.count(); b.count() // materialize both caches
@@ -29,10 +31,10 @@ class CacheRegistrySpec extends SparkSpec {
   test("a graft query's internal persists are reclaimable by an embedded caller") {
     CacheRegistry.drain()
     spark.catalog.clearCache()
-    // q88 persists its counted-bigram frame internally (the documented
-    // embedded-caller contract: materialize, then drain).
-    val out = SparkEntry.queries("q88_bigram_perplexity")(
-      spark, "/root/testdata/sf0.001")
+    // q88 persists its counted-bigram frame internally; manual drain
+    // remains available for multi-query composition.
+    val out = SparkEntry.allDefs.find(_.name == "q88_bigram_perplexity").get
+      .build(spark, "/root/testdata/sf0.001")
     out.write.format("noop").mode("overwrite").save()
     CacheRegistry.trackedCount should be >= 1
     CacheRegistry.drain(blocking = true)
@@ -40,11 +42,59 @@ class CacheRegistrySpec extends SparkSpec {
     spark.sharedState.cacheManager.isEmpty shouldBe true
   }
 
+  test("auto-drain: an embedded caller using SparkEntry.queries needs NO manual drain") {
+    // Round-7 verdict #2: materialize a query through the public map
+    // and the internal frames must reclaim themselves — no drain()
+    // call anywhere. The listener is async, so poll briefly.
+    for (q <- Seq("q30_jaccard_pairs", "q88_bigram_perplexity")) {
+      CacheRegistry.drain(blocking = true)
+      spark.catalog.clearCache()
+      val out = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      CacheRegistry.trackedCount should be >= 1 // built, armed, not yet run
+      out.write.format("noop").mode("overwrite").save()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (CacheRegistry.trackedCount > 0 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      withClue(s"$q residual tracked frames: ") {
+        CacheRegistry.trackedCount shouldBe 0
+      }
+    }
+  }
+
+  test("auto-drain is scoped: materializing query A leaves query B's frames cached") {
+    // The round-7 advice scenario: two graft queries interleaved on
+    // one session. Draining must touch only the frames the completed
+    // query's plan references.
+    CacheRegistry.drain(blocking = true)
+    spark.catalog.clearCache()
+    val qa = SparkEntry.queries("q88_bigram_perplexity")(
+      spark, "/root/testdata/sf0.001")
+    val framesA = CacheRegistry.trackedCount
+    framesA should be >= 1
+    val qb = SparkEntry.queries("q25_skill_bridge")(
+      spark, "/root/testdata/sf0.001")
+    val framesAB = CacheRegistry.trackedCount
+    framesAB should be > framesA
+    qa.write.format("noop").mode("overwrite").save()
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (CacheRegistry.trackedCount > framesAB - framesA &&
+      System.nanoTime() < deadline) Thread.sleep(50)
+    // A's frames gone, B's intact and still cached.
+    CacheRegistry.trackedCount shouldBe (framesAB - framesA)
+    qb.write.format("noop").mode("overwrite").save()
+    while (CacheRegistry.trackedCount > 0 && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    CacheRegistry.trackedCount shouldBe 0
+    CacheRegistry.drain(blocking = true)
+    spark.catalog.clearCache()
+  }
+
   test("persistTracked honors an explicit DISK_ONLY level (output-sized frames)") {
     CacheRegistry.drain()
     spark.catalog.clearCache()
     val p = CacheRegistry.persistTracked(
       (1 to 100).toDF("x"),
+      CacheRegistry.OutputSized,
       org.apache.spark.storage.StorageLevel.DISK_ONLY)
     p.count()
     p.storageLevel.useDisk shouldBe true
@@ -53,19 +103,42 @@ class CacheRegistrySpec extends SparkSpec {
     CacheRegistry.trackedCount shouldBe 0
   }
 
-  test("q30/q87 cache their output-sized pair frames DISK_ONLY, hot frames in memory") {
-    for (q <- Seq("q30_jaccard_pairs", "q87_incremental_dedup")) {
+  test("lint: an output-sized frame with a memory-first level is rejected outright") {
+    // Round-7 verdict #6 — the sf10x OOM class (memory-first unroll of
+    // an output-bounded frame) is a structural error, not a review
+    // finding: the wrong level fails at the call site.
+    val df = (1 to 10).toDF("x")
+    an[IllegalArgumentException] should be thrownBy {
+      CacheRegistry.persistTracked(df, CacheRegistry.OutputSized)
+    }
+    an[IllegalArgumentException] should be thrownBy {
+      CacheRegistry.persistTracked(df, CacheRegistry.OutputSized,
+        org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    }
+    CacheRegistry.trackedCount shouldBe 0 // nothing registered on failure
+  }
+
+  test("suite-wide: every output-sized tracked frame is DISK_ONLY; q30 caches no pair frame") {
+    // q87 persists its output-sized pair frame (DISK_ONLY, enforced);
+    // q30 after round 8 persists ONLY the data-sized groups frame —
+    // the pair output goes straight into the steered contract sort.
+    for ((q, wantDiskOnly) <- Seq(
+        ("q30_jaccard_pairs", 0), ("q87_incremental_dedup", 1))) {
       CacheRegistry.drain(blocking = true)
       spark.catalog.clearCache()
-      SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      SparkEntry.allDefs.find(_.name == q).get
+        .build(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
       val levels = CacheRegistry.trackedLevels
-      // Exactly one disk-only frame (the pair frame under the contract
-      // sort — the sf10x OOM lesson, PERF log #23); any other internal
-      // persist is a re-read compute frame and stays memory-first.
-      withClue(s"$q tracked levels $levels: ") {
-        levels.count(l => l.useDisk && !l.useMemory) shouldBe 1
-        levels.filter(_.useMemory).foreach(_.useDisk shouldBe true)
+      val classes = CacheRegistry.trackedSizeClasses
+      withClue(s"$q tracked levels $levels classes $classes: ") {
+        levels.count(l => l.useDisk && !l.useMemory) shouldBe wantDiskOnly
+        classes.zip(levels).foreach { case (c, l) =>
+          if (c == CacheRegistry.OutputSized) {
+            l.useDisk shouldBe true; l.useMemory shouldBe false
+          }
+        }
+        classes.count(_ == CacheRegistry.OutputSized) shouldBe wantDiskOnly
       }
     }
     CacheRegistry.drain(blocking = true)

@@ -198,4 +198,110 @@ class MultimodalSpec extends SparkSpec {
     got.payload shouldBe "hello".getBytes("UTF-8")
     got.kind shouldBe "image"
   }
+
+  // ---- ISO-BMFF (MP4/MOV) video container metadata -------------------
+
+  /** Compose a box: u32 big-endian size (header included) + fourcc +
+    * payload — the ISO/IEC 14496-12 wire shape. */
+  private def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val size = payload.length + 8
+    val out = java.nio.ByteBuffer.allocate(size)
+    out.putInt(size)
+    out.put(typ.getBytes("ISO-8859-1"))
+    out.put(payload)
+    out.array()
+  }
+
+  private def u32(v: Long): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4).putInt(v.toInt).array()
+
+  /** Minimal-but-valid MP4 header: ftyp(isom) + moov{mvhd(v0,
+    * timescale=1000, duration=5000), trak{tkhd(640×360 16.16 fixed),
+    * mdia{hdlr(vide), minf{stbl{stsd(avc1)}}}}}. */
+  private def craftMp4(
+      timescale: Long = 1000L, duration: Long = 5000L,
+      w: Int = 640, h: Int = 360, codec: String = "avc1"): Array[Byte] = {
+    val ftyp = box("ftyp",
+      "isom".getBytes("ISO-8859-1") ++ u32(512) ++
+        "isomavc1".getBytes("ISO-8859-1"))
+    val mvhd = box("mvhd",
+      u32(0) ++ // version 0 + flags
+        u32(0) ++ u32(0) ++ // creation, modification
+        u32(timescale) ++ u32(duration) ++
+        Array.fill[Byte](80)(0)) // rate..next_track_id, unused here
+    // tkhd v0: ver+flags(4) creation(4) mod(4) track(4) rsv(4) dur(4)
+    // rsv(8) layer(2) alt(2) vol(2) rsv(2) matrix(36) width(4) height(4)
+    val tkhd = box("tkhd",
+      u32(0) ++ u32(0) ++ u32(0) ++ u32(1) ++ u32(0) ++ u32(duration) ++
+        Array.fill[Byte](8 + 2 + 2 + 2 + 2 + 36)(0) ++
+        u32(w.toLong << 16) ++ u32(h.toLong << 16))
+    val hdlr = box("hdlr",
+      u32(0) ++ u32(0) ++ "vide".getBytes("ISO-8859-1") ++
+        Array.fill[Byte](12)(0))
+    // stsd: ver+flags(4) entry_count(4) + one sample entry
+    // [size][fourcc][78 bytes of visual-sample-entry fields].
+    val entry = box(codec, Array.fill[Byte](78)(0))
+    val stsd = box("stsd", u32(0) ++ u32(1) ++ entry)
+    val stbl = box("stbl", stsd)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", hdlr ++ minf)
+    val trak = box("trak", tkhd ++ mdia)
+    val moov = box("moov", mvhd ++ trak)
+    ftyp ++ moov ++ box("mdat", Array.fill[Byte](32)(1))
+  }
+
+  test("IsoBmffCodec: duration, dimensions, codec, brand from a crafted MP4 header") {
+    val mp4 = craftMp4()
+    val Some((brand, dur, w, h, codec, nTracks)) =
+      Multimodal.IsoBmffCodec.videoMeta(mp4)
+    brand shouldBe "isom"
+    dur shouldBe 5.0 +- 1e-9 // 5000 ticks / 1000 ticks-per-sec
+    w shouldBe 640
+    h shouldBe 360
+    codec shouldBe "avc1"
+    nTracks shouldBe 1
+
+    // Different parameters flow through, not constants.
+    val Some((_, dur2, w2, h2, codec2, _)) = Multimodal.IsoBmffCodec
+      .videoMeta(craftMp4(timescale = 600, duration = 1200,
+        w = 1920, h = 1080, codec = "hvc1"))
+    dur2 shouldBe 2.0 +- 1e-9
+    w2 shouldBe 1920
+    h2 shouldBe 1080
+    codec2 shouldBe "hvc1"
+  }
+
+  test("IsoBmffCodec: non-BMFF, truncated, and empty payloads decline cleanly") {
+    Multimodal.IsoBmffCodec.videoMeta("plain text".getBytes("UTF-8")) shouldBe None
+    Multimodal.IsoBmffCodec.videoMeta(Array[Byte]()) shouldBe None
+    Multimodal.IsoBmffCodec.videoMeta(null) shouldBe None
+    // ftyp alone (no moov) is not enough to claim metadata…
+    val ftypOnly = box("ftyp", "isom".getBytes("ISO-8859-1") ++ u32(512))
+    Multimodal.IsoBmffCodec.videoMeta(ftypOnly) shouldBe None
+    // …and a truncated moov yields whatever parsed — never a throw.
+    val mp4 = craftMp4()
+    noException should be thrownBy
+      Multimodal.IsoBmffCodec.videoMeta(mp4.take(mp4.length / 2))
+  }
+
+  test("decodeVideoMeta: real container decode, declared-metadata fallback otherwise") {
+    implicit val s = spark
+    val mixed = Seq(
+      MediaRecord(30L, "video", craftMp4(), "mp4", 0, 0),
+      MediaRecord(31L, "video", "not a video".getBytes("UTF-8"), "raw",
+        320, 240),
+      MediaRecord(32L, "video", Array[Byte](), "raw", 0, 0)).toDS()
+    val got = Multimodal.decodeVideoMeta(mixed).collect().sortBy(_.media_id)
+    got(0).decoded shouldBe true
+    got(0).brand shouldBe "isom"
+    got(0).duration_sec shouldBe 5.0 +- 1e-9
+    got(0).width shouldBe 640
+    got(0).height shouldBe 360
+    got(0).codec shouldBe "avc1"
+    got(1).decoded shouldBe false
+    got(1).width shouldBe 320 // declared metadata kept on fallback
+    got(1).height shouldBe 240
+    got(2).decoded shouldBe false
+    got(2).n_bytes shouldBe 0L
+  }
 }

@@ -49,6 +49,25 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
     }
   }
 
+  private def unwrapAqe(p: SparkPlan): SparkPlan = p match {
+    case a: AdaptiveSparkPlanExec => a.executedPlan
+    case other => other
+  }
+
+  /** The plan plus every cached subtree reachable from it:
+    * `plan.collect` does NOT descend into
+    * `InMemoryTableScanExec.relation.cachedPlan`, so a scan that sits
+    * inside a persistTracked frame (q88's documents scan, q30's groups
+    * pipeline) is invisible to a top-level collect — an unpruned
+    * full-width scan hidden under a persist would pass the audits
+    * below. Expanding to the full tree list closes that hole
+    * (round-7 ADVICE item). */
+  private def planTrees(p: SparkPlan): Seq[SparkPlan] = {
+    val root = unwrapAqe(p)
+    root +: root.collect { case i: InMemoryTableScanExec => i }
+      .flatMap(i => planTrees(i.relation.cachedPlan))
+  }
+
   /** Queries whose nested-loop joins are all BROADCAST builds of
     * provably bounded frames — documented here so any NEW
     * nested-loop shape has to justify itself:
@@ -125,8 +144,7 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
     // predicate that SHOULD prune row groups is being evaluated
     // post-scan (the regression this guard exists to catch).
     val offenders = SparkEntry.allDefs.flatMap { d =>
-      val plan = physical(d.name)
-      val bad = plan.collect {
+      val bad = planTrees(physical(d.name)).flatMap(_.collect {
         case f: FilterExec =>
           scansDirectlyBelow(f.child).filter { s =>
             f.condition.references.subsetOf(s.outputSet) &&
@@ -134,7 +152,7 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
               s.metadata.get("PushedFilters").forall(_ == "[]")
           }.map(s => s"${d.name}[${s.relation.location.rootPaths.headOption
             .map(_.getName).getOrElse("?")}]")
-      }.flatten
+      }.flatten)
       spark.catalog.clearCache()
       bad
     }
@@ -195,8 +213,8 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
     // are exempt: there is nothing to prune (region is
     // (r_regionkey, r_name, r_comment) and most uses want all three).
     val offenders = SparkEntry.allDefs.flatMap { d =>
-      val plan = physical(d.name)
-      val scans = plan.collect { case s: FileSourceScanExec => s }
+      val scans = planTrees(physical(d.name))
+        .flatMap(_.collect { case s: FileSourceScanExec => s })
       spark.catalog.clearCache()
       scans.flatMap { s =>
         val table = s.relation.location.rootPaths.headOption
@@ -262,6 +280,31 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
       shingleGenerates shouldBe empty // all shingle work lives inside the cache
       cacheScans.size should be >= 2 // LM build + scoring join both ride it
     }
+  }
+
+  test("q30: contract sort is steered buckets + in-partition sort — one execution, no output-sized cache") {
+    // Round-7 verdict #1: the pair output (2.48 B rows at sf10x) must
+    // be materialized exactly once. The contract ORDER BY therefore
+    // must NOT plan as (a) a RangePartitioning exchange — its sample
+    // pass executes the verify join a second time — nor (b) a cache of
+    // the pair frame. Allowed cached frame: the data-sized groups
+    // pipeline (no doc_a column). RangeSort's shape: hash exchange on
+    // the steering probe + per-partition SortExec.
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    val p = physical("q30_jaccard_pairs")
+    p.collect { case s: SortExec if s.global => s } shouldBe empty
+    p.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[RangePartitioning] => e
+    } shouldBe empty
+    val pairCaches = p.collect {
+      case i: InMemoryTableScanExec
+          if i.output.exists(_.name == "doc_a") => i
+    }
+    spark.catalog.clearCache()
+    pairCaches shouldBe empty
   }
 
   test("q80: the salted aggregate is genuinely two-stage — salt in phase 1, merged on key") {
