@@ -85,11 +85,15 @@ object RangeSort {
       return df.repartition(1).sortWithinPartitions(sortCols: _*)
     }
     val probes = hashProbes(n)
-    // Bucket rank via a fold over the literal bounds: O(|bounds|)
-    // integer compares per row, no per-row allocation, codegen'd.
-    val rank = aggregate(
-      typedlit(bs.toSeq), lit(0),
-      (acc, b) => acc + when(leading > b, 1).otherwise(lit(0)))
+    // Bucket rank via codegen'd binary search over the bound array —
+    // O(log n) compares per row, so the bucketing stays cheap even
+    // when weightedBounds sizes n by output volume (thousands of
+    // buckets at the 100 TB end, where an O(n) fold per row would
+    // make the rank itself the bottleneck).
+    val rank = org.apache.spark.sql.graft.CatalystBridge.column(
+      graft.plans.SortedBucket(
+        org.apache.spark.sql.graft.CatalystBridge.expr(leading.cast("long")),
+        bs))
     df.withColumn("__rs_probe", element_at(typedlit(probes.toSeq), rank + 1))
       .repartition(n, col("__rs_probe"))
       .sortWithinPartitions(sortCols: _*)
@@ -99,32 +103,56 @@ object RangeSort {
   /** Split bounds for [[sortedByBounds]] from a (key, weight) frame:
     * approximates the weighted key distribution on a fixed grid of
     * `cells` contiguous key ranges, then cuts the cumulative weight
-    * into `parts` even slices. Two driver-side actions, both BOUNDED:
-    * a 2-value min/max aggregate and a ≤`cells`-row collect — this
+    * into even slices. Two driver-side actions, both BOUNDED: a
+    * 2-value min/max aggregate and a ≤`cells`-row collect — this
     * REPLACES RangePartitioner's sample collect, which executed the
     * full (output-sized) child to draw its sample. Resolution is one
     * cell: a single key heavier than total/parts simply yields a fat
-    * partition (external sort spills), never wrong order. */
+    * partition (external sort spills), never wrong order.
+    *
+    * The slice count is NOT `minParts` alone: the frame being sorted
+    * is output-sized, and the weight total IS the output-volume
+    * prediction, so the partition count scales with it —
+    * `max(minParts, total / rowsPerPart)`. The sf10x lesson
+    * (2.48 B pairs): pinning the sort to the session's 32 shuffle
+    * partitions put ~77 M rows in every in-partition sort and 32
+    * concurrent external sorts thrashed an 8 g heap to OOM; at
+    * `rowsPerPart` = 8 M each sort buffers ~200 MB raw and spills
+    * shallowly. On a real cluster this is exactly how you'd size
+    * reducer count for a sort whose output dwarfs its input. */
   def weightedBounds(
       weights: DataFrame,
-      parts: Int,
-      cells: Int = 4096): Array[Long] = {
-    require(parts > 0 && cells > 0)
-    if (parts == 1) return Array.empty
+      minParts: Int,
+      cells: Int = 4096,
+      rowsPerPart: Long = 8_000_000L): Array[Long] = {
+    require(minParts > 0 && cells > 0 && rowsPerPart > 0)
     val mm = weights.agg(
       min(col("key")).as("lo"), max(col("key")).as("hi")).collect()(0)
     if (mm.isNullAt(0)) return Array.empty // empty input
     val lo = mm.getLong(0)
     val hi = mm.getLong(1)
-    val width = math.max(1L, (hi - lo) / cells + 1)
-    val cellRows = weights
-      .groupBy(((col("key") - lit(lo)) / lit(width)).cast("long").as("cell"))
-      .agg(sum(col("weight")).as("w"))
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-      .sortBy(_._1)
-    val total = cellRows.iterator.map(_._2).sum
+    // (cell width, per-cell weight sums) at a given grid resolution.
+    def cellHistogram(nCells: Int): (Long, Array[(Long, Long)]) = {
+      val width = math.max(1L, (hi - lo) / nCells + 1)
+      val rows = weights
+        .groupBy(((col("key") - lit(lo)) / lit(width)).cast("long").as("cell"))
+        .agg(sum(col("weight")).as("w"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(_._1)
+      (width, rows)
+    }
+    val (coarseWidth, coarseRows) = cellHistogram(cells)
+    val total = coarseRows.iterator.map(_._2).sum
     if (total <= 0L) return Array.empty
+    val parts = math.max(minParts.toLong,
+      math.min((total + rowsPerPart - 1) / rowsPerPart, 65536L)).toInt
+    if (parts == 1) return Array.empty
+    // Keep ≥4 cells per cut so bound resolution tracks the scaled
+    // partition count (the collect stays bounded: ≤ parts*8 rows).
+    val (width, cellRows) =
+      if (parts.toLong * 4 > cells) cellHistogram(parts * 8)
+      else (coarseWidth, coarseRows)
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
     var acc = 0L
     var nextCut = 1

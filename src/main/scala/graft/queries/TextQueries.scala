@@ -430,11 +430,26 @@ object TextQueries {
       // post-join project, computed once per surviving candidate, and
       // the division is plain JVM arithmetic.
       import s.implicits._
-      val crossPairs = candidates.as[(Seq[Long], Seq[Long], Int, Int, Int)]
-        .map { case (ia, ib, na, nb, i) =>
-          (ia, ib, i.toDouble / (na + nb - i)) }
-        .filter(_._3 >= 0.9)
-        .toDF("ids_a", "ids_b", "jaccard")
+      // Qualifying pairs kept at GROUP grain: one row per fingerprint
+      // pair that survives the verify kernel, ids still as arrays.
+      // This is the COLLAPSED representation — k_a·k_b doc pairs ride
+      // in k_a+k_b array slots, so the frame is ~k̄× smaller than the
+      // doc-pair output (sf10x: ~250 k rows of 100-long arrays vs
+      // 2.48 B expanded rows). Persisting HERE (DISK_ONLY, write-once)
+      // is what lets the contract sort see exact output volume without
+      // ever caching anything output-sized: the weights pass below
+      // reads this frame, and the expansion reads it again straight
+      // into the correctly-sized sort shuffle. The verify join
+      // executes exactly once.
+      val qual = graft.CacheRegistry.persistTracked(
+        candidates.as[(Seq[Long], Seq[Long], Int, Int, Int)]
+          .map { case (ia, ib, na, nb, i) =>
+            (ia, ib, i.toDouble / (na + nb - i)) }
+          .filter(_._3 >= 0.9)
+          .toDF("ids_a", "ids_b", "jaccard"),
+        graft.CacheRegistry.OutputSized,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val crossPairs = qual
         .select(explode(col("ids_a")).as("x"), col("ids_b"), col("jaccard"))
         .select(col("x"), explode(col("ids_b")).as("y"), col("jaccard"))
         .select(least(col("x"), col("y")).as("doc_a"),
@@ -468,11 +483,33 @@ object TextQueries {
         .select(col("doc_a"), col("doc_b"),
           round(col("jaccard"), 4).as("jaccard"))
       val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
-      val docWeights = gp
+      // doc_a weight model, BOTH pair families (the sf10x lesson: the
+      // within-group term alone under-predicted 2.48 B pairs as 25 M,
+      // so the sort stayed at 32 partitions and 77 M-row in-partition
+      // sorts OOM'd the heap):
+      //  - within-group (exact): the doc at ascending position p of a
+      //    k-group is doc_a for k−1−p pairs (+1 smoothing);
+      //  - cross-group (from the persisted qual frame): a member of A
+      //    pairs with every member of B and is doc_a for the ~half
+      //    where its id is the smaller — expectation k_b/2 per member
+      //    of A and k_a/2 per member of B. Approximation only skews
+      //    BALANCE (a fat partition spills); order is never affected.
+      // Total predicted weight ≈ true pair count, which is what sizes
+      // the partition count in weightedBounds.
+      val withinWeights = gp
         .select(size(col("ids")).as("k"),
           posexplode(col("ids")).as(Seq("pos", "d")))
         .select(col("d").as("key"),
           (col("k") - col("pos")).cast("long").as("weight"))
+      val crossWeights = qual
+        .select(size(col("ids_b")).as("kb"), explode(col("ids_a")).as("d"))
+        .select(col("d").as("key"),
+          greatest(col("kb") / 2, lit(1)).cast("long").as("weight"))
+        .unionAll(qual
+          .select(size(col("ids_a")).as("ka"), explode(col("ids_b")).as("d"))
+          .select(col("d").as("key"),
+            greatest(col("ka") / 2, lit(1)).cast("long").as("weight")))
+      val docWeights = withinWeights.unionAll(crossWeights)
       val bounds = graft.operators.RangeSort.weightedBounds(docWeights, parts)
       graft.operators.RangeSort.sortedByBounds(
         pairs, col("doc_a"), bounds, Seq(col("doc_b")))

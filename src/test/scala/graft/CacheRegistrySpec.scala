@@ -118,12 +118,17 @@ class CacheRegistrySpec extends SparkSpec {
     CacheRegistry.trackedCount shouldBe 0 // nothing registered on failure
   }
 
-  test("suite-wide: every output-sized tracked frame is DISK_ONLY; q30 caches no pair frame") {
-    // q87 persists its output-sized pair frame (DISK_ONLY, enforced);
-    // q30 after round 8 persists ONLY the data-sized groups frame —
-    // the pair output goes straight into the steered contract sort.
+  test("suite-wide: every output-sized tracked frame is DISK_ONLY; q30 caches no expanded pair frame") {
+    // q87 persists its output-sized pair frame (DISK_ONLY, enforced).
+    // q30 persists the groups frame (data-sized) plus the COLLAPSED
+    // group-grain qualifying-pair frame (DISK_ONLY — k_a·k_b doc pairs
+    // ride in k_a+k_b array slots, ~k̄× smaller than the expanded
+    // output; it feeds the sort-bound weights AND the expansion, so
+    // the verify join runs once). The EXPANDED doc-pair output is
+    // never cached — it goes straight into the steered contract sort;
+    // that's what the sf10x disk-exhaustion fix pinned down.
     for ((q, wantDiskOnly) <- Seq(
-        ("q30_jaccard_pairs", 0), ("q87_incremental_dedup", 1))) {
+        ("q30_jaccard_pairs", 1), ("q87_incremental_dedup", 1))) {
       CacheRegistry.drain(blocking = true)
       spark.catalog.clearCache()
       SparkEntry.allDefs.find(_.name == q).get

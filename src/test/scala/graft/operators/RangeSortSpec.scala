@@ -78,7 +78,7 @@ class RangeSortSpec extends SparkSpec {
     // Keys 0..99 each weight 1, plus key 10 with weight 900: the heavy
     // key pulls every early cut to its cell.
     val w = ((0L until 100L).map(k => (k, 1L)) :+ (10L, 900L)).toDF("key", "weight")
-    val bounds = RangeSort.weightedBounds(w, parts = 4, cells = 100)
+    val bounds = RangeSort.weightedBounds(w, minParts = 4, cells = 100)
     bounds.length should be <= 3
     bounds shouldBe bounds.sorted
     // ~900 of 1000 total weight sits at key 10 → first bound at its cell.
@@ -88,7 +88,43 @@ class RangeSortSpec extends SparkSpec {
       .withColumn("key", lit(1L)).withColumn("weight", lit(1L)).filter(lit(false))
     RangeSort.weightedBounds(empty, 4) shouldBe Array.empty[Long]
 
-    RangeSort.weightedBounds(w, parts = 1) shouldBe Array.empty[Long]
+    RangeSort.weightedBounds(w, minParts = 1) shouldBe Array.empty[Long]
+  }
+
+  test("weightedBounds scales the partition count with predicted output volume") {
+    import spark.implicits._
+    // 1000 keys × weight 100k each = 100 M predicted rows. At the
+    // default 8 M rows/part the cut count must outgrow minParts — the
+    // sf10x OOM class: pinning an output-sized sort to the session's
+    // shuffle-partition constant put ~77 M rows in each in-partition
+    // sort. minParts still wins when the prediction is small.
+    val w = (0L until 1000L).map(k => (k, 100000L)).toDF("key", "weight")
+    val bounds = RangeSort.weightedBounds(w, minParts = 4)
+    val parts = bounds.length + 1
+    parts should be >= 12 // ceil(100M / 8M) = 13, minus dedup slack
+    parts should be <= 14
+
+    // Small total: minParts governs exactly as before.
+    val small = (0L until 100L).map(k => (k, 10L)).toDF("key", "weight")
+    RangeSort.weightedBounds(small, minParts = 4).length shouldBe 3
+  }
+
+  test("SortedBucket binary search matches the leading>bound rank contract") {
+    import spark.implicits._
+    val bounds = Array(10L, 20L, 30L)
+    // Exact hits are upper-inclusive: v==bound stays in the lower bucket.
+    val cases = Seq(5L -> 0, 10L -> 0, 11L -> 1, 20L -> 1, 21L -> 2,
+      30L -> 2, 31L -> 3, Long.MinValue -> 0, Long.MaxValue -> 3)
+    val df = cases.map(_._1).toDF("v")
+    val got = df.select(org.apache.spark.sql.graft.CatalystBridge.column(
+      graft.plans.SortedBucket(
+        org.apache.spark.sql.graft.CatalystBridge.expr(col("v")), bounds)))
+      .collect().map(_.getInt(0)).toSeq
+    got shouldBe cases.map(_._2)
+    // Interpreted path agrees with codegen.
+    cases.foreach { case (v, want) =>
+      graft.plans.SortedBucket.bucket(bounds, v) shouldBe want
+    }
   }
 
   test("weightedBounds + sortedByBounds balance a skewed pair distribution") {
@@ -104,7 +140,7 @@ class RangeSortSpec extends SparkSpec {
     val df = pairs.toDF("doc_a", "doc_b")
     val w = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toSeq
       .toDF("key", "weight")
-    val bounds = RangeSort.weightedBounds(w, parts = 4, cells = 512)
+    val bounds = RangeSort.weightedBounds(w, minParts = 4, cells = 512)
     val sorted = RangeSort.sortedByBounds(df, col("doc_a"), bounds, Seq(col("doc_b")))
     val got = sorted.collect().map(r => (r.getLong(0), r.getLong(1)))
     got.toSeq shouldBe pairs.sorted
