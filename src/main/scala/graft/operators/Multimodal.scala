@@ -10,15 +10,16 @@ import org.apache.spark.sql.functions._
   * batch iteration, deterministic outputs. Image METADATA decode is
   * real ([[ImageIoCodec.imageMeta]] header-parses PNG/JPEG/GIF/BMP via
   * `javax.imageio` — ships in the JDK, no external libraries), and so
-  * are PIXEL features for images within the decode cap:
-  * [[decodePixels]] fully rasters the payload and reports mean-R/G/B
-  * and Rec.601 luma. What remains a STUB is audio/video feature
-  * extraction and oversize-image pixels: this container has no media
-  * libraries beyond the JDK, so [[StubCodec.decode]] derives features
-  * from the raw bytes (byte histogram standing in for a sample
-  * histogram). Swapping in a full codec (JavaCV, TwelveMonkeys,
-  * ffmpeg-over-pipe) changes ONLY that function — batch shape, schema,
-  * and distribution are unchanged.
+  * are PIXEL features for images of ANY size: [[decodePixels]] rasters
+  * the payload in full within the memory cap and through uniform
+  * source subsampling above it (bounded raster, estimated means —
+  * `exact_pixels` says which), reporting mean-R/G/B and Rec.601 luma.
+  * What remains a STUB is audio/video SAMPLE-level feature extraction:
+  * this container has no media libraries beyond the JDK, so
+  * [[StubCodec.decode]] derives features from the raw bytes (byte
+  * histogram standing in for a sample histogram). Swapping in a full
+  * codec (JavaCV, TwelveMonkeys, ffmpeg-over-pipe) changes ONLY that
+  * function — batch shape, schema, and distribution are unchanged.
   *
   * Audio METADATA is real too ([[AudioIoCodec.audioMeta]]): the JDK
   * ships WAV/AIFF/AU parsers in `javax.sound.sampled`, so container
@@ -28,7 +29,7 @@ import org.apache.spark.sql.functions._
   * ([[IsoBmffCodec.videoMeta]]): MP4/MOV duration, dimensions, codec
   * fourcc, and track count via a pure-JDK ISO-BMFF box parse. The
   * remaining stub surface is codec-level feature extraction (video
-  * frame raster, audio sample decode) and oversize-image pixels only.
+  * frame raster, audio sample decode) only.
   *
   * Scale notes: decode runs via `mapPartitions` — per-partition
   * imperative logic over opaque bytes is the one documented case where
@@ -131,50 +132,100 @@ object Multimodal {
       } catch { case _: Exception => None }
     }
 
-    /** Full pixel decode is bounded by this cap (header-only above it):
-      * a decoded ARGB raster costs 4 bytes/pixel of executor heap, so
-      * an unbounded `ImageIO.read` on adversarial dimensions (a 1 GB
-      * decompression-bomb PNG header claiming 50k×50k) would OOM the
-      * task. 1 MPix ≈ 4 MB raster — safe at full mapPartitions
-      * parallelism. */
+    /** Raster memory cap: a decoded ARGB raster costs 4 bytes/pixel of
+      * executor heap, so an unbounded `ImageIO.read` on adversarial
+      * dimensions (a 1 GB decompression-bomb PNG header claiming
+      * 50k×50k) would OOM the task. 1 MPix ≈ 4 MB raster — safe at
+      * full mapPartitions parallelism. Images ABOVE the cap are not
+      * skipped: they decode through `ImageReadParam.setSourceSubsampling`
+      * with the smallest step whose subsampled raster fits the cap, so
+      * the RASTER memory stays bounded while the means become a
+      * uniform-grid estimate (`PixelStats.exact = false`). */
     val DefaultMaxDecodePixels: Long = 1L << 20
 
-    /** REAL pixel statistics — mean R/G/B and Rec.601 luma — via a full
-      * `ImageIO.read` when the header-declared pixel count is within
-      * `maxPixels`; None above the cap, for non-images, or when the
-      * reader sizes but cannot raster the payload. */
+    /** Header claims beyond this (16 Gpix) are refused outright: even a
+      * subsampled read must inflate every source row CPU-wise, and a
+      * fabricated petapixel header would pin a task on pure decode. */
+    val HardMaxSourcePixels: Long = 1L << 34
+
+    /** Pixel statistics for one image. `width`/`height` are the FULL
+      * source dimensions (from the header) even when the raster was
+      * subsampled; `exact` says whether the means cover every pixel
+      * (step 1) or a uniform step×step grid sample. */
+    final case class PixelStats(
+        width: Int,
+        height: Int,
+        meanR: Double,
+        meanG: Double,
+        meanB: Double,
+        meanLuma: Double,
+        exact: Boolean)
+
+    /** REAL pixel statistics — mean R/G/B and Rec.601 luma — for ANY
+      * JDK-decodable image. Within `maxPixels` the raster is read in
+      * full (exact means); above it the reader decodes a uniformly
+      * subsampled grid sized to the cap (estimated means, bounded
+      * memory) — the standard estimator for channel statistics over
+      * images too large to raster whole. None for non-images, refused
+      * oversize headers, or payloads the reader sizes but cannot
+      * raster. */
     def pixelStats(bytes: Array[Byte], maxPixels: Long = DefaultMaxDecodePixels)
-        : Option[(Int, Int, Double, Double, Double, Double)] =
-      imageMeta(bytes) match {
-        case Some((hw, hh, _)) if hw.toLong * hh > 0 && hw.toLong * hh <= maxPixels =>
-          try {
-            val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            if (img == null) None
-            else {
-              val w = img.getWidth
-              val h = img.getHeight
-              var sr = 0.0; var sg = 0.0; var sb = 0.0
-              val row = new Array[Int](w)
-              var y = 0
-              while (y < h) {
-                img.getRGB(0, y, w, 1, row, 0, w)
-                var x = 0
-                while (x < w) {
-                  val p = row(x)
-                  sr += (p >> 16) & 0xff
-                  sg += (p >> 8) & 0xff
-                  sb += p & 0xff
-                  x += 1
+        : Option[PixelStats] = {
+      if (bytes == null || bytes.length == 0) return None
+      try {
+        val iis = ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis, true, true)
+              val w = reader.getWidth(0)
+              val h = reader.getHeight(0)
+              val pixels = w.toLong * h
+              if (pixels <= 0 || pixels > HardMaxSourcePixels) None
+              else {
+                val step = math.max(1,
+                  math.ceil(math.sqrt(pixels.toDouble / maxPixels)).toInt)
+                val param = reader.getDefaultReadParam
+                if (step > 1) param.setSourceSubsampling(step, step, 0, 0)
+                val img = reader.read(0, param)
+                if (img == null) None
+                else {
+                  val sw = img.getWidth
+                  val sh = img.getHeight
+                  var sr = 0.0; var sg = 0.0; var sb = 0.0
+                  val row = new Array[Int](sw)
+                  var y = 0
+                  while (y < sh) {
+                    img.getRGB(0, y, sw, 1, row, 0, sw)
+                    var x = 0
+                    while (x < sw) {
+                      val p = row(x)
+                      sr += (p >> 16) & 0xff
+                      sg += (p >> 8) & 0xff
+                      sb += p & 0xff
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  val n = sw.toDouble * sh
+                  if (n <= 0) None
+                  else {
+                    val (mr, mg, mb) = (sr / n, sg / n, sb / n)
+                    Some(PixelStats(w, h, mr, mg, mb,
+                      0.299 * mr + 0.587 * mg + 0.114 * mb,
+                      exact = step == 1))
+                  }
                 }
-                y += 1
               }
-              val n = w.toDouble * h
-              val (mr, mg, mb) = (sr / n, sg / n, sb / n)
-              Some((w, h, mr, mg, mb, 0.299 * mr + 0.587 * mg + 0.114 * mb))
-            }
-          } catch { case _: Exception => None }
-        case _ => None
-      }
+            } finally reader.dispose()
+          }
+        } finally iis.close()
+      } catch { case _: Exception => None }
+    }
 
     def decode(r: MediaRecord): MediaMeta = imageMeta(r.payload) match {
       case Some((w, h, c)) =>
@@ -196,14 +247,17 @@ object Multimodal {
     media.mapPartitions(_.map(ImageIoCodec.decode))
   }
 
-  /** Real pixel features when the payload is a JDK-decodable image
-    * within the pixel cap; header/declared fallback otherwise
+  /** Real pixel features when the payload is a JDK-decodable image:
+    * exact channel means within the raster cap, uniform-grid estimates
+    * above it (`exact_pixels = false` — bounded memory via source
+    * subsampling). Header/declared fallback for non-images
     * (`decoded_pixels = false`, means 0.0 — read the flag, not the
     * zeros). */
   final case class PixelFeatures(
       media_id: Long,
       kind: String,
       decoded_pixels: Boolean,
+      exact_pixels: Boolean,
       width: Int,
       height: Int,
       mean_r: Double,
@@ -212,25 +266,28 @@ object Multimodal {
       mean_luma: Double,
       n_bytes: Long)
 
-  /** Mean-RGB / luma per image, full decode bounded by `maxPixels`
-    * ([[ImageIoCodec.pixelStats]]) — same no-shuffle mapPartitions
-    * plumbing as [[decodeMeta]]; oversize or unreadable payloads keep
-    * the header-only path so one poison row can't OOM a task. */
+  /** Mean-RGB / luma per image ([[ImageIoCodec.pixelStats]]): full
+    * decode within `maxPixels`, subsampled decode above it — same
+    * no-shuffle mapPartitions plumbing as [[decodeMeta]]; the raster
+    * cap means one poison row can't OOM a task at any claimed size. */
   def decodePixels(media: Dataset[MediaRecord],
       maxPixels: Long = ImageIoCodec.DefaultMaxDecodePixels)(
       implicit spark: SparkSession): Dataset[PixelFeatures] = {
     import spark.implicits._
     media.mapPartitions(_.map { r =>
       ImageIoCodec.pixelStats(r.payload, maxPixels) match {
-        case Some((w, h, mr, mg, mb, luma)) =>
+        case Some(ps) =>
           PixelFeatures(r.media_id, r.kind, decoded_pixels = true,
-            w, h, mr, mg, mb, luma, r.payload.length.toLong)
+            exact_pixels = ps.exact, ps.width, ps.height,
+            ps.meanR, ps.meanG, ps.meanB, ps.meanLuma,
+            r.payload.length.toLong)
         case None =>
           val (w, h) = ImageIoCodec.imageMeta(r.payload)
             .map { case (w0, h0, _) => (w0, h0) }
             .getOrElse((r.declared_width, r.declared_height))
           PixelFeatures(r.media_id, r.kind, decoded_pixels = false,
-            w, h, 0.0, 0.0, 0.0, 0.0, r.payload.length.toLong)
+            exact_pixels = false, w, h, 0.0, 0.0, 0.0, 0.0,
+            r.payload.length.toLong)
       }
     })
   }

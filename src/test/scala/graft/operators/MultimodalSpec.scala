@@ -104,6 +104,7 @@ class MultimodalSpec extends SparkSpec {
     val ds = Seq(MediaRecord(1L, "image", out.toByteArray, "png", 0, 0)).toDS()
     val got = Multimodal.decodePixels(ds).collect().head
     got.decoded_pixels shouldBe true
+    got.exact_pixels shouldBe true
     (got.width, got.height) shouldBe ((2, 1))
     got.mean_r shouldBe 30.0 +- 1e-9 // (10+50)/2
     got.mean_g shouldBe 60.0 +- 1e-9 // (20+100)/2
@@ -111,20 +112,51 @@ class MultimodalSpec extends SparkSpec {
     got.mean_luma shouldBe (0.299 * 30 + 0.587 * 60 + 0.114 * 115) +- 1e-9
   }
 
-  test("decodePixels honors the size cap and falls back to header-only above it") {
+  test("decodePixels subsamples ABOVE the raster cap: bounded grid, real means") {
     implicit val s = spark
-    val png = imageBytes(4, 4, "png") // 16 pixels
+    // 4x4 image whose (0,0)-anchored step-2 grid is exactly the four
+    // corners of each 2x2 cell: pixels at (even, even) are (100,50,25),
+    // the rest (0,0,0). Subsampled means see only the even grid.
+    val img = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4)
+      img.setRGB(x, y,
+        if (x % 2 == 0 && y % 2 == 0) 100 << 16 | 50 << 8 | 25 else 0)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
     val ds = Seq(
-      MediaRecord(1L, "image", png, "png", 0, 0),
+      MediaRecord(1L, "image", out.toByteArray, "png", 0, 0),
       MediaRecord(2L, "image", "not an image".getBytes("UTF-8"), "raw", 640, 480))
       .toDS()
+    // cap of 8 pixels forces step 2 on the 16-pixel source: a 2x2
+    // subsampled raster of the four bright pixels.
     val got = Multimodal.decodePixels(ds, maxPixels = 8L).collect().sortBy(_.media_id)
-    // over the cap: header dims survive, pixels honestly not decoded
-    got(0).decoded_pixels shouldBe false
-    (got(0).width, got(0).height) shouldBe ((4, 4))
+    got(0).decoded_pixels shouldBe true
+    got(0).exact_pixels shouldBe false // estimate, honestly flagged
+    (got(0).width, got(0).height) shouldBe ((4, 4)) // FULL source dims
+    got(0).mean_r shouldBe 100.0 +- 1e-9
+    got(0).mean_g shouldBe 50.0 +- 1e-9
+    got(0).mean_b shouldBe 25.0 +- 1e-9
     // non-image: declared metadata fallback
     got(1).decoded_pixels shouldBe false
     (got(1).width, got(1).height) shouldBe ((640, 480))
+  }
+
+  test("pixelStats refuses a header claiming more than the hard source cap") {
+    // A crafted PNG IHDR claiming 2^17 x 2^17 (16 Gpix < claim): build
+    // a real 1x1 PNG and splice absurd dimensions into the IHDR so the
+    // reader sizes it without any payload to back it.
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(new java.awt.image.BufferedImage(
+      1, 1, java.awt.image.BufferedImage.TYPE_INT_RGB), "png", out)
+    val bytes = out.toByteArray
+    // IHDR width/height live at fixed offsets 16..23 in a PNG stream.
+    val big = java.nio.ByteBuffer.allocate(4).putInt(1 << 17).array()
+    System.arraycopy(big, 0, bytes, 16, 4)
+    System.arraycopy(big, 0, bytes, 20, 4)
+    // CRC now mismatches, which is also fine — either refusal path
+    // (hard cap or parse failure) must yield None, never a decode.
+    Multimodal.ImageIoCodec.pixelStats(bytes) shouldBe None
   }
 
   // Craft real audio bytes with the JDK encoder only — raw PCM frames
