@@ -140,7 +140,14 @@ object StarQueries {
           col("job_posting_pk"), col("o_orderkey"), col("customer_sk"),
           col("priority_sk"), col("status_sk"), col("date_sk"),
           lit(1L).as("job_count"))
-        .orderBy("job_posting_pk")
+        // Contract ORDER BY without a second range exchange: the SK
+        // pass already leaves the fact partition-ordered by
+        // job_posting_pk (withSurrogateKey's documented guarantee), so
+        // an in-partition sort yields the identical total order for
+        // any partition-ordered reader. orderBy here re-sampled and
+        // re-shuffled all 15 M rows at sf10x for an order they were
+        // already in — the q24 profile's third term (PERF #26).
+        .sortWithinPartitions("job_posting_pk")
     },
 
     // G1/J7/J8: skills bridge — vocabulary tagging (substring semantics,

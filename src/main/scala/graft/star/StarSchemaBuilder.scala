@@ -61,7 +61,19 @@ object StarSchemaBuilder {
       .select(col(skName), col(keyName))
   }
 
-  /** Assign a dense 1..N surrogate key ordered by `orderCols`. */
+  /** Assign a dense 1..N surrogate key ordered by `orderCols`.
+    *
+    * Output guarantee, both strategies: the result is PARTITION-ORDERED
+    * by the new key — partition i's keys all precede partition i+1's,
+    * and rows within a partition are ascending. GlobalRowNumber is a
+    * single globally-sorted partition; PartitionedOffset range-shuffles
+    * on `orderCols` (partition index order == key range order; AQE may
+    * only merge ADJACENT range partitions, which preserves it) and the
+    * broadcast offset join streams the ranked side in place. Callers
+    * whose contract sort IS the SK order can therefore finish with
+    * `sortWithinPartitions(sk)` instead of `orderBy(sk)` — same total
+    * order for any partition-ordered reader, minus a full range
+    * exchange of the fact (measured −3 s of q24's 13 s at sf10x). */
   def withSurrogateKey(
       df: DataFrame,
       orderCols: Seq[String],

@@ -38,6 +38,30 @@ class StarSchemaBuilderSpec extends SparkSpec {
     plan should not include regex("Window \\[row_number.*ORDER BY k".r.regex)
   }
 
+  test("withSurrogateKey output is partition-ordered by the key: " +
+      "sortWithinPartitions == orderBy, no second range exchange") {
+    // The q24 contract-sort optimization (PERF #26) rests on this
+    // guarantee: after PartitionedOffset, collect() — a
+    // partition-ordered reader, like Verify's coalesce(1) writer —
+    // must already see globally ascending SKs after only an
+    // IN-PARTITION sort.
+    val src = (1 to 5000).map(i => (f"key_${(i * 7919) % 5000}%05d", i))
+      .toDF("k", "payload").repartition(7)
+    val got = StarSchemaBuilder.withSurrogateKey(
+        src, Seq("k", "payload"), "sk", SkStrategy.PartitionedOffset)
+      .sortWithinPartitions("sk")
+    val sks = got.select("sk").as[Long].collect()
+    sks shouldBe sorted
+    sks.length shouldBe 5000
+    sks.head shouldBe 1L
+    sks.last shouldBe 5000L
+    // And the plan must NOT range-shuffle on the new key — the only
+    // range exchange is the SK pass's own repartitionByRange on the
+    // order columns.
+    val plan = got.queryExecution.executedPlan.toString
+    plan should not include "rangepartitioning(sk"
+  }
+
   test("buildDateDim derives yyyyMMdd SK + calendar attributes") {
     val src = Seq("2024-03-05", "2024-03-05", "2023-12-31", null).toDF("d")
       .select(to_date($"d").as("d"))
