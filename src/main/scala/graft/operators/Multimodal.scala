@@ -14,22 +14,31 @@ import org.apache.spark.sql.functions._
   * the payload in full within the memory cap and through uniform
   * source subsampling above it (bounded raster, estimated means —
   * `exact_pixels` says which), reporting mean-R/G/B and Rec.601 luma.
-  * What remains a STUB is audio/video SAMPLE-level feature extraction:
-  * this container has no media libraries beyond the JDK, so
-  * [[StubCodec.decode]] derives features from the raw bytes (byte
-  * histogram standing in for a sample histogram). Swapping in a full
-  * codec (JavaCV, TwelveMonkeys, ffmpeg-over-pipe) changes ONLY that
-  * function — batch shape, schema, and distribution are unchanged.
-  *
   * Audio METADATA is real too ([[AudioIoCodec.audioMeta]]): the JDK
   * ships WAV/AIFF/AU parsers in `javax.sound.sampled`, so container
   * type, encoding, sample rate, channels, bit depth, and frame count
   * come from `AudioSystem.getAudioFileFormat` — a header parse, no
-  * sample decode. Video CONTAINER metadata is real as well
-  * ([[IsoBmffCodec.videoMeta]]): MP4/MOV duration, dimensions, codec
-  * fourcc, and track count via a pure-JDK ISO-BMFF box parse. The
-  * remaining stub surface is codec-level feature extraction (video
-  * frame raster, audio sample decode) only.
+  * sample decode. Audio SAMPLE features are real as well
+  * ([[AudioIoCodec.sampleStats]]): the JDK decodes WAV/AIFF/AU PCM
+  * (and converts ULAW/ALAW) via `AudioSystem.getAudioInputStream`, so
+  * RMS / peak / zero-crossing rate / clipping come from the actual
+  * waveform, streamed through a fixed buffer. Video CONTAINER
+  * metadata is real ([[IsoBmffCodec.videoMeta]]): MP4/MOV duration,
+  * dimensions, codec fourcc, and track count via a pure-JDK ISO-BMFF
+  * box parse; so are frame-level STREAM statistics
+  * ([[IsoBmffCodec.frameStats]] — per-frame sizes, fps, bitrate,
+  * keyframe ratio from the `stbl` sample tables) and frame SAMPLING
+  * ([[IsoBmffCodec.syncFrameSlices]] — the actual compressed bytes of
+  * evenly spaced keyframes, located through `stss`/`stsc`/`stco`/
+  * `stsz`). Image RESIZE is real ([[resizeImages]]): decode →
+  * bilinear resample → PNG re-encode, pure `java.awt`.
+  *
+  * The one remaining STUB is video frame RASTER decode (H.264/HEVC
+  * entropy decode has no JDK implementation): [[StubCodec.decode]]
+  * stands in with a deterministic byte histogram where a pixel-level
+  * feature would go. Swapping in a full codec (JavaCV, ffmpeg-over-
+  * pipe) changes ONLY that function — batch shape, schema, and
+  * distribution are unchanged.
   *
   * Scale notes: decode runs via `mapPartitions` — per-partition
   * imperative logic over opaque bytes is the one documented case where
@@ -339,6 +348,92 @@ object Multimodal {
       }
     }
 
+    /** Waveform statistics from a REAL sample decode. Samples are
+      * normalized to [-1, 1); `rms`/`peak`/`mean_sample` cover every
+      * decoded sample across channels, `zero_cross_rate` is the
+      * per-channel sign-change fraction (the classic voiced/unvoiced
+      * discriminator), `clipped_frac` the fraction of samples at
+      * full scale (|x| ≥ 1 − 1/2^(bits−1)). */
+    final case class SampleStats(
+        nSamples: Long,
+        rms: Double,
+        peak: Double,
+        meanSample: Double,
+        zeroCrossRate: Double,
+        clippedFrac: Double)
+
+    /** REAL audio sample decode — no external libraries. The JDK's
+      * `AudioSystem.getAudioInputStream` yields the PCM waveform for
+      * WAV/AIFF/AU directly and converts ULAW/ALAW to PCM_SIGNED on
+      * request. The stream is consumed through a FIXED 8 KiB buffer:
+      * memory stays bounded no matter what frame count the header
+      * claims (a forged multi-GB header costs CPU proportional to the
+      * actual payload, never heap), which is the executor-safety
+      * property that matters at mapPartitions parallelism. Returns
+      * None for payloads that are not decodable audio. */
+    def sampleStats(bytes: Array[Byte]): Option[SampleStats] = {
+      import javax.sound.sampled._
+      if (bytes == null || bytes.length == 0) return None
+      try {
+        val raw = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val enc = raw.getFormat.getEncoding
+        val pcm =
+          if (enc == AudioFormat.Encoding.PCM_SIGNED ||
+              enc == AudioFormat.Encoding.PCM_UNSIGNED) raw
+          else AudioSystem.getAudioInputStream(
+            AudioFormat.Encoding.PCM_SIGNED, raw)
+        try {
+          val f = pcm.getFormat
+          val bits = f.getSampleSizeInBits
+          val channels = math.max(f.getChannels, 1)
+          if (bits % 8 != 0 || bits <= 0 || bits > 32) return None
+          val bytesPer = bits / 8
+          val unsigned = f.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED
+          val big = f.isBigEndian
+          val fullScale = (1L << (bits - 1)).toDouble
+          val clipBar = 1.0 - 1.0 / fullScale
+          // Buffer sized to a whole number of frames so no sample
+          // straddles a read boundary.
+          val frameSize = math.max(f.getFrameSize, bytesPer * channels)
+          val buf = new Array[Byte](math.max(frameSize, 8192 / frameSize * frameSize))
+          val prev = new Array[Double](channels) // last sample per channel
+          val hasPrev = new Array[Boolean](channels)
+          var n = 0L; var sum = 0.0; var sumSq = 0.0; var peak = 0.0
+          var crossings = 0L; var clipped = 0L
+          var read = pcm.read(buf)
+          while (read > 0) {
+            var o = 0
+            while (o + bytesPer <= read) {
+              var v = 0L
+              var i = 0
+              while (i < bytesPer) {
+                val b = buf(o + (if (big) i else bytesPer - 1 - i)) & 0xffL
+                v = (v << 8) | b
+                i += 1
+              }
+              val signed =
+                if (unsigned) v - (1L << (bits - 1))
+                else (v << (64 - bits)) >> (64 - bits) // sign-extend
+              val x = signed / fullScale
+              val ch = (n % channels).toInt
+              n += 1; sum += x; sumSq += x * x
+              val ax = math.abs(x)
+              if (ax > peak) peak = ax
+              if (ax >= clipBar) clipped += 1
+              if (hasPrev(ch) && (prev(ch) >= 0) != (x >= 0)) crossings += 1
+              prev(ch) = x; hasPrev(ch) = true
+              o += bytesPer
+            }
+            read = pcm.read(buf)
+          }
+          if (n == 0) None
+          else Some(SampleStats(n, math.sqrt(sumSq / n), peak, sum / n,
+            crossings.toDouble / n, clipped.toDouble / n))
+        } finally pcm.close()
+      } catch { case _: Exception => None }
+    }
+
     def decode(r: MediaRecord): AudioMeta = audioMeta(r.payload) match {
       case Some((container, enc, rate, ch, bits, frames)) =>
         val dur =
@@ -358,6 +453,42 @@ object Multimodal {
       implicit spark: SparkSession): Dataset[AudioMeta] = {
     import spark.implicits._
     media.mapPartitions(_.map(AudioIoCodec.decode))
+  }
+
+  /** Waveform features from a REAL sample decode
+    * ([[AudioIoCodec.sampleStats]]): `decoded_samples = false` rows
+    * carry zeros — read the flag, not the values. */
+  final case class AudioSampleFeatures(
+      media_id: Long,
+      kind: String,
+      decoded_samples: Boolean,
+      n_samples: Long,
+      rms: Double,
+      peak: Double,
+      mean_sample: Double,
+      zero_cross_rate: Double,
+      clipped_frac: Double,
+      n_bytes: Long)
+
+  /** RMS / peak / zero-crossing / clipping per audio payload — the
+    * audio twin of [[decodePixels]]: real JDK decode, fixed-buffer
+    * streaming (bounded memory at any claimed frame count), same
+    * no-shuffle mapPartitions plumbing. */
+  def decodeAudioSamples(media: Dataset[MediaRecord])(
+      implicit spark: SparkSession): Dataset[AudioSampleFeatures] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      AudioIoCodec.sampleStats(r.payload) match {
+        case Some(s) =>
+          AudioSampleFeatures(r.media_id, r.kind, decoded_samples = true,
+            s.nSamples, s.rms, s.peak, s.meanSample, s.zeroCrossRate,
+            s.clippedFrac, r.payload.length.toLong)
+        case None =>
+          AudioSampleFeatures(r.media_id, r.kind, decoded_samples = false,
+            0L, 0.0, 0.0, 0.0, 0.0, 0.0,
+            if (r.payload == null) 0L else r.payload.length.toLong)
+      }
+    })
   }
 
   /** Video container metadata decoded for real from the ISO-BMFF
@@ -489,6 +620,182 @@ object Multimodal {
       } catch { case _: Exception => None }
     }
 
+    /** The video track's `stbl` sample-table boxes plus its `mdhd`
+      * timescale, or None when the container has no video track. */
+    private def videoSampleTable(b: Array[Byte]): Option[(Box, Long)] = {
+      val top = boxes(b, 0, b.length)
+      val moov = top.find(_.typ == "moov").getOrElse(return None)
+      boxes(b, moov.start, moov.end).filter(_.typ == "trak").flatMap { trak =>
+        val mdia = child(b, trak, "mdia")
+        val isVideo = mdia.flatMap(child(b, _, "hdlr"))
+          .filter(h => h.end - h.start >= 12)
+          .exists(h => fourcc(b, h.start + 8) == "vide")
+        if (!isVideo) None
+        else for {
+          m <- mdia
+          stbl <- child(b, m, "minf").flatMap(child(b, _, "stbl"))
+          mdhd <- child(b, m, "mdhd")
+          ts <- {
+            // mdhd v0: ver+flags(4) creation(4) mod(4) timescale@12;
+            // v1: creation(8) mod(8) timescale@20.
+            val v = b(mdhd.start) & 0xff
+            val off = if (v == 1) 20 else 12
+            if (mdhd.end - mdhd.start < off + 4) None
+            else Some(u32(b, mdhd.start + off)).filter(_ > 0)
+          }
+        } yield (stbl, ts)
+      }.headOption
+    }
+
+    /** Entry count of a full box whose payload is ver+flags(4) +
+      * count(4) + `entryBytes`-wide entries — validated against the
+      * box extent so a forged count can never drive an allocation or
+      * read past the payload. */
+    private def entryCount(b: Array[Byte], box: Box, entryBytes: Int,
+        headerBytes: Int = 8): Option[Int] = {
+      if (box.end - box.start < headerBytes) return None
+      val n = u32(b, box.start + 4)
+      if (n < 0 || box.start + headerBytes + n * entryBytes.toLong > box.end) None
+      else Some(n.toInt)
+    }
+
+    /** Frame-STREAM statistics from the sample tables: count and byte
+      * sizes from `stsz`, timing from `stts`, sync samples from
+      * `stss` (absent ⇒ every frame is sync, per ISO/IEC 14496-12).
+      * (nFrames, fps, meanFrameBytes, maxFrameBytes, bitrateBps,
+      * keyframeRatio), or None without a parseable video `stbl`. */
+    def frameStats(bytes: Array[Byte])
+        : Option[(Long, Double, Double, Long, Double, Double)] = {
+      if (bytes == null || bytes.length < 16) return None
+      try {
+        val (stbl, timescale) = videoSampleTable(bytes).getOrElse(return None)
+        val stsz = child(bytes, stbl, "stsz").getOrElse(return None)
+        // stsz payload: ver+flags(4) sample_size(4) sample_count(4).
+        if (stsz.end - stsz.start < 12) return None
+        val fixedSize = u32(bytes, stsz.start + 4)
+        val nSamples = u32(bytes, stsz.start + 8)
+        if (nSamples <= 0) return None
+        var total = 0L; var maxSz = 0L
+        if (fixedSize > 0) { total = fixedSize * nSamples; maxSz = fixedSize }
+        else {
+          if (stsz.start + 12 + nSamples * 4 > stsz.end) return None
+          var i = 0
+          while (i < nSamples) {
+            val s = u32(bytes, stsz.start + 12 + i * 4)
+            total += s
+            if (s > maxSz) maxSz = s
+            i += 1
+          }
+        }
+        // stts: media duration in timescale ticks = Σ count×delta.
+        val durTicks = child(bytes, stbl, "stts").flatMap { stts =>
+          entryCount(bytes, stts, 8).map { n =>
+            var d = 0L; var i = 0
+            while (i < n) {
+              d += u32(bytes, stts.start + 8 + i * 8) *
+                u32(bytes, stts.start + 12 + i * 8)
+              i += 1
+            }
+            d
+          }
+        }.getOrElse(0L)
+        val durSec = durTicks.toDouble / timescale
+        val nSync = child(bytes, stbl, "stss")
+          .flatMap(entryCount(bytes, _, 4).map(_.toLong))
+          .getOrElse(nSamples) // no stss ⇒ all frames sync
+        Some((nSamples, if (durSec > 0) nSamples / durSec else -1.0,
+          total.toDouble / nSamples, maxSz,
+          if (durSec > 0) total * 8 / durSec else -1.0,
+          nSync.toDouble / nSamples))
+      } catch { case _: Exception => None }
+    }
+
+    /** REAL frame sampling: the compressed bytes of up to `n` evenly
+      * spaced SYNC frames (self-contained keyframes — the ones a
+      * downstream decoder can raster without inter-frame state),
+      * located through the `stss`→`stsc`→`stco`/`co64`→`stsz` chain.
+      * No codec involved: this is byte-exact extraction of the frame
+      * payloads a real pipeline would hand to its decode stage.
+      * Returns (1-based sample number, frame bytes) pairs; empty when
+      * the container has no locatable video samples. */
+    def syncFrameSlices(bytes: Array[Byte], n: Int)
+        : Seq[(Long, Array[Byte])] = {
+      if (bytes == null || bytes.length < 16 || n <= 0) return Nil
+      try {
+        val (stbl, _) = videoSampleTable(bytes).getOrElse(return Nil)
+        val stsz = child(bytes, stbl, "stsz").getOrElse(return Nil)
+        if (stsz.end - stsz.start < 12) return Nil
+        val fixedSize = u32(bytes, stsz.start + 4)
+        val nSamples = u32(bytes, stsz.start + 8).toInt
+        if (nSamples <= 0) return Nil
+        if (fixedSize == 0 && stsz.start + 12 + nSamples * 4L > stsz.end)
+          return Nil
+        def sizeOf(k: Int): Long = // k is 0-based
+          if (fixedSize > 0) fixedSize
+          else u32(bytes, stsz.start + 12 + k * 4)
+        // Chunk offsets (stco u32 / co64 u64).
+        val offsets: IndexedSeq[Long] =
+          child(bytes, stbl, "stco").flatMap(c => entryCount(bytes, c, 4)
+            .map(m => (0 until m).map(i => u32(bytes, c.start + 8 + i * 4))))
+          .orElse(child(bytes, stbl, "co64").flatMap(c =>
+            entryCount(bytes, c, 8)
+              .map(m => (0 until m).map(i => u64(bytes, c.start + 8 + i * 8)))))
+          .getOrElse(return Nil)
+        if (offsets.isEmpty) return Nil
+        // stsc runs → first 0-based sample index of each chunk.
+        val stsc = child(bytes, stbl, "stsc").getOrElse(return Nil)
+        val nRuns = entryCount(bytes, stsc, 12).getOrElse(return Nil)
+        if (nRuns <= 0) return Nil
+        val firstSample = new Array[Long](offsets.length)
+        val perChunk = new Array[Int](offsets.length)
+        var run = 0; var acc = 0L
+        var chunk = 0
+        while (chunk < offsets.length) {
+          // advance run while the NEXT run starts at or before this chunk
+          while (run + 1 < nRuns &&
+              u32(bytes, stsc.start + 8 + (run + 1) * 12) <= chunk + 1)
+            run += 1
+          val spc = u32(bytes, stsc.start + 12 + run * 12).toInt
+          firstSample(chunk) = acc
+          perChunk(chunk) = spc
+          acc += spc
+          chunk += 1
+        }
+        // Sync sample numbers (1-based); no stss ⇒ every sample.
+        val sync: IndexedSeq[Long] = child(bytes, stbl, "stss")
+          .flatMap(s => entryCount(bytes, s, 4)
+            .map(m => (0 until m).map(i => u32(bytes, s.start + 8 + i * 4))))
+          .getOrElse((1 to nSamples).map(_.toLong))
+        if (sync.isEmpty) return Nil
+        val picks =
+          if (sync.length <= n) sync
+          else (0 until n).map(i => sync(((sync.length - 1).toLong * i /
+            math.max(n - 1, 1)).toInt)).distinct
+        picks.flatMap { num =>
+          val k = num - 1 // 0-based sample index
+          if (k < 0 || k >= nSamples) None
+          else {
+            // chunk holding k: last chunk with firstSample <= k
+            var lo = 0; var hi = offsets.length - 1
+            while (lo < hi) {
+              val mid = (lo + hi + 1) >>> 1
+              if (firstSample(mid) <= k) lo = mid else hi = mid - 1
+            }
+            if (k >= firstSample(lo) + perChunk(lo)) None // sparse table
+            else {
+              var off = offsets(lo)
+              var j = firstSample(lo)
+              while (j < k) { off += sizeOf(j.toInt); j += 1 }
+              val sz = sizeOf(k.toInt)
+              if (off < 0 || sz < 0 || off + sz > bytes.length) None
+              else Some((num,
+                java.util.Arrays.copyOfRange(bytes, off.toInt, (off + sz).toInt)))
+            }
+          }
+        }
+      } catch { case _: Exception => Nil }
+    }
+
     def decode(r: MediaRecord): VideoMeta = videoMeta(r.payload) match {
       case Some((brand, dur, w, h, codec, n)) =>
         VideoMeta(r.media_id, r.kind, decoded = true, brand, dur, w, h,
@@ -509,6 +816,58 @@ object Multimodal {
     media.mapPartitions(_.map(IsoBmffCodec.decode))
   }
 
+  /** Frame-stream statistics from the real `stbl` sample-table parse
+    * ([[IsoBmffCodec.frameStats]]); `decoded = false` rows carry
+    * zeros/-1 — read the flag. */
+  final case class VideoFrameFeatures(
+      media_id: Long,
+      kind: String,
+      decoded: Boolean,
+      n_frames: Long,
+      fps: Double,
+      mean_frame_bytes: Double,
+      max_frame_bytes: Long,
+      bitrate_bps: Double,
+      keyframe_ratio: Double,
+      n_bytes: Long)
+
+  /** Per-video frame count / fps / bitrate / keyframe ratio — real
+    * sample-table features, no codec, same no-shuffle plumbing. */
+  def decodeVideoFrameStats(media: Dataset[MediaRecord])(
+      implicit spark: SparkSession): Dataset[VideoFrameFeatures] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      IsoBmffCodec.frameStats(r.payload) match {
+        case Some((nf, fps, mean, max, bps, kr)) =>
+          VideoFrameFeatures(r.media_id, r.kind, decoded = true, nf, fps,
+            mean, max, bps, kr, r.payload.length.toLong)
+        case None =>
+          VideoFrameFeatures(r.media_id, r.kind, decoded = false, 0L, -1.0,
+            0.0, 0L, -1.0, 0.0,
+            if (r.payload == null) 0L else r.payload.length.toLong)
+      }
+    })
+  }
+
+  /** One row per sampled SYNC frame: (media_id, 1-based frame number,
+    * compressed frame bytes) — [[IsoBmffCodec.syncFrameSlices]] over
+    * each payload, flatMapped in place (no shuffle; videos with no
+    * locatable samples contribute zero rows). The real analog of
+    * [[sampleChunks]]'s byte-slicing: these are decodable frame
+    * payloads, not arbitrary spans. */
+  final case class FrameSample(media_id: Long, frame_no: Long,
+      frame: Array[Byte])
+
+  def sampleSyncFrames(media: Dataset[MediaRecord], n: Int)(
+      implicit spark: SparkSession): Dataset[FrameSample] = {
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      IsoBmffCodec.syncFrameSlices(r.payload, n).map {
+        case (num, bytes) => FrameSample(r.media_id, num, bytes)
+      }
+    })
+  }
+
   /** Deterministic frame/chunk sampling: `n` evenly spaced slices of
     * `chunk` bytes — the video-frame-sample analog, pure Column ops. */
   def sampleChunks(payload: org.apache.spark.sql.Column, n: Int, chunk: Int)
@@ -519,11 +878,79 @@ object Multimodal {
       payload.substr(pos, lit(chunk))
     })
 
+  /** REAL image resize — decode, bilinear resample, PNG re-encode,
+    * all `java.awt`/`javax.imageio` (ships in the JDK). Images whose
+    * longest side exceeds `maxDim` are scaled down aspect-preserving;
+    * smaller images and payloads the JDK cannot decode pass through
+    * unchanged (read `format` for `;resized`). The decode reuses
+    * [[ImageIoCodec.pixelStats]]'s safety story: the source raster is
+    * read with subsampling when the header claims more than
+    * `maxDecodePixels`, so a decompression-bomb header cannot OOM the
+    * task — the subsampled raster IS the resample's input then (the
+    * output is `maxDim`-bounded either way). */
+  def resizeImages(media: Dataset[MediaRecord], maxDim: Int,
+      maxDecodePixels: Long = ImageIoCodec.DefaultMaxDecodePixels)(
+      implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    require(maxDim > 0, s"maxDim must be positive, got $maxDim")
+    media.mapPartitions(_.map { r =>
+      resizeOneImage(r, maxDim, maxDecodePixels)
+    })
+  }
+
+  private[operators] def resizeOneImage(r: MediaRecord, maxDim: Int,
+      maxDecodePixels: Long): MediaRecord = {
+    import javax.imageio.ImageIO
+    if (r.payload == null || r.payload.length == 0) return r
+    try {
+      val iis = ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return r
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          val pixels = w.toLong * h
+          if (pixels <= 0 || pixels > ImageIoCodec.HardMaxSourcePixels ||
+              math.max(w, h) <= maxDim) return r
+          val step = math.max(1,
+            math.ceil(math.sqrt(pixels.toDouble / maxDecodePixels)).toInt)
+          val param = reader.getDefaultReadParam
+          if (step > 1) param.setSourceSubsampling(step, step, 0, 0)
+          val src = reader.read(0, param)
+          if (src == null) return r
+          // Target dims from the FULL source aspect, never upscaled.
+          val scale = maxDim.toDouble / math.max(w, h)
+          val tw = math.max(1, math.round(w * scale).toInt)
+          val th = math.max(1, math.round(h * scale).toInt)
+          val dst = new java.awt.image.BufferedImage(
+            tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(src, 0, 0, tw, th, null)
+          } finally g.dispose()
+          val out = new java.io.ByteArrayOutputStream()
+          ImageIO.write(dst, "png", out)
+          r.copy(payload = out.toByteArray, format = "png;resized",
+            declared_width = tw, declared_height = th)
+        } finally reader.dispose()
+      } finally iis.close()
+    } catch { case _: Exception => r }
+  }
+
   /** STUB resize: deterministic stride downsample of the payload to
     * ~`targetBytes` (a real codec would decode, bilinear-resample, and
-    * re-encode; the byte-level stride keeps the plumbing — schema,
-    * size contract, distribution — identical). Runs inside the same
-    * mapPartitions pass as decode when chained. */
+    * re-encode — [[resizeImages]] does exactly that for JDK-decodable
+    * images; this byte-level stride covers payloads with no JDK
+    * decoder, keeping the plumbing — schema, size contract,
+    * distribution — identical). Runs inside the same mapPartitions
+    * pass as decode when chained. */
   def resizeStub(media: Dataset[MediaRecord], targetBytes: Int)(
       implicit spark: SparkSession): Dataset[MediaRecord] = {
     import spark.implicits._

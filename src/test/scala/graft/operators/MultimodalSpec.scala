@@ -316,6 +316,233 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.IsoBmffCodec.videoMeta(mp4.take(mp4.length / 2))
   }
 
+  // ---- REAL audio sample decode --------------------------------------
+
+  /** 16-bit signed little-endian WAV whose frames are the given
+    * sample values — a waveform we can compute exact statistics for. */
+  private def pcm16Wav(samples: Array[Short], rate: Float = 8000f)
+      : Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val raw = new Array[Byte](samples.length * 2)
+    val bb = java.nio.ByteBuffer.wrap(raw)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(bb.putShort)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("sampleStats computes the ACTUAL waveform stats of a crafted square wave") {
+    // ±16384 alternating = amplitude 0.5 exactly; sign flips at every
+    // sample after the first.
+    val n = 1000
+    val wav = pcm16Wav(Array.tabulate(n)(i =>
+      if (i % 2 == 0) 16384.toShort else (-16384).toShort))
+    val Some(s) = Multimodal.AudioIoCodec.sampleStats(wav)
+    s.nSamples shouldBe n.toLong
+    s.rms shouldBe 0.5 +- 1e-12
+    s.peak shouldBe 0.5 +- 1e-12
+    s.meanSample shouldBe 0.0 +- 1e-12
+    s.zeroCrossRate shouldBe (n - 1).toDouble / n +- 1e-12
+    s.clippedFrac shouldBe 0.0
+  }
+
+  test("sampleStats flags full-scale clipping and handles 8-bit unsigned WAV") {
+    // All samples at Short.MinValue = -1.0 full scale.
+    val clipped = pcm16Wav(Array.fill(100)(Short.MinValue))
+    val Some(c) = Multimodal.AudioIoCodec.sampleStats(clipped)
+    c.rms shouldBe 1.0 +- 1e-12
+    c.peak shouldBe 1.0 +- 1e-12
+    c.clippedFrac shouldBe 1.0
+    c.zeroCrossRate shouldBe 0.0
+    // 8-bit WAV is PCM_UNSIGNED: constant 192 decodes to (192-128)/128 = 0.5.
+    import javax.sound.sampled._
+    val fmt8 = new AudioFormat(8000f, 8, 1, false, false)
+    val raw8 = Array.fill[Byte](50)(192.toByte)
+    val out8 = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw8), fmt8, 50L),
+      AudioFileFormat.Type.WAVE, out8)
+    val Some(u) = Multimodal.AudioIoCodec.sampleStats(out8.toByteArray)
+    u.nSamples shouldBe 50L
+    u.meanSample shouldBe 0.5 +- 1e-12
+    u.rms shouldBe 0.5 +- 1e-12
+    u.zeroCrossRate shouldBe 0.0
+  }
+
+  test("sampleStats decodes ULAW through the JDK's PCM conversion") {
+    import javax.sound.sampled._
+    // Build a PCM sine-ish square at 0.5 amplitude, convert to ULAW, AU.
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val samples = Array.tabulate(400)(i =>
+      if (i % 2 == 0) 16384.toShort else (-16384).toShort)
+    val raw = new Array[Byte](samples.length * 2)
+    val bb = java.nio.ByteBuffer.wrap(raw)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(bb.putShort)
+    val pcm = new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong)
+    val ulaw = AudioSystem.getAudioInputStream(
+      AudioFormat.Encoding.ULAW, pcm)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ulaw, AudioFileFormat.Type.AU, out)
+    val Some(s) = Multimodal.AudioIoCodec.sampleStats(out.toByteArray)
+    s.nSamples shouldBe 400L
+    // ULAW is lossy — companding error well under 2% at this level.
+    s.rms shouldBe 0.5 +- 0.02
+    s.zeroCrossRate shouldBe 399.0 / 400 +- 1e-9
+  }
+
+  test("decodeAudioSamples: real waveform stats in the Dataset path, fallback flagged") {
+    implicit val s = spark
+    val wav = pcm16Wav(Array.tabulate(200)(i =>
+      if (i % 2 == 0) 8192.toShort else (-8192).toShort))
+    val mixed = Seq(
+      MediaRecord(40L, "audio", wav, "wav", 0, 0),
+      MediaRecord(41L, "audio", "not audio".getBytes("UTF-8"), "raw", 0, 0))
+      .toDS()
+    val got = Multimodal.decodeAudioSamples(mixed).collect().sortBy(_.media_id)
+    got(0).decoded_samples shouldBe true
+    got(0).n_samples shouldBe 200L
+    got(0).rms shouldBe 0.25 +- 1e-12
+    got(1).decoded_samples shouldBe false
+    got(1).n_samples shouldBe 0L
+  }
+
+  // ---- REAL video sample-table features ------------------------------
+
+  /** MP4 with a full video sample table: mdat FIRST (so chunk offsets
+    * are independent of moov size), 6 samples of sizes 10..60 split
+    * over two chunks (4 + 2), sample k's bytes all = k, stts 6×100
+    * ticks at mdhd timescale 600 (1 s total), sync samples {1, 5}. */
+  private def craftMp4WithSamples(): (Array[Byte], Array[Int]) = {
+    val sizes = Array(10, 20, 30, 40, 50, 60)
+    val ftyp = box("ftyp",
+      "isom".getBytes("ISO-8859-1") ++ u32(512) ++
+        "isomavc1".getBytes("ISO-8859-1"))
+    val samples = sizes.zipWithIndex.map { case (sz, i) =>
+      Array.fill[Byte](sz)((i + 1).toByte)
+    }
+    val mdat = box("mdat", samples.flatten.toArray)
+    val chunk1Off = ftyp.length + 8 // mdat payload start
+    val chunk2Off = chunk1Off + sizes.take(4).sum
+    val mvhd = box("mvhd",
+      u32(0) ++ u32(0) ++ u32(0) ++ u32(1000) ++ u32(1000) ++
+        Array.fill[Byte](80)(0))
+    val tkhd = box("tkhd",
+      u32(0) ++ u32(0) ++ u32(0) ++ u32(1) ++ u32(0) ++ u32(1000) ++
+        Array.fill[Byte](52)(0) ++
+        u32(320L << 16) ++ u32(240L << 16))
+    // mdhd v0: ver+flags, creation, mod, timescale=600, duration=600, lang
+    val mdhd = box("mdhd",
+      u32(0) ++ u32(0) ++ u32(0) ++ u32(600) ++ u32(600) ++ u32(0))
+    val hdlr = box("hdlr",
+      u32(0) ++ u32(0) ++ "vide".getBytes("ISO-8859-1") ++
+        Array.fill[Byte](12)(0))
+    val entry = box("avc1", Array.fill[Byte](78)(0))
+    val stsd = box("stsd", u32(0) ++ u32(1) ++ entry)
+    val stsz = box("stsz",
+      u32(0) ++ u32(0) /* variable sizes */ ++ u32(sizes.length.toLong) ++
+        sizes.flatMap(s => u32(s.toLong)))
+    val stts = box("stts", u32(0) ++ u32(1) ++ u32(6) ++ u32(100))
+    val stsc = box("stsc", u32(0) ++ u32(2) ++
+      u32(1) ++ u32(4) ++ u32(1) ++ // chunk 1: 4 samples
+      u32(2) ++ u32(2) ++ u32(1)) // chunk 2 onward: 2 samples
+    val stco = box("stco", u32(0) ++ u32(2) ++
+      u32(chunk1Off.toLong) ++ u32(chunk2Off.toLong))
+    val stss = box("stss", u32(0) ++ u32(2) ++ u32(1) ++ u32(5))
+    val stbl = box("stbl", stsd ++ stsz ++ stts ++ stsc ++ stco ++ stss)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+    val trak = box("trak", tkhd ++ mdia)
+    val moov = box("moov", mvhd ++ trak)
+    (ftyp ++ mdat ++ moov, sizes)
+  }
+
+  test("frameStats: frame count, fps, bitrate, keyframe ratio from the real sample tables") {
+    val (mp4, sizes) = craftMp4WithSamples()
+    val Some((nFrames, fps, meanB, maxB, bps, kr)) =
+      Multimodal.IsoBmffCodec.frameStats(mp4)
+    nFrames shouldBe 6L
+    fps shouldBe 6.0 +- 1e-9 // 6 frames / (600 ticks / 600 ticks-per-sec)
+    meanB shouldBe sizes.sum.toDouble / 6 +- 1e-9
+    maxB shouldBe 60L
+    bps shouldBe sizes.sum * 8.0 +- 1e-9 // 1-second stream
+    kr shouldBe 2.0 / 6 +- 1e-9 // stss lists frames 1 and 5
+    // Non-video payloads decline.
+    Multimodal.IsoBmffCodec.frameStats("text".getBytes("UTF-8")) shouldBe None
+  }
+
+  test("syncFrameSlices extracts the ACTUAL keyframe bytes via stss/stsc/stco/stsz") {
+    val (mp4, _) = craftMp4WithSamples()
+    val got = Multimodal.IsoBmffCodec.syncFrameSlices(mp4, 8)
+    got.map(_._1) shouldBe Seq(1L, 5L)
+    // Sample k was filled with byte value k at craft time — byte-exact.
+    got(0)._2 shouldBe Array.fill[Byte](10)(1)
+    got(1)._2 shouldBe Array.fill[Byte](50)(5)
+    // n=1 picks a single sync frame; truncated payloads never throw.
+    Multimodal.IsoBmffCodec.syncFrameSlices(mp4, 1).map(_._1) shouldBe Seq(1L)
+    noException should be thrownBy
+      Multimodal.IsoBmffCodec.syncFrameSlices(mp4.take(mp4.length / 3), 4)
+  }
+
+  test("sampleSyncFrames and decodeVideoFrameStats: Dataset plumbing over the real parse") {
+    implicit val s = spark
+    val (mp4, _) = craftMp4WithSamples()
+    val media = Seq(
+      MediaRecord(50L, "video", mp4, "mp4", 0, 0),
+      MediaRecord(51L, "video", "nope".getBytes("UTF-8"), "raw", 0, 0)).toDS()
+    val stats = Multimodal.decodeVideoFrameStats(media)
+      .collect().sortBy(_.media_id)
+    stats(0).decoded shouldBe true
+    stats(0).n_frames shouldBe 6L
+    stats(0).fps shouldBe 6.0 +- 1e-9
+    stats(1).decoded shouldBe false
+    val frames = Multimodal.sampleSyncFrames(media, 2).collect()
+      .sortBy(_.frame_no)
+    frames.map(_.media_id).distinct shouldBe Array(50L) // no-sample video: 0 rows
+    frames.map(_.frame_no) shouldBe Array(1L, 5L)
+    frames(1).frame shouldBe Array.fill[Byte](50)(5)
+  }
+
+  // ---- REAL image resize ---------------------------------------------
+
+  test("resizeImages: bilinear downscale + PNG re-encode, pass-through below maxDim") {
+    implicit val s = spark
+    val media = Seq(
+      MediaRecord(60L, "image", imageBytes(8, 4, "png"), "png", 0, 0),
+      MediaRecord(61L, "image", imageBytes(2, 2, "png"), "png", 0, 0),
+      MediaRecord(62L, "image", "not an image".getBytes("UTF-8"), "raw", 0, 0))
+      .toDS()
+    val got = Multimodal.resizeImages(media, maxDim = 4)
+      .collect().sortBy(_.media_id)
+    // 8x4 → 4x2, real PNG out.
+    got(0).format shouldBe "png;resized"
+    (got(0).declared_width, got(0).declared_height) shouldBe ((4, 2))
+    Multimodal.ImageIoCodec.imageMeta(got(0).payload) shouldBe Some((4, 2, 3))
+    // 2x2 already under the cap: byte-identical pass-through.
+    got(1).payload shouldBe imageBytes(2, 2, "png")
+    got(1).format shouldBe "png"
+    // non-image: untouched.
+    got(2).payload shouldBe "not an image".getBytes("UTF-8")
+  }
+
+  test("resizeImages survives a tight raster cap by resampling the subsampled grid") {
+    implicit val s = spark
+    val media = Seq(
+      MediaRecord(70L, "image", imageBytes(8, 8, "png"), "png", 0, 0)).toDS()
+    // maxDecodePixels=4 forces step 2 (16-pixel subsampled raster is
+    // still > 4 at step 2? 4x4=16 > 4 → step ceil(sqrt(64/4))=4 → 2x2):
+    // output must still be a real 4x4 PNG.
+    val got = Multimodal.resizeImages(media, maxDim = 4, maxDecodePixels = 4L)
+      .collect().head
+    got.format shouldBe "png;resized"
+    Multimodal.ImageIoCodec.imageMeta(got.payload) shouldBe Some((4, 4, 3))
+  }
+
   test("decodeVideoMeta: real container decode, declared-metadata fallback otherwise") {
     implicit val s = spark
     val mixed = Seq(
