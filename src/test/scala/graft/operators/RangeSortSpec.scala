@@ -127,6 +127,24 @@ class RangeSortSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: SortedBucket matches the linear count-of-bounds-below rank") {
+    // Random sorted-distinct bound arrays (incl. empty and singleton)
+    // × random probes (incl. exact bound hits and extremes): binary
+    // search must equal the linear definition count(bounds < v).
+    val rnd = new scala.util.Random(13)
+    (0 until 60).foreach { _ =>
+      val n = rnd.nextInt(12)
+      val bounds = Seq.fill(n)(rnd.nextLong() % 1000L)
+        .distinct.sorted.toArray
+      val probes = Seq.fill(20)(rnd.nextLong() % 1200L) ++
+        bounds.toSeq ++ Seq(Long.MinValue, Long.MaxValue)
+      probes.foreach { v =>
+        graft.plans.SortedBucket.bucket(bounds, v) shouldBe
+          bounds.count(_ < v)
+      }
+    }
+  }
+
   test("weightedBounds + sortedByBounds balance a skewed pair distribution") {
     import spark.implicits._
     // Simulate q30's shape: doc_a weight concentrated in a dup

@@ -62,6 +62,32 @@ class PiiScrubSpec extends SparkSpec {
     got shouldBe ref
   }
 
+  test("fuzz parity: 300 random fragment compositions match the composition") {
+    // Deterministic fuzz assembling strings from PII fragments, near
+    // misses, and separators — the overlap/adjacency space where a
+    // fused pass could drift from the chained reference.
+    val rnd = new scala.util.Random(7)
+    val frags = IndexedSeq(
+      "a@b.co", "jane.doe@corp.example.org", "x@y", "@b.co", "a@.co",
+      "1.2.3.4", "999.1.1.1", "10.0.0.256", "192.168.1.255", "1.2.3",
+      "555-0199", "555-01", "123-4567", "12-345", "123-",
+      " ", "", "word", ".", "-", "5", "a", "\n", "π", "😀")
+    val fuzz = Seq.tabulate(300) { _ =>
+      (0 until rnd.nextInt(8)).map(_ => frags(rnd.nextInt(frags.length)))
+        .mkString
+    }
+    val df = fuzz.toDF("s")
+    val got = df.select(col("s"), scrubCol(col("s")).as("p"))
+      .select(col("s"), col("p.n_email"), col("p.n_ip"), col("p.n_phone"),
+        col("p.scrubbed"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSeq
+    val ref = composed(df)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSeq
+    got shouldBe ref
+  }
+
   test("the overlap corner takes the CHAIN result, not the fused-pass result") {
     val r = Seq("123-45a@b.co").toDF("s")
       .select(scrubCol(col("s")).as("p"))

@@ -38,6 +38,21 @@ class RollingHashWindowsSpec extends SparkSpec {
     viaExpr(texts, 2) shouldBe texts.map(reference(_, 2))
   }
 
+  test("fuzz parity: 200 random token streams, varied window widths") {
+    // Deterministic fuzz over token shapes (repeats, unicode, single
+    // chars, long tokens) and whitespace runs; w ∈ {2, 3, 5, 8}.
+    val rnd = new scala.util.Random(11)
+    val vocab = IndexedSeq("a", "bb", "tok", "世界", "é", "x1",
+      "longertoken", "a", "Z9", "😀")
+    val seps = IndexedSeq(" ", "  ", "\t", " \n ")
+    val texts = Seq.tabulate(200) { _ =>
+      (0 until rnd.nextInt(20)).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(seps(rnd.nextInt(seps.length)))
+    }
+    for (w <- Seq(2, 3, 5, 8))
+      viaExpr(texts, w) shouldBe texts.map(reference(_, w))
+  }
+
   test("hashes stay within 32 bits and shifted content shifts hashes") {
     val Seq(a, b) = viaExpr(Seq("p q r s t", "q r s t u"), 4)
     all(a) should (be >= 0L and be <= Mask)

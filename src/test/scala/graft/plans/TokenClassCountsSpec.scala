@@ -42,6 +42,22 @@ class TokenClassCountsSpec extends SparkSpec {
     native(tricky) shouldBe regexed(tricky)
   }
 
+  test("fuzz parity: 400 random mixed-alphabet strings match the regex form") {
+    // Deterministic fuzz over the byte-class boundaries the native
+    // scan decides on: ASCII word/punct/space, 2/3/4-byte UTF-8
+    // (é, 世, 😀), NBSP (not \s in either engine), controls.
+    val rnd = new scala.util.Random(42)
+    val alphabet: IndexedSeq[String] = IndexedSeq(
+      "a", "Z", "5", " ", "\t", "\n", "\r", "\f", ".", ",", "!", "-",
+      "_", "(", ")", "é", "ü", "世", "界", "あ", "😀", "🎉", " ",
+      "", "~", "\"", "'")
+    val cases = Seq.tabulate(400) { _ =>
+      val len = rnd.nextInt(40)
+      (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    native(cases) shouldBe regexed(cases)
+  }
+
   test("null text yields null struct") {
     val r = Seq((1, null: String)).toDF("id", "t")
       .select(CatalystBridge.column(
