@@ -91,6 +91,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => TokenClassCounts(args.head)))
 
     ext.injectFunction((
+      new FunctionIdentifier("interleave_bits"),
+      info("interleave_bits",
+        "interleave_bits(b1, b2[, b3[, b4]], bits) - Morton/Z-order interleave of 2-4 bucket ranks, `bits` low bits each"),
+      (args: Seq[Expression]) =>
+        InterleaveBits(args.init, intLit(args.last, "interleave_bits width"))))
+
+    ext.injectFunction((
       new FunctionIdentifier("freq_sketch"),
       info("freq_sketch",
         "freq_sketch(str, k) - Misra-Gries heavy-hitter aggregate: <=k (item, count_min, err) candidates"),

@@ -417,6 +417,47 @@ object CoreQueries {
           .getField("k").cast("long").as("k"))
         .groupBy("k").agg(count(lit(1)).as("cnt"))
         .orderBy("k")
+    },
+
+    // Z-order layout curve (operators/ZOrder + plans/InterleaveBits):
+    // the Morton-key census over fixed-width (orderkey, partkey)
+    // buckets — a cross-engine bit-exactness witness for the curve key
+    // the clustering write sorts by (the layout itself is spec-gated in
+    // ZOrderSpec: per-file min/max spans tighten on BOTH dims). The
+    // oracle spells the 8-bit interleave out as 16 shift/mask terms.
+    QueryDef("q101_zorder_cells", {
+      val terms = (0 until 8).flatMap(i => Seq(
+        s"(((xb >> $i) & 1) << ${2 * i})",
+        s"(((yb >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT min(l_orderkey) AS xlo, max(l_orderkey) AS xhi,
+         |         min(l_partkey) AS ylo, max(l_partkey) AS yhi
+         |  FROM lineitem
+         |), r AS (
+         |  SELECT ((l_orderkey - xlo) * 256) // (xhi - xlo + 1) AS xb,
+         |         ((l_partkey - ylo) * 256) // (yhi - ylo + 1) AS yb
+         |  FROM lineitem, b
+         |), zv AS (SELECT $terms AS z FROM r)
+         |SELECT z >> 8 AS zcell, count(*) AS cnt,
+         |  min(z) AS zmin, max(z) AS zmax
+         |FROM zv GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.graft.CatalystBridge
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+      val mm = li.agg(
+        min("l_orderkey").as("xlo"), max("l_orderkey").as("xhi"),
+        min("l_partkey").as("ylo"), max("l_partkey").as("yhi"))
+      val bucketed = li.crossJoin(broadcast(mm)).selectExpr(
+        "((l_orderkey - xlo) * 256) div (xhi - xlo + 1) AS xb",
+        "((l_partkey - ylo) * 256) div (yhi - ylo + 1) AS yb")
+      val z = CatalystBridge.column(graft.plans.InterleaveBits(
+        Seq(CatalystBridge.expr(col("xb")), CatalystBridge.expr(col("yb"))),
+        8))
+      bucketed.select(z.as("z"))
+        .groupBy(shiftright(col("z"), 8).as("zcell"))
+        .agg(count(lit(1)).as("cnt"), min("z").as("zmin"),
+          max("z").as("zmax"))
+        .orderBy("zcell")
     }
   )
 }

@@ -31,6 +31,14 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     s
   }
 
+  test("interleave_bits SQL function: Morton interleave of literal ranks") {
+    import spark.implicits._
+    spark.sql("SELECT interleave_bits(3L, 2L, 2) AS z")
+      .as[Long].collect().head shouldBe 13L // 0b1101
+    spark.sql("SELECT interleave_bits(1L, 1L, 1L, 1L, 1) AS z")
+      .as[Long].collect().head shouldBe 15L // all four bit-0 lanes set
+  }
+
   test("token_class_counts SQL function: word runs + punct code points") {
     import spark.implicits._
     val r = spark.sql(

@@ -87,11 +87,15 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
     *   - q97: the broadcast label-centroid pair join (both sides
     *     ≤ #labels rows by construction, inequality condition for the
     *     upper triangle).
+    *   - q101: 1-row per-dimension min/max aggregate crossed onto
+    *     lineitem for the fixed-width bucket arithmetic (the q46
+    *     lazy-totals pattern).
     */
   private val boundedNestedLoop = Set(
     "q23_dim_upsert", "q46_tfidf", "q31_similarity_stats", "q41_ann_topk",
     "q42_ann_ivf", "q47_embedding_neardup", "q68_unigram_logprob",
-    "q71_source_divergence", "q81_dsir_weights", "q97_label_separation")
+    "q71_source_divergence", "q81_dsir_weights", "q97_label_separation",
+    "q101_zorder_cells")
 
   test("suite-wide: nested-loop joins only as broadcast builds of bounded frames") {
     val offenders = SparkEntry.allDefs.flatMap { d =>
