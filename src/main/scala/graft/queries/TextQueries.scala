@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{functions => gf}
 import graft.Tables
@@ -1103,6 +1104,65 @@ object TextQueries {
          |SELECT id AS doc_id, min(r) AS component_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       graft.operators.Dedup.connectedComponents(lshPairs(s, dir))
+        .orderBy("doc_id")
+    },
+
+    // Near-dup cluster REPRESENTATIVE selection — the dedup mapping
+    // table a pipeline actually materializes: every doc mapped to its
+    // cluster's keeper under the keep-longest policy (argmax token
+    // count, min doc_id tiebreak; singletons keep themselves). The
+    // per-component argmax is the row_number top-k idiom, so
+    // TopKRewriteRule plans it as the sort-free bounded-heap
+    // TopKPerKey; component assignment reuses q64's large-star/
+    // small-star CC. Nothing here is all-pairs: components come from
+    // the LSH-bounded pair stream, the rep join is a skinny
+    // component-keyed shuffle join (NOT broadcast — components are
+    // corpus-sized).
+    QueryDef("q102_cluster_reps",
+      s"""${lshPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ")}, edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS u, doc_a AS v FROM pairs
+         |), reach AS (
+         |  SELECT u AS id, u AS r FROM edges
+         |  UNION
+         |  SELECT x.id, e.v AS r FROM reach x JOIN edges e ON e.u = x.r
+         |), comp AS (
+         |  SELECT id AS doc_id, min(r) AS component_id
+         |  FROM reach GROUP BY id
+         |), docsu AS (
+         |  SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS component_id,
+         |    CAST(len(list_filter(string_split_regex(trim(d.text), '\\s+'),
+         |             x -> x <> '')) AS BIGINT) AS n_tokens
+         |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+         |), rep AS (
+         |  SELECT component_id, doc_id AS rep_id FROM (
+         |    SELECT component_id, doc_id, row_number() OVER (
+         |      PARTITION BY component_id
+         |      ORDER BY n_tokens DESC, doc_id) AS rk
+         |    FROM docsu) WHERE rk = 1
+         |)
+         |SELECT f.doc_id, f.component_id, r.rep_id,
+         |  CAST(f.doc_id = r.rep_id AS BIGINT) AS is_rep
+         |FROM docsu f JOIN rep r ON r.component_id = f.component_id
+         |ORDER BY f.doc_id""".stripMargin) { (s, dir) =>
+      val comps = graft.operators.Dedup.connectedComponents(lshPairs(s, dir))
+      val full = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(gf.tokens(col("text"))).cast("long").as("n_tokens"))
+        .join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component_id"), col("doc_id")).as("component_id"),
+          col("n_tokens"))
+      val rep = full
+        .withColumn("rk", row_number().over(Window
+          .partitionBy("component_id")
+          .orderBy(desc("n_tokens"), asc("doc_id"))))
+        .filter(col("rk") === 1)
+        .select(col("component_id"), col("doc_id").as("rep_id"))
+      full.join(rep, Seq("component_id"))
+        .select(col("doc_id"), col("component_id"), col("rep_id"),
+          (col("doc_id") === col("rep_id")).cast("long").as("is_rep"))
         .orderBy("doc_id")
     },
 
