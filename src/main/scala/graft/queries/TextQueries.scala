@@ -1147,13 +1147,18 @@ object TextQueries {
          |FROM docsu f JOIN rep r ON r.component_id = f.component_id
          |ORDER BY f.doc_id""".stripMargin) { (s, dir) =>
       val comps = graft.operators.Dedup.connectedComponents(lshPairs(s, dir))
-      val full = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          size(gf.tokens(col("text"))).cast("long").as("n_tokens"))
-        .join(comps, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("component_id"), col("doc_id")).as("component_id"),
-          col("n_tokens"))
+      // Both the rep branch and the final join read this frame — one
+      // materialization (one docs tokenization + one comps join), not
+      // two; CC itself is already pinned by its per-round checkpoints.
+      val full = graft.CacheRegistry.persistTracked(
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(gf.tokens(col("text"))).cast("long").as("n_tokens"))
+          .join(comps, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component_id"), col("doc_id")).as("component_id"),
+            col("n_tokens")),
+        graft.CacheRegistry.DataSized) // one skinny row per doc
       val rep = full
         .withColumn("rk", row_number().over(Window
           .partitionBy("component_id")
