@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Small-files compaction — the maintenance operator every
+  * incrementally-written table eventually needs. Streaming/incremental
+  * sinks (foreachBatch appends, per-batch partition overwrites,
+  * many-executor writes) accumulate files far below the efficient scan
+  * size; at 100 TB the cost is real on BOTH ends: file-listing RPCs
+  * and task-scheduling overhead scale with FILE COUNT, while columnar
+  * compression and min/max footer effectiveness scale with FILE SIZE.
+  *
+  * Design for scale:
+  *   - The plan step is one directory listing (one `FileStatus` per
+  *     data file — the same listing any scan of the table performs)
+  *     and simple arithmetic; nothing driver-side scales with rows.
+  *   - The rewrite uses `coalesce`, a NARROW dependency: partitions
+  *     are merged where they sit, NO shuffle, no sort — the plan is
+  *     scan → write. (`repartition` would shuffle every byte to fix
+  *     skew that compaction does not need fixed; a skewed merge just
+  *     yields one larger output file.)
+  *   - Compaction is OUT-OF-PLACE (read `in`, write `out`): the swap
+  *     is the caller's transaction (table-format metadata commit, dir
+  *     rename, view flip). In-place rewrites that delete inputs on
+  *     success belong to the table format, not the engine.
+  */
+object Compaction {
+
+  final case class CompactionPlan(
+      dataFiles: Int,
+      totalBytes: Long,
+      targetFileBytes: Long,
+      outputPartitions: Int)
+
+  final case class CompactionStats(
+      plan: CompactionPlan,
+      outputFiles: Int,
+      outputBytes: Long)
+
+  private def listDataFiles(spark: SparkSession, dir: String)
+      : Seq[(String, Long)] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, /* recursive = */ true)
+    val out = Seq.newBuilder[(String, Long)]
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      // Data files only: skip success markers, checksums, hidden files.
+      if (f.isFile && !name.startsWith("_") && !name.startsWith("."))
+        out += ((f.getPath.toString, f.getLen))
+    }
+    out.result()
+  }
+
+  /** Size up a compaction without running it. */
+  def plan(spark: SparkSession, inPath: String,
+      targetFileBytes: Long = 128L << 20): CompactionPlan = {
+    require(targetFileBytes > 0, s"target must be positive: $targetFileBytes")
+    val files = listDataFiles(spark, inPath)
+    val total = files.iterator.map(_._2).sum
+    val parts = math.max(1L,
+      (total + targetFileBytes - 1) / targetFileBytes).toInt
+    CompactionPlan(files.length, total, targetFileBytes, parts)
+  }
+
+  /** Rewrite the parquet table at `inPath` into ~`targetFileBytes`
+    * files at `outPath` (out-of-place; see scaladoc). Returns the
+    * before/after accounting. No-op-shaped when the table is already
+    * compact: the rewrite still runs (the caller asked for a copy) but
+    * with the same partition count the input had. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetFileBytes: Long = 128L << 20): CompactionStats = {
+    val p = plan(spark, inPath, targetFileBytes)
+    spark.read.parquet(inPath)
+      .coalesce(p.outputPartitions)
+      .write.mode("overwrite").parquet(outPath)
+    val outFiles = listDataFiles(spark, outPath)
+    CompactionStats(p, outFiles.length, outFiles.iterator.map(_._2).sum)
+  }
+
+  /** The coalesced frame without the write — for callers composing
+    * the compaction into their own sink (bucketed table, ORC, a
+    * different partitioning scheme). */
+  def compacted(spark: SparkSession, inPath: String,
+      targetFileBytes: Long = 128L << 20): DataFrame = {
+    val p = plan(spark, inPath, targetFileBytes)
+    spark.read.parquet(inPath).coalesce(p.outputPartitions)
+  }
+}

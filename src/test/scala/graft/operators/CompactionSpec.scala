@@ -1,0 +1,55 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("compact merges a many-small-files table to the target size, content intact") {
+    val dir = Files.createTempDirectory("compact").toString
+    val df = (1 to 10000).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+    df.repartition(40).write.parquet(s"$dir/in")
+
+    val before = Compaction.plan(spark, s"$dir/in", targetFileBytes = 1L << 20)
+    before.dataFiles shouldBe 40
+    before.outputPartitions should be < 40
+
+    val stats = Compaction.compact(spark, s"$dir/in", s"$dir/out",
+      targetFileBytes = 1L << 20)
+    stats.outputFiles shouldBe before.outputPartitions
+    stats.outputFiles should be < 40
+    // Content multiset unchanged.
+    val back = spark.read.parquet(s"$dir/out")
+    back.count() shouldBe 10000L
+    back.agg(sum("id")).as[Long].collect().head shouldBe
+      df.agg(sum("id")).as[Long].collect().head
+    back.select("id").distinct().count() shouldBe 10000L
+  }
+
+  test("the rewrite is narrow: scan -> coalesce -> write, no Exchange") {
+    val dir = Files.createTempDirectory("compactplan").toString
+    (1 to 1000).toDF("v").repartition(16).write.parquet(s"$dir/in")
+    val frame = Compaction.compacted(spark, s"$dir/in", targetFileBytes = 1L << 26)
+    val plan = frame.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.collect { case e: Exchange => e } shouldBe empty
+    frame.rdd.getNumPartitions shouldBe 1 // tiny table: one output file
+  }
+
+  test("plan arithmetic: already-compact input keeps its layout; markers skipped") {
+    val dir = Files.createTempDirectory("compactnoop").toString
+    (1 to 100).toDF("v").coalesce(1).write.parquet(s"$dir/in")
+    val p = Compaction.plan(spark, s"$dir/in", targetFileBytes = 128L << 20)
+    p.dataFiles shouldBe 1 // _SUCCESS and .crc files are not data
+    p.outputPartitions shouldBe 1
+    p.totalBytes should be > 0L
+  }
+}
