@@ -44,6 +44,17 @@ class NgramDupStatsSpec extends SparkSpec {
     native(texts) shouldBe composed(texts)
   }
 
+  test("fuzz parity: 200 random token streams match the composed form") {
+    val rnd = new scala.util.Random(29)
+    val vocab = IndexedSeq("a", "b", "c", "tok", "é", "a", "b")
+    val seps = IndexedSeq(" ", "  ", "\t")
+    val texts = Seq.tabulate(200) { _ =>
+      (0 until rnd.nextInt(20)).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(seps(rnd.nextInt(seps.length)))
+    }
+    native(texts) shouldBe composed(texts)
+  }
+
   test("counts on a known doc") {
     // tokens: [a b a b a] -> 2-grams: ab ba ab ba -> d2 = 2;
     // 3-grams: aba bab aba -> d3 = 2

@@ -32,6 +32,17 @@ class ShingleTokensSpec extends SparkSpec {
     native(texts, 2) shouldBe composed(texts, 2)
   }
 
+  test("fuzz parity: 200 random token streams at widths 1-4") {
+    val rnd = new scala.util.Random(23)
+    val vocab = IndexedSeq("a", "b", "tok", "世界", "é", "Z9", "longtok", "a")
+    val seps = IndexedSeq(" ", "  ", "\t", " \n ")
+    val texts = Seq.tabulate(200) { _ =>
+      (0 until rnd.nextInt(16)).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(seps(rnd.nextInt(seps.length)))
+    }
+    for (w <- 1 to 4) native(texts, w) shouldBe composed(texts, w)
+  }
+
   test("native shingles dedupe, keep order, and handle short input") {
     native(Seq("a b a b a"), 2) shouldBe Seq(Seq("a b", "b a"))
     native(Seq("one two"), 3) shouldBe Seq(Seq.empty)
