@@ -80,6 +80,25 @@ object Compaction {
     CompactionStats(p, outFiles.length, outFiles.iterator.map(_._2).sum)
   }
 
+  /** Partition-preserving compaction for the incremental sinks'
+    * `partitionBy` layouts (the streaming fact table's
+    * `batch_id=N/` shape): rows shuffle ONCE on the partition columns
+    * so each output partition value lands contiguously → exactly one
+    * file per partition value. This path pays a shuffle that
+    * [[compact]] does not — the price of keeping the directory
+    * layout; use [[compact]] when the snapshot can be flat. */
+  def compactPartitioned(spark: SparkSession, inPath: String,
+      outPath: String, partitionCols: Seq[String]): CompactionStats = {
+    require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+    val p = plan(spark, inPath)
+    spark.read.parquet(inPath)
+      .repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite").partitionBy(partitionCols: _*)
+      .parquet(outPath)
+    val outFiles = listDataFiles(spark, outPath)
+    CompactionStats(p, outFiles.length, outFiles.iterator.map(_._2).sum)
+  }
+
   /** The coalesced frame without the write — for callers composing
     * the compaction into their own sink (bucketed table, ORC, a
     * different partitioning scheme). */

@@ -44,6 +44,35 @@ class CompactionSpec extends SparkSpec {
     frame.rdd.getNumPartitions shouldBe 1 // tiny table: one output file
   }
 
+  test("compactPartitioned collapses an incremental append layout to one file per partition") {
+    val dir = Files.createTempDirectory("compactpart").toString
+    // Simulate the streaming fact sink: four micro-batches, each
+    // appending several small files under its batch_id= partition.
+    (0 until 4).foreach { b =>
+      (1 to 500).map(i => (i.toLong + b * 1000, s"r$i"))
+        .toDF("id", "s").withColumn("batch_id", lit(b))
+        .repartition(5)
+        .write.mode("append").partitionBy("batch_id").parquet(s"$dir/in")
+    }
+    val before = Compaction.plan(spark, s"$dir/in")
+    before.dataFiles shouldBe 20 // 4 batches x 5 files
+
+    val stats = Compaction.compactPartitioned(spark, s"$dir/in",
+      s"$dir/out", Seq("batch_id"))
+    stats.outputFiles shouldBe 4 // exactly one per batch_id value
+    // Layout preserved: partition dirs survive, content multiset intact.
+    val back = spark.read.parquet(s"$dir/out")
+    back.count() shouldBe 2000L
+    back.select("batch_id").distinct().as[Int].collect().sorted shouldBe
+      Array(0, 1, 2, 3)
+    back.agg(sum("id")).as[Long].collect().head shouldBe
+      spark.read.parquet(s"$dir/in").agg(sum("id")).as[Long].collect().head
+    // Partition pruning still works on the compacted layout.
+    val scan = back.filter($"batch_id" === 2).queryExecution.executedPlan
+      .toString
+    scan should include("PartitionFilters")
+  }
+
   test("plan arithmetic: already-compact input keeps its layout; markers skipped") {
     val dir = Files.createTempDirectory("compactnoop").toString
     (1 to 100).toDF("v").coalesce(1).write.parquet(s"$dir/in")
