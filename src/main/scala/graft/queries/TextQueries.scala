@@ -1171,6 +1171,44 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // BPE trainer kernel, cross-engine witnessed: the weighted
+    // adjacent-character pair census over the word-frequency table —
+    // exactly what operators/BpeTrainer counts each merge round (the
+    // full K-round loop is iterative and spec-gated in BpeTrainerSpec;
+    // this oracle pins the round-0 aggregate both engines must agree
+    // on). Scale shape: one corpus pass to (word, cnt), then pair
+    // explosion bounded by VOCABULARY (distinct words × word length),
+    // not corpus size.
+    QueryDef("q103_bpe_pair_census",
+      """WITH wf AS (
+        |  SELECT word, count(*) AS cnt FROM (
+        |    SELECT unnest(list_filter(
+        |      string_split_regex(trim(text), '\s+'), x -> x <> '')) AS word
+        |    FROM documents) GROUP BY word
+        |), prs AS (
+        |  SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r, cnt
+        |  FROM (SELECT word, cnt,
+        |          unnest(generate_series(1, len(word) - 1)) AS i
+        |        FROM wf WHERE len(word) >= 2)
+        |)
+        |SELECT l, r, CAST(sum(cnt) AS BIGINT) AS pair_cnt
+        |FROM prs GROUP BY l, r
+        |ORDER BY pair_cnt DESC, l, r LIMIT 20""".stripMargin) { (s, dir) =>
+      val wf = graft.operators.BpeTrainer
+        .wordFrequencies(Tables.documents(s, dir))
+      wf.filter(length(col("word")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), length(col("word")) - 1),
+          i => struct(
+            col("word").substr(i, lit(1)).as("l"),
+            col("word").substr(i + 1, lit(1)).as("r"))))
+          .as("p"), col("cnt"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").as("pair_cnt"))
+        .orderBy(desc("pair_cnt"), asc("l"), asc("r"))
+        .limit(20)
+    },
+
     // Greedy sequence packing (docs → ≤512-token training sequences,
     // id order, pack boundaries never span a (source, shard) cell).
     // The fold is sequential per cell — the oracle expresses the same

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.CatalystBridge
+
+import graft.SparkSpec
+import graft.plans.BpeEncode
+
+class BpeTrainerSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent sequential reference trainer (same tie-break:
+    * count desc, then (left, right) ascending). */
+  private def refTrain(freq: Map[String, Long], k: Int)
+      : Seq[(String, String, Long)] = {
+    def splitCp(w: String): List[String] = {
+      val out = List.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        out += w.substring(i, i + n)
+        i += n
+      }
+      out.result()
+    }
+    var words: Map[List[String], Long] =
+      freq.groupMapReduce { case (w, _) => splitCp(w) }(_._2)(_ + _)
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var continue = true
+    var rank = 0
+    while (rank < k && continue) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        syms.zip(syms.drop(1)).foreach(p =>
+          counts(p) = counts.getOrElse(p, 0L) + c)
+      }
+      if (counts.isEmpty) continue = false
+      else {
+        val ((l, r), c) = counts.toSeq.minBy { case ((a, b), n) =>
+          (-n, a, b)
+        }
+        merges += ((l, r, c))
+        words = words.groupMapReduce { case (syms, _) =>
+          BpeTrainer.applyMerge(syms, l, r).toList
+        }(_._2)(_ + _)
+        rank += 1
+      }
+    }
+    merges.result()
+  }
+
+  private val classic = Map(
+    "low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+
+  test("distributed trainer matches the sequential reference on the classic corpus") {
+    val freq = classic.toSeq.toDF("word", "cnt")
+    val got = BpeTrainer.train(freq, 8)
+    val want = refTrain(classic, 8)
+    got.map(m => (m.left, m.right, m.count)) shouldBe want
+    got.map(_.rank) shouldBe (0 until got.length)
+    // The textbook first merge: ('e','s') with count 9 (newest+widest).
+    (got.head.left, got.head.right, got.head.count) shouldBe (("e", "s", 9L))
+  }
+
+  test("fuzz: distributed == sequential on random corpora") {
+    val rnd = new scala.util.Random(31)
+    val alphabet = "abcde"
+    (0 until 3).foreach { _ =>
+      val freq = (0 until 30).map { _ =>
+        val w = (0 until 1 + rnd.nextInt(6))
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+        w -> (1L + rnd.nextInt(9))
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+      val got = BpeTrainer.train(freq.toSeq.toDF("word", "cnt"), 6)
+      got.map(m => (m.left, m.right, m.count)) shouldBe refTrain(freq, 6)
+    }
+  }
+
+  test("wordFrequencies is the one corpus pass: counts whitespace tokens") {
+    val docs = Seq("low low lower", "newest low").toDF("text")
+    val wf = BpeTrainer.wordFrequencies(docs).as[(String, Long)]
+      .collect().toMap
+    wf shouldBe Map("low" -> 3L, "lower" -> 1L, "newest" -> 1L)
+  }
+
+  test("encodeWord applies merges in rank order; BpeEncode matches incl. codegen") {
+    val merges = BpeTrainer.train(classic.toSeq.toDF("word", "cnt"), 6)
+    val words = Seq("lowest", "newest", "low", "x", "", "wider")
+    val viaJvm = words.map(w => BpeTrainer.encodeWord(w, merges))
+    // Concatenation invariant: encoding never loses characters.
+    words.zip(viaJvm).foreach { case (w, syms) =>
+      syms.mkString shouldBe w
+    }
+    val lefts = merges.map(_.left).toArray
+    val rights = merges.map(_.right).toArray
+    val viaExpr = words.toDF("w")
+      .select(CatalystBridge.column(
+        BpeEncode(CatalystBridge.expr(col("w")), lefts, rights)).as("e"))
+      .as[Seq[String]].collect().toSeq
+    viaExpr shouldBe viaJvm
+    // Null propagates; surrogate pairs stay whole symbols.
+    val rows = Seq(Option("a😀b"), None).toDF("w")
+      .select(CatalystBridge.column(
+        BpeEncode(CatalystBridge.expr(col("w")), Array(), Array())).as("e"))
+      .collect()
+    rows(0).getSeq[String](0) shouldBe Seq("a", "😀", "b")
+    rows(1).isNullAt(0) shouldBe true
+  }
+
+  test("vocabulary = seen characters + one entry per merge") {
+    val freq = classic.toSeq.toDF("word", "cnt")
+    val merges = BpeTrainer.train(freq, 3)
+    val vocab = BpeTrainer.vocabulary(freq, merges).as[String]
+      .collect().toSet
+    val chars = classic.keys.flatMap(_.toSeq).map(_.toString).toSet
+    vocab shouldBe chars ++ merges.map(m => m.left + m.right)
+  }
+}
