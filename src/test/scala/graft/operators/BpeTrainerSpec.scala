@@ -52,17 +52,23 @@ class BpeTrainerSpec extends SparkSpec {
   private val classic = Map(
     "low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
 
-  test("distributed trainer matches the sequential reference on the classic corpus") {
+  test("all three trainer paths match the sequential reference on the classic corpus") {
     val freq = classic.toSeq.toDF("word", "cnt")
-    val got = BpeTrainer.train(freq, 8)
     val want = refTrain(classic, 8)
+    // Hybrid dispatch (small vocab → local path).
+    val got = BpeTrainer.train(freq, 8)
     got.map(m => (m.left, m.right, m.count)) shouldBe want
     got.map(_.rank) shouldBe (0 until got.length)
     // The textbook first merge: ('e','s') with count 9 (newest+widest).
     (got.head.left, got.head.right, got.head.count) shouldBe (("e", "s", 9L))
+    // Forced distributed path (threshold 0) and direct local path.
+    BpeTrainer.train(freq, 8, collectThreshold = 0L)
+      .map(m => (m.left, m.right, m.count)) shouldBe want
+    BpeTrainer.trainLocal(classic.toSeq, 8)
+      .map(m => (m.left, m.right, m.count)) shouldBe want
   }
 
-  test("fuzz: distributed == sequential on random corpora") {
+  test("fuzz: distributed == local == sequential on random corpora") {
     val rnd = new scala.util.Random(31)
     val alphabet = "abcde"
     (0 until 3).foreach { _ =>
@@ -71,8 +77,11 @@ class BpeTrainerSpec extends SparkSpec {
           .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
         w -> (1L + rnd.nextInt(9))
       }.groupMapReduce(_._1)(_._2)(_ + _)
-      val got = BpeTrainer.train(freq.toSeq.toDF("word", "cnt"), 6)
-      got.map(m => (m.left, m.right, m.count)) shouldBe refTrain(freq, 6)
+      val want = refTrain(freq, 6)
+      BpeTrainer.train(freq.toSeq.toDF("word", "cnt"), 6, collectThreshold = 0L)
+        .map(m => (m.left, m.right, m.count)) shouldBe want
+      BpeTrainer.trainLocal(freq.toSeq, 6)
+        .map(m => (m.left, m.right, m.count)) shouldBe want
     }
   }
 
