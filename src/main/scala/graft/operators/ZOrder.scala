@@ -69,9 +69,15 @@ object ZOrder {
     require(cols.nonEmpty && cols.size == bounds.size,
       s"need one bound array per column: ${cols.size} vs ${bounds.size}")
     val ranks = cols.zip(bounds).map { case (c, bs) =>
+      // NULL dimension values rank as bucket 0 (Long.MinValue is below
+      // every bound): null rows cluster together at the curve's origin
+      // instead of getting a null curve key and arbitrary placement —
+      // the global-order contract of the clustering write then covers
+      // every row.
       CatalystBridge.expr(
         CatalystBridge.column(
-          SortedBucket(CatalystBridge.expr(c.cast("long")), bs))
+          SortedBucket(CatalystBridge.expr(
+            coalesce(c.cast("long"), lit(Long.MinValue))), bs))
           .cast("long"))
     }
     CatalystBridge.column(InterleaveBits(ranks, bitsPerDim))

@@ -108,6 +108,26 @@ class ZOrderSpec extends SparkSpec {
     perPart.length should be >= 8 // actually fanned out, not one fat file
   }
 
+  test("null dimension values rank to the curve origin, never a null key") {
+    val df = Seq((Some(5L), Some(7L)), (None, Some(9L)), (Some(3L), None),
+      (None: Option[Long], None: Option[Long])).toDF("x", "y")
+    val bounds = Seq(Array(4L), Array(8L))
+    val zs = df.select(
+        ZOrder.zvalue(Seq(col("x"), col("y")), bounds, 4).as("z"))
+      .collect()
+    all(zs.map(_.isNullAt(0))) shouldBe false // every row gets a key
+    // (None, None) → both ranks 0 → z = 0, the curve origin.
+    df.filter($"x".isNull && $"y".isNull)
+      .select(ZOrder.zvalue(Seq(col("x"), col("y")), bounds, 4))
+      .as[Long].collect() shouldBe Array(0L)
+    // cluster() therefore covers null rows under the same order contract.
+    val out = ZOrder.cluster(
+      points(2000).toDF("x", "y")
+        .union(Seq((None: Option[Long], Option(5L))).toDF("x", "y")),
+      Seq("x", "y"), bitsPerDim = 4, minParts = 4)
+    out.count() shouldBe 2001L
+  }
+
   test("clustered parquet files have tight min/max spans on BOTH dimensions") {
     val df = points(40000).toDF("x", "y")
     val dir = java.nio.file.Files.createTempDirectory("zorder").toString
