@@ -91,6 +91,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => TokenClassCounts(args.head)))
 
     ext.injectFunction((
+      new FunctionIdentifier("normalize_text"),
+      info("normalize_text",
+        "normalize_text(str) - NFC + controls->space + whitespace collapse + trim, one pass"),
+      (args: Seq[Expression]) => NormalizeText(args.head)))
+
+    ext.injectFunction((
       new FunctionIdentifier("interleave_bits"),
       info("interleave_bits",
         "interleave_bits(b1, b2[, b3[, b4]], bits) - Morton/Z-order interleave of 2-4 bucket ranks, `bits` low bits each"),

@@ -1209,6 +1209,41 @@ object TextQueries {
         .limit(20)
     },
 
+    // Text normalization census (plans/NormalizeText): NFC composition
+    // + control-char strip + whitespace collapse + trim — the standard
+    // cleaning pass, as ONE codegen'd per-row expression (no shuffle;
+    // the scan IS the cost at 100 TB). The corpus is clean ASCII, so
+    // the query appends doc_id-independent dirt in BOTH engines
+    // (double space, tab, BEL, e + combining acute — the NFC case) and
+    // witnesses the cleaned text by md5 (the q75 injection pattern).
+    QueryDef("q104_normalize_text",
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    concat(text, '  x', chr(9), chr(7), 'e', chr(769), ' ') AS t
+        |  FROM documents
+        |), cl AS (
+        |  SELECT doc_id, t,
+        |    trim(regexp_replace(regexp_replace(nfc_normalize(t),
+        |      '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS clean
+        |  FROM src
+        |)
+        |SELECT doc_id, md5(clean) AS h,
+        |  CAST(clean <> t AS BIGINT) AS changed
+        |FROM cl ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // Exactly DuckDB's concat: double space, 'x', TAB, BEL (raw
+      // 0x07 in this source literal), 'e', COMBINING ACUTE (U+0301 -
+      // composes to a single code point under NFC), trailing space.
+      val t = concat(col("text"), lit("  x\té "))
+      val clean = org.apache.spark.sql.graft.CatalystBridge.column(
+        graft.plans.NormalizeText(
+          org.apache.spark.sql.graft.CatalystBridge.expr(t)))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), t.as("t"), clean.as("clean"))
+        .select(col("doc_id"), md5(col("clean")).as("h"),
+          (col("clean") =!= col("t")).cast("long").as("changed"))
+        .orderBy("doc_id")
+    },
+
     // Greedy sequence packing (docs → ≤512-token training sequences,
     // id order, pack boundaries never span a (source, shard) cell).
     // The fold is sequential per cell — the oracle expresses the same

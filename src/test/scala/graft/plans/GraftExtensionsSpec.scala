@@ -31,6 +31,16 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     s
   }
 
+  test("normalize_text SQL function: NFC + control strip + collapse from plain SQL") {
+    import spark.implicits._
+    // NOTE: Spark's chr() is mod-256 (DuckDB's is a code point), so
+    // the combining acute is embedded in the SQL text directly.
+    spark.sql(
+      "SELECT normalize_text(concat('  a', chr(9), chr(7), ' b  c', " +
+        "'e\u0301', '  ')) AS c")
+      .as[String].collect().head shouldBe "a b c\u00e9" // precomposed
+  }
+
   test("interleave_bits SQL function: Morton interleave of literal ranks") {
     import spark.implicits._
     spark.sql("SELECT interleave_bits(3L, 2L, 2) AS z")
