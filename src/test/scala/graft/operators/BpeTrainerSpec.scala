@@ -116,6 +116,32 @@ class BpeTrainerSpec extends SparkSpec {
     rows(1).isNullAt(0) shouldBe true
   }
 
+  test("end-to-end: corpus -> word table -> merges -> subword-encoded corpus") {
+    // The full tokenizer pipeline over a documents frame: one corpus
+    // pass to frequencies, train, then encode the corpus as a pure
+    // map (BpeEncode) and check token accounting against the JVM
+    // encoder word by word.
+    val docs = Seq("low lower low", "newest widest", "low newest")
+      .toDF("text")
+    val wf = BpeTrainer.wordFrequencies(docs)
+    val merges = BpeTrainer.train(wf, 5)
+    val lefts = merges.map(_.left).toArray
+    val rights = merges.map(_.right).toArray
+    val encoded = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .select(col("w"), CatalystBridge.column(
+        BpeEncode(CatalystBridge.expr(col("w")), lefts, rights)).as("toks"))
+      .as[(String, Seq[String])].collect()
+    encoded.foreach { case (w, toks) =>
+      toks shouldBe BpeTrainer.encodeWord(w, merges)
+      toks.mkString shouldBe w // nothing lost
+      all(toks.map(_.length)) should be > 0
+    }
+    // Every emitted subword is in the implied vocabulary.
+    val vocab = BpeTrainer.vocabulary(wf, merges).as[String].collect().toSet
+    encoded.flatMap(_._2).toSet.subsetOf(vocab) shouldBe true
+  }
+
   test("vocabulary = seen characters + one entry per merge") {
     val freq = classic.toSeq.toDF("word", "cnt")
     val merges = BpeTrainer.train(freq, 3)
