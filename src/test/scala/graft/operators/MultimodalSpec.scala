@@ -373,6 +373,35 @@ class MultimodalSpec extends SparkSpec {
     u.zeroCrossRate shouldBe 0.0
   }
 
+  test("sampleStats handles big-endian PCM (AIFF) identically to little-endian WAV") {
+    import javax.sound.sampled._
+    // Same ±8192 square wave written through both containers: AIFF is
+    // PCM_SIGNED BIG-endian, WAV little-endian — the byte-assembly
+    // branch must agree bit-for-bit on the decoded samples.
+    val samples = Array.tabulate(300)(i =>
+      if (i % 2 == 0) 8192.toShort else (-8192).toShort)
+    def container(big: Boolean, t: AudioFileFormat.Type): Array[Byte] = {
+      val fmt = new AudioFormat(8000f, 16, 1, true, big)
+      val raw = new Array[Byte](samples.length * 2)
+      val bb = java.nio.ByteBuffer.wrap(raw).order(
+        if (big) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(bb.putShort)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong),
+        t, out)
+      out.toByteArray
+    }
+    val Some(le) = Multimodal.AudioIoCodec.sampleStats(
+      container(big = false, AudioFileFormat.Type.WAVE))
+    val Some(be) = Multimodal.AudioIoCodec.sampleStats(
+      container(big = true, AudioFileFormat.Type.AIFF))
+    be shouldBe le
+    be.rms shouldBe 0.25 +- 1e-12
+    be.zeroCrossRate shouldBe 299.0 / 300 +- 1e-12
+  }
+
   test("sampleStats decodes ULAW through the JDK's PCM conversion") {
     import javax.sound.sampled._
     // Build a PCM sine-ish square at 0.5 amplitude, convert to ULAW, AU.
