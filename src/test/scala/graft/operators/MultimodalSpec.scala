@@ -402,6 +402,29 @@ class MultimodalSpec extends SparkSpec {
     be.zeroCrossRate shouldBe 299.0 / 300 +- 1e-12
   }
 
+  test("sampleStats handles 24-bit PCM exactly (3-byte sample assembly)") {
+    import javax.sound.sampled._
+    // Constant 0x400000 = 2^22 → exactly 0.5 of 24-bit full scale.
+    val fmt = new AudioFormat(8000f, 24, 1, true, false)
+    val frames = 100
+    val raw = new Array[Byte](frames * 3)
+    var i = 0
+    while (i < frames) { // little-endian 3-byte 0x400000
+      raw(i * 3) = 0x00; raw(i * 3 + 1) = 0x00; raw(i * 3 + 2) = 0x40
+      i += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, frames.toLong),
+      AudioFileFormat.Type.WAVE, out)
+    val Some(s) = Multimodal.AudioIoCodec.sampleStats(out.toByteArray)
+    s.nSamples shouldBe frames.toLong
+    s.meanSample shouldBe 0.5 +- 1e-12
+    s.rms shouldBe 0.5 +- 1e-12
+    s.peak shouldBe 0.5 +- 1e-12
+    s.clippedFrac shouldBe 0.0
+  }
+
   test("sampleStats decodes ULAW through the JDK's PCM conversion") {
     import javax.sound.sampled._
     // Build a PCM sine-ish square at 0.5 amplitude, convert to ULAW, AU.
