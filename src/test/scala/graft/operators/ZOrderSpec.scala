@@ -108,6 +108,32 @@ class ZOrderSpec extends SparkSpec {
     perPart.length should be >= 8 // actually fanned out, not one fat file
   }
 
+  test("3-dimension clustering: rows preserved, curve ordered (interleave3 path)") {
+    val df = (0 until 9000).map { i =>
+      ((i * 2654435761L) % 512, (i * 40503L + 17) % 512,
+        (i * 69069L + 5) % 512)
+    }.toDF("x", "y", "w")
+    val out = ZOrder.cluster(df, Seq("x", "y", "w"), bitsPerDim = 5,
+      minParts = 8)
+    out.count() shouldBe 9000L
+    out.agg(sum("x"), sum("y"), sum("w")).collect().head.toSeq shouldBe
+      df.agg(sum("x"), sum("y"), sum("w")).collect().head.toSeq
+    val bounds = ZOrder.dimBounds(df, Seq("x", "y", "w"), 5)
+    val z = ZOrder.zvalue(Seq(col("x"), col("y"), col("w")), bounds, 5)
+    val perPart = out.withColumn("z", z).select("z").as[Long]
+      .rdd.mapPartitionsWithIndex { (pid, it) =>
+        val zs = it.toArray
+        if (zs.isEmpty) Iterator.empty
+        else Iterator.single((pid, zs.head, zs.last,
+          zs.sliding(2).forall(p => p.length < 2 || p(0) <= p(1))))
+      }.collect().sortBy(_._1)
+    all(perPart.map(_._4)) shouldBe true
+    perPart.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 <= b._2)
+      case _ =>
+    }
+  }
+
   test("null dimension values rank to the curve origin, never a null key") {
     val df = Seq((Some(5L), Some(7L)), (None, Some(9L)), (Some(3L), None),
       (None: Option[Long], None: Option[Long])).toDF("x", "y")
