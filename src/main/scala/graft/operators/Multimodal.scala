@@ -33,12 +33,14 @@ import org.apache.spark.sql.functions._
   * `stsz`). Image RESIZE is real ([[resizeImages]]): decode →
   * bilinear resample → PNG re-encode, pure `java.awt`.
   *
-  * The one remaining STUB is video frame RASTER decode (H.264/HEVC
-  * entropy decode has no JDK implementation): [[StubCodec.decode]]
-  * stands in with a deterministic byte histogram where a pixel-level
-  * feature would go. Swapping in a full codec (JavaCV, ffmpeg-over-
-  * pipe) changes ONLY that function — batch shape, schema, and
-  * distribution are unchanged.
+  * Video frame RASTER decode is real for JPEG-coded tracks
+  * ([[decodeVideoPixels]] — Motion-JPEG keyframe slices piped into the
+  * still-image raster path). The one remaining STUB is raster decode
+  * of ENTROPY-coded video (H.264/HEVC have no JDK implementation):
+  * [[StubCodec.decode]] stands in with a deterministic byte histogram
+  * where a pixel-level feature would go. Swapping in a full codec
+  * (JavaCV, ffmpeg-over-pipe) changes ONLY that function — batch
+  * shape, schema, and distribution are unchanged.
   *
   * Scale notes: decode runs via `mapPartitions` — per-partition
   * imperative logic over opaque bytes is the one documented case where
@@ -730,6 +732,15 @@ object Multimodal {
         if (nSamples <= 0) return Nil
         if (fixedSize == 0 && stsz.start + 12 + nSamples * 4L > stsz.end)
           return Nil
+        // Payload-derived bound for the fixed-size path (the variable
+        // path above is already bounded by the stsz box extent): every
+        // sample must live inside the file, so a forged sample_count
+        // claiming more fixed-size samples than the payload can hold is
+        // rejected before any count-proportional work — the same "a
+        // forged count can never drive an allocation" contract
+        // entryCount enforces for entry tables.
+        if (fixedSize > 0 && fixedSize * nSamples.toLong > bytes.length)
+          return Nil
         def sizeOf(k: Int): Long = // k is 0-based
           if (fixedSize > 0) fixedSize
           else u32(bytes, stsz.start + 12 + k * 4)
@@ -761,16 +772,25 @@ object Multimodal {
           acc += spc
           chunk += 1
         }
-        // Sync sample numbers (1-based); no stss ⇒ every sample.
-        val sync: IndexedSeq[Long] = child(bytes, stbl, "stss")
+        // Sync sample numbers (1-based); no stss ⇒ every sample is
+        // sync (ISO/IEC 14496-12) — but nSamples there comes straight
+        // from the header, so the "every sample" set is never
+        // materialized: the ≤ n evenly spaced picks are computed
+        // arithmetically (allocation bounded by the caller's n, not by
+        // a forged sample_count).
+        val picks: Seq[Long] = child(bytes, stbl, "stss")
           .flatMap(s => entryCount(bytes, s, 4)
-            .map(m => (0 until m).map(i => u32(bytes, s.start + 8 + i * 4))))
-          .getOrElse((1 to nSamples).map(_.toLong))
-        if (sync.isEmpty) return Nil
-        val picks =
-          if (sync.length <= n) sync
-          else (0 until n).map(i => sync(((sync.length - 1).toLong * i /
-            math.max(n - 1, 1)).toInt)).distinct
+            .map(m => (0 until m).map(i => u32(bytes, s.start + 8 + i * 4)))) match {
+          case Some(sync) =>
+            if (sync.isEmpty) return Nil
+            if (sync.length <= n) sync
+            else (0 until n).map(i => sync(((sync.length - 1).toLong * i /
+              math.max(n - 1, 1)).toInt)).distinct
+          case None =>
+            if (nSamples <= n) (1 to nSamples).map(_.toLong)
+            else (0 until n).map(i => 1L + (nSamples - 1).toLong * i /
+              math.max(n - 1, 1)).distinct
+        }
         picks.flatMap { num =>
           val k = num - 1 // 0-based sample index
           if (k < 0 || k >= nSamples) None
@@ -847,6 +867,70 @@ object Multimodal {
             if (r.payload == null) 0L else r.payload.length.toLong)
       }
     })
+  }
+
+  /** Video sample descriptions whose frames are standalone JPEG
+    * images the JDK CAN raster: `jpeg` (QuickTime/ISO-BMFF
+    * Motion-JPEG) and `mjpa` (Motion-JPEG A — each sample is a valid
+    * JFIF stream with extension markers ImageIO tolerates). For these
+    * codecs frame RASTER decode is real; the [[StubCodec]] surface is
+    * down to entropy-coded codecs (H.264/HEVC) with no JDK decoder. */
+  val JpegVideoCodecs: Set[String] = Set("jpeg", "mjpa")
+
+  /** REAL pixel features for JPEG-coded video tracks: mean R/G/B and
+    * Rec.601 luma averaged over up to `nFrames` evenly spaced SYNC
+    * frames, each rastered through [[ImageIoCodec.pixelStats]] (same
+    * decompression-bomb cap as still images). `decoded_frames = false`
+    * rows (non-BMFF payloads, entropy-coded codecs, undecodable frame
+    * bytes) carry zeros — read the flag. */
+  final case class VideoPixelFeatures(
+      media_id: Long,
+      kind: String,
+      decoded_frames: Boolean,
+      codec: String,
+      n_frames_sampled: Int,
+      width: Int,
+      height: Int,
+      mean_r: Double,
+      mean_g: Double,
+      mean_b: Double,
+      mean_luma: Double,
+      n_bytes: Long)
+
+  private[operators] def videoPixelsOne(r: MediaRecord, nFrames: Int,
+      maxPixels: Long): VideoPixelFeatures = {
+    val nBytes = if (r.payload == null) 0L else r.payload.length.toLong
+    val codec = IsoBmffCodec.videoMeta(r.payload)
+      .map(_._5).getOrElse("")
+    val stats =
+      if (!JpegVideoCodecs.contains(codec)) Nil
+      else IsoBmffCodec.syncFrameSlices(r.payload, nFrames)
+        .flatMap { case (_, frame) =>
+          ImageIoCodec.pixelStats(frame, maxPixels)
+        }
+    if (stats.isEmpty)
+      VideoPixelFeatures(r.media_id, r.kind, decoded_frames = false,
+        codec, 0, -1, -1, 0.0, 0.0, 0.0, 0.0, nBytes)
+    else {
+      val k = stats.length
+      val mr = stats.iterator.map(_.meanR).sum / k
+      val mg = stats.iterator.map(_.meanG).sum / k
+      val mb = stats.iterator.map(_.meanB).sum / k
+      VideoPixelFeatures(r.media_id, r.kind, decoded_frames = true,
+        codec, k, stats.head.width, stats.head.height,
+        mr, mg, mb, 0.299 * mr + 0.587 * mg + 0.114 * mb, nBytes)
+    }
+  }
+
+  /** Per-video REAL frame raster features for JPEG-coded tracks —
+    * keyframe slices ([[IsoBmffCodec.syncFrameSlices]]) piped into the
+    * still-image raster path, same no-shuffle mapPartitions plumbing
+    * as every decode in this module. */
+  def decodeVideoPixels(media: Dataset[MediaRecord], nFrames: Int = 4,
+      maxPixels: Long = ImageIoCodec.DefaultMaxDecodePixels)(
+      implicit spark: SparkSession): Dataset[VideoPixelFeatures] = {
+    import spark.implicits._
+    media.mapPartitions(_.map(videoPixelsOne(_, nFrames, maxPixels)))
   }
 
   /** One row per sampled SYNC frame: (media_id, 1-based frame number,

@@ -560,6 +560,116 @@ class MultimodalSpec extends SparkSpec {
     frames(1).frame shouldBe Array.fill[Byte](50)(5)
   }
 
+  // ---- REAL MJPEG frame raster decode --------------------------------
+
+  /** MP4 whose video track is Motion-JPEG: each sample is a REAL JPEG
+    * image (JDK-encoded), sample description fourcc `jpeg`, one chunk,
+    * optionally no stss (⇒ every frame sync per 14496-12). */
+  private def craftMjpegMp4(frames: Seq[Array[Byte]],
+      codec: String = "jpeg", withStss: Boolean = false): Array[Byte] = {
+    val ftyp = box("ftyp",
+      "isom".getBytes("ISO-8859-1") ++ u32(512) ++
+        "isomjpeg".getBytes("ISO-8859-1"))
+    val mdat = box("mdat", frames.toArray.flatten)
+    val chunk1Off = ftyp.length + 8
+    val mvhd = box("mvhd",
+      u32(0) ++ u32(0) ++ u32(0) ++ u32(1000) ++ u32(1000) ++
+        Array.fill[Byte](80)(0))
+    val tkhd = box("tkhd",
+      u32(0) ++ u32(0) ++ u32(0) ++ u32(1) ++ u32(0) ++ u32(1000) ++
+        Array.fill[Byte](52)(0) ++
+        u32(16L << 16) ++ u32(8L << 16))
+    val mdhd = box("mdhd",
+      u32(0) ++ u32(0) ++ u32(0) ++ u32(600) ++ u32(600) ++ u32(0))
+    val hdlr = box("hdlr",
+      u32(0) ++ u32(0) ++ "vide".getBytes("ISO-8859-1") ++
+        Array.fill[Byte](12)(0))
+    val entry = box(codec, Array.fill[Byte](78)(0))
+    val stsd = box("stsd", u32(0) ++ u32(1) ++ entry)
+    val stsz = box("stsz",
+      u32(0) ++ u32(0) ++ u32(frames.length.toLong) ++
+        frames.toArray.flatMap(f => u32(f.length.toLong)))
+    val stts = box("stts",
+      u32(0) ++ u32(1) ++ u32(frames.length.toLong) ++ u32(100))
+    val stsc = box("stsc",
+      u32(0) ++ u32(1) ++ u32(1) ++ u32(frames.length.toLong) ++ u32(1))
+    val stco = box("stco", u32(0) ++ u32(1) ++ u32(chunk1Off.toLong))
+    val stss =
+      if (withStss) box("stss", u32(0) ++ u32(1) ++ u32(1))
+      else Array[Byte]()
+    val stbl = box("stbl", stsd ++ stsz ++ stts ++ stsc ++ stco ++ stss)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+    val trak = box("trak", tkhd ++ mdia)
+    val moov = box("moov", mvhd ++ trak)
+    ftyp ++ mdat ++ moov
+  }
+
+  /** Solid-color JPEG — lossy, but a constant field encodes within a
+    * couple of intensity levels. */
+  private def solidJpeg(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for { x <- 0 until w; y <- 0 until h }
+      img.setRGB(x, y, r << 16 | g << 8 | b)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  test("decodeVideoPixels rasters REAL pixel means from JPEG-coded video frames") {
+    implicit val s = spark
+    // Two solid frames: mean over both ≈ the average of the two colors.
+    val mjpeg = craftMjpegMp4(Seq(
+      solidJpeg(16, 8, 200, 40, 40), solidJpeg(16, 8, 40, 40, 200)))
+    val avc = craftMp4() // entropy-coded codec: no raster path
+    val media = Seq(
+      MediaRecord(80L, "video", mjpeg, "mp4", 0, 0),
+      MediaRecord(81L, "video", avc, "mp4", 0, 0),
+      MediaRecord(82L, "video", "not a video".getBytes("UTF-8"), "raw", 0, 0))
+      .toDS()
+    val got = Multimodal.decodeVideoPixels(media, nFrames = 4)
+      .collect().sortBy(_.media_id)
+    got(0).decoded_frames shouldBe true
+    got(0).codec shouldBe "jpeg"
+    got(0).n_frames_sampled shouldBe 2
+    (got(0).width, got(0).height) shouldBe ((16, 8))
+    got(0).mean_r shouldBe 120.0 +- 6.0 // (200+40)/2, JPEG-lossy
+    got(0).mean_g shouldBe 40.0 +- 6.0
+    got(0).mean_b shouldBe 120.0 +- 6.0
+    got(0).mean_luma shouldBe
+      (0.299 * got(0).mean_r + 0.587 * got(0).mean_g +
+        0.114 * got(0).mean_b) +- 1e-9
+    got(1).decoded_frames shouldBe false
+    got(1).codec shouldBe "avc1"
+    got(2).decoded_frames shouldBe false
+    got(2).codec shouldBe ""
+  }
+
+  test("syncFrameSlices: no-stss picks are arithmetic and a forged fixed-size count is refused") {
+    // Six 4-byte fixed-size samples, NO stss: every sample is sync and
+    // the ≤ n picks must come out evenly spaced without materializing
+    // the full sample list.
+    val frames = (1 to 6).map(i => Array.fill[Byte](4)(i.toByte))
+    val mp4 = craftMjpegMp4(frames)
+    val got = Multimodal.IsoBmffCodec.syncFrameSlices(mp4, 3)
+    got.map(_._1) shouldBe Seq(1L, 3L, 6L) // 1 + 5i/2 for i = 0,1,2
+    got(1)._2 shouldBe Array.fill[Byte](4)(3)
+    got(2)._2 shouldBe Array.fill[Byte](4)(6)
+    // Forged header: fixed sample_size 1 MB × 2^20 samples ≫ payload.
+    // Must refuse instantly (payload-derived bound), never allocate.
+    val stszAt = {
+      // find the stsz box and forge its fixed-size + count fields
+      val idx = mp4.indexOfSlice("stsz".getBytes("ISO-8859-1"))
+      idx + 4 // payload starts after fourcc
+    }
+    val forged = mp4.clone()
+    val bb = java.nio.ByteBuffer.wrap(forged)
+    bb.putInt(stszAt + 4, 1 << 20) // sample_size = 1 MiB
+    bb.putInt(stszAt + 8, 1 << 20) // sample_count = 2^20
+    Multimodal.IsoBmffCodec.syncFrameSlices(forged, 4) shouldBe Nil
+  }
+
   // ---- REAL image resize ---------------------------------------------
 
   test("resizeImages: bilinear downscale + PNG re-encode, pass-through below maxDim") {
