@@ -85,6 +85,77 @@ class BpeTrainerSpec extends SparkSpec {
     }
   }
 
+  test("batched distributed rounds: bit-identical merges, >=5x fewer rounds") {
+    // 20 two-letter words over 40 DISJOINT symbols with strictly
+    // decreasing counts: the census is exactly 20 disjoint pairs, so
+    // wide batches are provably safe and realized.
+    val syms = ('a' to 'z') ++ ('A' to 'N')
+    val freq = (0 until 20).map { i =>
+      s"${syms(2 * i)}${syms(2 * i + 1)}" -> (100L - i)
+    }
+    val want = refTrain(freq.toMap, 20)
+    val (batched, rounds) =
+      BpeTrainer.trainDistributedWithRounds(
+        freq.toDF("word", "cnt"), 20, batchSize = 16)
+    batched.map(m => (m.left, m.right, m.count)) shouldBe want
+    batched.map(_.rank) shouldBe (0 until 20)
+    rounds should be <= 2 // 16 + 4 vs 20 one-merge rounds: 10x fewer
+  }
+
+  test("fuzz: narrow alphabet (heavy interaction) batched == sequential") {
+    // 3-letter alphabet makes nearly every top pair share a symbol —
+    // the selectBatch guard paths (interaction stop, tie drop, head
+    // fallback) all fire; output must still be bit-identical.
+    val rnd = new scala.util.Random(17)
+    (0 until 3).foreach { _ =>
+      val freq = (0 until 25).map { _ =>
+        val w = (0 until 1 + rnd.nextInt(5))
+          .map(_ => "abc"(rnd.nextInt(3))).mkString
+        w -> (1L + rnd.nextInt(7))
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+      val want = refTrain(freq, 6)
+      BpeTrainer.trainDistributed(freq.toSeq.toDF("word", "cnt"), 6,
+          batchSize = 4)
+        .map(m => (m.left, m.right, m.count)) shouldBe want
+    }
+  }
+
+  test("selectBatch: disjoint prefix, interaction stop, tie guard, head fallback") {
+    import BpeTrainer.selectBatch
+    // plain disjoint prefix, exhaustive window: keep everything
+    selectBatch(IndexedSeq(("a", "b", 10L), ("c", "d", 9L), ("e", "f", 8L)),
+      3, exhaustive = true) shouldBe
+      Seq(("a", "b", 10L), ("c", "d", 9L), ("e", "f", 8L))
+    // interaction stops admission; equal-count admitted pair dropped
+    // (a created pair could tie it and win the name tie-break)
+    selectBatch(IndexedSeq(("a", "b", 10L), ("c", "d", 9L), ("b", "e", 9L)),
+      3, exhaustive = true) shouldBe Seq(("a", "b", 10L))
+    // strictly dominating admitted pairs survive the guard
+    selectBatch(IndexedSeq(("a", "b", 10L), ("c", "d", 9L), ("b", "e", 8L)),
+      3, exhaustive = true) shouldBe Seq(("a", "b", 10L), ("c", "d", 9L))
+    // the head is the sequential pick by definition — always kept
+    selectBatch(IndexedSeq(("a", "b", 5L), ("b", "c", 5L)),
+      2, exhaustive = true) shouldBe Seq(("a", "b", 5L))
+    // truncated window: unseen pairs bound by the last fetched count
+    selectBatch(IndexedSeq(("a", "b", 10L), ("c", "d", 10L)),
+      2, exhaustive = false) shouldBe Seq(("a", "b", 10L))
+    // want-stop with only DISJOINT pairs behind: no guard needed
+    selectBatch(IndexedSeq(("a", "b", 9L), ("c", "d", 9L), ("e", "f", 9L)),
+      2, exhaustive = true) shouldBe Seq(("a", "b", 9L), ("c", "d", 9L))
+  }
+
+  test("tie-break is code-point order in BOTH paths (BMP private-use vs supplementary)") {
+    // U+E000 sorts BELOW U+1F600 in code-point/UTF-8 order, but their
+    // UTF-16 lead units compare 0xE000 > 0xD83D — the orders disagree
+    // exactly here. Both trainer paths must pick the U+E000 pair.
+    val pua = "\uE000"
+    val freq = Seq(pua + "x" -> 1L, "\uD83D\uDE00x" -> 1L)
+    val local = BpeTrainer.trainLocal(freq, 1)
+    (local.head.left, local.head.right) shouldBe ((pua, "x"))
+    val dist = BpeTrainer.trainDistributed(freq.toDF("word", "cnt"), 1)
+    (dist.head.left, dist.head.right) shouldBe ((pua, "x"))
+  }
+
   test("wordFrequencies is the one corpus pass: counts whitespace tokens") {
     val docs = Seq("low low lower", "newest low").toDF("text")
     val wf = BpeTrainer.wordFrequencies(docs).as[(String, Long)]
