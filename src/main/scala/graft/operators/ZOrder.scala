@@ -4,7 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.CatalystBridge
 
-import graft.plans.{InterleaveBits, SortedBucket}
+import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType, FloatType}
+
+import graft.plans.{InterleaveBits, SortedBucket, SortedBucketDouble}
 
 /** Z-order (Morton-curve) data clustering — the multi-dimensional
   * layout technique behind min/max file pruning in modern lakehouse
@@ -43,42 +45,138 @@ object ZOrder {
   /** Coarse-histogram resolution for partition-bound estimation. */
   private val HistogramBits = 12
 
-  /** Per-dimension equi-depth bounds: one pass for ALL dimensions.
-    * Returns ≤ 2^bitsPerDim − 1 sorted distinct bounds per column
-    * (fewer when the column has few distinct values — the curve just
-    * uses fewer bits of that dimension). */
+  /** Per-integral-dimension histogram resolution for [[dimBounds]]:
+    * 2^16 cells keeps the driver collect tiny while giving ≥ 16 cells
+    * per bound at the 12-bit default curve resolution. */
+  private val DimHistCells = 1 << 16
+
+  /** Typed per-dimension bucket bounds — integral dimensions carry
+    * EXACT long bounds, fractional ones full-resolution doubles, so
+    * neither a 60-bit hash key (> 2^53: a Double round-trip sheds low
+    * bits) nor a score in [0, 1) (a long truncation collapses every
+    * bucket to 0) loses curve resolution. */
+  sealed trait DimBounds
+  final case class LongBounds(bounds: Array[Long]) extends DimBounds
+  final case class DoubleBounds(bounds: Array[Double]) extends DimBounds
+
+  private def isFractional(dt: DataType): Boolean = dt match {
+    case DoubleType | FloatType | _: DecimalType => true
+    case _ => false
+  }
+
+  /** Per-dimension equi-depth bucket bounds. Returns ≤ 2^bitsPerDim − 1
+    * sorted distinct bounds per column (fewer when the column has few
+    * distinct values — the curve just uses fewer bits of that
+    * dimension).
+    *
+    * Fractional columns: one multi-column `approxQuantile` pass
+    * (Greenwald–Khanna sketch, driver state O(1/err)), bounds kept at
+    * full double resolution. Integral columns: one bounded min/max
+    * aggregate plus ONE shared shifted-key histogram pass for ALL
+    * integral dimensions (explode to (dim, cell) → map-side-combined
+    * count, collect ≤ ndims × 2^16 rows), then equi-depth cuts in pure
+    * Long arithmetic — no Double round-trip, so 60-bit hash dimensions
+    * keep exact bound values (resolution = span / 2^16 per cell). */
   def dimBounds(df: DataFrame, cols: Seq[String], bitsPerDim: Int,
-      relativeError: Double = 0.001): Seq[Array[Long]] = {
+      relativeError: Double = 0.001): Seq[DimBounds] = {
     require(bitsPerDim > 0 && bitsPerDim <= 20,
       s"bitsPerDim must be in [1, 20], got $bitsPerDim")
     val nb = (1 << bitsPerDim) - 1
-    val probs = Array.tabulate(nb)(i => (i + 1).toDouble / (nb + 1))
-    val casted = cols.foldLeft(df)((d, c) =>
-      d.withColumn(c, col(c).cast("double")))
-    casted.stat.approxQuantile(cols.toArray, probs, relativeError)
-      .map(_.map(_.toLong).distinct.sorted.toArray).toSeq
+    val types = cols.map(c => df.schema(c).dataType)
+    val fracCols = cols.zip(types).filter(ct => isFractional(ct._2)).map(_._1)
+    val intCols = cols.zip(types).filterNot(ct => isFractional(ct._2)).map(_._1)
+
+    val fracBounds: Map[String, DoubleBounds] =
+      if (fracCols.isEmpty) Map.empty
+      else {
+        val probs = Array.tabulate(nb)(i => (i + 1).toDouble / (nb + 1))
+        val casted = fracCols.foldLeft(df)((d, c) =>
+          d.withColumn(c, col(c).cast("double")))
+        fracCols.zip(
+          casted.stat.approxQuantile(fracCols.toArray, probs, relativeError)
+            .map(bs => DoubleBounds(bs.distinct.sorted))).toMap
+      }
+
+    val intBounds: Map[String, LongBounds] =
+      if (intCols.isEmpty) Map.empty
+      else {
+        val longed = df.select(intCols.map(c => col(c).cast("long").as(c)): _*)
+        val mmAggs = intCols.flatMap(c => Seq(min(col(c)), max(col(c))))
+        val mmRow = longed.agg(mmAggs.head, mmAggs.tail: _*).collect()(0)
+        val ranges: Seq[(Long, Long, Long)] = intCols.indices.map { i =>
+          if (mmRow.isNullAt(2 * i)) (0L, 0L, 1L)
+          else {
+            val lo = mmRow.getLong(2 * i)
+            val hi = mmRow.getLong(2 * i + 1)
+            // Width via double only to SIZE the cells (harmless); cell
+            // edges below are exact Long arithmetic.
+            val width = math.max(1L,
+              ((hi.toDouble - lo.toDouble) / DimHistCells).toLong + 1)
+            (lo, hi, width)
+          }
+        }
+        // One histogram pass for every integral dimension: explode to
+        // (dim index, cell) and count — the shuffle key space is
+        // bounded by ndims × DimHistCells regardless of data volume.
+        // `div`, not `/`: Spark's `/` is DOUBLE division, which would
+        // reintroduce the 53-bit round-trip this path exists to avoid.
+        val cellCols = intCols.zip(ranges).map { case (c, (lo, _, width)) =>
+          expr(s"(`$c` - (${lo}L)) div (${width}L)")
+        }
+        val hist = longed
+          .select(posexplode(array(cellCols: _*)).as(Seq("dim", "cell")))
+          .filter(col("cell").isNotNull)
+          .groupBy("dim", "cell").agg(count(lit(1)).as("w"))
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        intCols.indices.map { i =>
+          val (lo, _, width) = ranges(i)
+          val cells = hist.filter(_._1 == i).map(t => (t._2, t._3)).sortBy(_._1)
+          val total = cells.iterator.map(_._2).sum
+          val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+          var acc = 0L
+          var nextCut = 1
+          cells.foreach { case (cell, w) =>
+            acc += w
+            while (nextCut <= nb && acc * (nb + 1).toLong >= total * nextCut) {
+              out += lo + (cell + 1) * width - 1 // upper-inclusive edge
+              nextCut += 1
+            }
+          }
+          intCols(i) -> LongBounds(out.distinct.sorted.toArray)
+        }.toMap
+      }
+    cols.map(c => fracBounds.getOrElse(c, intBounds(c)))
   }
 
   /** The Morton curve key for one row: bucket each dimension by its
-    * bounds ([[SortedBucket]]), interleave the ranks
-    * ([[InterleaveBits]]). Total key width is
-    * `ndims × bitsPerDim` bits — callers get it from [[cluster]] or
-    * build bounds via [[dimBounds]]. */
-  def zvalue(cols: Seq[Column], bounds: Seq[Array[Long]], bitsPerDim: Int)
+    * typed bounds ([[SortedBucket]] for integral dims,
+    * [[SortedBucketDouble]] for fractional — codegen'd binary search
+    * either way), interleave the ranks ([[InterleaveBits]]). Total key
+    * width is `ndims × bitsPerDim` bits — callers get bounds from
+    * [[dimBounds]] (or [[cluster]] end to end). */
+  def zvalue(cols: Seq[Column], bounds: Seq[DimBounds], bitsPerDim: Int)
       : Column = {
     require(cols.nonEmpty && cols.size == bounds.size,
       s"need one bound array per column: ${cols.size} vs ${bounds.size}")
-    val ranks = cols.zip(bounds).map { case (c, bs) =>
-      // NULL dimension values rank as bucket 0 (Long.MinValue is below
-      // every bound): null rows cluster together at the curve's origin
-      // instead of getting a null curve key and arbitrary placement —
-      // the global-order contract of the clustering write then covers
-      // every row.
-      CatalystBridge.expr(
-        CatalystBridge.column(
-          SortedBucket(CatalystBridge.expr(
-            coalesce(c.cast("long"), lit(Long.MinValue))), bs))
-          .cast("long"))
+    // NULL dimension values rank as bucket 0 (the sentinel is below
+    // every bound): null rows cluster together at the curve's origin
+    // instead of getting a null curve key and arbitrary placement —
+    // the global-order contract of the clustering write then covers
+    // every row.
+    val ranks = cols.zip(bounds).map {
+      case (c, LongBounds(bs)) =>
+        CatalystBridge.expr(
+          CatalystBridge.column(
+            SortedBucket(CatalystBridge.expr(
+              coalesce(c.cast("long"), lit(Long.MinValue))), bs))
+            .cast("long"))
+      case (c, DoubleBounds(bs)) =>
+        CatalystBridge.expr(
+          CatalystBridge.column(
+            SortedBucketDouble(CatalystBridge.expr(
+              coalesce(c.cast("double"), lit(Double.NegativeInfinity))), bs))
+            .cast("long"))
     }
     CatalystBridge.column(InterleaveBits(ranks, bitsPerDim))
   }

@@ -137,7 +137,7 @@ class ZOrderSpec extends SparkSpec {
   test("null dimension values rank to the curve origin, never a null key") {
     val df = Seq((Some(5L), Some(7L)), (None, Some(9L)), (Some(3L), None),
       (None: Option[Long], None: Option[Long])).toDF("x", "y")
-    val bounds = Seq(Array(4L), Array(8L))
+    val bounds = Seq(ZOrder.LongBounds(Array(4L)), ZOrder.LongBounds(Array(8L)))
     val zs = df.select(
         ZOrder.zvalue(Seq(col("x"), col("y")), bounds, 4).as("z"))
       .collect()
@@ -152,6 +152,75 @@ class ZOrderSpec extends SparkSpec {
         .union(Seq((None: Option[Long], Option(5L))).toDF("x", "y")),
       Seq("x", "y"), bitsPerDim = 4, minParts = 4)
     out.count() shouldBe 2001L
+  }
+
+  test("double dimensions in [0,1) keep full curve resolution (no long collapse)") {
+    // Scores in [0, 1): a cast-to-long rank would put every row in
+    // bucket 0 and the dimension would contribute nothing to the curve.
+    val df = (0 until 20000).map { i =>
+      (((i * 2654435761L) % 4096) / 4096.0, ((i * 40503L + 17) % 4096) / 4096.0)
+    }.toDF("x", "y")
+    val bounds = ZOrder.dimBounds(df, Seq("x", "y"), 6)
+    bounds.foreach { b =>
+      b shouldBe a[ZOrder.DoubleBounds]
+      b.asInstanceOf[ZOrder.DoubleBounds].bounds.length should be >= 32
+    }
+    // The curve key actually spreads (not all-zero) and both dims
+    // steer it: restricting either dim restricts the key range.
+    val z = ZOrder.zvalue(Seq(col("x"), col("y")), bounds, 6)
+    val keyed = df.withColumn("z", z)
+    keyed.select(countDistinct("z")).as[Long].collect().head should be >= 1000L
+    // Not a total order per dim, but the origin corner must sit below
+    // the far corner on the curve.
+    val loBoth = keyed.filter($"x" < 0.1 && $"y" < 0.1)
+      .agg(max("z")).as[Long].collect().head
+    val hiBoth = keyed.filter($"x" > 0.9 && $"y" > 0.9)
+      .agg(min("z")).as[Long].collect().head
+    loBoth should be < hiBoth
+    // and the layout write tightens spans on BOTH double dims
+    val out = ZOrder.cluster(df, Seq("x", "y"), bitsPerDim = 6, minParts = 16)
+    out.count() shouldBe 20000L
+    val dir = java.nio.file.Files.createTempDirectory("zorder_d").toString
+    out.write.mode("overwrite").parquet(dir)
+    val spans = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+      .agg(avg("sx"), avg("sy")).collect().head
+    spans.getDouble(0) should be < 0.55
+    spans.getDouble(1) should be < 0.55
+  }
+
+  test("60-bit hash dimensions keep exact bounds (beyond double precision)") {
+    // Keys near 2^60: a Double round-trip sheds the low ~7 bits of the
+    // BOUND VALUES; the histogram path keeps them exact Long edges.
+    val mask = (1L << 60) - 1
+    val df = (0 until 20000).map { i =>
+      ((i * 6364136223846793005L) & mask, (i * 2862933555777941757L) & mask)
+    }.toDF("h1", "h2")
+    val bounds = ZOrder.dimBounds(df, Seq("h1", "h2"), 6)
+    bounds.foreach { b =>
+      b shouldBe a[ZOrder.LongBounds]
+      val bs = b.asInstanceOf[ZOrder.LongBounds].bounds
+      bs.length shouldBe 63 // full 6-bit resolution on uniform keys
+      // Edges are exact longs, not multiples of a double ulp (2^7 at
+      // this magnitude): at least one bound must be off any 128-grid.
+      bs.count(v => (v & 127L) != 0L) should be > 0
+    }
+    // Clustering on the hash dims yields DISTINCT per-file spans on
+    // both dimensions (each file covers a fraction of each dim).
+    val out = ZOrder.cluster(df, Seq("h1", "h2"), bitsPerDim = 6,
+      minParts = 16)
+    out.count() shouldBe 20000L
+    val dir = java.nio.file.Files.createTempDirectory("zorder_h").toString
+    out.write.mode("overwrite").parquet(dir)
+    val spans = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg((max("h1") - min("h1")).as("s1"), (max("h2") - min("h2")).as("s2"))
+      .collect()
+    spans.length should be >= 8
+    val full = mask.toDouble
+    spans.map(_.getLong(1)).count(_ < full * 0.55) should be >= spans.length / 2
+    spans.map(_.getLong(2)).count(_ < full * 0.55) should be >= spans.length / 2
   }
 
   test("clustered parquet files have tight min/max spans on BOTH dimensions") {
