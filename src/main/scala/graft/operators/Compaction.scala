@@ -82,17 +82,69 @@ object Compaction {
 
   /** Partition-preserving compaction for the incremental sinks'
     * `partitionBy` layouts (the streaming fact table's
-    * `batch_id=N/` shape): rows shuffle ONCE on the partition columns
-    * so each output partition value lands contiguously → exactly one
-    * file per partition value. This path pays a shuffle that
-    * [[compact]] does not — the price of keeping the directory
-    * layout; use [[compact]] when the snapshot can be flat. */
+    * `batch_id=N/` shape): rows shuffle ONCE, steered so each
+    * partition value lands in exactly `⌈value bytes / target⌉`
+    * reducer tasks → that many output files under its directory.
+    * Small partition values still collapse to one file each; a SKEWED
+    * value (one giant batch) is split on a content-hash salt instead
+    * of becoming one oversized file — the mirror image of the
+    * small-files problem this operator fixes.
+    *
+    * Mechanics: one bounded aggregate counts rows per partition value
+    * (key space = the value set the directory layout already
+    * enumerates), per-value file counts come from the listing's
+    * measured bytes/row, and [[RangeSort.hashProbes]] steers
+    * `repartition` so (value, salt) group i lands in reducer i —
+    * EXACTLY one file per group, no hash-collision merging. Driver
+    * state is one row per partition value — the same order as the
+    * directory listing [[plan]] already performed. This path pays a
+    * shuffle that [[compact]] does not — the price of keeping the
+    * directory layout; use [[compact]] when the snapshot can be
+    * flat. */
   def compactPartitioned(spark: SparkSession, inPath: String,
-      outPath: String, partitionCols: Seq[String]): CompactionStats = {
+      outPath: String, partitionCols: Seq[String],
+      targetFileBytes: Long = 128L << 20): CompactionStats = {
     require(partitionCols.nonEmpty, "partitionCols must be non-empty")
-    val p = plan(spark, inPath)
-    spark.read.parquet(inPath)
-      .repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val p = plan(spark, inPath, targetFileBytes)
+    val df = spark.read.parquet(inPath)
+    val pcols = partitionCols.map(col)
+    val counts = df.groupBy(pcols: _*).agg(count(lit(1)).as("__cnt")).collect()
+    val nKeys = partitionCols.length
+    val totalRows = counts.iterator.map(_.getLong(nKeys)).sum
+    val bytesPerRow =
+      if (totalRows > 0) p.totalBytes.toDouble / totalRows else 1.0
+    var base = 0
+    val entries = counts.map { r =>
+      val n = math.max(1L, math.ceil(
+        r.getLong(nKeys) * bytesPerRow / targetFileBytes).toLong).toInt
+      val e = Row.fromSeq((0 until nKeys).map(r.get) :+ base :+ n)
+      base += n
+      e
+    }
+    if (entries.isEmpty) {
+      df.write.mode("overwrite").partitionBy(partitionCols: _*)
+        .parquet(outPath)
+      return CompactionStats(p, 0, 0L)
+    }
+    val keySchema = df.select(pcols: _*).schema
+    val mapSchema = StructType(keySchema.fields :+
+      StructField("__base", IntegerType) :+ StructField("__n", IntegerType))
+    val mapDf = spark.createDataFrame(
+      java.util.Arrays.asList(entries: _*), mapSchema)
+    // Salt from the data columns' hash: deterministic, no extra state.
+    val dataCols = df.columns.filterNot(partitionCols.contains).map(col)
+    val salt =
+      if (dataCols.isEmpty) lit(0L)
+      else pmod(xxhash64(dataCols: _*), col("__n").cast("long"))
+    val probes = RangeSort.hashProbes(base)
+    df.join(broadcast(mapDf), partitionCols)
+      .withColumn("__probe", element_at(typedlit(probes.toSeq),
+        col("__base") + salt.cast("int") + 1))
+      .repartition(base, col("__probe"))
+      .drop("__base", "__n", "__probe")
       .write.mode("overwrite").partitionBy(partitionCols: _*)
       .parquet(outPath)
     val outFiles = listDataFiles(spark, outPath)

@@ -73,6 +73,37 @@ class CompactionSpec extends SparkSpec {
     scan should include("PartitionFilters")
   }
 
+  test("compactPartitioned splits a skewed partition value at targetFileBytes") {
+    val dir = Files.createTempDirectory("compactskew").toString
+    // batch 0: small; batch 1: 20x the rows — the skewed value that
+    // must NOT become one oversized file.
+    val small = (1 to 200).map(i => (i.toLong, "x" * 50)).toDF("id", "s")
+      .withColumn("batch_id", lit(0))
+    val big = (1 to 4000).map(i => (i.toLong + 10000, "y" * 50))
+      .toDF("id", "s").withColumn("batch_id", lit(1))
+    small.union(big).repartition(8)
+      .write.partitionBy("batch_id").parquet(s"$dir/in")
+    val p = Compaction.plan(spark, s"$dir/in")
+    val bytesPerRow = p.totalBytes.toDouble / 4200
+    val target = (bytesPerRow * 1000).toLong // ≈ 1000 rows per file
+    val expectBig = math.ceil(4000 * bytesPerRow / target).toInt
+    expectBig should be >= 3 // the case is real skew, not a rounding fluke
+
+    val stats = Compaction.compactPartitioned(spark, s"$dir/in",
+      s"$dir/out", Seq("batch_id"), targetFileBytes = target)
+    def filesUnder(d: String): Int = new java.io.File(d).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    filesUnder(s"$dir/out/batch_id=0") shouldBe 1
+    filesUnder(s"$dir/out/batch_id=1") shouldBe expectBig // ⌈bytes/target⌉
+    stats.outputFiles shouldBe 1 + expectBig
+    // Layout and content multiset intact.
+    val back = spark.read.parquet(s"$dir/out")
+    back.count() shouldBe 4200L
+    back.agg(sum("id")).as[Long].collect().head shouldBe
+      spark.read.parquet(s"$dir/in").agg(sum("id")).as[Long].collect().head
+    back.select("id").distinct().count() shouldBe 4200L
+  }
+
   test("plan arithmetic: already-compact input keeps its layout; markers skipped") {
     val dir = Files.createTempDirectory("compactnoop").toString
     (1 to 100).toDF("v").coalesce(1).write.parquet(s"$dir/in")
