@@ -10,9 +10,12 @@ import org.apache.spark.sql.SparkSession
   * cache cleared between passes; `queries` carries the medians,
   * `min_med_max` the full spread, `value` the sum of medians.
   * Queries whose in-suite spread is wide (max > 2× min — the
-  * host-noise signature) are re-timed after the suite behind a GC
-  * barrier; those re-measured medians land in `standalone`
-  * (disable with SPARK_GRAFT_BENCH_STANDALONE=false).
+  * one-stall signature) OR whose median drifted > 1.5× above the
+  * previous round's recorded median in `bench_last.json` (the
+  * uniform-contention signature — see [[BenchGate]]) are re-timed
+  * after the suite behind a GC barrier; those re-measured medians
+  * land in `standalone` (disable with
+  * SPARK_GRAFT_BENCH_STANDALONE=false).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -107,10 +110,20 @@ object Bench {
     // `value` stays the sum of IN-SUITE medians, round-comparable.
     val standaloneOn =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_STANDALONE", "true").toBoolean
+    // Previous round's recorded medians (written at the END of this
+    // main, so reading here sees the PRIOR run): the cross-round drift
+    // trigger — a contention window that inflates all three samples
+    // uniformly passes the spread gate, and only history catches it.
+    val prior: Map[String, Double] =
+      try BenchGate.priorMedians(new String(
+        java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("bench_last.json")),
+        java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => Map.empty }
     val standaloneRuns: Seq[(String, Seq[Double], Int)] =
       if (!standaloneOn) Seq.empty
       else results.collect {
-        case (name, ts, 0) if ts.head > 0 && ts.last > 2.0 * ts.head =>
+        case (name, ts, 0) if BenchGate.needsStandalone(ts, prior.get(name)) =>
           val d = SparkEntry.allDefs.find(_.name == name).get
           System.gc()
           var reFailures = 0

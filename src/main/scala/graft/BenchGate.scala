@@ -1,0 +1,47 @@
+package graft
+
+/** The Bench noise gate — pure logic, spec-testable without Spark.
+  *
+  * Two host-noise signatures poison a recorded median:
+  *  - ONE stall inside the 3-run window: spread is wide
+  *    (max > spreadFactor × min) and the median may be the stalled
+  *    sample.
+  *  - UNIFORM contention across the whole window: all three samples
+  *    inflate together, the spread looks clean, and only comparison
+  *    against the PREVIOUS round's recorded median reveals the drift
+  *    (round-8 driver artifact: q70 recorded 3.94 s vs 1.35 s real,
+  *    spread gate silent because 3.91/3.94/4.85 spreads < 2×).
+  *
+  * Both trigger the post-suite standalone re-measure; the in-suite
+  * median stays the headline (round-comparable), the standalone column
+  * is the noise-corrected reading.
+  */
+object BenchGate {
+
+  /** Per-query medians recorded in a prior `bench_last.json` line
+    * (the `"queries":{...}` object). Tolerant of missing/garbled
+    * input — an empty map just disables the drift trigger. */
+  def priorMedians(json: String): Map[String, Double] = {
+    val qobj = """"queries":\{([^}]*)\}""".r
+    qobj.findFirstMatchIn(json).map(_.group(1)).map { body =>
+      val kv = """"([^"]+)":(-?[0-9.]+(?:[eE][+-]?[0-9]+)?)""".r
+      kv.findAllMatchIn(body)
+        .flatMap(m => scala.util.Try(m.group(1) -> m.group(2).toDouble)
+          .toOption)
+        .toMap
+    }.getOrElse(Map.empty)
+  }
+
+  /** Should this query get a standalone re-measure? `times` are the
+    * in-suite samples (any order), `prior` the previous round's
+    * recorded median for the same query (None on first run or new
+    * queries — drift undetectable then). */
+  def needsStandalone(times: Seq[Double], prior: Option[Double],
+      spreadFactor: Double = 2.0, driftFactor: Double = 1.5): Boolean = {
+    val ts = times.sorted
+    if (ts.isEmpty || ts.head <= 0) return false
+    val med = ts(ts.length / 2)
+    ts.last > spreadFactor * ts.head ||
+      prior.exists(p => p > 0 && med > driftFactor * p)
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class BenchGateSpec extends AnyFunSuite with Matchers {
+
+  test("priorMedians parses the queries object out of a bench_last line") {
+    val line = """{"metric":"total","unit":"sec","runs":3,""" +
+      """"min_med_max":{"q1":[0.1,0.2,0.3]},"standalone":{},""" +
+      """"standalone_failed":[],"queries":{"q1_agg":0.2134,""" +
+      """"q30_jaccard":3.4600,"q70_vocab":1.35e0},"failed":[],""" +
+      """"value":5.0,"sf":"/root/testdata/sf0.1"}"""
+    val got = BenchGate.priorMedians(line)
+    got("q1_agg") shouldBe 0.2134 +- 1e-12
+    got("q30_jaccard") shouldBe 3.46 +- 1e-12
+    got("q70_vocab") shouldBe 1.35 +- 1e-12
+    // garbled / missing input disables the drift trigger, never throws
+    BenchGate.priorMedians("not json") shouldBe Map.empty
+    BenchGate.priorMedians("") shouldBe Map.empty
+  }
+
+  test("spread trigger: one stall in the window still fires") {
+    BenchGate.needsStandalone(Seq(0.4, 0.5, 1.2), None) shouldBe true
+    BenchGate.needsStandalone(Seq(0.4, 0.5, 0.6), None) shouldBe false
+  }
+
+  test("drift trigger: uniformly-inflated run fires against recorded history") {
+    // The round-8 artifact shape: 3.91/3.94/4.85 spreads < 2x (silent
+    // under the old gate) but the prior median was 1.35 — must fire.
+    BenchGate.needsStandalone(Seq(3.91, 3.94, 4.85), Some(1.35)) shouldBe true
+    // Same samples with matching history: quiet host, no re-measure.
+    BenchGate.needsStandalone(Seq(3.91, 3.94, 4.85), Some(3.90)) shouldBe false
+    // Just under the 1.5x drift bar: no trigger.
+    BenchGate.needsStandalone(Seq(1.9, 2.0, 2.1), Some(1.4)) shouldBe false
+    // New query (no history): drift undetectable, spread rule only.
+    BenchGate.needsStandalone(Seq(1.9, 2.0, 2.1), None) shouldBe false
+  }
+
+  test("degenerate inputs never fire") {
+    BenchGate.needsStandalone(Nil, Some(1.0)) shouldBe false
+    BenchGate.needsStandalone(Seq(0.0, 0.0), Some(1.0)) shouldBe false
+    BenchGate.needsStandalone(Seq(1.0), Some(0.0)) shouldBe false
+  }
+}
