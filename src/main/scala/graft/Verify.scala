@@ -30,6 +30,16 @@ object Verify {
       }
       finally { CacheRegistry.drain(); spark.catalog.clearCache() }
     }
+    // Suite-end leak guard: after the last query's drain, nothing may
+    // remain tracked once the (asynchronous) auto-drain listener bus
+    // quiesces — a future drain-bypassing persist path fails the dump
+    // loudly here instead of silently pinning executor memory across
+    // 104 queries.
+    org.apache.spark.sql.graft.CatalystBridge.waitListenerBusEmpty(spark)
+    val residual = CacheRegistry.trackedCount
+    println(s"[verify] residual tracked frames after drain: $residual")
+    require(residual == 0,
+      s"CacheRegistry leak: $residual frames still tracked at suite end")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

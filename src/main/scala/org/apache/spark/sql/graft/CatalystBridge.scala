@@ -28,4 +28,12 @@ object CatalystBridge {
     * `SparkEnv.memoryManager` is `private[spark]`, hence bridged. */
   def pageSizeBytes: Long =
     org.apache.spark.SparkEnv.get.memoryManager.pageSizeBytes
+
+  /** Block until the SparkListener bus has dispatched every queued
+    * event. QueryExecutionListener callbacks (CacheRegistry's
+    * auto-drain) ride this bus asynchronously, so a leak check that
+    * does not quiesce first races the drain it is auditing —
+    * `SparkContext.listenerBus` is `private[spark]`, hence bridged. */
+  def waitListenerBusEmpty(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

@@ -153,4 +153,22 @@ class CacheRegistrySpec extends SparkSpec {
     CacheRegistry.drain()
     noException should be thrownBy CacheRegistry.drain()
   }
+
+  test("suite-end guard: the Verify loop shape ends with zero tracked frames") {
+    // Mimic Verify's per-query protocol over cache-using queries, then
+    // assert the invariant Verify now enforces at suite end: after the
+    // last drain + listener-bus quiesce, the registry is empty. A
+    // future query whose persist path escapes both the auto-drain
+    // listener and the per-query drain fails here (and in Verify).
+    val sf = "/root/testdata/sf0.001"
+    Seq("q24_fact_build", "q87_incremental_dedup", "q88_bigram_perplexity")
+      .foreach { name =>
+        val d = graft.SparkEntry.allDefs.find(_.name == name).get
+        d.build(spark, sf).write.format("noop").mode("overwrite").save()
+        CacheRegistry.drain()
+        spark.catalog.clearCache()
+      }
+    org.apache.spark.sql.graft.CatalystBridge.waitListenerBusEmpty(spark)
+    CacheRegistry.trackedCount shouldBe 0
+  }
 }
