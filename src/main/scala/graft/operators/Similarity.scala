@@ -93,12 +93,12 @@ object Similarity {
     val seeds = hashed.orderBy("h").limit(nCentroids)
       .select(col(idCol).as("cent_id"), col("e").as("ce"), col("nrm").as("cn"))
     (1 to iters).foldLeft(seeds) { (cent, _) =>
-      val aw = Window.partitionBy(idCol).orderBy(desc("csim"), asc("cent_id"))
       val assigned = samp.join(broadcast(cent), lit(true))
         .withColumn("csim", dot(col("e"), col("ce")) / (col("nrm") * col("cn")))
-        .withColumn("arank", row_number().over(aw))
-        .filter(col("arank") === 1)
-        .select(col("cent_id"), col("e"))
+        .groupBy(col(idCol))
+        .agg(max(struct(col("csim"), (-col("cent_id")).as("negc"),
+          col("e").as("e"))).as("b"))
+        .select((-col("b.negc")).as("cent_id"), col("b.e").as("e"))
       // Element-wise mean via posexplode + per-position avg, restitched
       // in position order. Rounded so float summation order is moot.
       val ce = assigned
@@ -113,15 +113,27 @@ object Similarity {
   }
 
   /** Corpus → nearest centroid (argmax cosine, ties by cent_id).
-    * Output: (idCol, e, nrm, bucket). */
+    * Output: (idCol, e, nrm, bucket).
+    *
+    * The argmax is ONE hash aggregate, not a windowed rank: the window
+    * form shuffles and fully sorts the corpus × centroid product
+    * (N × nlist rows — at the sf10x √N-sizing probe that is 89 M rows
+    * for a 200 k corpus), while `max(struct(csim, −cent_id, …))`
+    * partial-aggregates map-side so the shuffle carries ~N rows and
+    * nothing sorts. Tie semantics are IDENTICAL to the old
+    * (csim desc, cent_id asc) rank: struct comparison is field-wise,
+    * and the negated id makes MAX prefer the smallest centroid id on
+    * equal cosine (ids are unique per group, so the trailing payload
+    * fields are never compared). */
   def assignToCentroids(c: DataFrame, cent: DataFrame,
       idCol: String = "vec_id"): DataFrame = {
-    val aw = Window.partitionBy(idCol).orderBy(desc("csim"), asc("cent_id"))
     c.join(broadcast(cent), lit(true))
       .withColumn("csim", dot(col("e"), col("ce")) / (col("nrm") * col("cn")))
-      .withColumn("arank", row_number().over(aw))
-      .filter(col("arank") === 1)
-      .select(col(idCol), col("e"), col("nrm"), col("cent_id").as("bucket"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("csim"), (-col("cent_id")).as("negc"),
+        col("e").as("e"), col("nrm").as("nrm"))).as("b"))
+      .select(col(idCol), col("b.e").as("e"), col("b.nrm").as("nrm"),
+        (-col("b.negc")).as("bucket"))
   }
 
   /** Probe + exact in-bucket search over an already-assigned corpus:
