@@ -1854,6 +1854,108 @@ object TextQueries {
         .limit(20)
     },
 
+    // ExactSubstr-style duplicated-SPAN accounting (Lee et al. 2016/
+    // 2021, "Deduplicating Training Data Makes Language Models
+    // Better" — public knowledge): q77 counts duplicated fixed-width
+    // windows; production exact-substring dedup needs the MAXIMAL
+    // duplicated regions those windows tile — consecutive duplicated
+    // window starts (gap ≤ L) merge into one span (the suffix-array
+    // output post-process), giving per-doc removable-token accounting.
+    // Scale shape: the rep set is the same pair-keyed aggregate q77
+    // ships; span merging is a per-doc ordered walk (lag + running
+    // sum over (doc, position) — state bounded by one doc's windows),
+    // never a pairwise or corpus-wide sort.
+    QueryDef("q105_exact_substr_spans", {
+      val B = graft.plans.RollingHashWindows.Base
+      val mask = 0xffffffffL
+      val b2 = (B * B) & mask
+      val b3 = (b2 * B) & mask
+      val b4 = (b3 * B) & mask
+      val b5 = (b4 * B) & mask
+      s"""WITH toks AS (
+         |  SELECT doc_id, t FROM (
+         |    SELECT doc_id,
+         |      list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+         |    FROM documents)
+         |  WHERE len(t) >= 6
+         |), th AS (
+         |  SELECT doc_id,
+         |    list_transform(t, x ->
+         |      CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % 4294967296) AS h
+         |  FROM toks
+         |), wins AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         |    CAST((CAST(h[i] AS HUGEINT) * $b5 + CAST(h[i+1] AS HUGEINT) * $b4
+         |          + CAST(h[i+2] AS HUGEINT) * $b3 + CAST(h[i+3] AS HUGEINT) * $b2
+         |          + CAST(h[i+4] AS HUGEINT) * $B + h[i+5]) % 4294967296 AS BIGINT) AS wh
+         |  FROM th, unnest(generate_series(1, len(h) - 5)) AS g(i)
+         |), rep AS (
+         |  SELECT wh FROM wins GROUP BY wh HAVING count(DISTINCT doc_id) >= 2
+         |), dup AS (
+         |  SELECT w.doc_id, w.i FROM wins w JOIN rep r ON w.wh = r.wh
+         |), brk AS (
+         |  SELECT doc_id, i,
+         |    CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+         |         OR i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > 6
+         |    THEN 1 ELSE 0 END AS b
+         |  FROM dup
+         |), grp AS (
+         |  SELECT doc_id, i, sum(b) OVER (PARTITION BY doc_id ORDER BY i) AS g
+         |  FROM brk
+         |), spans AS (
+         |  SELECT doc_id, g, max(i) - min(i) + 6 AS span_toks
+         |  FROM grp GROUP BY doc_id, g
+         |), perdoc AS (
+         |  SELECT doc_id, count(*) AS n_spans,
+         |    CAST(sum(span_toks) AS BIGINT) AS dup_tokens
+         |  FROM spans GROUP BY doc_id
+         |), base AS (SELECT doc_id, len(t) AS n_tokens FROM toks)
+         |SELECT b.doc_id,
+         |  coalesce(p.n_spans, 0) AS n_spans,
+         |  coalesce(p.dup_tokens, 0) AS dup_tokens,
+         |  round(CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / b.n_tokens, 6)
+         |    AS dup_frac
+         |FROM base b LEFT JOIN perdoc p ON b.doc_id = p.doc_id
+         |ORDER BY b.doc_id""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.graft.CatalystBridge
+      import org.apache.spark.sql.expressions.{Window => W}
+      val L = 6
+      val toked = Tables.documents(s, dir)
+        .select(col("doc_id"), trim(col("text")).as("txt"),
+          size(gf.tokens(col("text"))).as("n_tokens"))
+        .filter(col("n_tokens") >= L)
+      val wins = toked
+        .repartition(col("doc_id"))
+        .select(col("doc_id"),
+          posexplode(CatalystBridge.column(graft.plans.RollingHashWindows(
+            CatalystBridge.expr(col("txt")), L))).as(Seq("p", "wh")))
+        .select(col("doc_id"), (col("p").cast("long") + 1L).as("i"),
+          col("wh"))
+      val rep = wins.groupBy("wh")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select("wh")
+      val dup = wins.join(rep, "wh").select("doc_id", "i")
+      val w = W.partitionBy("doc_id").orderBy("i")
+      val spans = dup
+        .withColumn("brk",
+          when(lag("i", 1).over(w).isNull ||
+            col("i") - lag("i", 1).over(w) > L, 1L).otherwise(0L))
+        .withColumn("g", sum("brk").over(w))
+        .groupBy("doc_id", "g")
+        .agg((max("i") - min("i") + L).as("span_toks"))
+      val perDoc = spans.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"), sum("span_toks").as("dup_tokens"))
+      toked.select("doc_id", "n_tokens")
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          round(coalesce(col("dup_tokens"), lit(0L)).cast("double")
+            / col("n_tokens"), 6).as("dup_frac"))
+        .orderBy("doc_id")
+    },
+
     // Per-source top-5 tokens via the Misra-Gries sketch + exact
     // rescore: the sketch pass ships ≤k counters per partition instead
     // of one row per DISTINCT token (the 100 TB shape — billions of
