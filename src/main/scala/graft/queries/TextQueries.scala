@@ -1925,13 +1925,18 @@ object TextQueries {
         .select(col("doc_id"), trim(col("text")).as("txt"),
           size(gf.tokens(col("text"))).as("n_tokens"))
         .filter(col("n_tokens") >= L)
-      val wins = toked
+      // Window frame read TWICE (rep census + dup join) — persist the
+      // one pass (DataSized: one row per doc window, input-bounded)
+      // instead of re-scanning + re-hashing the corpus; the registry's
+      // auto-drain reclaims it after the query materializes.
+      val wins = graft.CacheRegistry.persistTracked(toked
         .repartition(col("doc_id"))
         .select(col("doc_id"),
           posexplode(CatalystBridge.column(graft.plans.RollingHashWindows(
             CatalystBridge.expr(col("txt")), L))).as(Seq("p", "wh")))
         .select(col("doc_id"), (col("p").cast("long") + 1L).as("i"),
-          col("wh"))
+          col("wh")),
+        graft.CacheRegistry.DataSized)
       val rep = wins.groupBy("wh")
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2).select("wh")
