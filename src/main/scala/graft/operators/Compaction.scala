@@ -140,7 +140,12 @@ object Compaction {
       if (dataCols.isEmpty) lit(0L)
       else pmod(xxhash64(dataCols: _*), col("__n").cast("long"))
     val probes = RangeSort.hashProbes(base)
-    df.join(broadcast(mapDf), partitionCols)
+    // NULL-SAFE join on the partition columns: a null partition value
+    // (the __HIVE_DEFAULT_PARTITION__ directory) groups and writes
+    // fine, but an equi-join would silently DROP its rows.
+    val cond = partitionCols.map(c => df(c) <=> mapDf(c)).reduce(_ && _)
+    df.join(broadcast(mapDf), cond)
+      .select(df.columns.map(df(_)) ++ Seq(mapDf("__base"), mapDf("__n")): _*)
       .withColumn("__probe", element_at(typedlit(probes.toSeq),
         col("__base") + salt.cast("int") + 1))
       .repartition(base, col("__probe"))

@@ -104,6 +104,20 @@ class CompactionSpec extends SparkSpec {
     back.select("id").distinct().count() shouldBe 4200L
   }
 
+  test("compactPartitioned keeps NULL partition values (null-safe steering join)") {
+    val dir = Files.createTempDirectory("compactnull").toString
+    val df = Seq((1L, Some(0)), (2L, Some(0)), (3L, None), (4L, None))
+      .toDF("id", "batch_id")
+    df.repartition(3).write.partitionBy("batch_id").parquet(s"$dir/in")
+    Compaction.compactPartitioned(spark, s"$dir/in", s"$dir/out",
+      Seq("batch_id"))
+    val back = spark.read.parquet(s"$dir/out")
+    back.count() shouldBe 4L // an equi-join would have dropped the null rows
+    back.filter($"batch_id".isNull).select("id").as[Long].collect().sorted shouldBe
+      Array(3L, 4L)
+    back.filter($"batch_id" === 0).count() shouldBe 2L
+  }
+
   test("plan arithmetic: already-compact input keeps its layout; markers skipped") {
     val dir = Files.createTempDirectory("compactnoop").toString
     (1 to 100).toDF("v").coalesce(1).write.parquet(s"$dir/in")
