@@ -114,12 +114,20 @@ object Bench {
     // main, so reading here sees the PRIOR run): the cross-round drift
     // trigger — a contention window that inflates all three samples
     // uniformly passes the spread gate, and only history catches it.
-    val prior: Map[String, Double] =
-      try BenchGate.priorMedians(new String(
-        java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("bench_last.json")),
+    // Per-sf history preferred; the shared bench_last.json is only a
+    // baseline when its recorded sf matches (a smoke run at another
+    // scale must not poison — or fake — drift).
+    def readFile(p: String): Option[String] =
+      try Some(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)),
         java.nio.charset.StandardCharsets.UTF_8))
-      catch { case _: Throwable => Map.empty }
+      catch { case _: Throwable => None }
+    val prior: Map[String, Double] =
+      readFile(s"bench_last_${BenchGate.sfSlug(sfDir)}.json")
+        .map(BenchGate.priorMedians(_, sfDir))
+        .filter(_.nonEmpty)
+        .orElse(readFile("bench_last.json").map(BenchGate.priorMedians(_, sfDir)))
+        .getOrElse(Map.empty)
     val standaloneRuns: Seq[(String, Seq[Double], Int)] =
       if (!standaloneOn) Seq.empty
       else results.collect {
@@ -182,9 +190,13 @@ object Bench {
     // Belt and braces: persist the full record where the tail can't
     // truncate it (best-effort — bench must not fail on a read-only cwd).
     try {
-      val p = java.nio.file.Paths.get("bench_last.json")
-      java.nio.file.Files.write(p,
-        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val bytes = line.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_last.json"), bytes)
+      // Per-sf twin: the drift baseline for the NEXT run at this sf,
+      // immune to intervening runs at other scales.
+      java.nio.file.Files.write(java.nio.file.Paths.get(
+        s"bench_last_${BenchGate.sfSlug(sfDir)}.json"), bytes)
     } catch { case _: Throwable => () }
     println(line)
     spark.stop()

@@ -18,9 +18,9 @@ package graft
   */
 object BenchGate {
 
-  /** Per-query medians recorded in a prior `bench_last.json` line
-    * (the `"queries":{...}` object). Tolerant of missing/garbled
-    * input — an empty map just disables the drift trigger. */
+  /** Per-query medians recorded in a prior `bench_last` line (the
+    * `"queries":{...}` object). Tolerant of missing/garbled input —
+    * an empty map just disables the drift trigger. */
   def priorMedians(json: String): Map[String, Double] = {
     val qobj = """"queries":\{([^}]*)\}""".r
     qobj.findFirstMatchIn(json).map(_.group(1)).map { body =>
@@ -31,6 +31,18 @@ object BenchGate {
         .toMap
     }.getOrElse(Map.empty)
   }
+
+  /** [[priorMedians]], but ONLY when the recorded run used the same
+    * sf directory — medians from a different scale factor are not a
+    * drift baseline (a dev smoke run at sf0.001 must not make every
+    * sf0.1 query look 10× drifted, or vice versa). */
+  def priorMedians(json: String, sfDir: String): Map[String, Double] =
+    if (json.contains("\"sf\":\"" + sfDir + "\"")) priorMedians(json)
+    else Map.empty
+
+  /** Filesystem slug for a per-sf history file. */
+  def sfSlug(sfDir: String): String =
+    sfDir.replaceAll("[^a-zA-Z0-9]+", "_")
 
   /** Should this query get a standalone re-measure? `times` are the
     * in-suite samples (any order), `prior` the previous round's

@@ -20,6 +20,16 @@ class BenchGateSpec extends AnyFunSuite with Matchers {
     BenchGate.priorMedians("") shouldBe Map.empty
   }
 
+  test("priors apply only when the recorded sf matches") {
+    val line = """{"metric":"total","queries":{"q1":0.2},""" +
+      """"value":0.2,"sf":"/root/testdata/sf0.001"}"""
+    BenchGate.priorMedians(line, "/root/testdata/sf0.001") shouldBe
+      Map("q1" -> 0.2)
+    // A smoke run at another scale is not a drift baseline.
+    BenchGate.priorMedians(line, "/root/testdata/sf0.1") shouldBe Map.empty
+    BenchGate.sfSlug("/root/testdata/sf0.1") shouldBe "_root_testdata_sf0_1"
+  }
+
   test("spread trigger: one stall in the window still fires") {
     BenchGate.needsStandalone(Seq(0.4, 0.5, 1.2), None) shouldBe true
     BenchGate.needsStandalone(Seq(0.4, 0.5, 0.6), None) shouldBe false
