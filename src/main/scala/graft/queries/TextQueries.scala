@@ -1159,12 +1159,17 @@ object TextQueries {
             coalesce(col("component_id"), col("doc_id")).as("component_id"),
             col("n_tokens")),
         graft.CacheRegistry.DataSized) // one skinny row per doc
+      // Per-component argmax as ONE hash aggregate (the
+      // assignToCentroids pattern): max(struct(n_tokens, −doc_id))
+      // partial-aggregates map-side so the shuffle carries ~one row
+      // per (task, component) instead of sorting every doc row; tie
+      // semantics identical to the old (n_tokens desc, doc_id asc)
+      // rank — the negated id makes MAX prefer the smallest doc id.
       val rep = full
-        .withColumn("rk", row_number().over(Window
-          .partitionBy("component_id")
-          .orderBy(desc("n_tokens"), asc("doc_id"))))
-        .filter(col("rk") === 1)
-        .select(col("component_id"), col("doc_id").as("rep_id"))
+        .groupBy("component_id")
+        .agg(max(struct(col("n_tokens"), (-col("doc_id")).as("negd")))
+          .as("b"))
+        .select(col("component_id"), (-col("b.negd")).as("rep_id"))
       full.join(rep, Seq("component_id"))
         .select(col("doc_id"), col("component_id"), col("rep_id"),
           (col("doc_id") === col("rep_id")).cast("long").as("is_rep"))
