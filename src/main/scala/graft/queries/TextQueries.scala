@@ -673,17 +673,23 @@ object TextQueries {
       // scan it again in the real job.
       val n = Tables.documents(s, dir)
         .agg(count(lit(1)).cast("double").as("n_docs"))
-      val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))
       // NO broadcast hint on df: it is vocabulary-sized (unbounded at
       // corpus scale, unlike the bounded 1-row N frame). AQE still
       // auto-broadcasts it while it fits the threshold.
+      // Top term per doc as ONE hash aggregate (the assignToCentroids
+      // pattern, min-form because the string tie-break needs the
+      // SMALLEST term): min(struct(−tfidf, term)) ≡ the old
+      // (tfidf desc, term asc) rank-1 window, with map-side partial
+      // aggregation instead of a per-doc sort.
       tf.join(df, "term")
         .crossJoin(broadcast(n))
         .withColumn("tfidf",
           round(col("tf") * log(col("n_docs") / col("df")), 6))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select("doc_id", "term", "tfidf")
+        .groupBy("doc_id")
+        .agg(min(struct((-col("tfidf")).as("ntf"), col("term").as("term")))
+          .as("b"))
+        .select(col("doc_id"), col("b.term").as("term"),
+          (-col("b.ntf")).as("tfidf"))
         .orderBy("doc_id")
     },
 
