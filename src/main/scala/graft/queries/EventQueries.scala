@@ -83,6 +83,30 @@ object EventQueries {
         .orderBy(asc_nulls_first("event_type"), asc_nulls_first("dow"))
     },
 
+    // Cube: the FULL grouping lattice over (event_type, dow) with
+    // GROUPING ids — q55's rollup emits 3 of the 4 grouping sets;
+    // cube adds the per-dow-across-types slice, and the gid column
+    // pins Spark's grouping_id bit order against the SQL-standard
+    // GROUPING() composition cross-engine.
+    QueryDef("q106_cube",
+      """SELECT event_type, CAST(dow AS BIGINT) AS dow,
+        |  CAST(GROUPING(event_type) * 2 + GROUPING(dow) AS BIGINT) AS gid,
+        |  count(*) AS cnt
+        |FROM (SELECT event_type, dayofweek(ts) % 7 AS dow FROM events)
+        |GROUP BY CUBE (event_type, dow)
+        |ORDER BY gid, event_type NULLS FIRST, dow NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        // Spark dayofweek: 1=Sunday..7; DuckDB dayofweek: 0=Sunday..6.
+        .select(col("event_type"),
+          ((dayofweek(col("ts")) - 1) % 7).cast("long").as("dow"))
+        .cube("event_type", "dow")
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("cnt"))
+        .select(col("event_type"), col("dow"), col("gid"), col("cnt"))
+        .orderBy(asc("gid"), asc_nulls_first("event_type"),
+          asc_nulls_first("dow"))
+    },
+
     // Sessionization: per-user sessions split on >30-minute gaps
     // (lag + running sum — the batch form of session windows).
     QueryDef("q39_sessionize",
