@@ -262,6 +262,22 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
     p should not include "SortMergeJoin" // benchmark side must never shuffle-sort
   }
 
+  test("q46/q102: the rank-1 argmaxes plan as hash aggregates, not windows") {
+    // PERF log #29: max/min(struct(...)) replaces the row_number
+    // window for argmax — map-side partial aggregation, no per-key
+    // sort. A reverted window would reappear as a Window node (the
+    // TopKPerKey rewrite can't claim these: its child-size guard and
+    // rank-liveness rules don't always fire, and the aggregate is
+    // strictly better anyway).
+    Seq("q46_tfidf", "q102_cluster_reps").foreach { q =>
+      withClue(s"$q: ") {
+        val p = plan(q)
+        (p should not).include("Window")
+        p should include("HashAggregate")
+      }
+    }
+  }
+
   test("q88: one shingle pass — every consumer reads the persisted counted-bigram frame") {
     // The (doc_id, bigram, k) aggregate is the only consumer of the
     // width-2 shingle explode, and it is persisted: the LM build and
