@@ -2091,6 +2091,46 @@ object TextQueries {
         .orderBy("source", "rank")
     },
 
+    // Exact-quota stratified sampling: per source, keep EXACTLY
+    // greatest(1, ⌊cnt·20%⌋) documents, chosen deterministically by
+    // (md5(doc_id), doc_id) order — the companion to q58's hash split
+    // (proportional in EXPECTATION) for the cases where the sample
+    // size must be exact per stratum (eval-set carving, per-source
+    // quota audits). Scale shape: the quota table is one bounded
+    // aggregate (source-keyed, broadcast back); the rank is a
+    // per-stratum window — strata sort in parallel, Spark's
+    // spill-capable external sort, and ONLY this contract needs a
+    // sort at all (the expectation-based q58 path stays sortless).
+    QueryDef("q107_stratified_sample",
+      """WITH d AS (SELECT doc_id, source FROM documents),
+        |q AS (
+        |  SELECT source,
+        |    GREATEST(1, CAST(floor(count(*) * 0.2) AS BIGINT)) AS quota
+        |  FROM d GROUP BY source
+        |), r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM d
+        |)
+        |SELECT r.doc_id, r.source, CAST(r.rk AS BIGINT) AS rk
+        |FROM r JOIN q ON r.source = q.source
+        |WHERE r.rk <= q.quota
+        |ORDER BY r.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val quotas = docs.groupBy("source")
+        .agg(greatest(lit(1L), floor(count(lit(1)) * 0.2)).as("quota"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      docs
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .join(broadcast(quotas), "source")
+        .filter(col("rk") <= col("quota"))
+        .select(col("doc_id"), col("source"), col("rk"))
+        .orderBy("doc_id")
+    },
+
     // Per-language length-outlier band filter: exact p05/p95
     // token-count thresholds per lang (R-7 interpolation on both
     // engines — the q63 parity), then a keep/drop census against the
