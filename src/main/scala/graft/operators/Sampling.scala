@@ -36,6 +36,33 @@ object Sampling {
       fractions: Map[String, Double], seed: Long = 42L): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
 
+  /** EXACT-quota stratified sample: per stratum, keep exactly
+    * `greatest(1, ⌊cnt·fraction⌋)` rows, chosen deterministically by
+    * `(md5(id), id)` order — for eval-set carving and per-source quota
+    * audits where [[stratified]]'s Bernoulli draw (exact only in
+    * expectation) is not enough. Engine-independent like
+    * [[hashSplit]]: the same rows are selected on every engine at any
+    * partitioning (q107's oracle pins this cross-engine).
+    *
+    * Scale shape: the quota table is one bounded stratum-keyed
+    * aggregate broadcast back; the rank is a per-stratum window —
+    * strata sort in parallel through Spark's spill-capable external
+    * sort. Only this exactness contract needs a sort at all; use
+    * [[hashSplit]]/[[weightedMix]] when expectation suffices. */
+  def stratifiedExact(df: DataFrame, stratumCol: String, idCol: String,
+      fraction: Double): DataFrame = {
+    require(fraction > 0 && fraction <= 1, s"fraction in (0,1]: $fraction")
+    val quotas = df.groupBy(stratumCol)
+      .agg(greatest(lit(1L), floor(count(lit(1)) * fraction)).as("__quota"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rk", row_number().over(w).cast("long"))
+      .join(broadcast(quotas), stratumCol)
+      .filter(col("__rk") <= col("__quota"))
+      .select(df.columns.map(col): _*)
+  }
+
   /** Deterministic corpus mixing: keep each row at its group's target
     * rate, decided by the stable id hash — the sampling-by-weights
     * step that composes a training mix from heterogeneous sources

@@ -55,4 +55,21 @@ class SamplingSpec extends SparkSpec {
     counts("lang0").toDouble / 2500 shouldBe 0.5 +- 0.1
     counts("lang1").toDouble / 2500 shouldBe 0.1 +- 0.06
   }
+
+  test("stratifiedExact: exact per-stratum quotas, layout-independent, schema preserved") {
+    // Bernoulli (stratified) is exact only in expectation; this one
+    // must hit greatest(1, ⌊cnt·p⌋) dead on, per stratum.
+    val got = Sampling.stratifiedExact(docs, "lang", "doc_id", 0.2)
+    got.columns shouldBe docs.columns
+    val counts = got.groupBy("lang").count().as[(String, Long)].collect().toMap
+    counts.values.foreach(_ shouldBe 500L) // ⌊2500·0.2⌋ exactly
+    // Deterministic under any input partitioning: same rows selected.
+    val again = Sampling
+      .stratifiedExact(docs.repartition(13), "lang", "doc_id", 0.2)
+      .select("doc_id").as[Long].collect().sorted
+    again shouldBe got.select("doc_id").as[Long].collect().sorted
+    // Tiny stratum: quota floors to 0 → greatest(1, …) keeps one row.
+    val tiny = docs.limit(3).withColumn("lang", lit("solo"))
+    Sampling.stratifiedExact(tiny, "lang", "doc_id", 0.05).count() shouldBe 1L
+  }
 }
