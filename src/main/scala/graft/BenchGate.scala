@@ -18,11 +18,8 @@ package graft
   */
 object BenchGate {
 
-  /** Per-query medians recorded in a prior `bench_last` line (the
-    * `"queries":{...}` object). Tolerant of missing/garbled input —
-    * an empty map just disables the drift trigger. */
-  def priorMedians(json: String): Map[String, Double] = {
-    val qobj = """"queries":\{([^}]*)\}""".r
+  private def objMedians(json: String, key: String): Map[String, Double] = {
+    val qobj = ("\"" + key + """":\{([^}]*)\}""").r
     qobj.findFirstMatchIn(json).map(_.group(1)).map { body =>
       val kv = """"([^"]+)":(-?[0-9.]+(?:[eE][+-]?[0-9]+)?)""".r
       kv.findAllMatchIn(body)
@@ -30,6 +27,22 @@ object BenchGate {
           .toOption)
         .toMap
     }.getOrElse(Map.empty)
+  }
+
+  /** Per-query baseline medians recorded in a prior `bench_last`
+    * line: the in-suite `"queries"` medians, OVERRIDDEN by the
+    * noise-corrected `"standalone"` re-measurements where present —
+    * a baseline poisoned by the very contention this gate detects
+    * (q70 recorded in-suite at 3.94 s, standalone 1.35 s) must not
+    * mask a later REAL regression to ~3.9 s. Tolerant of
+    * missing/garbled input — an empty map just disables the drift
+    * trigger. */
+  def priorMedians(json: String): Map[String, Double] = {
+    val suite = objMedians(json, "queries")
+    val corrected = objMedians(json, "standalone")
+    suite.map { case (k, v) =>
+      k -> corrected.get(k).map(math.min(_, v)).getOrElse(v)
+    }
   }
 
   /** [[priorMedians]], but ONLY when the recorded run used the same

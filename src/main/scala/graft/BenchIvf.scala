@@ -31,14 +31,14 @@ object BenchIvf {
 
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val n = emb.count()
-    val nlist = math.max(4, math.round(math.sqrt(n.toDouble)).toInt)
+    val nlist = Similarity.sqrtNlist(n)
     val k = 10
     val nprobe = 4
     val queries = emb.orderBy("vec_id").limit(16)
 
     val t0 = System.nanoTime()
     val idx = Similarity.buildIndex(emb, "benchivf",
-      nCentroids = nlist, trainN = math.max(128, nlist * 4))
+      nCentroids = nlist, trainN = Similarity.sizingTrainN(nlist))
     val buildSec = (System.nanoTime() - t0) / 1e9
 
     val sizes = spark.table(idx.assignedTable)

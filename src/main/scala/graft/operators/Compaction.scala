@@ -111,15 +111,38 @@ object Compaction {
     val p = plan(spark, inPath, targetFileBytes)
     val df = spark.read.parquet(inPath)
     val pcols = partitionCols.map(col)
-    val counts = df.groupBy(pcols: _*).agg(count(lit(1)).as("__cnt")).collect()
+    // Per-value row counts AND one representative data file per value:
+    // in a partitionBy layout each value owns exactly one directory,
+    // so the representative's parent locates the value's files in the
+    // listing and gives EXACT per-value bytes. (A corpus-wide
+    // bytes/row average under-sizes wide-row values — mixed 10 KB-doc
+    // and 100 B-event partitions would re-create the oversized files
+    // this operator exists to prevent.)
+    // input_file_name is nondeterministic, so project it BEFORE the
+    // aggregate (first() over a nondeterministic argument fails
+    // analysis; over a projected attribute it is fine).
+    val counts = df.withColumn("__f", input_file_name())
+      .groupBy(pcols: _*)
+      .agg(count(lit(1)).as("__cnt"), first(col("__f")).as("__f"))
+      .collect()
     val nKeys = partitionCols.length
+    def normParent(uri: String): String = {
+      val path = new Path(uri).toUri.getPath
+      path.substring(0, math.max(path.lastIndexOf('/'), 0))
+    }
+    val bytesByDir: Map[String, Long] = listDataFiles(spark, inPath)
+      .groupMapReduce(f => normParent(f._1))(_._2)(_ + _)
     val totalRows = counts.iterator.map(_.getLong(nKeys)).sum
-    val bytesPerRow =
+    val globalBpr =
       if (totalRows > 0) p.totalBytes.toDouble / totalRows else 1.0
     var base = 0
     val entries = counts.map { r =>
-      val n = math.max(1L, math.ceil(
-        r.getLong(nKeys) * bytesPerRow / targetFileBytes).toLong).toInt
+      val valueBytes = Option(r.getString(nKeys + 1))
+        .flatMap(f => bytesByDir.get(normParent(f)))
+      val estBytes = valueBytes.map(_.toDouble)
+        .getOrElse(r.getLong(nKeys) * globalBpr) // defensive fallback
+      val n = math.max(1L,
+        math.ceil(estBytes / targetFileBytes).toLong).toInt
       val e = Row.fromSeq((0 until nKeys).map(r.get) :+ base :+ n)
       base += n
       e

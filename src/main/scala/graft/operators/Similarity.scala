@@ -176,6 +176,17 @@ object Similarity {
     searchBuckets(assigned, cent, q, k, nprobe, idCol)
   }
 
+  /** Production index sizing (the rule `SimilaritySpec` pins and
+    * `BenchIvf` measures — ONE definition so the gate and the probe
+    * can never silently measure different rules): nlist ≈ √N keeps
+    * per-bucket membership at ~√N and probe work at nprobe·√N as the
+    * corpus grows; the Lloyd sample is 4× the centroid count
+    * (bounded below by the 128-vector default). */
+  def sqrtNlist(n: Long): Int =
+    math.max(4, math.round(math.sqrt(n.toDouble)).toInt)
+
+  def sizingTrainN(nlist: Int): Int = math.max(128, nlist * 4)
+
   /** Handle to a persisted IVF index: a centroid table plus the
     * assigned corpus written as a warehouse table BUCKETED on the
     * centroid id — the probe-time bucket equi-join reads only the

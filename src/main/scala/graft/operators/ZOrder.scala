@@ -109,7 +109,7 @@ object ZOrder {
             val lo = mmRow.getLong(2 * i)
             val hi = mmRow.getLong(2 * i + 1)
             // Width via double only to SIZE the cells (harmless); cell
-            // edges below are exact Long arithmetic.
+            // edges below are exact arithmetic.
             val width = math.max(1L,
               ((hi.toDouble - lo.toDouble) / DimHistCells).toLong + 1)
             (lo, hi, width)
@@ -120,8 +120,24 @@ object ZOrder {
         // bounded by ndims × DimHistCells regardless of data volume.
         // `div`, not `/`: Spark's `/` is DOUBLE division, which would
         // reintroduce the 53-bit round-trip this path exists to avoid.
-        val cellCols = intCols.zip(ranges).map { case (c, (lo, _, width)) =>
-          expr(s"(`$c` - (${lo}L)) div (${width}L)")
+        // When the dimension's SPAN itself exceeds Long capacity (a
+        // raw signed 64-bit hash: lo ≈ Long.Min, hi ≈ Long.Max), the
+        // exact `c - lo` subtraction overflows — an ANSI-mode crash,
+        // silent wraparound otherwise — so that regime computes the
+        // CELL INDEX through doubles instead: cells are ≤ 2^16, width
+        // ≥ span/2^16 ≈ 2^48, and double's worst absolute error at
+        // 2^63 magnitude (~2^11) misplaces a value by ≪ one cell;
+        // bound EDGES stay exact (BigInt-clamped below) either way.
+        val cellCols = intCols.zip(ranges).map { case (c, (lo, hi, width)) =>
+          val spanOverflows = BigInt(hi) - BigInt(lo) > Long.MaxValue
+          if (spanOverflows)
+            // GREATEST-clamped: double rounding at ±2^63 magnitude can
+            // nudge (c − lo) a hair negative for values at the bottom
+            // edge; floor would emit cell −1.
+            expr(s"GREATEST(CAST(0 AS BIGINT), " +
+              s"CAST(floor((CAST(`$c` AS DOUBLE) - CAST(${lo}L AS DOUBLE))" +
+              s" / CAST(${width}L AS DOUBLE)) AS BIGINT))")
+          else expr(s"(`$c` - (${lo}L)) div (${width}L)")
         }
         val hist = longed
           .select(posexplode(array(cellCols: _*)).as(Seq("dim", "cell")))
@@ -139,7 +155,13 @@ object ZOrder {
           cells.foreach { case (cell, w) =>
             acc += w
             while (nextCut <= nb && acc * (nb + 1).toLong >= total * nextCut) {
-              out += lo + (cell + 1) * width - 1 // upper-inclusive edge
+              // Upper-inclusive edge, BigInt-clamped: width rounds up,
+              // so the top cell's edge can exceed hi — and for wide
+              // dimensions even Long.MaxValue, where plain Long math
+              // would wrap NEGATIVE and (after distinct.sorted) shift
+              // every bucket rank by one.
+              out += (BigInt(lo) + (BigInt(cell) + 1) * width - 1)
+                .min(Long.MaxValue).toLong
               nextCut += 1
             }
           }

@@ -20,6 +20,21 @@ class BenchGateSpec extends AnyFunSuite with Matchers {
     BenchGate.priorMedians("") shouldBe Map.empty
   }
 
+  test("a noise-corrected standalone median overrides a poisoned baseline") {
+    // Round N recorded q70 in-suite at 3.94 (contended window) with
+    // the standalone correction 1.35 on the same line; the NEXT
+    // round's drift baseline must be 1.35, or a real regression to
+    // ~3.9 would hide behind the poisoned number forever.
+    val line = """{"metric":"total","standalone":{"q70":1.35},""" +
+      """"queries":{"q70":3.94,"q1":0.2},"value":4.1,""" +
+      """"sf":"/root/testdata/sf0.1"}"""
+    val got = BenchGate.priorMedians(line)
+    got("q70") shouldBe 1.35 +- 1e-12 // corrected wins
+    got("q1") shouldBe 0.2 +- 1e-12 // untouched without a correction
+    // And the regression now fires where the old baseline was silent:
+    BenchGate.needsStandalone(Seq(3.85, 3.9, 3.95), Some(got("q70"))) shouldBe true
+  }
+
   test("priors apply only when the recorded sf matches") {
     val line = """{"metric":"total","queries":{"q1":0.2},""" +
       """"value":0.2,"sf":"/root/testdata/sf0.001"}"""

@@ -83,25 +83,69 @@ class CompactionSpec extends SparkSpec {
       .toDF("id", "s").withColumn("batch_id", lit(1))
     small.union(big).repartition(8)
       .write.partitionBy("batch_id").parquet(s"$dir/in")
-    val p = Compaction.plan(spark, s"$dir/in")
-    val bytesPerRow = p.totalBytes.toDouble / 4200
-    val target = (bytesPerRow * 1000).toLong // ≈ 1000 rows per file
-    val expectBig = math.ceil(4000 * bytesPerRow / target).toInt
+    def dirBytes(d: String): Long = new java.io.File(d).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+      .map(_.length).sum
+    val bigBytes = dirBytes(s"$dir/in/batch_id=1")
+    val smallBytes = dirBytes(s"$dir/in/batch_id=0")
+    val target = bigBytes / 4 + 1 // the skewed value should split 4-way
+    // Expected counts from the SAME per-value input-bytes arithmetic
+    // the operator uses (at this toy scale the small value's 8
+    // per-file footers inflate its input bytes, so derive, don't
+    // hard-code).
+    val expectBig = math.ceil(bigBytes.toDouble / target).toInt
+    val expectSmall = math.ceil(smallBytes.toDouble / target).toInt
     expectBig should be >= 3 // the case is real skew, not a rounding fluke
+    expectSmall should be < expectBig
 
     val stats = Compaction.compactPartitioned(spark, s"$dir/in",
       s"$dir/out", Seq("batch_id"), targetFileBytes = target)
     def filesUnder(d: String): Int = new java.io.File(d).listFiles()
       .count(f => f.isFile && f.getName.endsWith(".parquet"))
-    filesUnder(s"$dir/out/batch_id=0") shouldBe 1
+    filesUnder(s"$dir/out/batch_id=0") shouldBe expectSmall
     filesUnder(s"$dir/out/batch_id=1") shouldBe expectBig // ⌈bytes/target⌉
-    stats.outputFiles shouldBe 1 + expectBig
+    stats.outputFiles shouldBe expectSmall + expectBig
     // Layout and content multiset intact.
     val back = spark.read.parquet(s"$dir/out")
     back.count() shouldBe 4200L
     back.agg(sum("id")).as[Long].collect().head shouldBe
       spark.read.parquet(s"$dir/in").agg(sum("id")).as[Long].collect().head
     back.select("id").distinct().count() shouldBe 4200L
+  }
+
+  test("compactPartitioned sizes by EXACT per-value bytes, not a corpus average") {
+    // Two partition values with EQUAL row counts but ~50x row width:
+    // a corpus-wide bytes/row average would split both the same way,
+    // re-creating the oversized file on the wide value.
+    val dir = Files.createTempDirectory("compactwidth").toString
+    val narrow = (1 to 1000).map(i => (i.toLong, "x")).toDF("id", "s")
+      .withColumn("k", lit("narrow"))
+    val wide = (1 to 1000).map { i =>
+      val rnd = new java.util.Random(i)
+      val sb = new StringBuilder // ~800 incompressible hex chars
+      (0 until 50).foreach(_ =>
+        sb.append(java.lang.Long.toHexString(rnd.nextLong())))
+      (i.toLong + 10000, sb.toString)
+    }.toDF("id", "s").withColumn("k", lit("wide"))
+    narrow.union(wide).repartition(4)
+      .write.partitionBy("k").parquet(s"$dir/in")
+    def dirBytes(d: String): Long = new java.io.File(d).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+      .map(_.length).sum
+    val wideBytes = dirBytes(s"$dir/in/k=wide")
+    val narrowBytes = dirBytes(s"$dir/in/k=narrow")
+    val target = wideBytes / 3 + 1 // wide must split 3-way
+    narrowBytes should be <= target // equal counts, far fewer bytes
+    Compaction.compactPartitioned(spark, s"$dir/in", s"$dir/out",
+      Seq("k"), targetFileBytes = target)
+    def filesUnder(d: String): Int = new java.io.File(d).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    filesUnder(s"$dir/out/k=wide") shouldBe
+      math.ceil(wideBytes.toDouble / target).toInt
+    filesUnder(s"$dir/out/k=narrow") shouldBe 1
+    spark.read.parquet(s"$dir/out").count() shouldBe 2000L
   }
 
   test("compactPartitioned keeps NULL partition values (null-safe steering join)") {

@@ -84,9 +84,9 @@ class SimilaritySpec extends SparkSpec {
         : (Long, Double, Double, Double) = {
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       val n = emb.count()
-      val nlist = math.max(4, math.round(math.sqrt(n.toDouble)).toInt)
+      val nlist = Similarity.sqrtNlist(n)
       val idx = Similarity.buildIndex(emb, s"ivfsz_$tag",
-        nCentroids = nlist, trainN = math.max(128, nlist * 4))
+        nCentroids = nlist, trainN = Similarity.sizingTrainN(nlist))
       val sizes = spark.table(idx.assignedTable)
         .groupBy("bucket").count().select("count").as[Long].collect()
       sizes.sum shouldBe n // every vector assigned exactly once

@@ -223,6 +223,40 @@ class ZOrderSpec extends SparkSpec {
     spans.map(_.getLong(2)).count(_ < full * 0.55) should be >= spans.length / 2
   }
 
+  test("full-range signed 64-bit dimensions: no overflow, sane bounds, global order") {
+    // Raw signed hash values spanning ~Long.Min..Long.Max: the exact
+    // `c - lo` cell arithmetic would overflow (ANSI crash / silent
+    // wrap), and the top bucket edge would wrap negative in Long math.
+    val df = (0 until 20000).map { i =>
+      (i * -7046029254386353131L + 99991L, // full signed range walk
+        i * 6364136223846793005L + 1442695040888963407L)
+    }.toDF("h1", "h2")
+    val bounds = ZOrder.dimBounds(df, Seq("h1", "h2"), 6)
+    bounds.foreach { b =>
+      val bs = b.asInstanceOf[ZOrder.LongBounds].bounds
+      bs.length should be >= 32 // real resolution, not a collapse
+      bs.sorted shouldBe bs // sorted-distinct contract
+      bs.distinct.length shouldBe bs.length
+    }
+    val out = ZOrder.cluster(df, Seq("h1", "h2"), bitsPerDim = 6,
+      minParts = 8)
+    out.count() shouldBe 20000L
+    // Global curve order across partitions (the cluster contract).
+    val z = ZOrder.zvalue(Seq(col("h1"), col("h2")), bounds, 6)
+    val perPart = out.withColumn("z", z).select("z").as[Long]
+      .rdd.mapPartitionsWithIndex { (pid, it) =>
+        val zs = it.toArray
+        if (zs.isEmpty) Iterator.empty
+        else Iterator.single((pid, zs.head, zs.last,
+          zs.sliding(2).forall(p => p.length < 2 || p(0) <= p(1))))
+      }.collect().sortBy(_._1)
+    all(perPart.map(_._4)) shouldBe true
+    perPart.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 <= b._2)
+      case _ =>
+    }
+  }
+
   test("clustered parquet files have tight min/max spans on BOTH dimensions") {
     val df = points(40000).toDF("x", "y")
     val dir = java.nio.file.Files.createTempDirectory("zorder").toString
