@@ -63,6 +63,27 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
+  /** Token-BUDGET carve: per stratum, keep rows in deterministic
+    * `(md5(id), id)` order while the running token sum stays within
+    * `budget` (a row is kept iff its INCLUSIVE prefix sum ≤ budget) —
+    * how a training mix is assembled to a per-source token budget
+    * rather than a row quota ([[stratifiedExact]]). Same determinism
+    * story: engine- and layout-independent. Scale shape: one
+    * per-stratum window prefix sum — strata sort in parallel,
+    * spill-capable; no driver state. */
+  def tokenBudget(df: DataFrame, stratumCol: String, idCol: String,
+      tokenCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("__cum", sum(col(tokenCol)).over(w))
+      .filter(col("__cum") <= budget)
+      .select(df.columns.map(col): _*)
+  }
+
   /** Deterministic corpus mixing: keep each row at its group's target
     * rate, decided by the stable id hash — the sampling-by-weights
     * step that composes a training mix from heterogeneous sources

@@ -2131,6 +2131,55 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Per-source token-BUDGET carve (operators/Sampling.tokenBudget):
+    // q107 takes a ROW quota; assembling a training mix needs a TOKEN
+    // budget — keep docs in deterministic (md5, id) order while the
+    // inclusive per-source token prefix sum stays ≤ 300, then audit
+    // docs/tokens/utilization per source (sources whose take is empty
+    // still report zeros). Scale shape: one per-source window prefix
+    // sum (strata sort in parallel, spill-capable), one bounded
+    // source-keyed rollup.
+    QueryDef("q108_token_budget",
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |             x -> x <> '')) AS BIGINT) AS n_toks
+        |  FROM documents
+        |), r AS (
+        |  SELECT source, n_toks,
+        |    sum(n_toks) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t
+        |), agg AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_toks) AS BIGINT) AS tokens
+        |  FROM r WHERE cum <= 300 GROUP BY source
+        |)
+        |SELECT s.source, coalesce(a.n_docs, 0) AS n_docs,
+        |  coalesce(a.tokens, 0) AS tokens,
+        |  round(CAST(coalesce(a.tokens, 0) AS DOUBLE) / 300, 6)
+        |    AS utilization
+        |FROM (SELECT DISTINCT source FROM documents) s
+        |LEFT JOIN agg a ON s.source = a.source
+        |ORDER BY s.source""".stripMargin) { (s, dir) =>
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(gf.tokens(col("text"))).cast("long").as("n_toks"))
+      val kept = graft.operators.Sampling
+        .tokenBudget(t, "source", "doc_id", "n_toks", 300L)
+      val agg = kept.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("tokens"))
+      t.select("source").distinct()
+        .join(agg, Seq("source"), "left")
+        .select(col("source"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(col("tokens"), lit(0L)).as("tokens"),
+          round(coalesce(col("tokens"), lit(0L)).cast("double") / 300, 6)
+            .as("utilization"))
+        .orderBy("source")
+    },
+
     // Per-language length-outlier band filter: exact p05/p95
     // token-count thresholds per lang (R-7 interpolation on both
     // engines — the q63 parity), then a keep/drop census against the

@@ -72,4 +72,29 @@ class SamplingSpec extends SparkSpec {
     val tiny = docs.limit(3).withColumn("lang", lit("solo"))
     Sampling.stratifiedExact(tiny, "lang", "doc_id", 0.05).count() shouldBe 1L
   }
+
+  test("tokenBudget: inclusive prefix-sum cut per stratum, deterministic") {
+    val df = Seq(
+      (1L, "a", 100L), (2L, "a", 100L), (3L, "a", 100L), (4L, "a", 100L),
+      (10L, "b", 500L), (11L, "b", 100L)).toDF("doc_id", "src", "toks")
+    val kept = Sampling.tokenBudget(df, "src", "doc_id", "toks", 250L)
+    kept.columns shouldBe df.columns
+    // stratum a: 100-token docs in hash order → inclusive prefix sums
+    // 100, 200, 300… → exactly 2 kept; stratum b: whichever doc hashes
+    // first decides — 500 first ⇒ nothing fits, 100 first ⇒ one fits.
+    val bySrc = kept.groupBy("src").count().as[(String, Long)]
+      .collect().toMap
+    bySrc("a") shouldBe 2L
+    bySrc.getOrElse("b", 0L) should be <= 1L
+    // Budget respected exactly per stratum.
+    kept.groupBy("src").sum("toks").as[(String, Long)].collect()
+      .foreach { case (_, t) => t should be <= 250L }
+    // Layout-independent: same rows under any repartitioning.
+    val again = Sampling.tokenBudget(df.repartition(7), "src", "doc_id",
+      "toks", 250L).select("doc_id").as[Long].collect().sorted
+    again shouldBe kept.select("doc_id").as[Long].collect().sorted
+    // A budget below every doc keeps nothing (inclusive-sum rule).
+    Sampling.tokenBudget(df, "src", "doc_id", "toks", 50L)
+      .count() shouldBe 0L
+  }
 }
