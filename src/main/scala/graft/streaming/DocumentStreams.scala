@@ -137,4 +137,51 @@ object DocumentStreams {
       onBatch(decontaminateExact(batch, bloomBytes, benchShingles, w, minShared), id)
     }
   }
+
+  /** One admitted (doc_id, source, n_toks) row of [[tokenBudgetGate]]. */
+  final case class DocTokens(doc_id: Long, source: String, n_toks: Long)
+
+  /** Per-source running-total state — public only because Spark's
+    * encoder codegen must construct it from generated bytecode (the
+    * BpeTrainer.WordSyms precedent). */
+  final case class BudgetState(taken: Long)
+
+  /** Streaming per-source token-BUDGET gate — the arrival-order twin
+    * of `Sampling.tokenBudget` (q108): a doc is admitted iff its
+    * source's running token total stays ≤ `budget` AFTER adding it
+    * (the same inclusive prefix-sum rule), and once a source's budget
+    * is spent every later arrival from it drops. State is ONE Long
+    * per source (`flatMapGroupsWithState`, no timeout needed — it
+    * never grows with docs), so a 100 TB ingest carries
+    * #sources × 8 bytes of state, not a corpus. Arrival order is the
+    * stream's order (micro-batch sequence; within a micro-batch, the
+    * engine's group iteration order — pin one doc per batch where
+    * the exact cut matters); the batch path applies the same fold in
+    * frame order. */
+  def tokenBudgetGate(docs: DataFrame, budget: Long)(
+      implicit spark: SparkSession)
+      : org.apache.spark.sql.Dataset[DocTokens] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(budget > 0, s"budget must be positive: $budget")
+    val typed = docs.select(col("doc_id").cast("long").as("doc_id"),
+        col("source"),
+        size(graft.functions.tokens(col("text"))).cast("long").as("n_toks"))
+      .as[DocTokens]
+    typed.groupByKey(_.source)
+      .flatMapGroupsWithState[BudgetState, DocTokens](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          var taken = state.getOption.map(_.taken).getOrElse(0L)
+          val out = Seq.newBuilder[DocTokens]
+          rows.foreach { d =>
+            if (taken + d.n_toks <= budget) {
+              taken += d.n_toks
+              out += d
+            }
+          }
+          state.update(BudgetState(taken))
+          out.result().iterator
+      }
+  }
 }

@@ -174,4 +174,38 @@ class DocumentStreamsSpec extends SparkSpec {
     n shouldBe batchN
     n should be > 400L
   }
+
+  test("tokenBudgetGate: per-source budget enforced across micro-batches, one-Long state") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s2 = spark
+    // Docs arrive one per micro-batch so arrival order is pinned:
+    // source a: 4, 3, 5, 2 tokens against budget 8 -> admit 4 (4),
+    // admit 3 (7), DROP 5 (12 > 8), DROP 2? 7+2=9 > 8 -> drop too.
+    // source b: 6, 2 -> admit 6, admit 2 (8 == budget, inclusive).
+    val arrivals = Seq(
+      (1L, "w w w w", "a"), (10L, "w w w w w w", "b"),
+      (2L, "w w w", "a"), (3L, "w w w w w", "a"),
+      (11L, "w w", "b"), (4L, "w w", "a"))
+    val mem = MemoryStream[(Long, String, String)]
+    val q = DocumentStreams.tokenBudgetGate(
+        mem.toDF().toDF("doc_id", "text", "source"), budget = 8L)
+      .writeStream.format("memory").queryName("budgeted")
+      .outputMode(OutputMode.Append()).start()
+    arrivals.foreach { a => mem.addData(a); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("budgeted")
+      .select($"doc_id").as[Long].collect().sorted
+    got shouldBe Array(1L, 2L, 10L, 11L)
+    // Batch twin: the same fold over the same order admits the same set.
+    var takenA = 0L; var takenB = 0L
+    val ref = arrivals.flatMap { case (id, text, src) =>
+      val n = text.split(" ").length.toLong
+      val taken = if (src == "a") takenA else takenB
+      if (taken + n <= 8L) {
+        if (src == "a") takenA += n else takenB += n
+        Some(id)
+      } else None
+    }
+    got shouldBe ref.sorted.toArray
+  }
 }
