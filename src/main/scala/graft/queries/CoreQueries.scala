@@ -348,6 +348,43 @@ object CoreQueries {
       both.unionByName(onlySeg).orderBy("tag", "c_custkey")
     },
 
+    // MULTISET set ops — q56 covers the distinct INTERSECT/EXCEPT;
+    // the ALL variants keep duplicate multiplicities (Spark's
+    // exceptAll/intersectAll, planned as count-based aggregates +
+    // replication, never all-pairs): year-over-year order-priority
+    // mix, surplus = 1996's excess multiplicity over 1997, common =
+    // the shared multiplicity.
+    QueryDef("q109_set_ops_all",
+      """WITH a AS (
+        |  SELECT o_orderpriority AS p FROM orders
+        |  WHERE o_orderdate BETWEEN '1996-01-01' AND '1996-12-31'
+        |), b AS (
+        |  SELECT o_orderpriority AS p FROM orders
+        |  WHERE o_orderdate BETWEEN '1997-01-01' AND '1997-12-31'
+        |)
+        |SELECT 'surplus' AS tag, p, count(*) AS cnt FROM (
+        |  SELECT p FROM a EXCEPT ALL SELECT p FROM b
+        |) GROUP BY p
+        |UNION ALL
+        |SELECT 'common', p, count(*) FROM (
+        |  SELECT p FROM a INTERSECT ALL SELECT p FROM b
+        |) GROUP BY p
+        |ORDER BY tag, p""".stripMargin) { (s, dir) =>
+      val orders = Tables.orders(s, dir)
+      def slice(y: String) = orders
+        .filter(col("o_orderdate").between(s"$y-01-01", s"$y-12-31"))
+        .select(col("o_orderpriority").as("p"))
+      val a = slice("1996")
+      val b = slice("1997")
+      val surplus = a.exceptAll(b).groupBy("p")
+        .agg(count(lit(1)).as("cnt"))
+        .select(lit("surplus").as("tag"), col("p"), col("cnt"))
+      val common = a.intersectAll(b).groupBy("p")
+        .agg(count(lit(1)).as("cnt"))
+        .select(lit("common").as("tag"), col("p"), col("cnt"))
+      surplus.unionByName(common).orderBy("tag", "p")
+    },
+
     // Analytic window family beyond row_number: lag/lead deltas, rank
     // with ties, running frame aggregates (none exist in the reference;
     // engine breadth for trend analytics).
