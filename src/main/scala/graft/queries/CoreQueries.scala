@@ -495,6 +495,35 @@ object CoreQueries {
         .agg(count(lit(1)).as("cnt"), min("z").as("zmin"),
           max("z").as("zmax"))
         .orderBy("zcell")
+    },
+
+    // Bivariate statistics family (T69): correlation, sample
+    // covariance, stddev and the OLS regression line of extendedprice
+    // on quantity per returnflag — the statistical-aggregate surface
+    // (corr/covar_samp/stddev_samp/regr_*) none of the other aggregates
+    // exercise. All are algebraic single-pass aggregates (sum, sum of
+    // squares, sum of cross-products) with exact map-side partial
+    // merge — one shuffle of 3 partial rows per flag, any scale.
+    // Doubles rounded in both engines so accumulation order can't
+    // leak into the hash.
+    QueryDef("q111_bivar_stats",
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
+        |  round(stddev_samp(l_extendedprice), 4) AS sd_price,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(corr("l_quantity", "l_extendedprice"), 6).as("corr_qty_price"),
+          round(covar_samp("l_quantity", "l_extendedprice"), 4).as("covar_qp"),
+          round(stddev_samp("l_extendedprice"), 4).as("sd_price"),
+          round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
+          round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4)
+            .as("intercept"))
+        .orderBy("l_returnflag")
     }
   )
 }

@@ -238,6 +238,97 @@ object EventQueries {
         .select(col("user_id"), col("cnt"),
           round(col("sum_value"), 6).as("sum_value"), col("max_value"))
         .orderBy("user_id")
+    },
+
+    // Event-time RANGE-frame rolling aggregates (T67): for every event,
+    // count + sum(value) over the same user's trailing hour — a
+    // value-based window frame (`rangeBetween` on the epoch-µs key),
+    // distinct from every ROWS frame elsewhere in the suite. RANGE
+    // semantics make ties well-defined: peers at the same timestamp are
+    // all in-frame regardless of tie order, so each output row is
+    // deterministic even though the sort under it isn't total.
+    // Scale note: one shuffle on user_id, per-user external sort
+    // (spill-capable); the frame buffer is bounded by one user's events
+    // in a 1-hour band, never the partition. Linear at 100 TB.
+    QueryDef("q110_rolling_window",
+      """SELECT user_id, event_id,
+        |  count(*) OVER w AS cnt_1h,
+        |  round(sum(value) OVER w, 2) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, epoch_us(ts), event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("_tus")
+        .rangeBetween(-3600000000L, 0L)
+      Tables.events(s, dir)
+        .withColumn("_tus", unix_micros(col("ts")))
+        .select(col("user_id"), col("event_id"), col("_tus"),
+          count(lit(1)).over(w).as("cnt_1h"),
+          round(sum("value").over(w), 2).as("sum_1h"))
+        .orderBy("user_id", "_tus", "event_id")
+        .drop("_tus")
+    },
+
+    // Robust-outlier census via median absolute deviation (T68): per
+    // event_type, exact interpolated median + MAD and the count of
+    // values beyond 3·1.4826·MAD — the robust z-score gate a feed-health
+    // monitor runs where mean/stddev would be dragged by the outliers
+    // themselves. Exact order statistics WITHOUT a percentile buffer:
+    // rank each value through the spill-capable external sort
+    // (row_number per type), pick the two middle ranks, interpolate
+    // lo + (hi−lo)·0.5 — the same formula DuckDB's quantile_cont uses,
+    // so the doubles agree bit-for-bit. Group counts ride a bounded
+    // type-keyed aggregate broadcast back; nothing buffers a partition.
+    // Scale note: two sort passes over (type, value) — O(n log n) and
+    // spillable where a naive percentile() holds O(distinct) per group
+    // in the aggregation buffer (the q63 caveat, solved here).
+    QueryDef("q113_mad_outliers",
+      """WITH med AS (
+        |  SELECT event_type, median(value) AS med FROM events GROUP BY 1
+        |), mad AS (
+        |  SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+        |  FROM events e JOIN med m USING (event_type) GROUP BY 1
+        |)
+        |SELECT e.event_type, count(*) AS n,
+        |  round(m.med, 6) AS med, round(a.mad, 6) AS mad,
+        |  CAST(sum(CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * a.mad
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS outlier_cnt
+        |FROM events e
+        |JOIN med m USING (event_type) JOIN mad a USING (event_type)
+        |GROUP BY e.event_type, m.med, a.mad
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+
+      // Exact interpolated p50 of `c` per event_type, sort-based.
+      def medianOf(df: org.apache.spark.sql.DataFrame, c: String,
+          out: String): org.apache.spark.sql.DataFrame = {
+        val cnt = df.groupBy("event_type").agg(count(lit(1)).as("_n"))
+        val w = Window.partitionBy("event_type").orderBy(col(c))
+        df.withColumn("_rn", row_number().over(w))
+          .join(broadcast(cnt), "event_type")
+          // quantile_cont(0.5): position p = (n-1)/2 (0-based) — take
+          // floor(p)+1 and ceil(p)+1 (1-based ranks), lo + (hi-lo)*0.5.
+          // (Spark's `/` on integers is double division — floor() it.)
+          .filter(col("_rn") === floor((col("_n") + 1) / lit(2.0)) ||
+            col("_rn") === floor((col("_n") + 2) / lit(2.0)))
+          .groupBy("event_type")
+          .agg((min(col(c)) + (max(col(c)) - min(col(c))) * 0.5).as(out))
+      }
+
+      val med = medianOf(ev, "value", "med")
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("_d", abs(col("value") - col("med")))
+      val mad = medianOf(dev.select(col("event_type"), col("_d")), "_d", "mad")
+      ev.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(count(lit(1)).as("n"),
+          sum(when(abs(col("value") - col("med")) >
+            lit(3.0) * lit(1.4826) * col("mad"), 1L).otherwise(0L))
+            .as("outlier_cnt"))
+        .select(col("event_type"), col("n"),
+          round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+          col("outlier_cnt"))
+        .orderBy("event_type")
     }
   )
 }

@@ -2851,6 +2851,37 @@ object TextQueries {
           sum(when(col("s_id").isNull, col("n_chars")).otherwise(0L))
             .as("bytes_dropped"))
         .orderBy("source")
+    },
+
+    // Decile stratification of corpus length per source (T70): NTILE
+    // splits each source's docs into 10 equal-height bands over the
+    // (n_chars, doc_id) total order, then reports each band's row
+    // count and char range — the quality-stratified sampling frame a
+    // curriculum or mix designer reads before carving (pairs with the
+    // quota carves q107/q108: those consume a per-stratum ORDER, this
+    // publishes the strata themselves). NTILE is deterministic here
+    // because the order is total (doc_id tiebreak); both engines
+    // follow the SQL-standard "first buckets get the extra row" rule.
+    // Scale note: one shuffle on source, per-source spill-capable
+    // external sort, bounded 10-row-per-source output — linear.
+    QueryDef("q112_ntile_deciles",
+      """SELECT source, decile, count(*) AS cnt,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM (
+        |  SELECT source, n_chars,
+        |    CAST(ntile(10) OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS BIGINT) AS decile
+        |  FROM documents
+        |)
+        |GROUP BY source, decile ORDER BY source, decile""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+      Tables.documents(s, dir)
+        .select(col("source"), col("n_chars"),
+          ntile(10).over(w).cast("long").as("decile"))
+        .groupBy("source", "decile")
+        .agg(count(lit(1)).as("cnt"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+        .orderBy("source", "decile")
     }
   )
 

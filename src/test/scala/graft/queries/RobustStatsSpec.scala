@@ -1,0 +1,107 @@
+package graft.queries
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Round-10 analytics additions on crafted inputs where the answer is
+  * computable by hand (the DuckDB oracle gates them on the synthetic
+  * tables; these pin the SEMANTICS — interpolated order statistics,
+  * RANGE-frame tie handling, NTILE bucket sizing). */
+class RobustStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def q(name: String) =
+    SparkEntry.allDefs.find(_.name == name).getOrElse(fail(s"missing $name"))
+
+  /** Stage an events.parquet with the testdata schema (µs timestamps). */
+  private def stageEvents(rows: Seq[(Long, Long, Long, String, Double)]): String = {
+    val dir = Files.createTempDirectory("robuststats").toString
+    rows.map { case (id, tsMicros, user, typ, value) =>
+      (id, new Timestamp(tsMicros / 1000), user, typ, value, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q113: hand-computed median/MAD/outliers, odd and even counts") {
+    val h = 3600000000L
+    val dir = stageEvents(
+      // type "ev" (even n=4): values 1,2,3,4 → med 2.5, |dev| sorted
+      // [0.5,0.5,1.5,1.5] → mad 1.0, threshold 4.4478 → 0 outliers.
+      Seq((1L, 0L, 1L, "ev", 1.0), (2L, h, 1L, "ev", 2.0),
+        (3L, 2 * h, 1L, "ev", 3.0), (4L, 3 * h, 1L, "ev", 4.0),
+        // type "od" (odd n=5, one wild value): 1,2,3,4,100 → med 3,
+        // |dev| [2,1,0,1,97] → mad 1, threshold 4.4478 → 1 outlier.
+        (5L, 0L, 2L, "od", 1.0), (6L, h, 2L, "od", 2.0),
+        (7L, 2 * h, 2L, "od", 3.0), (8L, 3 * h, 2L, "od", 4.0),
+        (9L, 4 * h, 2L, "od", 100.0)))
+    val got = q("q113_mad_outliers").build(spark, dir)
+      .select("event_type", "n", "med", "mad", "outlier_cnt")
+      .as[(String, Long, Double, Double, Long)].collect().toSeq
+    got should contain theSameElementsAs Seq(
+      ("ev", 4L, 2.5, 1.0, 0L), ("od", 5L, 3.0, 1.0, 1L))
+  }
+
+  test("q113: sort-based interpolated median matches Spark's exact percentile on fuzz") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 257L).map { i =>
+      (i, i * 1000000L, i % 3, s"t${i % 3}", rnd.nextDouble() * 100 - 50)
+    }.map { case (id, ts, u, t, v) => (id, ts, u, t, v) }
+    val dir = stageEvents(rows)
+    val got = q("q113_mad_outliers").build(spark, dir)
+      .select("event_type", "med").as[(String, Double)].collect().toMap
+    val want = graft.Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.round(
+        org.apache.spark.sql.functions.expr("percentile(value, 0.5D)"), 6)
+        .as("med"))
+      .as[(String, Double)].collect().toMap
+    got.keySet shouldBe want.keySet
+    got.foreach { case (k, v) => v shouldBe want(k) +- 1e-6 }
+  }
+
+  test("q110: trailing-hour RANGE frame — inclusive bound and equal-ts peers") {
+    val m = 60000000L // one minute in µs
+    val dir = stageEvents(Seq(
+      (1L, 0L, 1L, "view", 1.0),
+      (2L, 30 * m, 1L, "view", 2.0),   // frame [−30m, 30m] → {1,2}
+      (3L, 60 * m, 1L, "view", 4.0),   // exactly 1h later: event 1 still in-frame (inclusive)
+      (4L, 61 * m, 1L, "view", 8.0),   // event 1 now out of frame → {2,3,4}
+      // equal-ts peers: RANGE includes both regardless of tie order
+      (5L, 200 * m, 1L, "view", 16.0),
+      (6L, 200 * m, 1L, "view", 32.0),
+      // other user: frames don't cross the partition
+      (7L, 0L, 2L, "view", 64.0)))
+    val got = q("q110_rolling_window").build(spark, dir)
+      .select("event_id", "cnt_1h", "sum_1h")
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, c, s) => id -> ((c, s)) }.toMap
+    got(1L) shouldBe ((1L, 1.0))
+    got(2L) shouldBe ((2L, 3.0))
+    got(3L) shouldBe ((3L, 7.0))
+    got(4L) shouldBe ((3L, 14.0))
+    got(5L) shouldBe ((2L, 48.0))
+    got(6L) shouldBe ((2L, 48.0))
+    got(7L) shouldBe ((1L, 64.0))
+  }
+
+  test("q112: NTILE equal-height buckets — first buckets take the remainder") {
+    val dir = Files.createTempDirectory("robuststats").toString
+    (1L to 25L).map(i => (i, "x" * i.toInt, "en", "s0", i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = q("q112_ntile_deciles").build(spark, dir)
+      .select("decile", "cnt", "min_chars", "max_chars")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // 25 rows into 10 buckets: first 5 buckets get 3, the rest 2.
+    got.map(_._2) shouldBe Seq(3L, 3L, 3L, 3L, 3L, 2L, 2L, 2L, 2L, 2L)
+    // Bands tile the sorted domain contiguously.
+    got.sliding(2).foreach { case Seq(a, b) =>
+      b._3 shouldBe (a._4 + 1)
+    }
+    got.head._3 shouldBe 1L
+    got.last._4 shouldBe 25L
+  }
+}
