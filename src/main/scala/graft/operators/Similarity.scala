@@ -266,4 +266,53 @@ object Similarity {
     * corpus location per session). */
   def indexName(prefix: String, dir: String): String =
     prefix + "_" + dir.replaceAll("[^a-zA-Z0-9]+", "_").toLowerCase
+
+  /** KNN GRAPH: approximate top-k neighbors for EVERY corpus vector —
+    * the all-vectors generalization of [[ivfTopK]] and the kernel
+    * under semantic dedup, retrieval-based mixing, and embedding-graph
+    * clustering. Same IVF index semantics (hash-seeded Lloyd
+    * centroids, argmax assignment, nprobe probes, exact cosine inside
+    * probed buckets), but the query side IS the corpus, so the
+    * [[searchBuckets]] broadcasts are structurally wrong here:
+    *
+    *   - probe selection (top-`nprobe` centroids per vector over the
+    *     N × nlist score product) and the final per-vector top-k both
+    *     run on [[graft.plans.TopKPerKey]]'s bounded heap — one
+    *     clustered shuffle each, no windowed full sort of the
+    *     candidate volume, spill fallback past the task byte budget;
+    *   - candidate generation is a SHUFFLE equi-join on bucket id
+    *     (corpus-sized sides; nothing broadcast), so per-bucket work
+    *     is bounded by bucket membership — nlist ≈ [[sqrtNlist]] keeps
+    *     that at ~√N, candidates at ~nprobe·√N per vector.
+    *
+    * The rank column is re-derived by a row_number over the ALREADY
+    * k-bounded rows (≤ N·k rows, partitions of ≤ k) — the cheap sort,
+    * not the one TopKPerKey avoided. Output: (qid, idCol, cos, rank),
+    * ties broken (cos desc, id asc) on the 6-decimal-rounded cosine in
+    * both engines. */
+  def knnJoin(
+      corpus: DataFrame, k: Int,
+      nCentroids: Int = 16, nprobe: Int = 2,
+      trainN: Int = 128, iters: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    import graft.plans.TopKPerKey
+    val cent = trainCentroids(corpus, nCentroids, trainN, iters, idCol, embCol)
+    val c = prep(corpus, idCol, embCol)
+    val assigned = assignToCentroids(c, cent, idCol)
+    val scored = c.join(broadcast(cent), lit(true))
+      .select(col(idCol).as("qid"), col("e").as("qe"), col("nrm").as("qn"),
+        col("cent_id").as("bucket"),
+        (dot(col("e"), col("ce")) / (col("nrm") * col("cn"))).as("qsim"))
+    val probes = TopKPerKey(scored, Seq("qid"),
+      Seq(TopKPerKey.desc("qsim"), TopKPerKey.asc("bucket")), nprobe)
+      .drop("qsim")
+    val cos = dot(col("qe"), col("e")) / (col("qn") * col("nrm"))
+    val cand = assigned.join(probes, Seq("bucket"))
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol), round(cos, 6).as("cos"))
+    val top = TopKPerKey(cand, Seq("qid"),
+      Seq(TopKPerKey.desc("cos"), TopKPerKey.asc(idCol)), k)
+    val rw = Window.partitionBy("qid").orderBy(desc("cos"), asc(idCol))
+    top.withColumn("rank", row_number().over(rw).cast("long"))
+  }
 }

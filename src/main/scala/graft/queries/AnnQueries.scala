@@ -321,6 +321,50 @@ object AnnQueries {
           md5(col("payload")).as("payload_md5"),
           hex(substring(col("payload"), 1, 4)).as("head_hex"))
         .orderBy("media_id")
+    },
+
+    // KNN GRAPH (T71): top-5 approximate neighbors for EVERY vector —
+    // the all-vectors generalization of q42 (whose query side is 8
+    // pinned vectors). The oracle replicates the ENTIRE index again
+    // (training CTEs included) with the probe filter dropped, so the
+    // graph semantics — probe selection ties, in-bucket candidate set,
+    // rank tie-breaks — are cross-engine-pinned, not just row-counted.
+    // Engine side: query side is corpus-sized, so nothing broadcasts
+    // and no windowed sort touches the candidate volume — probe top-2
+    // and neighbor top-5 both run on TopKPerKey's bounded heap
+    // (see Similarity.knnJoin).
+    QueryDef("q114_knn_graph",
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
+         |), ${centroidCtes(nCent = 16, trainN = 128, iters = 2)}, assigned AS (
+         |  SELECT vec_id, e, nrm, cent_id AS bucket FROM (
+         |    SELECT c.vec_id, c.e, c.nrm, t.cent_id,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ${cos("c.e", "t.ce", "c.nrm", "t.cn")} DESC, t.cent_id) AS arank
+         |    FROM n c CROSS JOIN cent t
+         |  ) WHERE arank = 1
+         |), probes AS (
+         |  SELECT qid, qe, qn, cent_id AS bucket FROM (
+         |    SELECT q.vec_id AS qid, q.e AS qe, q.nrm AS qn, t.cent_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cos("q.e", "t.ce", "q.nrm", "t.cn")} DESC, t.cent_id) AS prank
+         |    FROM n q CROSS JOIN cent t
+         |  ) WHERE prank <= 2
+         |), ranked AS (
+         |  SELECT p.qid, a.vec_id,
+         |    round(${cos("p.qe", "a.e", "p.qn", "a.nrm")}, 6) AS cos,
+         |    row_number() OVER (PARTITION BY p.qid ORDER BY
+         |      round(${cos("p.qe", "a.e", "p.qn", "a.nrm")}, 6) DESC, a.vec_id) AS rank
+         |  FROM assigned a JOIN probes p ON a.bucket = p.bucket
+         |  WHERE a.vec_id <> p.qid
+         |)
+         |SELECT qid, vec_id, cos, rank FROM ranked WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin) { (s, dir) =>
+      Similarity.knnJoin(Tables.embeddings(s, dir), k = 5)
+        .orderBy("qid", "rank")
     }
   )
 }

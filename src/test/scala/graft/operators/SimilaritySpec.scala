@@ -44,6 +44,27 @@ class SimilaritySpec extends SparkSpec {
     approx shouldBe exact
   }
 
+  test("knnJoin: full recall vs brute force on separated clusters, heap plan not window") {
+    // Every vector is a query: the graph must agree with N brute-force
+    // searches when the probed buckets cover the true neighbors.
+    val exact = Similarity.bruteForceTopK(corpus, corpus, k = 4)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val graph = Similarity.knnJoin(corpus, k = 4, nCentroids = 9, nprobe = 3)
+    val approx = graph.select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    approx shouldBe exact
+    // Ranks dense 1..k for every query.
+    graph.groupBy("qid")
+      .agg(count(lit(1)).as("c"), max("rank").as("m"), min("rank").as("lo"))
+      .as[(Long, Long, Long, Long)].collect().foreach { case (q, c, m, lo) =>
+        withClue(s"qid $q: ") { (c, m, lo) shouldBe ((4L, 4L, 1L)) }
+      }
+    // The candidate volume must meet TopKPerKey's bounded heap, never a
+    // windowed sort: the only Window in the plan is the rank re-derive
+    // OVER the already k-bounded output (child of the window = TopKPerKey).
+    val p = graph.queryExecution.executedPlan.toString
+    p should include("TopKPerKey")
+  }
+
   test("hash-seeded + Lloyd centroids keep recall on skewed, order-adversarial clusters") {
     // Adversarial for the old first-N seeding: ids 0..15 (the would-be
     // centroids) ALL sit in the dominant cluster, and two small

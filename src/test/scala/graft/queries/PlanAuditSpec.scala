@@ -95,7 +95,13 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
     "q23_dim_upsert", "q46_tfidf", "q31_similarity_stats", "q41_ann_topk",
     "q42_ann_ivf", "q47_embedding_neardup", "q68_unigram_logprob",
     "q71_source_divergence", "q81_dsir_weights", "q97_label_separation",
-    "q101_zorder_cells")
+    "q101_zorder_cells",
+    // q114: the corpus × CENTROID-TABLE scoring products (assignment +
+    // probe selection) — the broadcast side is the nlist-row centroid
+    // frame (√N under production sizing), the q42 pattern with the
+    // corpus as the probe side; the candidate join itself is an
+    // equi-join on bucket.
+    "q114_knn_graph")
 
   test("suite-wide: nested-loop joins only as broadcast builds of bounded frames") {
     val offenders = SparkEntry.allDefs.flatMap { d =>
