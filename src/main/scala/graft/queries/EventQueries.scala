@@ -329,6 +329,72 @@ object EventQueries {
           round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
           col("outlier_cnt"))
         .orderBy("event_type")
+    },
+
+    // Last-observation-carried-forward gap fill (T72): 'error' events
+    // carry no meaningful reading — treat their value as missing and
+    // fill each user's timeline with the last non-null observation
+    // (IGNORE NULLS running last_value; leading gaps stay null). The
+    // ignore-nulls window family is otherwise unexercised, and LOCF is
+    // the standard sensor/telemetry repair before any windowed
+    // aggregate runs.
+    // Scale note: one user_id shuffle + per-user external sort; the
+    // running frame is streaming state (one value), never a buffer.
+    QueryDef("q115_locf_fill",
+      """SELECT user_id, event_id,
+        |  round(last_value(CASE WHEN event_type = 'error' THEN NULL
+        |                        ELSE value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    AS filled,
+        |  CAST(event_type = 'error' AS BIGINT) AS was_gap
+        |FROM events
+        |ORDER BY user_id, epoch_us(ts), event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("_tus", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("_tus", unix_micros(col("ts")))
+        .select(col("user_id"), col("event_id"), col("_tus"),
+          round(last(
+            when(col("event_type") === "error", lit(null)).otherwise(col("value")),
+            ignoreNulls = true).over(w), 2).as("filled"),
+          (col("event_type") === "error").cast("long").as("was_gap"))
+        .orderBy("user_id", "_tus", "event_id")
+        .drop("_tus")
+    },
+
+    // Cumulative distinct users by day (T73): the running COUNT
+    // (DISTINCT ...) OVER (ORDER BY day) every growth dashboard wants —
+    // computed the scale-safe way: each user collapses to a FIRST-SEEN
+    // day (one hash aggregate), daily new-user counts are a bounded
+    // day-keyed aggregate, and the cumulative sum runs over the
+    // day-bounded series. The naive windowed count-distinct holds a
+    // per-frame distinct set (corpus-sized state); this shape never
+    // holds more than the day table.
+    QueryDef("q116_cumulative_users",
+      """WITH first_seen AS (
+        |  SELECT user_id, min(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS day
+        |  FROM events GROUP BY user_id
+        |), daily AS (
+        |  SELECT day, count(*) AS new_users FROM first_seen GROUP BY day
+        |)
+        |SELECT day, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM daily ORDER BY day""".stripMargin) { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(min(date_trunc("day", col("ts"))).as("day"))
+        .groupBy("day").agg(count(lit(1)).as("new_users"))
+      // The unpartitioned window runs over the DAY table (bounded: one
+      // row per day in the corpus), not over events.
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .select(col("day"), col("new_users"),
+          sum("new_users").over(w).cast("long").as("cum_users"))
+        .orderBy("day")
     }
   )
 }

@@ -87,6 +87,42 @@ class RobustStatsSpec extends SparkSpec {
     got(7L) shouldBe ((1L, 64.0))
   }
 
+  test("q115: LOCF carries the last observation, leading gaps stay null") {
+    val m = 60000000L
+    val dir = stageEvents(Seq(
+      (1L, 0L, 1L, "error", 99.0),      // leading gap: nothing to carry → null
+      (2L, 1 * m, 1L, "view", 10.0),
+      (3L, 2 * m, 1L, "error", 99.0),   // filled with 10.0
+      (4L, 3 * m, 1L, "error", 99.0),   // still 10.0 (carries across gaps)
+      (5L, 4 * m, 1L, "click", 20.0),
+      (6L, 5 * m, 1L, "error", 99.0),   // filled with 20.0
+      (7L, 0L, 2L, "error", 99.0)))     // other user: no cross-partition carry
+    val got = q("q115_locf_fill").build(spark, dir)
+      .select("event_id", "filled", "was_gap")
+      .as[(Long, Option[Double], Long)].collect()
+      .map { case (id, f, g) => id -> ((f, g)) }.toMap
+    got(1L) shouldBe ((None, 1L))
+    got(2L) shouldBe ((Some(10.0), 0L))
+    got(3L) shouldBe ((Some(10.0), 1L))
+    got(4L) shouldBe ((Some(10.0), 1L))
+    got(5L) shouldBe ((Some(20.0), 0L))
+    got(6L) shouldBe ((Some(20.0), 1L))
+    got(7L) shouldBe ((None, 1L))
+  }
+
+  test("q116: cumulative users counts each user once, at first-seen day") {
+    val d = 86400000000L
+    val dir = stageEvents(Seq(
+      (1L, 0L, 1L, "view", 1.0),          // user 1 first seen day 0
+      (2L, 1 * d, 1L, "view", 1.0),       // user 1 again day 1: NOT recounted
+      (3L, 1 * d, 2L, "view", 1.0),       // user 2 first seen day 1
+      (4L, 2 * d, 3L, "view", 1.0),       // user 3 first seen day 2
+      (5L, 2 * d + 1L, 2L, "view", 1.0))) // user 2 again day 2: NOT recounted
+    val got = q("q116_cumulative_users").build(spark, dir)
+      .select("new_users", "cum_users").as[(Long, Long)].collect().toSeq
+    got shouldBe Seq((1L, 1L), (1L, 2L), (1L, 3L))
+  }
+
   test("q112: NTILE equal-height buckets — first buckets take the remainder") {
     val dir = Files.createTempDirectory("robuststats").toString
     (1L to 25L).map(i => (i, "x" * i.toInt, "en", "s0", i))
