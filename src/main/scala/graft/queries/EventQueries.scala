@@ -395,6 +395,161 @@ object EventQueries {
         .select(col("day"), col("new_users"),
           sum("new_users").over(w).cast("long").as("cum_users"))
         .orderBy("day")
+    },
+
+    // Cohort retention matrix (T74): users grouped by FIRST-SEEN day
+    // (the cohort), then for each cohort × day-offset the count of
+    // cohort members active that day — the standard growth-analytics
+    // triangle. Composes q116's first-seen aggregate with a distinct
+    // (user, day) activity table.
+    // Scale note: two user-keyed hash aggregates + one user-keyed
+    // equi-join (same shuffle key — no extra exchange under AQE), and
+    // the final rollup's key space is days × offsets, bounded by the
+    // calendar, not the corpus.
+    QueryDef("q117_cohort_retention",
+      """WITH first_seen AS (
+        |  SELECT user_id,
+        |    min(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS cohort_day
+        |  FROM events GROUP BY user_id
+        |), activity AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        |  FROM events
+        |), sizes AS (
+        |  SELECT cohort_day, count(*) AS cohort_users
+        |  FROM first_seen GROUP BY cohort_day
+        |), cells AS (
+        |  SELECT f.cohort_day,
+        |    CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT)
+        |      AS offset_days,
+        |    count(*) AS active_users
+        |  FROM activity a JOIN first_seen f USING (user_id)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT c.cohort_day, c.offset_days, c.active_users,
+        |  s.cohort_users,
+        |  round(c.active_users * 1.0 / s.cohort_users, 6) AS retention
+        |FROM cells c JOIN sizes s USING (cohort_day)
+        |ORDER BY cohort_day, offset_days""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val firstSeen = ev.groupBy("user_id")
+        .agg(min(date_trunc("day", col("ts"))).as("cohort_day"))
+      val activity = ev
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .distinct()
+      val sizes = firstSeen.groupBy("cohort_day")
+        .agg(count(lit(1)).as("cohort_users"))
+      val cells = activity.join(firstSeen, "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast("long")
+            .as("offset_days"))
+        .agg(count(lit(1)).as("active_users"))
+      // sizes is one row per calendar day — always broadcastable.
+      cells.join(broadcast(sizes), "cohort_day")
+        .select(col("cohort_day"), col("offset_days"), col("active_users"),
+          col("cohort_users"),
+          round(col("active_users") * lit(1.0) / col("cohort_users"), 6)
+            .as("retention"))
+        .orderBy("cohort_day", "offset_days")
+    },
+
+    // EWMA smoothing (T75): exponentially weighted moving average over
+    // each user's value timeline, truncated to the last EwmaSpan
+    // observations and renormalized over the available history (so the
+    // first rows of a timeline are exact means of what exists, not
+    // biased toward a phantom zero history).
+    // Implementation is a bounded LAG family — one window pass, O(span)
+    // state per frame — never a self band-join (which would re-shuffle
+    // the corpus) and never a collected frame list. All weights are
+    // pow(0.5, k): exact powers of two, so both engines' products and
+    // the fixed left-to-right sum agree bit-for-bit before rounding.
+    QueryDef("q118_ewma_smooth", {
+      val terms = (0 until EwmaSpan).map { k =>
+        s"CASE WHEN lag(value, $k) OVER w IS NULL THEN 0.0 ELSE lag(value, $k) OVER w * ${EwmaWeight(k)} END"
+      }.mkString(" + ")
+      val dens = (0 until EwmaSpan).map { k =>
+        s"CASE WHEN lag(value, $k) OVER w IS NULL THEN 0.0 ELSE ${EwmaWeight(k)} END"
+      }.mkString(" + ")
+      s"""SELECT user_id, event_id,
+         |  round(($terms) / ($dens), 6) AS ewma
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+         |ORDER BY user_id, event_id""".stripMargin
+    }) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("_tus", "event_id")
+      val lags = (0 until EwmaSpan).map(k => lag(col("value"), k).over(w))
+      val num = lags.zipWithIndex.map { case (l, k) =>
+        when(l.isNull, lit(0.0)).otherwise(l * lit(EwmaWeight(k)))
+      }.reduceLeft(_ + _)
+      val den = lags.zipWithIndex.map { case (l, k) =>
+        when(l.isNull, lit(0.0)).otherwise(lit(EwmaWeight(k)))
+      }.reduceLeft(_ + _)
+      Tables.events(s, dir)
+        .withColumn("_tus", unix_micros(col("ts")))
+        .select(col("user_id"), col("event_id"),
+          round(num / den, 6).as("ewma"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // SCD Type-2 versioned dimension (T76): collapse each user's event
+    // stream into contiguous STATE intervals (state = event_type;
+    // consecutive equal states merge into one version) with
+    // effective-from / effective-to timestamps and a current flag —
+    // the change-data-capture → history-table build every warehouse
+    // runs, done as islands detection (lag ≠ current ⇒ version start)
+    // + lead() for the closing edge.
+    // Scale note: one user_id shuffle; both window passes reuse the
+    // same (user, time) sort order — the second runs over the SHRUNK
+    // change stream, not the corpus.
+    QueryDef("q119_scd2_dim",
+      """WITH ordered AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |      AS prev_type
+        |  FROM events
+        |), changes AS (
+        |  SELECT user_id, event_type, ts, event_id FROM ordered
+        |  WHERE prev_type IS NULL OR prev_type <> event_type
+        |), versioned AS (
+        |  SELECT user_id, event_type AS state, ts AS eff_from,
+        |    lead(ts) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |      AS eff_to
+        |  FROM changes
+        |)
+        |SELECT user_id, state, eff_from, eff_to,
+        |  CAST(eff_to IS NULL AS BIGINT) AS is_current
+        |FROM versioned
+        |ORDER BY user_id, epoch_us(eff_from), state""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("_tus", "event_id")
+      val changes = Tables.events(s, dir)
+        .withColumn("_tus", unix_micros(col("ts")))
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"), col("_tus"),
+          lag(col("event_type"), 1).over(w).as("prev_type"))
+        .where(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"))
+      changes
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ts").as("eff_from"), col("_tus"),
+          lead(col("ts"), 1).over(w).as("eff_to"))
+        .select(col("user_id"), col("state"), col("eff_from"),
+          col("eff_to"), col("eff_to").isNull.cast("long").as("is_current"),
+          col("_tus"))
+        .orderBy(col("user_id"), col("_tus"), col("state"))
+        .drop("_tus")
     }
   )
+
+  /** q118's smoothing lookback: EWMA truncated to the last 8
+    * observations (weights below 0.5^8 contribute < 0.4% — the tail is
+    * renormalized away). Bounded so the window state is O(1). */
+  private final val EwmaSpan = 8 // literal constant: folded at compile
+                                 // time, safe to reference from `defs`
+                                 // above despite object-init order
+
+  /** Exact power-of-two weight (1/2)^k, printed losslessly for the
+    * oracle SQL so both engines multiply by the identical double. */
+  private def EwmaWeight(k: Int): Double = math.pow(0.5, k)
 }

@@ -123,6 +123,59 @@ class RobustStatsSpec extends SparkSpec {
     got shouldBe Seq((1L, 1L), (1L, 2L), (1L, 3L))
   }
 
+  test("q117: cohort retention — offsets from first-seen day, one cell per active day") {
+    val d = 86400000000L
+    val dir = stageEvents(Seq(
+      (1L, 0L, 1L, "view", 1.0),          // u1 cohort day0
+      (2L, 0L + 1L, 2L, "view", 1.0),     // u2 cohort day0
+      (3L, 1 * d, 1L, "view", 1.0),       // u1 active day1 (offset 1)
+      (4L, 1 * d + 1L, 1L, "view", 1.0),  // u1 again day1: ONE cell, not two
+      (5L, 2 * d, 2L, "view", 1.0),       // u2 active day2 (offset 2)
+      (6L, 2 * d, 3L, "view", 1.0)))      // u3 cohort day2
+    val got = q("q117_cohort_retention").build(spark, dir)
+      .select("offset_days", "active_users", "cohort_users", "retention")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // day0 cohort (2 users): offset0 both active, offset1 u1, offset2 u2.
+    // day2 cohort (1 user): offset0.
+    got shouldBe Seq(
+      (0L, 2L, 2L, 1.0), (1L, 1L, 2L, 0.5), (2L, 1L, 2L, 0.5),
+      (0L, 1L, 1L, 1.0))
+  }
+
+  test("q118: EWMA renormalizes over available history; span truncates at 8") {
+    val m = 60000000L
+    val dir = stageEvents(
+      (1L to 10L).map(i => (i, i * m, 1L, "view", if (i == 1) 100.0 else 0.0)))
+    val got = q("q118_ewma_smooth").build(spark, dir)
+      .select("event_id", "ewma").as[(Long, Double)].collect().toMap
+    got(1L) shouldBe 100.0 // single obs: exact mean of what exists
+    // row 2: (0*1 + 100*0.5) / (1 + 0.5) = 33.333333
+    got(2L) shouldBe 33.333333 +- 1e-9
+    // row 8 still sees the spike at lag 7; rows 9,10 have it out of span.
+    got(8L) should be > 0.0
+    got(9L) shouldBe 0.0
+    got(10L) shouldBe 0.0
+  }
+
+  test("q119: SCD2 versions collapse equal runs, close on change, flag current") {
+    val m = 60000000L
+    val dir = stageEvents(Seq(
+      (1L, 0L, 1L, "view", 1.0),
+      (2L, 1 * m, 1L, "view", 1.0),   // same state: merged into version 1
+      (3L, 2 * m, 1L, "click", 1.0),  // change: closes v1 at 2m
+      (4L, 3 * m, 1L, "view", 1.0),   // change back: A-B-A gives THREE versions
+      (5L, 0L, 2L, "error", 1.0)))    // other user isolated
+    val got = q("q119_scd2_dim").build(spark, dir)
+      .select("user_id", "state", "eff_from", "eff_to", "is_current")
+      .as[(Long, String, Timestamp, Option[Timestamp], Long)].collect().toSeq
+    def ts(micros: Long) = new Timestamp(micros / 1000)
+    got shouldBe Seq(
+      (1L, "view", ts(0L), Some(ts(2 * m)), 0L),
+      (1L, "click", ts(2 * m), Some(ts(3 * m)), 0L),
+      (1L, "view", ts(3 * m), None, 1L),
+      (2L, "error", ts(0L), None, 1L))
+  }
+
   test("q112: NTILE equal-height buckets — first buckets take the remainder") {
     val dir = Files.createTempDirectory("robuststats").toString
     (1L to 25L).map(i => (i, "x" * i.toInt, "en", "s0", i))
