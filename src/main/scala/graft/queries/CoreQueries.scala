@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{functions => gf}
@@ -524,6 +525,134 @@ object CoreQueries {
           round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4)
             .as("intercept"))
         .orderBy("l_returnflag")
+    },
+
+    // Data-quality audit (T77): the constraint census a warehouse runs
+    // before trusting a load — referential integrity (FK orphans both
+    // directions: dangling children AND unreferenced parents), primary
+    // key uniqueness, domain rules (non-positive quantities, blank
+    // names, empty documents) — one (check, violations, total, rate)
+    // row per rule.
+    // Scale note: per-table domain rules fold into ONE conditional
+    // aggregate per scan (no per-rule rescans); referential checks are
+    // key-projected anti-joins (ReadSchema is the key column only, so
+    // the shuffle ships keys, not rows) — the inherent cost of an
+    // integrity check, and AQE picks broadcast when a side is small.
+    QueryDef("q120_quality_audit",
+      """WITH li AS (
+        |  SELECT count(*) AS total,
+        |    sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS neg
+        |  FROM lineitem
+        |), ord AS (
+        |  SELECT count(*) AS total,
+        |    count(*) - count(DISTINCT o_orderkey) AS dups
+        |  FROM orders
+        |), cust AS (
+        |  SELECT count(*) AS total,
+        |    sum(CASE WHEN c_name IS NULL OR trim(c_name) = ''
+        |             THEN 1 ELSE 0 END) AS blank
+        |  FROM customer
+        |), doc AS (
+        |  SELECT count(*) AS total,
+        |    sum(CASE WHEN text IS NULL OR trim(text) = ''
+        |             THEN 1 ELSE 0 END) AS empty
+        |  FROM documents
+        |), part_total AS (SELECT count(*) AS total FROM part),
+        |orphan_li AS (
+        |  SELECT count(*) AS v FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                    WHERE o.o_orderkey = l.l_orderkey)
+        |), orphan_ord AS (
+        |  SELECT count(*) AS v FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                    WHERE c.c_custkey = o.o_custkey)
+        |), unref_cust AS (
+        |  SELECT count(*) AS v FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                    WHERE o.o_custkey = c.c_custkey)
+        |), unref_part AS (
+        |  SELECT count(*) AS v FROM part p
+        |  WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |                    WHERE l.l_partkey = p.p_partkey)
+        |), checks AS (
+        |  SELECT 'domain_lineitem_nonpos_qty' AS check_name,
+        |    li.neg AS violations, li.total FROM li
+        |  UNION ALL SELECT 'domain_customer_blank_name', cust.blank,
+        |    cust.total FROM cust
+        |  UNION ALL SELECT 'domain_documents_empty_text', doc.empty,
+        |    doc.total FROM doc
+        |  UNION ALL SELECT 'pk_orders_duplicate_keys', ord.dups,
+        |    ord.total FROM ord
+        |  UNION ALL SELECT 'fk_lineitem_orphan_orderkey', orphan_li.v,
+        |    li.total FROM orphan_li, li
+        |  UNION ALL SELECT 'fk_orders_orphan_custkey', orphan_ord.v,
+        |    ord.total FROM orphan_ord, ord
+        |  UNION ALL SELECT 'coverage_customers_no_orders', unref_cust.v,
+        |    cust.total FROM unref_cust, cust
+        |  UNION ALL SELECT 'coverage_parts_never_ordered', unref_part.v,
+        |    part_total.total FROM unref_part, part_total
+        |)
+        |SELECT check_name, CAST(violations AS BIGINT) AS violations,
+        |  total, round(violations * 1.0 / total, 6) AS rate
+        |FROM checks ORDER BY check_name""".stripMargin) { (s, dir) =>
+      def one(name: String, violations: DataFrame, total: DataFrame): DataFrame =
+        violations.withColumnRenamed(violations.columns.head, "violations")
+          .crossJoin(total.withColumnRenamed(total.columns.head, "total"))
+          .select(lit(name).as("check_name"),
+            col("violations").cast("long").as("violations"), col("total"))
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir)
+      val cust = Tables.customer(s, dir)
+      val doc = Tables.documents(s, dir)
+      val part = Tables.part(s, dir)
+      // Domain + PK rules: one conditional aggregate per table scan.
+      val liAgg = li.agg(count(lit(1)).as("total"),
+        sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("neg"))
+      val ordAgg = ord.agg(count(lit(1)).as("total"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dups"))
+      val custAgg = cust.agg(count(lit(1)).as("total"),
+        sum(when(col("c_name").isNull || trim(col("c_name")) === "", 1L)
+          .otherwise(0L)).as("blank"))
+      val docAgg = doc.agg(count(lit(1)).as("total"),
+        sum(when(col("text").isNull || trim(col("text")) === "", 1L)
+          .otherwise(0L)).as("empty"))
+      // Referential checks: key-only projections into anti/semi joins.
+      val orphanLi = li.select("l_orderkey")
+        .join(ord.select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)))
+      val orphanOrd = ord.select("o_custkey")
+        .join(cust.select("c_custkey"),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)))
+      val unrefCust = cust.select("c_custkey")
+        .join(ord.select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)))
+      val unrefPart = part.select("p_partkey")
+        .join(li.select("l_partkey"),
+          col("p_partkey") === col("l_partkey"), "left_anti")
+        .agg(count(lit(1)))
+      val checks = Seq(
+        one("domain_lineitem_nonpos_qty", liAgg.select("neg"),
+          liAgg.select("total")),
+        one("domain_customer_blank_name", custAgg.select("blank"),
+          custAgg.select("total")),
+        one("domain_documents_empty_text", docAgg.select("empty"),
+          docAgg.select("total")),
+        one("pk_orders_duplicate_keys", ordAgg.select("dups"),
+          ordAgg.select("total")),
+        one("fk_lineitem_orphan_orderkey", orphanLi, liAgg.select("total")),
+        one("fk_orders_orphan_custkey", orphanOrd, ordAgg.select("total")),
+        one("coverage_customers_no_orders", unrefCust,
+          custAgg.select("total")),
+        one("coverage_parts_never_ordered", unrefPart,
+          part.agg(count(lit(1)))))
+        .reduce(_ union _)
+      checks
+        .select(col("check_name"), col("violations"), col("total"),
+          round(col("violations") * lit(1.0) / col("total"), 6).as("rate"))
+        .orderBy("check_name")
     }
   )
 }

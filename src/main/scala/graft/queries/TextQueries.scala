@@ -2882,6 +2882,93 @@ object TextQueries {
         .agg(count(lit(1)).as("cnt"),
           min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
         .orderBy("source", "decile")
+    },
+
+    // TextRank keyword extraction (T78 — Mihalcea & Tarau 2004):
+    // weighted PageRank over the corpus bigram transition graph
+    // (nodes = tokens, edge u→v weighted by count of bigram "u v"),
+    // damping 0.85, three fixed power iterations from rank 1.0, top 25
+    // tokens. The graph reuses q86's ShingleTokens bigram stream; each
+    // iteration is one token-keyed join + hash aggregate.
+    // Determinism: per-iteration ranks round to 9 decimals in BOTH
+    // engines (contribution sums are float additions in engine-specific
+    // order; 1e-9 granularity absorbs the 1e-15-relative drift), final
+    // ranks to 6.
+    // Scale note: the transition table is data-bounded (distinct
+    // bigrams) and persisted ONCE (DataSized); rank state is one row
+    // per vocab token. Iterations shuffle on the token key every time —
+    // the inherent PageRank cost — but nothing here is ever
+    // corpus-sized: after the first aggregate all frames are
+    // vocab-bounded. Fixed iteration count keeps the plan static (no
+    // driver-side convergence loop reading results back).
+    QueryDef("q121_textrank", {
+      def contribCte(k: Int) =
+        s"""c$k AS (
+           |  SELECT m.dst, sum(m.p * r.rank) AS c
+           |  FROM norm m JOIN r${k - 1} r ON r.token = m.src GROUP BY m.dst
+           |), r$k AS (
+           |  SELECT n.token, round(0.15 + 0.85 * coalesce(c.c, 0), 9) AS rank
+           |  FROM nodes n LEFT JOIN c$k c ON c.dst = n.token
+           |)"""
+      s"""WITH docs AS (
+         |  SELECT list_filter(string_split_regex(trim(text), '\\s+'),
+         |         x -> x <> '') AS t
+         |  FROM documents
+         |), bg AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+         |    i -> t[i] || ' ' || t[i+1])) AS bigram
+         |  FROM docs WHERE len(t) >= 2
+         |), edges AS (
+         |  SELECT split_part(bigram, ' ', 1) AS src,
+         |    split_part(bigram, ' ', 2) AS dst,
+         |    CAST(count(*) AS DOUBLE) AS w
+         |  FROM bg GROUP BY 1, 2
+         |), outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+         |norm AS (
+         |  SELECT e.src, e.dst, e.w / o.ow AS p FROM edges e
+         |  JOIN outw o USING (src)
+         |), nodes AS (
+         |  SELECT src AS token FROM edges UNION SELECT dst FROM edges
+         |), r0 AS (SELECT token, 1.0 AS rank FROM nodes),
+         |${contribCte(1)},
+         |${contribCte(2)},
+         |${contribCte(3)}
+         |SELECT token, round(rank, 6) AS rank FROM r3
+         |ORDER BY rank DESC, token LIMIT 25""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.graft.CatalystBridge
+      val bg = Tables.documents(s, dir)
+        .repartition(col("doc_id"))
+        .select(explode(CatalystBridge.column(
+          graft.plans.ShingleTokens(
+            CatalystBridge.expr(trim(col("text"))), 2, dedupe = false)))
+          .as("bigram"))
+      val edges = bg
+        .groupBy(split_part(col("bigram"), lit(" "), lit(1)).as("src"),
+          split_part(col("bigram"), lit(" "), lit(2)).as("dst"))
+        .agg(count(lit(1)).cast("double").as("w"))
+      val outw = edges.groupBy("src").agg(sum("w").as("ow"))
+      val norm = graft.CacheRegistry.persistTracked(
+        edges.join(outw, "src")
+          .select(col("src"), col("dst"), (col("w") / col("ow")).as("p")),
+        graft.CacheRegistry.DataSized) // ≤ one row per distinct bigram
+      val nodes = graft.CacheRegistry.persistTracked(
+        norm.select(col("src").as("token"))
+          .union(norm.select(col("dst").as("token"))).distinct(),
+        graft.CacheRegistry.DataSized) // ≤ one row per vocab token
+      var r = nodes.withColumn("rank", lit(1.0))
+      (1 to 3).foreach { _ =>
+        val contrib = norm
+          .join(r.withColumnRenamed("token", "src"), "src")
+          .groupBy("dst").agg(sum(col("p") * col("rank")).as("c"))
+        r = nodes
+          .join(contrib.withColumnRenamed("dst", "token"), Seq("token"), "left")
+          .select(col("token"),
+            round(lit(0.15) + lit(0.85) * coalesce(col("c"), lit(0.0)), 9)
+              .as("rank"))
+      }
+      r.select(col("token"), round(col("rank"), 6).as("rank"))
+        .orderBy(desc("rank"), asc("token")).limit(25)
     }
   )
 
