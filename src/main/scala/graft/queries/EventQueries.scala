@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -539,6 +540,114 @@ object EventQueries {
           col("_tus"))
         .orderBy(col("user_id"), col("_tus"), col("state"))
         .drop("_tus")
+    },
+
+    // Strict ORDERED funnel (T79): view → click → signup → purchase,
+    // each step's earliest occurrence strictly AFTER the user's prior
+    // step (q40 counts co-occurrence per day; this enforces sequence).
+    // Per-step user counts, fraction of entry cohort, and step-to-step
+    // conversion.
+    // Scale note: each stage is a type-filtered user-keyed MIN
+    // aggregate joined to the prior stage on user_id — four aggregates
+    // and three joins ALL sharing the user_id shuffle key (AQE reuses
+    // the exchange); no per-user event list is ever collected, no
+    // window over the corpus. The 4-row census is driver-trivial.
+    QueryDef("q122_ordered_funnel",
+      """WITH v AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+        |  JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t
+        |  GROUP BY e.user_id
+        |), sg AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+        |  JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'signup' AND epoch_us(e.ts) > c.t
+        |  GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+        |  JOIN sg ON sg.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > sg.t
+        |  GROUP BY e.user_id
+        |), counts AS (
+        |  SELECT 1 AS step_no, 'view' AS step, count(*) AS users FROM v
+        |  UNION ALL SELECT 2, 'click', count(*) FROM c
+        |  UNION ALL SELECT 3, 'signup', count(*) FROM sg
+        |  UNION ALL SELECT 4, 'purchase', count(*) FROM p
+        |)
+        |SELECT CAST(step_no AS BIGINT) AS step_no, step, users,
+        |  round(users * 1.0 / max(users) OVER (), 6) AS frac_of_entry,
+        |  round(users * 1.0 /
+        |    coalesce(lag(users) OVER (ORDER BY step_no), users), 6)
+        |    AS step_conversion
+        |FROM counts ORDER BY step_no""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"))
+      def firstAfter(typ: String, prior: DataFrame): DataFrame =
+        ev.filter(col("event_type") === typ)
+          .join(prior.select(col("user_id"), col("t").as("prior_t")), "user_id")
+          .where(col("tus") > col("prior_t"))
+          .groupBy("user_id").agg(min(col("tus")).as("t"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("tus")).as("t"))
+      val c = firstAfter("click", v)
+      val sg = firstAfter("signup", c)
+      val p = firstAfter("purchase", sg)
+      def cnt(no: Int, name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("users"))
+          .select(lit(no).cast("long").as("step_no"),
+            lit(name).as("step"), col("users"))
+      val counts = cnt(1, "view", v).union(cnt(2, "click", c))
+        .union(cnt(3, "signup", sg)).union(cnt(4, "purchase", p))
+      val wAll = Window.partitionBy()
+      val wOrd = Window.orderBy("step_no")
+      counts
+        .select(col("step_no"), col("step"), col("users"),
+          round(col("users") * lit(1.0) / max("users").over(wAll), 6)
+            .as("frac_of_entry"),
+          round(col("users") * lit(1.0) /
+            coalesce(lag(col("users"), 1).over(wOrd), col("users")), 6)
+            .as("step_conversion"))
+        .orderBy("step_no")
+    },
+
+    // Event transition matrix (T80): the first-order Markov chain over
+    // each user's event sequence — count and row-normalized probability
+    // for every (state → next state) pair. The path-analysis /
+    // next-event-prediction primitive (and the chain the q122 funnel
+    // walks one branch of).
+    // Scale note: one user_id shuffle + per-user sort for the lead();
+    // everything after is bounded by |event_type|² (25 cells here), so
+    // the normalization join is over a constant-size frame.
+    QueryDef("q123_transition_matrix",
+      """WITH tr AS (
+        |  SELECT event_type AS src,
+        |    lead(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |      AS dst
+        |  FROM events
+        |), pairs AS (
+        |  SELECT src, dst, count(*) AS cnt FROM tr
+        |  WHERE dst IS NOT NULL GROUP BY src, dst
+        |), tot AS (SELECT src, sum(cnt) AS t FROM pairs GROUP BY src)
+        |SELECT p.src, p.dst, p.cnt, round(p.cnt * 1.0 / t.t, 6) AS prob
+        |FROM pairs p JOIN tot t USING (src)
+        |ORDER BY src, dst""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("_tus", "event_id")
+      val pairs = Tables.events(s, dir)
+        .withColumn("_tus", unix_micros(col("ts")))
+        .select(col("event_type").as("src"),
+          lead(col("event_type"), 1).over(w).as("dst"))
+        .where(col("dst").isNotNull)
+        .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+      val tot = pairs.groupBy("src").agg(sum("cnt").as("t"))
+      pairs.join(tot, "src")
+        .select(col("src"), col("dst"), col("cnt"),
+          round(col("cnt") * lit(1.0) / col("t"), 6).as("prob"))
+        .orderBy("src", "dst")
     }
   )
 

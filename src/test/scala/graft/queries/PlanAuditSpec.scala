@@ -101,7 +101,10 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
     // frame (√N under production sizing), the q42 pattern with the
     // corpus as the probe side; the candidate join itself is an
     // equi-join on bucket.
-    "q114_knn_graph")
+    "q114_knn_graph",
+    // q120: each audit row crosses a 1-row violation count onto a
+    // 1-row total count (the q68 lazy-totals pattern, eight times).
+    "q120_quality_audit")
 
   test("suite-wide: nested-loop joins only as broadcast builds of bounded frames") {
     val offenders = SparkEntry.allDefs.flatMap { d =>

@@ -176,6 +176,45 @@ class RobustStatsSpec extends SparkSpec {
       (2L, "error", ts(0L), None, 1L))
   }
 
+  test("q122: ordered funnel requires each step strictly AFTER the prior step") {
+    val m = 60000000L
+    val dir = stageEvents(Seq(
+      // user 1: full ordered path.
+      (1L, 0L, 1L, "view", 0.0), (2L, 1 * m, 1L, "click", 0.0),
+      (3L, 2 * m, 1L, "signup", 0.0), (4L, 3 * m, 1L, "purchase", 0.0),
+      // user 2: click BEFORE view — the later signup must NOT count
+      // (no click-after-view exists; the chain is broken at step 2).
+      (5L, 0L, 2L, "click", 0.0), (6L, 1 * m, 2L, "view", 0.0),
+      (7L, 2 * m, 2L, "signup", 0.0),
+      // user 3: skips signup — purchase must NOT count.
+      (8L, 0L, 3L, "view", 0.0), (9L, 1 * m, 3L, "click", 0.0),
+      (10L, 2 * m, 3L, "purchase", 0.0)))
+    val got = q("q122_ordered_funnel").build(spark, dir)
+      .select("step", "users", "frac_of_entry", "step_conversion")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    got shouldBe Seq(
+      ("view", 3L, 1.0, 1.0),
+      ("click", 2L, 0.666667, 0.666667),
+      ("signup", 1L, 0.333333, 0.5),
+      ("purchase", 1L, 0.333333, 1.0))
+  }
+
+  test("q123: transition matrix row-normalizes over each source state") {
+    val m = 60000000L
+    val dir = stageEvents(Seq(
+      (1L, 0L, 1L, "view", 0.0), (2L, 1 * m, 1L, "click", 0.0),
+      (3L, 2 * m, 1L, "signup", 0.0),
+      (4L, 0L, 2L, "view", 0.0), (5L, 1 * m, 2L, "click", 0.0),
+      (6L, 0L, 3L, "view", 0.0), (7L, 1 * m, 3L, "signup", 0.0)))
+    val got = q("q123_transition_matrix").build(spark, dir)
+      .select("src", "dst", "cnt", "prob")
+      .as[(String, String, Long, Double)].collect().toSeq
+    got shouldBe Seq(
+      ("click", "signup", 1L, 1.0), // click is src of exactly one pair
+      ("view", "click", 2L, 0.666667),
+      ("view", "signup", 1L, 0.333333))
+  }
+
   test("q112: NTILE equal-height buckets — first buckets take the remainder") {
     val dir = Files.createTempDirectory("robuststats").toString
     (1L to 25L).map(i => (i, "x" * i.toInt, "en", "s0", i))
