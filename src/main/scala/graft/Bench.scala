@@ -74,7 +74,13 @@ object Bench {
     // plan/shuffle cost (cache is cleared between runs, so run 2+ is
     // warm-JIT but not warm-data).
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
-    val results = SparkEntry.allDefs.map { d =>
+    // Dev-only subset filter (comma-separated names), mirroring
+    // Verify's knob; the driver sets no filter and times every query.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.allDefs
+      .filter(d => only.forall(_.contains(d.name)))
+      .map { d =>
       var failures = 0
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
