@@ -124,6 +124,59 @@ object EventStreams {
   // ---- custom state: sessionization via flatMapGroupsWithState ----------
 
   final case class Event(user_id: Long, event_id: Long, ts: Timestamp)
+
+  /** Input row of [[scd2Versions]]. */
+  final case class TypedEvent(user_id: Long, event_id: Long, ts: Timestamp,
+      event_type: String)
+
+  /** The ONE open version per user [[scd2Versions]] holds as state —
+    * public for Spark's encoder codegen (the BudgetState precedent). */
+  final case class OpenVersion(state: String, fromMs: Long)
+
+  /** A CLOSED version row emitted by [[scd2Versions]]. */
+  final case class VersionOut(user_id: Long, state: String,
+      eff_from: Timestamp, eff_to: Timestamp)
+
+  /** Streaming SCD Type-2 dimension maintenance — the arrival-order
+    * twin of q119's batch islands build: per user, ONE open
+    * (state, effective-from) version lives in state; an arriving event
+    * whose type differs CLOSES it (emit, append-mode) and opens the
+    * next. Equal-type arrivals extend the open version silently.
+    *
+    * Contract vs the batch twin: emits exactly q119's `is_current = 0`
+    * rows (append mode cannot retract, so the still-open version stays
+    * in state, not in the output) provided each user's events arrive
+    * in event-time order across micro-batches; within a micro-batch
+    * arrival order is repaired by a (ts, event_id) sort of the group's
+    * rows. State is one (String, Long) per user — user-cardinality-
+    * bounded, never event-bounded, so no timeout is needed (the
+    * tokenBudgetGate sizing argument). */
+  def scd2Versions(events: Dataset[TypedEvent])(
+      implicit spark: SparkSession): Dataset[VersionOut] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenVersion, VersionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[TypedEvent],
+         state: GroupState[OpenVersion]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = Seq.newBuilder[VersionOut]
+          var open = state.getOption
+          sorted.foreach { e =>
+            open match {
+              case None =>
+                open = Some(OpenVersion(e.event_type, e.ts.getTime))
+              case Some(v) if v.state != e.event_type =>
+                out += VersionOut(userId, v.state,
+                  new Timestamp(v.fromMs), e.ts)
+                open = Some(OpenVersion(e.event_type, e.ts.getTime))
+              case Some(_) => () // same state: the open version extends
+            }
+          }
+          open.foreach(state.update)
+          out.result().iterator
+      }
+  }
   final case class SessionState(start: Long, last: Long, count: Long)
   final case class SessionOut(user_id: Long, session_start: Timestamp,
       cnt: Long)

@@ -208,4 +208,40 @@ class EventStreamsSpec extends SparkSpec {
       (2L, ts("2026-01-01 00:45:00"), 1L),
       (2L, ts("2026-01-01 02:30:00"), 1L))
   }
+
+  test("streaming SCD2 emits exactly the batch twin's CLOSED versions across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val ss = spark
+    val mem = MemoryStream[(Long, Long, Timestamp, String)]
+    val versions = EventStreams.scd2Versions(
+      mem.toDF().toDF("user_id", "event_id", "ts", "event_type")
+        .as[EventStreams.TypedEvent])
+    val q = versions.writeStream.format("memory").queryName("scd2s")
+      .outputMode(OutputMode.Append()).start()
+    // Micro-batch 1: user 1 view→view (extends)→click; user 2 error.
+    // Batch 2 (out of order WITHIN the batch, repaired by the group
+    // sort): user 1 back to view — the A-B-A third version opens;
+    // user 2's state persists ACROSS batches (no close emitted).
+    mem.addData(Seq(
+      (1L, 1L, ts("2026-01-01 00:00:00"), "view"),
+      (1L, 2L, ts("2026-01-01 00:01:00"), "view"),
+      (1L, 3L, ts("2026-01-01 00:02:00"), "click"),
+      (2L, 4L, ts("2026-01-01 00:00:00"), "error")))
+    q.processAllAvailable()
+    mem.addData(Seq(
+      (1L, 6L, ts("2026-01-01 00:04:00"), "view"),
+      (1L, 5L, ts("2026-01-01 00:03:00"), "click"),
+      (2L, 7L, ts("2026-01-01 00:05:00"), "error")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("scd2s")
+      .orderBy("user_id", "eff_from")
+      .as[(Long, String, Timestamp, Timestamp)].collect()
+    // Only CLOSED versions appear: user 1's view [00:00,00:02) and
+    // click [00:02,00:04); the reopened view and user 2's error are
+    // still current (in state, not output).
+    got shouldBe Array(
+      (1L, "view", ts("2026-01-01 00:00:00"), ts("2026-01-01 00:02:00")),
+      (1L, "click", ts("2026-01-01 00:02:00"), ts("2026-01-01 00:04:00")))
+  }
 }
