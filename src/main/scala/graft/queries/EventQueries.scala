@@ -300,21 +300,23 @@ object EventQueries {
         |ORDER BY event_type""".stripMargin) { (s, dir) =>
       val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
 
-      // Exact interpolated p50 of `c` per event_type, sort-based.
+      // Exact interpolated p50 of `c` per event_type. Round 10 swapped
+      // the windowed row_number sort (ONE task per type — parallelism
+      // = key cardinality, the 100 TB chokepoint) for histogram-
+      // refinement selection: every corpus-sized pass is a parallel
+      // scan, only the located target buckets (expected n/4096 rows)
+      // ever sort. Same quantile_cont(0.5) contract, spec-pinned.
+      // Decide the path ONCE from the clean events-scan stats and pin
+      // it for both passes — the MAD pass's input is a broadcast-join
+      // of the median onto the same scan, whose Catalyst size estimate
+      // inflates ~45× and would misroute the choice.
+      val useHistogram = Some(
+        ev.queryExecution.optimizedPlan.stats.sizeInBytes >
+          graft.operators.RobustStats.SortPathMaxBytes)
       def medianOf(df: org.apache.spark.sql.DataFrame, c: String,
-          out: String): org.apache.spark.sql.DataFrame = {
-        val cnt = df.groupBy("event_type").agg(count(lit(1)).as("_n"))
-        val w = Window.partitionBy("event_type").orderBy(col(c))
-        df.withColumn("_rn", row_number().over(w))
-          .join(broadcast(cnt), "event_type")
-          // quantile_cont(0.5): position p = (n-1)/2 (0-based) — take
-          // floor(p)+1 and ceil(p)+1 (1-based ranks), lo + (hi-lo)*0.5.
-          // (Spark's `/` on integers is double division — floor() it.)
-          .filter(col("_rn") === floor((col("_n") + 1) / lit(2.0)) ||
-            col("_rn") === floor((col("_n") + 2) / lit(2.0)))
-          .groupBy("event_type")
-          .agg((min(col(c)) + (max(col(c)) - min(col(c))) * 0.5).as(out))
-      }
+          out: String): org.apache.spark.sql.DataFrame =
+        graft.operators.RobustStats.medianByKey(df, "event_type", c, out,
+          histogram = useHistogram)
 
       val med = medianOf(ev, "value", "med")
       val dev = ev.join(broadcast(med), "event_type")

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** [[RobustStats.medianByKey]] — the histogram-refinement exact median
+  * — against the naive sort-based definition on crafted and fuzzed
+  * inputs (the q113 oracle gates it cross-engine; this pins operator
+  * semantics standalone, including the degenerate shapes the synthetic
+  * table never produces). */
+class RobustStatsOpSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def naive(rows: Seq[(String, Double)]): Map[String, Double] =
+    rows.groupBy(_._1).map { case (k, vs) =>
+      val s = vs.map(_._2).sorted
+      val n = s.length
+      val lo = s((n - 1) / 2)
+      val hi = s(n / 2)
+      k -> (lo + (hi - lo) * 0.5)
+    }
+
+  /** byte-threshold 0 forces the histogram path; MaxValue the sort path. */
+  private def got(rows: Seq[(String, Double)], buckets: Int = 4096,
+      threshold: Long = 0L): Map[String, Double] =
+    RobustStats.medianByKey(rows.toDF("k", "v"), "k", "v",
+        buckets = buckets, sortPathMaxBytes = threshold)
+      .as[(String, Double)].collect().toMap
+
+  test("odd and even group sizes, hand-checked, BOTH paths") {
+    val rows = Seq("a" -> 1.0, "a" -> 9.0, "a" -> 5.0, // odd: 5
+      "b" -> 1.0, "b" -> 2.0, "b" -> 3.0, "b" -> 10.0) // even: 2.5
+    got(rows) shouldBe Map("a" -> 5.0, "b" -> 2.5)
+    got(rows, threshold = Long.MaxValue) shouldBe
+      Map("a" -> 5.0, "b" -> 2.5)
+  }
+
+  test("single-row, constant, and duplicate-heavy groups (histogram path)") {
+    val rows = Seq("one" -> 7.0) ++
+      (1 to 100).map(_ => "const" -> 3.3) ++
+      (Seq.fill(50)(1.0) ++ Seq.fill(50)(2.0)).map("dup" -> _)
+    val g = got(rows)
+    g("one") shouldBe 7.0
+    g("const") shouldBe 3.3
+    g("dup") shouldBe 1.5 // ranks 50/51 straddle the two plateaus
+  }
+
+  test("fuzz parity: sort path, histogram path, and the naive definition agree") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 3000).map { _ =>
+      (s"k${rnd.nextInt(7)}",
+        // mix of spread, clustered, and repeated values
+        rnd.nextInt(4) match {
+          case 0 => rnd.nextDouble() * 1e6 - 5e5
+          case 1 => rnd.nextInt(10).toDouble
+          case _ => 42.0 + rnd.nextDouble() * 1e-6
+        })
+    }
+    val expect = naive(rows)
+    // buckets=4 forces multi-row target buckets and boundary targets.
+    val hist = got(rows, buckets = 4)
+    val sorted = got(rows, threshold = Long.MaxValue)
+    hist.keySet shouldBe expect.keySet
+    hist.foreach { case (k, v) => v shouldBe expect(k) +- 1e-12 }
+    sorted shouldBe hist
+  }
+
+  test("nulls are ignored; all-null keys are absent") {
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
+      ("gone", None)).toDF("k", "v")
+    val g = RobustStats.medianByKey(df, "k", "v")
+      .as[(String, Double)].collect().toMap
+    g shouldBe Map("a" -> 2.0)
+  }
+}
