@@ -5,8 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact per-key order statistics WITHOUT a per-key sort — the scale
-  * path for grouped medians when the key cardinality is far below the
-  * row count (q113's five event types over a 100 TB event log).
+  * path for grouped quantiles when the key cardinality is far below
+  * the row count (q113's five event types over a 100 TB event log).
   *
   * The naive exact shape — `row_number() OVER (PARTITION BY key ORDER
   * BY value)` — sorts every group in ONE task: parallelism equals the
@@ -22,11 +22,12 @@ import org.apache.spark.sql.functions._
   *      equal-width cells — the shuffle key space is keys × buckets,
   *      data-volume-independent;
   *   3. per-key cumulative counts over the HISTOGRAM (tiny window)
-  *      locate the bucket holding each target rank and the rank's
-  *      offset within it;
+  *      locate the bucket holding every target rank (ALL requested
+  *      quantiles share the one histogram) and each rank's offset
+  *      within its bucket;
   *   4. one scan: keep only rows landing in a target bucket
-  *      (expected group_n / buckets rows per key), rank those few
-  *      within (key, bucket), pick the target rows.
+  *      (expected group_n / buckets rows per key and rank), rank
+  *      those few within (key, bucket), pick the target rows.
   *
   * Every corpus-sized pass is a parallel scan; the only sorts touch
   * the target buckets. Exactness does not depend on float bucket
@@ -38,26 +39,36 @@ import org.apache.spark.sql.functions._
   *
   * BELOW the threshold the windowed-sort path runs instead: at toy
   * group sizes the histogram's extra stages cost more than the
-  * single-task sorts they parallelize (measured: q113 at the sf1x
+  * single-task sorts they parallelize (measured on q113: the sf1x
   * probe is 2.9 s sorted vs 5.2 s histogrammed, while sf10x is 16.1 s
-  * sorted vs 9.1 s histogrammed). The decision reads Catalyst's
+  * sorted vs 9.7 s histogrammed). The decision reads Catalyst's
   * `optimizedPlan.stats.sizeInBytes` — free at plan time, no job (the
   * TopKRewriteRule child-stats precedent) — so BOTH paths stay fully
-  * lazy. Both compute the identical interpolated p50; the spec pins
+  * lazy. Both compute identical interpolated quantiles; the spec pins
   * their parity.
   */
 object RobustStats {
 
-  /** Plan-stats bytes above which [[medianByKey]] abandons the
-    * windowed per-key sort. 16 MB of (key, value) input per the
-    * measured crossover (sf1x's 5.5 MB scan: sort 2.9 s vs histogram
-    * 5.2 s; sf10x's 55 MB scan: sort 16.1 s vs histogram 9.1 s). */
+  /** Plan-stats bytes above which the per-key windowed sort is
+    * abandoned. 16 MB of (key, value) input per the measured crossover
+    * (sf1x's 5.5 MB scan: sort 2.9 s vs histogram 5.2 s; sf10x's
+    * 55 MB scan: sort 16.1 s vs histogram 9.7 s). */
   val SortPathMaxBytes: Long = 16L << 20
 
-  /** Exact interpolated p50 (SQL `median` / `quantile_cont(0.5)`) of
-    * `valCol` per `keyCol`: lo + (hi − lo) · 0.5 over the two middle
-    * ranks. Returns (`keyCol`, `out`). Null values are ignored (SQL
-    * aggregate semantics); keys whose values are all null are absent.
+  /** Exact interpolated p50 — [[quantilesByKey]] at p = 0.5. */
+  def medianByKey(df: DataFrame, keyCol: String, valCol: String,
+      out: String = "median", buckets: Int = 4096,
+      sortPathMaxBytes: Long = SortPathMaxBytes,
+      histogram: Option[Boolean] = None): DataFrame =
+    quantilesByKey(df, keyCol, valCol, Seq(0.5 -> out), buckets,
+      sortPathMaxBytes, histogram)
+
+  /** Exact interpolated quantiles (SQL `quantile_cont`) of `valCol`
+    * per `keyCol`, ALL probes in one pass: for each `(p, outName)` the
+    * 0-based position is p·(n−1); the result interpolates the two
+    * straddling ranks, v_lo + (v_hi − v_lo)·frac. Returns (`keyCol`,
+    * outNames…). Null values are ignored (SQL aggregate semantics);
+    * keys whose values are all null are absent.
     *
     * `histogram = None` decides the path from this frame's OWN
     * `optimizedPlan.stats.sizeInBytes` (free at plan time, no job —
@@ -65,13 +76,16 @@ object RobustStats {
     * should pass the decision explicitly (`Some(…)` from the
     * UNDERLYING scan's stats): Catalyst's join size estimates inflate
     * multiplicatively, which would misroute the choice — q113's MAD
-    * pass (a broadcast-join of the median onto the same scan) shows
-    * a 45× inflation. */
-  def medianByKey(df: DataFrame, keyCol: String, valCol: String,
-      out: String = "median", buckets: Int = 4096,
+    * pass (a broadcast-join of the median onto the same scan) shows a
+    * 45× inflation. */
+  def quantilesByKey(df: DataFrame, keyCol: String, valCol: String,
+      probes: Seq[(Double, String)], buckets: Int = 4096,
       sortPathMaxBytes: Long = SortPathMaxBytes,
       histogram: Option[Boolean] = None): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    require(probes.nonEmpty, "at least one quantile probe is required")
+    probes.foreach { case (p, _) =>
+      require(p >= 0.0 && p <= 1.0, s"quantile p must be in [0, 1]: $p") }
     val rows = df.select(col(keyCol).as("_k"), col(valCol).as("_v"))
       .filter(col("_v").isNotNull)
     val stats = broadcast(rows.groupBy("_k").agg(count(lit(1)).as("_n"),
@@ -79,19 +93,60 @@ object RobustStats {
     val useHistogram = histogram.getOrElse(
       rows.queryExecution.optimizedPlan.stats.sizeInBytes > sortPathMaxBytes)
 
+    // Per-probe straddling 1-based ranks and interpolation fraction:
+    // pos = p·(n−1) (0-based) ⇒ lo-rank floor(pos)+1, hi-rank
+    // ceil(pos)+1, frac = pos − floor(pos). frac is a function of n
+    // only — it rides the stats frame, not the data.
+    def lowRank(p: Double) =
+      (floor(lit(p) * (col("_n") - 1)) + 1).cast("long")
+    def highRank(p: Double) =
+      (ceil(lit(p) * (col("_n") - 1)) + 1).cast("long")
+    def frac(p: Double) =
+      lit(p) * (col("_n") - 1) - floor(lit(p) * (col("_n") - 1))
+
+    // One output column per probe from a picked-rank value table
+    // (_k, _pi, _which ∈ {1 lo, 2 hi}, _v): pivot the picked values,
+    // then interpolate with the stats-frame frac (frac depends only
+    // on n, so it joins back from the broadcast stats).
+    def assemble(picked: DataFrame): DataFrame = {
+      val aggs = probes.indices.flatMap { pi => Seq(
+        min(when(col("_pi") === pi && col("_which") === 1, col("_v")))
+          .as(s"_lo$pi"),
+        min(when(col("_pi") === pi && col("_which") === 2, col("_v")))
+          .as(s"_hi$pi")) }
+      val base = picked.groupBy("_k").agg(aggs.head, aggs.tail: _*)
+        .join(stats, "_k")
+      val outs = probes.zipWithIndex.map { case ((p, outName), pi) =>
+        (col(s"_lo$pi") + (col(s"_hi$pi") - col(s"_lo$pi")) * frac(p))
+          .as(outName) }
+      base.select(col("_k").as(keyCol) +: outs: _*)
+    }
+
+    // Tag a ranked row with every (probe, side) it satisfies — a row
+    // can be BOTH a probe's lo and hi rank (integral position), or
+    // serve several probes at once; null tags drop after the explode.
+    def tagRanks(ranked: DataFrame): DataFrame = {
+      val tags = array(probes.zipWithIndex.flatMap { case ((p, _), pi) =>
+        Seq(
+          when(col("_rn") === lowRank(p),
+            struct(lit(pi).as("_pi"), lit(1).as("_which"))),
+          when(col("_rn") === highRank(p),
+            struct(lit(pi).as("_pi"), lit(2).as("_which"))))
+      }: _*)
+      ranked.select(col("_k"), col("_v"), explode(tags).as("_t"))
+        .filter(col("_t").isNotNull)
+        .select(col("_k"), col("_t._pi").as("_pi"),
+          col("_t._which").as("_which"), col("_v"))
+    }
+
     if (!useHistogram) {
       // Windowed-sort path: one task per key — fine while the input
       // (an upper bound on the largest group) fits a task's sort
-      // budget.
+      // budget. ONE window pass serves every probe.
       val w = Window.partitionBy("_k").orderBy("_v")
-      rows.withColumn("_rn", row_number().over(w))
+      val ranked = rows.withColumn("_rn", row_number().over(w))
         .join(stats, "_k")
-        .filter(col("_rn") === floor((col("_n") + 1) / lit(2.0)) ||
-          col("_rn") === floor((col("_n") + 2) / lit(2.0)))
-        .groupBy("_k")
-        .agg((min(col("_v")) + (max(col("_v")) - min(col("_v"))) * 0.5)
-          .as(out))
-        .withColumnRenamed("_k", keyCol)
+      assemble(tagRanks(ranked))
     } else {
       // Equal-width bucket id in [0, buckets). Width 0 (constant
       // group) pins everything to bucket 0.
@@ -104,15 +159,16 @@ object RobustStats {
         .withColumn("_b", bucketOf(col("_v")))
       val hist = bucketed.groupBy("_k", "_b").agg(count(lit(1)).as("_c"))
 
-      // The two middle 1-based ranks of each key (equal when n odd).
-      val ks = stats.select(col("_k"), col("_n"),
-          floor((col("_n") + 1) / lit(2.0)).cast("long").as("_k1"),
-          floor((col("_n") + 2) / lit(2.0)).cast("long").as("_k2"))
-        .select(col("_k"), explode(array(
-          struct(col("_k1").as("_rank"), lit(1).as("_which")),
-          struct(col("_k2").as("_rank"), lit(2).as("_which")))).as("_t"))
+      // Every probe's two ranks, tagged (probe index, which side).
+      val ks = stats.select(col("_k"), explode(array(
+          probes.zipWithIndex.flatMap { case ((p, _), pi) =>
+            Seq(struct(lowRank(p).as("_rank"), lit(pi).as("_pi"),
+                lit(1).as("_which")),
+              struct(highRank(p).as("_rank"), lit(pi).as("_pi"),
+                lit(2).as("_which")))
+          }: _*)).as("_t"))
         .select(col("_k"), col("_t._rank").as("_rank"),
-          col("_t._which").as("_which"))
+          col("_t._pi").as("_pi"), col("_t._which").as("_which"))
 
       // Locate each target rank's bucket + in-bucket offset on the
       // HISTOGRAM (keys × buckets rows — the window is over tiny
@@ -125,7 +181,7 @@ object RobustStats {
           col("_rank") <= col("_cum"))
         .select(col("_k"), col("_b"),
           (col("_rank") - (col("_cum") - col("_c"))).as("_local"),
-          col("_which"))
+          col("_pi"), col("_which"))
 
       // Keep only target-bucket rows, rank them within (key, bucket) —
       // expected n/buckets rows per key — and pick the targets. Tie
@@ -136,12 +192,8 @@ object RobustStats {
       val picked = bucketed.join(broadcast(tb), Seq("_k", "_b"), "left_semi")
         .withColumn("_local", row_number().over(wr))
         .join(broadcast(targets), Seq("_k", "_b", "_local"))
-
-      picked.groupBy("_k")
-        .agg((min(when(col("_which") === 1, col("_v"))) +
-          (min(when(col("_which") === 2, col("_v"))) -
-            min(when(col("_which") === 1, col("_v")))) * 0.5).as(out))
-        .withColumnRenamed("_k", keyCol)
+        .select(col("_k"), col("_pi"), col("_which"), col("_v"))
+      assemble(picked)
     }
   }
 }

@@ -334,6 +334,49 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    // Tukey-fence outlier census (T82): per-type exact interpolated
+    // quartiles → IQR fences at 1.5·IQR — the box-plot robust-outlier
+    // rule, complementing q113's MAD rule. BOTH quartiles come from
+    // ONE RobustStats.quantilesByKey pass (the multi-probe selection:
+    // one histogram serves every requested rank), so this costs one
+    // median-extraction, not two.
+    // Scale note: same contract as q113 — above the stats threshold no
+    // per-key sort exists anywhere; below it the toy-scale windowed
+    // path runs. Path pinned once from the clean scan stats.
+    QueryDef("q124_iqr_fences",
+      """WITH qs AS (
+        |  SELECT event_type, quantile_cont(value, 0.25) AS q1,
+        |    quantile_cont(value, 0.75) AS q3
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT e.event_type, count(*) AS n,
+        |  round(q.q1, 6) AS q1, round(q.q3, 6) AS q3,
+        |  CAST(sum(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+        |                  OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS fence_outliers
+        |FROM events e JOIN qs q USING (event_type)
+        |GROUP BY e.event_type, q.q1, q.q3
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val useHistogram = Some(
+        ev.queryExecution.optimizedPlan.stats.sizeInBytes >
+          graft.operators.RobustStats.SortPathMaxBytes)
+      val qs = graft.operators.RobustStats.quantilesByKey(
+        ev, "event_type", "value", Seq(0.25 -> "q1", 0.75 -> "q3"),
+        histogram = useHistogram)
+      val iqr = col("q3") - col("q1")
+      ev.join(broadcast(qs), "event_type")
+        .groupBy("event_type", "q1", "q3")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") < col("q1") - lit(1.5) * iqr ||
+            col("value") > col("q3") + lit(1.5) * iqr, 1L).otherwise(0L))
+            .as("fence_outliers"))
+        .select(col("event_type"), col("n"),
+          round(col("q1"), 6).as("q1"), round(col("q3"), 6).as("q3"),
+          col("fence_outliers"))
+        .orderBy("event_type")
+    },
+
     // Last-observation-carried-forward gap fill (T72): 'error' events
     // carry no meaningful reading — treat their value as missing and
     // fill each user's timeline with the last non-null observation

@@ -65,6 +65,33 @@ class RobustStatsOpSpec extends SparkSpec {
     sorted shouldBe hist
   }
 
+  test("quantilesByKey: multi-probe one-pass selection matches quantile_cont, BOTH paths") {
+    def naiveQ(s: Seq[Double], p: Double): Double = {
+      val v = s.sorted
+      val pos = p * (v.length - 1)
+      val lo = v(math.floor(pos).toInt)
+      val hi = v(math.ceil(pos).toInt)
+      lo + (hi - lo) * (pos - math.floor(pos))
+    }
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 2000).map(_ =>
+      (s"k${rnd.nextInt(5)}", rnd.nextDouble() * 1000 - 500))
+    val probes = Seq(0.0 -> "p00", 0.25 -> "p25", 0.5 -> "p50",
+      0.75 -> "p75", 1.0 -> "p100")
+    val expect = rows.groupBy(_._1).map { case (k, vs) =>
+      k -> probes.map { case (p, _) => naiveQ(vs.map(_._2), p) } }
+    for (threshold <- Seq(0L, Long.MaxValue)) {
+      val g = RobustStats.quantilesByKey(rows.toDF("k", "v"), "k", "v",
+          probes, buckets = 8, sortPathMaxBytes = threshold)
+        .as[(String, Double, Double, Double, Double, Double)]
+        .collect().map(r => r._1 -> Seq(r._2, r._3, r._4, r._5, r._6))
+        .toMap
+      g.keySet shouldBe expect.keySet
+      g.foreach { case (k, qs) =>
+        qs.zip(expect(k)).foreach { case (a, b) => a shouldBe b +- 1e-9 } }
+    }
+  }
+
   test("nulls are ignored; all-null keys are absent") {
     val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
       ("gone", None)).toDF("k", "v")

@@ -176,6 +176,19 @@ class RobustStatsSpec extends SparkSpec {
       (2L, "error", ts(0L), None, 1L))
   }
 
+  test("q124: hand-computed quartiles and Tukey fences, one wild value") {
+    val m = 60000000L
+    // 1..10 plus 100: q1 = 3.5 (pos 2.5), q3 = 8.5 (pos 7.5), IQR 5,
+    // fences [-4, 16] — only the 100 is outside.
+    val dir = stageEvents(
+      ((1 to 10).map(i => (i.toLong, i * m, 1L, "t", i.toDouble)) :+
+        ((11L, 11 * m, 1L, "t", 100.0))))
+    val got = q("q124_iqr_fences").build(spark, dir)
+      .select("event_type", "n", "q1", "q3", "fence_outliers")
+      .as[(String, Long, Double, Double, Long)].collect().toSeq
+    got shouldBe Seq(("t", 11L, 3.5, 8.5, 1L))
+  }
+
   test("q122: ordered funnel requires each step strictly AFTER the prior step") {
     val m = 60000000L
     val dir = stageEvents(Seq(
