@@ -303,6 +303,51 @@ object TextQueries {
       lshPairs(s, dir).orderBy("doc_a", "doc_b")
     },
 
+    // Fuzzy (edit-distance) dedup census (T83): the LSH candidate
+    // stream (q28's banded minhash — candidate volume bounded by
+    // bucket sizes, never all-pairs) verified by Levenshtein distance
+    // over a NORMALIZED 80-char prefix — the bounded-cost verify
+    // production fuzzy-dedup runs on titles/keys (full-document edit
+    // distance is O(len²) per pair and never ships). Pairs census by
+    // distance band.
+    // Scale note: two doc_id equi-joins fetch the prefix for each
+    // side of the bounded candidate stream; per-pair work is
+    // O(80²) constant. Census output is 4 rows.
+    QueryDef("q125_fuzzy_dedup",
+      s"""$lshPairsSql, px AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |    levenshtein(substr(trim(ta.text), 1, 80),
+         |                substr(trim(tb.text), 1, 80)) AS d
+         |  FROM pairs p
+         |  JOIN documents ta ON ta.doc_id = p.doc_a
+         |  JOIN documents tb ON tb.doc_id = p.doc_b
+         |)
+         |SELECT CASE WHEN d = 0 THEN 'exact' WHEN d <= 2 THEN 'near'
+         |            WHEN d <= 8 THEN 'close' ELSE 'far' END AS band,
+         |  count(*) AS pairs,
+         |  CAST(min(d) AS BIGINT) AS min_d, CAST(max(d) AS BIGINT) AS max_d
+         |FROM px GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val prefix = Tables.documents(s, dir)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"),
+          substring(trim(col("text")), 1, 80).as("pfx"))
+      val d = lshPairs(s, dir)
+        .join(prefix.select(col("doc_id").as("doc_a"), col("pfx").as("pa")),
+          "doc_a")
+        .join(prefix.select(col("doc_id").as("doc_b"), col("pfx").as("pb")),
+          "doc_b")
+        .select(levenshtein(col("pa"), col("pb")).as("d"))
+      d.select(
+          when(col("d") === 0, "exact").when(col("d") <= 2, "near")
+            .when(col("d") <= 8, "close").otherwise("far").as("band"),
+          col("d"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("pairs"),
+          min("d").cast("long").as("min_d"),
+          max("d").cast("long").as("max_d"))
+        .orderBy("band")
+    },
+
     // SimHash fingerprints: per-bit majority vote over token hashes.
     QueryDef("q29_simhash",
       s"WITH $simhashFpSql\nSELECT doc_id, simhash FROM fp ORDER BY doc_id") { (s, dir) =>

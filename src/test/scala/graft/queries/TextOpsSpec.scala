@@ -87,4 +87,19 @@ class TextOpsSpec extends SparkSpec {
     got(6L) shouldBe (BigDecimal(1.0 / 6).setScale(6,
       BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  test("q125: exact-dup LSH pairs land in the 'exact' band with the full pair count") {
+    // Three byte-identical docs (guaranteed LSH collision — identical
+    // minhash signatures) → C(3,2)=3 candidate pairs at edit distance
+    // 0; the two distinct long docs share no shingles with them.
+    val same = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val dir = stage(Seq(
+      (1L, same), (2L, same), (3L, same),
+      (4L, "one two three four five six seven eight nine ten"),
+      (5L, "red green blue cyan magenta yellow black white gray pink")))
+    val got = q("q125_fuzzy_dedup").build(spark, dir)
+      .select("band", "pairs", "min_d", "max_d")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    got.filter(_._1 == "exact") shouldBe Seq(("exact", 3L, 0L, 0L))
+  }
 }
