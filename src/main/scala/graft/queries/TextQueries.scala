@@ -135,8 +135,14 @@ object TextQueries {
 
   /** Spark-side LSH candidate pairs `(doc_a, doc_b)`, doc_a < doc_b —
     * the body shared by q28 and q64. */
-  private def lshPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = shingled(Tables.documents(s, dir))
+  private def lshPairs(s: SparkSession, dir: String): DataFrame =
+    lshPairsFrom(Tables.documents(s, dir))
+
+  /** [[lshPairs]] over an arbitrary (doc_id, text) frame — q125 feeds
+    * DISTINCT-TEXT representatives through the same pipeline, so the
+    * banding cost tracks distinct content, not corpus rows. */
+  private def lshPairsFrom(docs: DataFrame): DataFrame = {
+    val sig = shingled(docs)
       .select(col("doc_id"), (shingleHash(col("tok")) % MinhashP).as("h"))
       .groupBy("doc_id").agg(minhashAggs(col("h")).head, minhashAggs(col("h")).tail: _*)
     // One pass over sig: explode an array of (band_idx, band_hash)
@@ -327,22 +333,43 @@ object TextQueries {
          |  count(*) AS pairs,
          |  CAST(min(d) AS BIGINT) AS min_d, CAST(max(d) AS BIGINT) AS max_d
          |FROM px GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-      val prefix = Tables.documents(s, dir)
-        .repartition(col("doc_id"))
-        .select(col("doc_id"),
-          substring(trim(col("text")), 1, 80).as("pfx"))
-      val d = lshPairs(s, dir)
-        .join(prefix.select(col("doc_id").as("doc_a"), col("pfx").as("pa")),
-          "doc_a")
-        .join(prefix.select(col("doc_id").as("doc_b"), col("pfx").as("pb")),
-          "doc_b")
-        .select(levenshtein(col("pa"), col("pb")).as("d"))
-      d.select(
+      // Distinct-content collapse (the q30/q59 principle): identical
+      // texts share identical minhash signatures, so EVERY in-group
+      // pair is a candidate at distance 0 and every cross-group pair
+      // inherits its representatives' band-collision verdict and
+      // prefix distance. Banding + Levenshtein therefore run over
+      // DISTINCT texts only; the census expands arithmetically
+      // (C(n,2) within, nA·nB across). On a dup-heavy corpus the
+      // naive pair stream grows with replicas² (measured: 5.0 s sf1x
+      // → 117 s sf10x, a 110× pair volume for 10× data) while this
+      // shape tracks distinct content.
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), trim(col("text")).as("txt"))
+      val groups = graft.CacheRegistry.persistTracked(
+        docs.groupBy("txt")
+          .agg(count(lit(1)).as("n"), min("doc_id").as("doc_id")),
+        graft.CacheRegistry.DataSized) // ≤ one row per distinct text
+      val repPairs = lshPairsFrom(
+        groups.select(col("doc_id"), col("txt").as("text")))
+      val meta = groups.select(col("doc_id"),
+        substring(col("txt"), 1, 80).as("pfx"), col("n"))
+      val cross = repPairs
+        .join(meta.select(col("doc_id").as("doc_a"), col("pfx").as("pa"),
+          col("n").as("na")), "doc_a")
+        .join(meta.select(col("doc_id").as("doc_b"), col("pfx").as("pb"),
+          col("n").as("nb")), "doc_b")
+        .select(levenshtein(col("pa"), col("pb")).cast("int").as("d"),
+          (col("na") * col("nb")).as("cnt"))
+      val within = groups.filter(col("n") >= 2)
+        .select(lit(0).as("d"),
+          expr("(n * (n - 1)) div 2").as("cnt"))
+      cross.union(within)
+        .select(
           when(col("d") === 0, "exact").when(col("d") <= 2, "near")
             .when(col("d") <= 8, "close").otherwise("far").as("band"),
-          col("d"))
+          col("d"), col("cnt"))
         .groupBy("band")
-        .agg(count(lit(1)).as("pairs"),
+        .agg(sum("cnt").as("pairs"),
           min("d").cast("long").as("min_d"),
           max("d").cast("long").as("max_d"))
         .orderBy("band")
