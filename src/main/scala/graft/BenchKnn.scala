@@ -36,8 +36,13 @@ object BenchKnn {
     val nlist = Similarity.sqrtNlist(n)
 
     val t0 = System.nanoTime()
+    // trainN must scale WITH nlist (sizingTrainN = 4·nlist): Lloyd
+    // iterations only re-emit centroids the training sample actually
+    // hits, so the default 128-vector sample would silently collapse a
+    // 447-seed index to ≤128 surviving buckets — measuring a coarser
+    // index than the √N sizing this probe exists to characterize.
     val graph = Similarity.knnJoin(emb, k = k, nCentroids = nlist,
-      nprobe = nprobe)
+      nprobe = nprobe, trainN = Similarity.sizingTrainN(nlist))
     val edges = graph.count()
     val buildSec = (System.nanoTime() - t0) / 1e9
 

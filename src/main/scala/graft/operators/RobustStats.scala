@@ -55,6 +55,16 @@ object RobustStats {
     * 55 MB scan: sort 16.1 s vs histogram 9.7 s). */
   val SortPathMaxBytes: Long = 16L << 20
 
+  /** The explicit path decision for callers whose quantile INPUT is a
+    * join (q113's MAD pass): read the size of the frame that carries
+    * the honest estimate — the underlying scan — and pin the choice
+    * (Catalyst join estimates inflate multiplicatively, ~45× measured
+    * on q113, and would misroute the per-pass default). */
+  def decideHistogram(scanSized: DataFrame,
+      sortPathMaxBytes: Long = SortPathMaxBytes): Some[Boolean] =
+    Some(scanSized.queryExecution.optimizedPlan.stats.sizeInBytes >
+      sortPathMaxBytes)
+
   /** Exact interpolated p50 — [[quantilesByKey]] at p = 0.5. */
   def medianByKey(df: DataFrame, keyCol: String, valCol: String,
       out: String = "median", buckets: Int = 4096,

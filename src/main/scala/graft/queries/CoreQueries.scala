@@ -595,6 +595,12 @@ object CoreQueries {
         |SELECT check_name, CAST(violations AS BIGINT) AS violations,
         |  total, round(violations * 1.0 / total, 6) AS rate
         |FROM checks ORDER BY check_name""".stripMargin) { (s, dir) =>
+      // Single-frame rows (one aggregate carries both columns) select
+      // directly; only the referential rows genuinely cross two 1-row
+      // frames (an anti-join count × another table's total).
+      def fromAgg(name: String, agg: DataFrame, vCol: String): DataFrame =
+        agg.select(lit(name).as("check_name"),
+          col(vCol).cast("long").as("violations"), col("total"))
       def one(name: String, violations: DataFrame, total: DataFrame): DataFrame =
         violations.withColumnRenamed(violations.columns.head, "violations")
           .crossJoin(total.withColumnRenamed(total.columns.head, "total"))
@@ -634,14 +640,10 @@ object CoreQueries {
           col("p_partkey") === col("l_partkey"), "left_anti")
         .agg(count(lit(1)))
       val checks = Seq(
-        one("domain_lineitem_nonpos_qty", liAgg.select("neg"),
-          liAgg.select("total")),
-        one("domain_customer_blank_name", custAgg.select("blank"),
-          custAgg.select("total")),
-        one("domain_documents_empty_text", docAgg.select("empty"),
-          docAgg.select("total")),
-        one("pk_orders_duplicate_keys", ordAgg.select("dups"),
-          ordAgg.select("total")),
+        fromAgg("domain_lineitem_nonpos_qty", liAgg, "neg"),
+        fromAgg("domain_customer_blank_name", custAgg, "blank"),
+        fromAgg("domain_documents_empty_text", docAgg, "empty"),
+        fromAgg("pk_orders_duplicate_keys", ordAgg, "dups"),
         one("fk_lineitem_orphan_orderkey", orphanLi, liAgg.select("total")),
         one("fk_orders_orphan_custkey", orphanOrd, ordAgg.select("total")),
         one("coverage_customers_no_orders", unrefCust,

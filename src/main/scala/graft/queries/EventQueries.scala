@@ -310,9 +310,7 @@ object EventQueries {
       // it for both passes — the MAD pass's input is a broadcast-join
       // of the median onto the same scan, whose Catalyst size estimate
       // inflates ~45× and would misroute the choice.
-      val useHistogram = Some(
-        ev.queryExecution.optimizedPlan.stats.sizeInBytes >
-          graft.operators.RobustStats.SortPathMaxBytes)
+      val useHistogram = graft.operators.RobustStats.decideHistogram(ev)
       def medianOf(df: org.apache.spark.sql.DataFrame, c: String,
           out: String): org.apache.spark.sql.DataFrame =
         graft.operators.RobustStats.medianByKey(df, "event_type", c, out,
@@ -358,9 +356,7 @@ object EventQueries {
         |GROUP BY e.event_type, q.q1, q.q3
         |ORDER BY event_type""".stripMargin) { (s, dir) =>
       val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
-      val useHistogram = Some(
-        ev.queryExecution.optimizedPlan.stats.sizeInBytes >
-          graft.operators.RobustStats.SortPathMaxBytes)
+      val useHistogram = graft.operators.RobustStats.decideHistogram(ev)
       val qs = graft.operators.RobustStats.quantilesByKey(
         ev, "event_type", "value", Seq(0.25 -> "q1", 0.75 -> "q3"),
         histogram = useHistogram)

@@ -360,7 +360,13 @@ object TextQueries {
           col("n").as("nb")), "doc_b")
         .select(levenshtein(col("pa"), col("pb")).cast("int").as("d"),
           (col("na") * col("nb")).as("cnt"))
-      val within = groups.filter(col("n") >= 2)
+      // Gate on >= 3 tokens: a shorter text yields zero 3-shingles, so
+      // the oracle's pipeline gives it NO signature and NO candidate
+      // pairs — its duplicate group must not contribute an 'exact' row
+      // here either (cross-group pairs are gated automatically: a
+      // signature-less rep never lands in a band bucket).
+      val within = groups
+        .filter(col("n") >= 2 && size(gf.tokens(col("txt"))) >= 3)
         .select(lit(0).as("d"),
           expr("(n * (n - 1)) div 2").as("cnt"))
       cross.union(within)

@@ -130,8 +130,11 @@ object EventStreams {
       event_type: String)
 
   /** The ONE open version per user [[scd2Versions]] holds as state —
-    * public for Spark's encoder codegen (the BudgetState precedent). */
-  final case class OpenVersion(state: String, fromMs: Long)
+    * public for Spark's encoder codegen (the BudgetState precedent).
+    * `from` keeps the ORIGINAL full-precision timestamp: the testdata
+    * events carry sub-millisecond micros, and `Timestamp.getTime`
+    * truncates to millis — ordering and emission must not. */
+  final case class OpenVersion(state: String, from: Timestamp)
 
   /** A CLOSED version row emitted by [[scd2Versions]]. */
   final case class VersionOut(user_id: Long, state: String,
@@ -154,22 +157,27 @@ object EventStreams {
   def scd2Versions(events: Dataset[TypedEvent])(
       implicit spark: SparkSession): Dataset[VersionOut] = {
     import spark.implicits._
+    // Full-precision event-time micros: getTime() truncates nanos to
+    // millis, which would both mis-order same-millisecond events and
+    // emit eff_from values the batch twin (epoch_us ordering,
+    // untouched ts) would not hash-match.
+    def micros(t: Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenVersion, VersionOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (userId: Long, batch: Iterator[TypedEvent],
          state: GroupState[OpenVersion]) =>
-          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           val out = Seq.newBuilder[VersionOut]
           var open = state.getOption
           sorted.foreach { e =>
             open match {
               case None =>
-                open = Some(OpenVersion(e.event_type, e.ts.getTime))
+                open = Some(OpenVersion(e.event_type, e.ts))
               case Some(v) if v.state != e.event_type =>
-                out += VersionOut(userId, v.state,
-                  new Timestamp(v.fromMs), e.ts)
-                open = Some(OpenVersion(e.event_type, e.ts.getTime))
+                out += VersionOut(userId, v.state, v.from, e.ts)
+                open = Some(OpenVersion(e.event_type, e.ts))
               case Some(_) => () // same state: the open version extends
             }
           }

@@ -102,8 +102,10 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
     // corpus as the probe side; the candidate join itself is an
     // equi-join on bucket.
     "q114_knn_graph",
-    // q120: each audit row crosses a 1-row violation count onto a
-    // 1-row total count (the q68 lazy-totals pattern, eight times).
+    // q120: the four REFERENTIAL audit rows cross a 1-row anti-join
+    // count onto another table's 1-row total (the q68 lazy-totals
+    // pattern); the four single-frame domain/PK rows select both
+    // columns from their one aggregate and need no join at all.
     "q120_quality_audit")
 
   test("suite-wide: nested-loop joins only as broadcast builds of bounded frames") {

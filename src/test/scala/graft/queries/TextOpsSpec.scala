@@ -102,4 +102,17 @@ class TextOpsSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().toSeq
     got.filter(_._1 == "exact") shouldBe Seq(("exact", 3L, 0L, 0L))
   }
+
+  test("q125: duplicated sub-3-token texts contribute NO pairs (no shingles, no signature)") {
+    // "foo bar" yields zero 3-shingles → the oracle's LSH pipeline
+    // gives it no signature and no candidate pairs; the within-group
+    // arithmetic expansion must honor the same gate.
+    val same = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val dir = stage(Seq(
+      (1L, "foo bar"), (2L, "foo bar"),
+      (3L, same), (4L, same)))
+    val got = q("q125_fuzzy_dedup").build(spark, dir)
+      .select("band", "pairs").as[(String, Long)].collect().toMap
+    got shouldBe Map("exact" -> 1L) // only the long-doc pair
+  }
 }

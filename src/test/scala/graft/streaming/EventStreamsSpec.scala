@@ -244,4 +244,39 @@ class EventStreamsSpec extends SparkSpec {
       (1L, "view", ts("2026-01-01 00:00:00"), ts("2026-01-01 00:02:00")),
       (1L, "click", ts("2026-01-01 00:02:00"), ts("2026-01-01 00:04:00")))
   }
+
+  test("streaming SCD2 orders by MICROSECONDS and emits full-precision eff_from") {
+    // The testdata events carry sub-millisecond micros; getTime()
+    // truncates to millis, which would mis-order same-millisecond
+    // events (falling back to event_id) and zero eff_from's micros.
+    implicit val sqlCtx = spark.sqlContext
+    implicit val ss = spark
+    def tsMicros(base: String, micros: Int): Timestamp = {
+      val t = Timestamp.valueOf(base)
+      t.setNanos(micros * 1000)
+      t
+    }
+    // Same millisecond, micros order OPPOSITE to event_id order.
+    val early = tsMicros("2026-01-01 00:00:00", 100) // id 9, 'view'
+    val late = tsMicros("2026-01-01 00:00:00", 900)  // id 2, 'click'
+    val close = tsMicros("2026-01-01 00:00:01", 500) // id 3, 'view'
+    val mem = MemoryStream[(Long, Long, Timestamp, String)]
+    val versions = EventStreams.scd2Versions(
+      mem.toDF().toDF("user_id", "event_id", "ts", "event_type")
+        .as[EventStreams.TypedEvent])
+    val q = versions.writeStream.format("memory").queryName("scd2us")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(Seq((1L, 9L, early, "view"), (1L, 2L, late, "click"),
+      (1L, 3L, close, "view")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("scd2us")
+      .orderBy("eff_from")
+      .as[(Long, String, Timestamp, Timestamp)].collect()
+    // Micros-ordered: view@.000100 → click@.000900 → view@1.000500;
+    // eff_from/eff_to keep the exact microsecond values.
+    got shouldBe Array(
+      (1L, "view", early, late),
+      (1L, "click", late, close))
+  }
 }
