@@ -238,6 +238,85 @@ object Multimodal {
       } catch { case _: Exception => None }
     }
 
+    /** 64-bit average-hash (aHash) perceptual fingerprint: the raster
+      * (decoded under the same subsampling/bomb caps as [[pixelStats]])
+      * is pooled into an 8×8 grid of Rec.601 luma means; bit r·8+c is
+      * set when cell (r,c)'s mean exceeds the global mean. Invariant to
+      * uniform resize and robust to small brightness/noise deltas —
+      * near-duplicate renditions land within a few bits of Hamming
+      * distance, the property the LSH banding in
+      * [[Multimodal.imageNearDupCensus]] exploits. Cells that receive
+      * no pixels (source narrower/shorter than 8) read as mean 0 —
+      * deterministic, and identical for identically-shaped images.
+      * None for non-images / refused headers, same contract as
+      * [[pixelStats]]. */
+    def aHash64(bytes: Array[Byte],
+        maxPixels: Long = DefaultMaxDecodePixels): Option[Long] = {
+      if (bytes == null || bytes.length == 0) return None
+      try {
+        val iis = ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis, true, true)
+              val w = reader.getWidth(0)
+              val h = reader.getHeight(0)
+              val pixels = w.toLong * h
+              if (pixels <= 0 || pixels > HardMaxSourcePixels) None
+              else {
+                val step = math.max(1,
+                  math.ceil(math.sqrt(pixels.toDouble / maxPixels)).toInt)
+                val param = reader.getDefaultReadParam
+                if (step > 1) param.setSourceSubsampling(step, step, 0, 0)
+                val img = reader.read(0, param)
+                if (img == null) None
+                else {
+                  val sw = img.getWidth
+                  val sh = img.getHeight
+                  if (sw <= 0 || sh <= 0) None
+                  else {
+                    val sums = new Array[Double](64)
+                    val counts = new Array[Long](64)
+                    val row = new Array[Int](sw)
+                    var y = 0
+                    while (y < sh) {
+                      val r8 = (y.toLong * 8 / sh).toInt
+                      img.getRGB(0, y, sw, 1, row, 0, sw)
+                      var x = 0
+                      while (x < sw) {
+                        val p = row(x)
+                        val luma = 0.299 * ((p >> 16) & 0xff) +
+                          0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
+                        val cell = r8 * 8 + (x.toLong * 8 / sw).toInt
+                        sums(cell) += luma
+                        counts(cell) += 1
+                        x += 1
+                      }
+                      y += 1
+                    }
+                    val means = Array.tabulate(64)(i =>
+                      if (counts(i) == 0) 0.0 else sums(i) / counts(i))
+                    val global = means.sum / 64.0
+                    var hash = 0L
+                    var i = 0
+                    while (i < 64) {
+                      if (means(i) > global) hash |= 1L << i
+                      i += 1
+                    }
+                    Some(hash)
+                  }
+                }
+              }
+            } finally reader.dispose()
+          }
+        } finally iis.close()
+      } catch { case _: Exception => None }
+    }
+
     def decode(r: MediaRecord): MediaMeta = imageMeta(r.payload) match {
       case Some((w, h, c)) =>
         MediaMeta(r.media_id, r.kind, decoded = true, w, h, c,
@@ -301,6 +380,96 @@ object Multimodal {
             r.payload.length.toLong)
       }
     })
+  }
+
+  final case class ImageHash(
+      media_id: Long,
+      kind: String,
+      decoded: Boolean,
+      ahash: Long)
+
+  /** 64-bit perceptual (average-hash) fingerprint per image — the
+    * multimodal entry into the dedup family: byte-UNidentical
+    * renditions of the same picture (re-encode, resize, small
+    * brightness shift) hash within a few Hamming bits of each other,
+    * so near-duplicate detection becomes the same banded
+    * signature-join problem the text side solves with SimHash (q59).
+    * Same no-shuffle mapPartitions plumbing and decode caps as
+    * [[decodePixels]]; `decoded = false` rows carry hash 0. */
+  def perceptualHashes(media: Dataset[MediaRecord],
+      maxPixels: Long = ImageIoCodec.DefaultMaxDecodePixels)(
+      implicit spark: SparkSession): Dataset[ImageHash] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      ImageIoCodec.aHash64(r.payload, maxPixels) match {
+        case Some(h) => ImageHash(r.media_id, r.kind, decoded = true, h)
+        case None => ImageHash(r.media_id, r.kind, decoded = false, 0L)
+      }
+    })
+  }
+
+  /** Near-duplicate image pairs between DISTINCT perceptual hashes:
+    * `(hash_a, hash_b, hamming)` with 0 < hamming ≤ maxHamming,
+    * hash_a < hash_b. Never all-pairs: hashes are banded into `bands`
+    * contiguous bit-slices and only in-bucket combinations are
+    * verified (pigeonhole: any pair within `bands − 1` bits collides
+    * on at least one full band, so `maxHamming < bands` finds every
+    * qualifying pair — the q59 SimHash contract on the image side).
+    * Operates on the DISTINCT-hash frame, so dup-group size never
+    * inflates the pair stream; byte-identical images (hamming 0)
+    * are exact-dedup territory ([[Dedup.exact]]) and excluded here. */
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 3,
+      bands: Int = 4): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxHamming > 0 && maxHamming < bands,
+      s"banding guarantee needs 0 < maxHamming < bands, got $maxHamming/$bands")
+    val bits = 64 / bands
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    val distinctHashes = hashes.select(col("ahash")).distinct()
+    val bandStructs = array((0 until bands).map { b =>
+      struct(lit(b).as("band_idx"),
+        shiftright(col("ahash"), b * bits).bitwiseAND(mask).as("band_val"))
+    }: _*)
+    val buckets = distinctHashes
+      .select(col("ahash"), explode(bandStructs).as("bd"))
+      .select(col("ahash"), col("bd.band_idx").as("band_idx"),
+        col("bd.band_val").as("band_val"))
+      .groupBy("band_idx", "band_val")
+      .agg(sort_array(collect_list(col("ahash"))).as("sigs"))
+      .filter(size(col("sigs")) > 1)
+    // In-bucket ordered combinations (sig_a < sig_b by sort_array).
+    val pairCol = flatten(transform(col("sigs"), (x, i) =>
+      transform(
+        slice(col("sigs"), i + lit(2), size(col("sigs")) - i - lit(1)),
+        y => struct(x.as("hash_a"), y.as("hash_b")))))
+    buckets
+      .select(explode(pairCol).as("p"))
+      .select(col("p.hash_a").as("hash_a"), col("p.hash_b").as("hash_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("hash_a").bitwiseXOR(col("hash_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Near-dup census over decoded image hashes: `(hamming, n_pairs)`
+    * including the hamming-0 (byte- or raster-identical) band computed
+    * ARITHMETICALLY from group sizes — the pair stream only ever
+    * carries distinct-hash pairs (the q125 distinct-content-collapse
+    * lesson applied to images). */
+  def imageNearDupCensus(hashes: DataFrame, maxHamming: Int = 3,
+      bands: Int = 4): DataFrame = {
+    val hg = hashes.filter(col("decoded"))
+      .groupBy("ahash").agg(count(lit(1)).as("m"))
+    val exact = hg.filter(col("m") > 1)
+      .agg(lit(0).as("hamming"),
+        sum(col("m") * (col("m") - 1) / 2).cast("long").as("n_pairs"))
+      .filter(col("n_pairs").isNotNull)
+    val cross = imageNearDupPairs(hg, maxHamming, bands)
+      .join(hg.select(col("ahash").as("hash_a"), col("m").as("ma")), "hash_a")
+      .join(hg.select(col("ahash").as("hash_b"), col("m").as("mb")), "hash_b")
+      .groupBy("hamming")
+      .agg(sum(col("ma") * col("mb")).cast("long").as("n_pairs"))
+    exact.unionByName(cross).filter(col("n_pairs") > 0).orderBy("hamming")
   }
 
   /** Audio metadata decoded for real from the container header — the

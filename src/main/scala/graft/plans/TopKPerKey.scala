@@ -47,10 +47,16 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   *   - [[TopKPerKeyStrategy]] — a [[SparkStrategy]] planning it to
   *     [[TopKPerKeyExec]], registered via
   *     [[GraftExtensions]]/`injectPlannerStrategy`;
-  *   - [[TopKPerKeyExec]] — physical operator declaring
-  *     `ClusteredDistribution(keys)` so Catalyst inserts exactly one
-  *     hash shuffle (and can satisfy it for free if the child is
-  *     already clustered, e.g. bucketed input).
+  *   - [[TopKPerKeyExec]] — physical operator, planned TWO-PHASE like
+  *     hash aggregation: a map-side `partial = true` instance (no
+  *     distribution requirement, byte-budget passthrough degrade)
+  *     feeding a post-shuffle exact instance declaring
+  *     `ClusteredDistribution(keys)`, so Catalyst inserts exactly one
+  *     hash shuffle between them (and can satisfy it for free if the
+  *     child is already clustered, e.g. bucketed input). The shuffle
+  *     ships ≤ keys × k rows per map task, not the child — a
+  *     low-cardinality key set over a corpus-sized child (10 probe
+  *     terms, 3 regions) stops being a reducer chokepoint.
   */
 final case class TopKPerKey(
     keys: Seq[Expression],
@@ -76,7 +82,21 @@ final case class TopKPerKey(
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(keys, order, k, child, rankOutput) =>
-      TopKPerKeyExec(keys, order, k, planLater(child), rankOutput) :: Nil
+      // Two-phase plan, the partial-aggregation shape: a map-side
+      // top-k pass BEFORE the exchange (top-k per key is a monoid —
+      // the global top-k is contained in the union of per-partition
+      // top-ks), then the exact pass after it. The partial exec
+      // declares no distribution requirement, the final one declares
+      // ClusteredDistribution, so Catalyst inserts the hash shuffle
+      // between them — shipping ≤ keys × k rows per map task instead
+      // of the whole child. Low-cardinality keys (e.g. 10 probe terms
+      // over a corpus-sized posting stream) stop being a shuffle
+      // chokepoint; high-cardinality partials self-disable via the
+      // byte-budget passthrough (see doExecute).
+      TopKPerKeyExec(keys, order, k,
+        TopKPerKeyExec(keys, order, k, planLater(child),
+          rankOutput = None, partial = true),
+        rankOutput) :: Nil
     case _ => Nil
   }
 }
@@ -86,16 +106,23 @@ final case class TopKPerKeyExec(
     order: Seq[SortOrder],
     k: Int,
     child: SparkPlan,
-    rankOutput: Option[Attribute] = None) extends UnaryExecNode {
+    rankOutput: Option[Attribute] = None,
+    partial: Boolean = false) extends UnaryExecNode {
+  require(!partial || rankOutput.isEmpty,
+    "partial pass cannot emit rank (only the post-shuffle pass sees a key whole)")
 
   override def output: Seq[Attribute] = child.output ++ rankOutput
   override def producedAttributes: AttributeSet =
     AttributeSet(rankOutput.toSeq)
 
-  /** One hash shuffle on the keys; no sort requirement — the heap
-    * replaces it. */
+  override def nodeName: String =
+    if (partial) "TopKPerKeyPartial" else "TopKPerKey"
+
+  /** Final pass: one hash shuffle on the keys; no sort requirement —
+    * the heap replaces it. Partial pass: runs wherever the child is. */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    if (partial) super.requiredChildDistribution
+    else ClusteredDistribution(keys) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val schema = child.schema
@@ -171,6 +198,22 @@ final case class TopKPerKeyExec(
             withRank(r, idx + 1)
           }
         }
+      } else if (partial) {
+        // Partial pass over budget: the map-side top-k is only an
+        // OPTIMIZATION — any superset of the true per-partition top-k
+        // is a correct input to the exact post-shuffle pass. So a
+        // partial task that blows its byte budget simply stops
+        // filtering: drain what the heaps retained (evicted rows were
+        // provably beaten by k better same-key rows and stay dropped),
+        // then pass the unexamined remainder through untouched. The
+        // bad case (key cardinality ≈ input) costs one heap-building
+        // scan and then self-disables — it never sorts.
+        heaps.values().iterator().asScala.flatMap { h =>
+          val rows = new Array[UnsafeRow](h.size)
+          var i = rows.length - 1
+          while (i >= 0) { rows(i) = h.poll(); i -= 1 }
+          rows.iterator
+        } ++ iter.map(_.asInstanceOf[UnsafeRow])
       } else {
         // Degraded path: too many distinct keys for the in-memory
         // budget. Hand everything retained so far plus the rest of the
@@ -264,7 +307,12 @@ object TopKPerKey {
       keyNames: Seq[String],
       order: Seq[Key],
       k: Int): org.apache.spark.sql.DataFrame = {
-    val spark = SparkSession.active
+    // The FRAME's session, never SparkSession.active: the thread-local
+    // active/default session can point at another concurrently-created
+    // session (test harnesses, notebook forks), and registering the
+    // strategy there while the frame plans HERE yields
+    // "No plan for TopKPerKey" at physical planning.
+    val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerKeyStrategy

@@ -1,0 +1,221 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Retrieval / index-build / model-inference queries over the
+  * `documents` corpus — the serving-side counterpart of the corpus
+  * curation family in [[TextQueries]]: a training-data engine that can
+  * score and slice a 100 TB corpus also has to answer "which documents
+  * match this probe set" (BM25), "what does the term index look like"
+  * (posting-list census), and "what does the quality model say"
+  * (batch linear-model inference). All three are single-shuffle
+  * shapes built on ONE shared term-frequency aggregate:
+  *
+  *   - the token explode is never materialized twice — the
+  *     `(doc_id, term, tf)` frame is the only corpus-sized shuffle,
+  *     persisted once per query and reused for every derived
+  *     aggregate (df, dl, postings);
+  *   - vocabulary-sized frames (df, query-term sets) ride AQE
+  *     broadcasts; the one corpus-sized join (tf ⨝ dl on doc_id) is a
+  *     plain shuffled equi-join;
+  *   - per-term top-k runs on the engine's bounded-heap
+  *     [[graft.plans.TopKPerKey]] operator, never a full per-term
+  *     sort — posting lists for stopword-grade terms are
+  *     corpus-sized, and a `collect_list` over them would OOM an
+  *     executor at scale, so the k smallest/highest rows are selected
+  *     BEFORE any list is built.
+  */
+object RetrievalQueries {
+
+  /** BM25 constants (Robertson–Spärck Jones, the standard defaults). */
+  private val K1 = 1.2
+  private val B = 0.75
+
+  /** Number of probe terms (highest-df) and results per term. */
+  private val NQueryTerms = 10
+  private val TopDocs = 5
+
+  /** Posting-list prefix length for the index census. */
+  private val PostingPrefix = 8
+
+  /** DuckDB-side tokenizer — same whitespace semantics as
+    * [[graft.functions.tokens]] (q46's established parity contract). */
+  private val toksSql =
+    """toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS term
+      |  FROM documents
+      |)""".stripMargin
+
+  /** Shared Spark-side `(doc_id, term, tf)` aggregate — ONE token
+    * explode, ONE shuffle; every downstream frame derives from it. */
+  private def tfFrame(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(graft.functions.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // T84 — BM25 top-k retrieval: probe terms are the NQueryTerms
+    // highest-df terms (deterministic: df desc, term asc), each scored
+    // against every containing document with standard BM25
+    // (k1 = 1.2, b = 0.75, idf = ln((N − df + ½)/(df + ½) + 1)), top
+    // TopDocs docs per term. Scale shape: tf persisted once
+    // (doc×term-bounded — strictly smaller than the token stream);
+    // df/dl/avgdl all derive from it; the probe-term set and the 1-row
+    // (N, avgdl) frame broadcast; per-term top-k is the bounded-heap
+    // TopKPerKey plan, so a stopword-grade probe term never sorts its
+    // corpus-sized posting list.
+    QueryDef("q126_bm25_topk",
+      s"""WITH $toksSql, tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+        |), df AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), qterms AS (
+        |  SELECT term, df FROM df ORDER BY df DESC, term LIMIT $NQueryTerms
+        |), dl AS (
+        |  SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY 1
+        |), stats AS (
+        |  SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+        |    (SELECT avg(dl) FROM dl) AS avgdl
+        |), scored AS (
+        |  SELECT tf.term, tf.doc_id,
+        |    round(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+        |      * (tf * ($K1 + 1.0))
+        |      / (tf + $K1 * (1.0 - $B + $B * dl / avgdl)), 6) AS score
+        |  FROM tf
+        |  JOIN qterms USING (term)
+        |  JOIN dl USING (doc_id)
+        |  CROSS JOIN stats
+        |), ranked AS (
+        |  SELECT term, doc_id, score,
+        |    row_number() OVER (PARTITION BY term
+        |      ORDER BY score DESC, doc_id) AS rk
+        |  FROM scored
+        |)
+        |SELECT term, doc_id, score FROM ranked WHERE rk <= $TopDocs
+        |ORDER BY term, score DESC, doc_id""".stripMargin) { (s, dir) =>
+      val tf = graft.CacheRegistry.persistTracked(tfFrame(s, dir),
+        graft.CacheRegistry.DataSized) // ≤ one row per (doc, distinct term)
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      // Probe set: global top-k → TakeOrderedAndProject, then broadcast.
+      val qterms = df.orderBy(desc("df"), asc("term")).limit(NQueryTerms)
+      val dl = tf.groupBy("doc_id").agg(sum("tf").cast("double").as("dl"))
+      // N and avgdl as LAZY 1-row broadcast aggregates (q46 pattern —
+      // no driver-side count() double-scan).
+      val n = Tables.documents(s, dir).agg(count(lit(1)).cast("double").as("n"))
+      val avgdl = dl.agg(avg("dl").as("avgdl"))
+      val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+      val scored = tf
+        .join(broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(n))
+        .crossJoin(broadcast(avgdl))
+        .withColumn("score",
+          round(idf * (col("tf") * (K1 + 1.0))
+            / (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))), 6))
+        .select("term", "doc_id", "score")
+      graft.plans.TopKPerKey(scored, Seq("term"),
+          Seq(graft.plans.TopKPerKey.desc("score"),
+            graft.plans.TopKPerKey.asc("doc_id")), TopDocs)
+        .orderBy(asc("term"), desc("score"), asc("doc_id"))
+    },
+
+    // T85 — inverted-index posting census: per term, document
+    // frequency, total term frequency, and the first PostingPrefix
+    // doc ids of the posting list. The posting prefix is selected with
+    // the bounded-heap TopKPerKey BEFORE any list aggregation — a
+    // term's full posting list is corpus-sized at 100 TB and must
+    // never pass through collect_list; the collected list here is
+    // ≤ PostingPrefix rows per term by construction.
+    QueryDef("q127_posting_census",
+      s"""WITH $toksSql, tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total
+        |  FROM tf GROUP BY 1
+        |), prefix AS (
+        |  SELECT term, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |  FROM (
+        |    SELECT term, doc_id,
+        |      row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rk
+        |    FROM tf
+        |  ) WHERE rk <= $PostingPrefix
+        |  GROUP BY term
+        |)
+        |SELECT term, df, tf_total, postings
+        |FROM agg JOIN prefix USING (term)
+        |ORDER BY term""".stripMargin) { (s, dir) =>
+      val tf = graft.CacheRegistry.persistTracked(tfFrame(s, dir),
+        graft.CacheRegistry.DataSized)
+      val agg = tf.groupBy("term")
+        .agg(count(lit(1)).as("df"), sum("tf").as("tf_total"))
+      val prefix = graft.plans.TopKPerKey(tf.select("term", "doc_id"),
+          Seq("term"), Seq(graft.plans.TopKPerKey.asc("doc_id")), PostingPrefix)
+        .groupBy("term")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .select(col("term"),
+          array_join(transform(col("ids"), _.cast("string")), ",").as("postings"))
+      agg.join(prefix, "term").orderBy("term")
+    },
+
+    // T86 — linear quality-model inference + calibration census:
+    // batch scoring of the corpus with a fixed-weight linear model
+    // over engineered features (doc length, type/token ratio,
+    // stopword ratio, chars-per-token), squashed with a HARD sigmoid
+    // (clamp(z/4 + ½)) — piecewise-rational on purpose: exp() differs
+    // across libm implementations in the last ulp, while +,×,/ are
+    // IEEE-exact, so the score is bit-identical cross-engine. The
+    // census (source × score-decile → volume, mean score, mean length)
+    // is the calibration table a quality-gate rollout reads. Scale:
+    // per-row arithmetic in one codegen'd pass over the scan, then a
+    // (source × 10)-bounded aggregate — no joins, no windows.
+    QueryDef("q128_quality_scorer",
+      """WITH feats AS (
+        |  SELECT source, n_chars,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS DOUBLE) AS dl,
+        |    CAST(len(list_distinct(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))) AS DOUBLE) AS uniq,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x = 'a' OR x = 'the')) AS DOUBLE) AS stops
+        |  FROM documents
+        |), scored AS (
+        |  SELECT source,
+        |    greatest(0.0, least(1.0,
+        |      (-2.0 + 0.008 * dl + 1.5 * (uniq / dl) - 3.0 * (stops / dl)
+        |        + 0.05 * (CAST(n_chars AS DOUBLE) / dl)) / 4.0 + 0.5)) AS score,
+        |    dl
+        |  FROM feats WHERE dl > 0
+        |), bucketed AS (
+        |  SELECT source, CAST(least(floor(score * 10), 9) AS INTEGER) AS decile,
+        |    score, dl
+        |  FROM scored
+        |)
+        |SELECT source, decile, count(*) AS n_docs,
+        |  round(avg(score), 6) AS avg_score, round(avg(dl), 6) AS avg_dl
+        |FROM bucketed GROUP BY 1, 2
+        |ORDER BY source, decile""".stripMargin) { (s, dir) =>
+      val arr = graft.functions.tokens(col("text"))
+      val feats = Tables.documents(s, dir)
+        .select(col("source"), col("n_chars"),
+          size(arr).cast("double").as("dl"),
+          size(array_distinct(arr)).cast("double").as("uniq"),
+          graft.functions.countIn(arr, Seq("a", "the")).cast("double").as("stops"))
+      val z = lit(-2.0) + lit(0.008) * col("dl") +
+        lit(1.5) * (col("uniq") / col("dl")) -
+        lit(3.0) * (col("stops") / col("dl")) +
+        lit(0.05) * (col("n_chars").cast("double") / col("dl"))
+      val score = greatest(lit(0.0), least(lit(1.0), z / 4.0 + 0.5))
+      feats.filter(col("dl") > 0)
+        .withColumn("score", score)
+        .withColumn("decile", least(floor(col("score") * 10), lit(9)).cast("int"))
+        .groupBy("source", "decile")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("score"), 6).as("avg_score"),
+          round(avg("dl"), 6).as("avg_dl"))
+        .orderBy("source", "decile")
+    }
+  )
+}

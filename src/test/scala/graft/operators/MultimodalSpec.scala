@@ -725,4 +725,70 @@ class MultimodalSpec extends SparkSpec {
     got(2).decoded shouldBe false
     got(2).n_bytes shouldBe 0L
   }
+
+  // ---- perceptual hash + image near-dup (T87) ------------------------
+
+  /** PNG whose 8×8 aHash grid is EXACTLY `pattern`: block (r,c) is a
+    * constant bright (200) or dark (50) gray per pattern bit r*8+c, at
+    * `blockPx` pixels per block — the cell means are exactly 200/50,
+    * the global mean sits between, so aHash64 == pattern by
+    * construction at ANY block size (resize invariance). */
+  private def patternPng(pattern: Long, blockPx: Int,
+      brighten: Int = 0): Array[Byte] = {
+    val dim = 8 * blockPx
+    val img = new java.awt.image.BufferedImage(
+      dim, dim, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for { y <- 0 until dim; x <- 0 until dim } {
+      val bit = (y / blockPx) * 8 + (x / blockPx)
+      val base = if ((pattern >> bit & 1L) == 1L) 200 else 50
+      val g = math.min(255, base + brighten)
+      img.setRGB(x, y, g << 16 | g << 8 | g)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private val checker: Long = {
+    var p = 0L
+    for { r <- 0 until 8; c <- 0 until 8 if (r + c) % 2 == 0 }
+      p |= 1L << (r * 8 + c)
+    p
+  }
+
+  test("aHash64 recovers the block pattern; invariant to resize and brightness shift") {
+    val h = Multimodal.ImageIoCodec.aHash64(patternPng(checker, 8))
+    h shouldBe Some(checker)
+    // same pattern at 2x resolution and +30 uniform brightness: the
+    // cell means and the global mean shift together, bits unchanged
+    Multimodal.ImageIoCodec.aHash64(patternPng(checker, 16)) shouldBe Some(checker)
+    Multimodal.ImageIoCodec.aHash64(patternPng(checker, 8, brighten = 30)) shouldBe
+      Some(checker)
+    // non-image refuses
+    Multimodal.ImageIoCodec.aHash64("nope".getBytes("UTF-8")) shouldBe None
+  }
+
+  test("imageNearDupCensus: exact band arithmetic, banded near pair found, far image silent") {
+    implicit val s = spark
+    val near = checker ^ (1L << 3) ^ (1L << 40) // 2 blocks flipped
+    val far = ~checker // all 64 bits differ: no band collides
+    val media = Seq(
+      MediaRecord(1L, "image", patternPng(checker, 8), "png", 0, 0),
+      MediaRecord(2L, "image", patternPng(checker, 16), "png", 0, 0), // same hash, different bytes
+      MediaRecord(3L, "image", patternPng(near, 8), "png", 0, 0),
+      MediaRecord(4L, "image", patternPng(far, 8), "png", 0, 0),
+      MediaRecord(5L, "image", "not an image".getBytes("UTF-8"), "raw", 0, 0))
+      .toDS()
+    val hashes = Multimodal.perceptualHashes(media).toDF()
+    val census = Multimodal.imageNearDupCensus(hashes, maxHamming = 3)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // hamming 0: the (1,2) same-hash pair; hamming 2: {1,2} × {3}
+    census shouldBe Map(0 -> 1L, 2 -> 2L)
+    // pair frame is distinct-hash level: exactly one (checker, near) row
+    val pairs = Multimodal.imageNearDupPairs(
+      hashes.filter(org.apache.spark.sql.functions.col("decoded")), 3)
+      .collect()
+    pairs.length shouldBe 1
+    pairs(0).getInt(2) shouldBe 2
+  }
 }

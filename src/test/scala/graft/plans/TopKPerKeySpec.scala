@@ -83,4 +83,62 @@ class TopKPerKeySpec extends SparkSpec {
     plan should not include "Sort ["
     windowTopK(3).queryExecution.executedPlan.toString should include("Sort [")
   }
+
+  test("map-side partial pass is planned below the exchange and caps shuffle volume") {
+    // 5 keys × 10k rows over 4 map partitions: without the partial
+    // pass every row shuffles to 5 reducer keys; with it each map task
+    // ships ≤ keys × k rows. The metric proves the volume, the node
+    // names prove the shape (partial below the exchange, exact above).
+    val wide = (1 to 50000).map { i =>
+      ((i % 5).toLong, i.toLong, ((i * 37) % 1000).toDouble)
+    }.toDF("key", "id", "score").repartition(4)
+    val topk = TopKPerKey(wide, Seq("key"),
+      Seq(TopKPerKey.desc("score"), TopKPerKey.asc("id")), 3)
+    val w = Window.partitionBy("key").orderBy(desc("score"), asc("id"))
+    val expected = wide.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).select("key", "id", "score")
+      .orderBy("key", "id").as[(Long, Long, Double)].collect()
+    topk.orderBy("key", "id").as[(Long, Long, Double)].collect() shouldBe expected
+
+    val executed = topk.queryExecution.executedPlan
+    val finalPlan = executed match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val planStr = finalPlan.toString
+    planStr should include("TopKPerKeyPartial")
+    planStr should include("TopKPerKey ")
+    val shuffled = finalPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.metrics.collectFirst {
+          case (name, m) if name.contains("records written") ||
+              name == "shuffleRecordsWritten" => m.value
+        }.getOrElse(fail(s"no shuffle write metric in ${e.metrics.keys}"))
+    }
+    shuffled should not be empty
+    // ≤ keys × k × mapPartitions (= 60), nowhere near the 50k input.
+    all(shuffled) should be <= 60L
+  }
+
+  test("partial passthrough degrade (budget trip) still yields the exact result") {
+    // High key cardinality + tiny budget: the PARTIAL tasks trip the
+    // byte budget and degrade to passthrough (heap drain + untouched
+    // remainder — never a map-side sort); the exact pass then trips
+    // too and finishes on its external-sort path. Rows must match the
+    // window reference exactly — nothing lost at the passthrough seam.
+    val many = (1 to 30000).map { i =>
+      ((i % 6000).toLong, i.toLong, ((i * 13) % 97).toDouble)
+    }.toDF("key", "id", "score").repartition(5)
+    val w = Window.partitionBy("key").orderBy(desc("score"), asc("id"))
+    val expected = many.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).select("key", "id", "score")
+      .orderBy("key", "id").as[(Long, Long, Double)].collect()
+    withSQLConf(TopKPerKey.MaxTaskRetainedBytesKey -> "4096") {
+      val got = TopKPerKey(many, Seq("key"),
+          Seq(TopKPerKey.desc("score"), TopKPerKey.asc("id")), 2)
+        .orderBy("key", "id").as[(Long, Long, Double)].collect()
+      got shouldBe expected
+    }
+  }
 }

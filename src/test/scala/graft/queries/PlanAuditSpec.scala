@@ -106,7 +106,12 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
     // count onto another table's 1-row total (the q68 lazy-totals
     // pattern); the four single-frame domain/PK rows select both
     // columns from their one aggregate and need no join at all.
-    "q120_quality_audit")
+    "q120_quality_audit",
+    // q126: the two cross products attach the LAZY 1-row (N) and
+    // 1-row (avgdl) broadcast aggregates to the scored stream — the
+    // q46/q68 lazy-totals pattern; every multi-row join in the plan is
+    // an equi-join (probe terms broadcast, dl on doc_id).
+    "q126_bm25_topk")
 
   test("suite-wide: nested-loop joins only as broadcast builds of bounded frames") {
     val offenders = SparkEntry.allDefs.flatMap { d =>
