@@ -158,6 +158,72 @@ object DocumentStreams {
     * engine's group iteration order — pin one doc per batch where
     * the exact cut matters); the batch path applies the same fold in
     * frame order. */
+  final case class HhRow(bucket: Int, term: String, lower_count: Long,
+      n_seen: Long)
+
+  /** Misra–Gries summary for one hash bucket — public for Spark's
+    * encoder codegen (the BudgetState precedent). */
+  final case class MgState(terms: Seq[String], counts: Seq[Long],
+      seen: Long)
+
+  /** Streaming heavy-hitter candidates over the token stream — the
+    * arrival-order twin of the batch [[graft.plans.FreqSketch]]
+    * (Misra–Gries) aggregate behind q79. Terms are hash-partitioned
+    * into `buckets` groups; each group's state is ONE Misra–Gries
+    * summary of `capacity` counters maintained across micro-batches
+    * by `flatMapGroupsWithState` — so total state is
+    * buckets × capacity counters regardless of stream length, and
+    * because a term lives in exactly one bucket the per-bucket MG
+    * guarantee is undiluted: after any prefix, every term with
+    * bucket-count > seen/(capacity+1) is IN the summary, and each
+    * reported lower bound undercounts by at most seen/(capacity+1).
+    * Each trigger re-emits the bucket's current summary (Update
+    * mode) stamped with the running `n_seen`, so the latest rows per
+    * bucket (max n_seen) are the live candidate set — the exact
+    * rescore then runs as a bounded batch join, the q79 pattern. */
+  def heavyHitterStream(docs: DataFrame, capacity: Int, buckets: Int = 16)(
+      implicit spark: SparkSession)
+      : org.apache.spark.sql.Dataset[HhRow] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val terms = docs
+      .select(explode(graft.functions.tokens(col("text"))).as("term"))
+      .select(pmod(hash(col("term")), lit(buckets)).as("bucket"), col("term"))
+      .as[(Int, String)]
+    terms.groupByKey(_._1)
+      .flatMapGroupsWithState[MgState, HhRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (bucket, rows, state) =>
+          val prev = state.getOption.getOrElse(MgState(Nil, Nil, 0L))
+          val counters = scala.collection.mutable.LinkedHashMap[String, Long](
+            prev.terms.zip(prev.counts): _*)
+          var seen = prev.seen
+          rows.foreach { case (_, term) =>
+            seen += 1
+            counters.get(term) match {
+              case Some(c) => counters(term) = c + 1
+              case None if counters.size < capacity => counters(term) = 1L
+              case None =>
+                // decrement-all; evict zeros (the MG step)
+                val dead = Seq.newBuilder[String]
+                counters.foreach { case (t, c) =>
+                  if (c == 1L) dead += t else counters(t) = c - 1
+                }
+                dead.result().foreach(counters.remove)
+            }
+          }
+          state.update(
+            MgState(counters.keys.toSeq, counters.values.toSeq, seen))
+          // materialized: the emission must not alias the mutable map
+          // after this function returns (Spark drains it lazily)
+          counters.toList.map { case (t, c) =>
+            HhRow(bucket, t, c, seen)
+          }.iterator
+      }
+  }
+
   def tokenBudgetGate(docs: DataFrame, budget: Long)(
       implicit spark: SparkSession)
       : org.apache.spark.sql.Dataset[DocTokens] = {

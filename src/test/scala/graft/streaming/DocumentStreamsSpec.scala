@@ -208,4 +208,57 @@ class DocumentStreamsSpec extends SparkSpec {
     }
     got shouldBe ref.sorted.toArray
   }
+
+  test("heavyHitterStream: MG guarantees hold across micro-batches, state stays bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s2 = spark
+    // Skewed composition: "hot" dominates, "warm" is frequent, the
+    // noise terms n0..n9 each appear a handful of times. capacity=3
+    // per bucket guarantees any term with bucket share > 1/4 survives.
+    val batch1 = (1 to 30).map(i => (i.toLong, "hot warm n" + (i % 10)))
+    val batch2 = (31 to 60).map(i => (i.toLong, "hot hot n" + (i % 10)))
+    val batch3 = (61 to 80).map(i => (i.toLong, "hot warm warm"))
+    val mem = MemoryStream[(Long, String)]
+    val q = DocumentStreams.heavyHitterStream(
+        mem.toDF().toDF("doc_id", "text"), capacity = 3, buckets = 2)
+      .writeStream.format("memory").queryName("hh")
+      .outputMode(OutputMode.Update()).start()
+    Seq(batch1, batch2, batch3).foreach { b =>
+      mem.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val all = spark.table("hh")
+      .as[DocumentStreams.HhRow].collect()
+    // live candidate set = latest emission per bucket
+    val latestSeen = all.groupBy(_.bucket).view.mapValues(_.map(_.n_seen).max)
+    val live = all.filter(r => r.n_seen == latestSeen(r.bucket))
+    // state bound: <= capacity counters per bucket at every emission
+    all.groupBy(r => (r.bucket, r.n_seen)).values
+      .foreach(_.length should be <= 3)
+    // true counts + bucket totals from the same token stream
+    val toks = (batch1 ++ batch2 ++ batch3)
+      .flatMap(_._2.split(" ")).groupBy(identity).view.mapValues(_.size.toLong)
+    // bucket assignment for EVERY term, via the same Spark hash the
+    // operator partitions with
+    val bucketOf = toks.keys.toSeq.toDF("term")
+      .select($"term", pmod(hash($"term"), lit(2)).as("b"))
+      .as[(String, Int)].collect().toMap
+    // hot appears 110 times of 180 tokens: guaranteed in its bucket
+    val liveTerms = live.map(_.term).toSet
+    liveTerms should contain("hot")
+    // every live lower bound undercounts, by at most seen/(capacity+1)
+    live.foreach { r =>
+      val truth = toks(r.term)
+      r.lower_count should be <= truth
+      (truth - r.lower_count) should be <= r.n_seen / 4
+    }
+    // guarantee sweep: any term with bucket share > 1/(capacity+1)
+    // must be live (needs per-bucket totals: seen per bucket)
+    val seenPerBucket = latestSeen.toMap
+    toks.foreach { case (t, c) =>
+      bucketOf.get(t).foreach { b =>
+        if (c > seenPerBucket(b) / 4) liveTerms should contain(t)
+      }
+    }
+  }
 }
