@@ -88,6 +88,32 @@ object RobustStats {
     * multiplicatively, which would misroute the choice — q113's MAD
     * pass (a broadcast-join of the median onto the same scan) shows a
     * 45× inflation. */
+  /** ONE-PASS approximate grouped quantiles on the mergeable KLL
+    * aggregate ([[graft.plans.QuantileSketch]]) — the sketch twin of
+    * [[quantilesByKey]]: where the exact path pays one corpus scan
+    * per refinement round (and the sort path a per-key sort), this is
+    * a single hash aggregate shipping O(k log(n/k)) sketch state per
+    * (partition, key) — the only shape available to a streaming
+    * aggregation, and the cheap one for monitoring where ≲1% rank
+    * error (k=200) is acceptable. Output: one column per probe name,
+    * same layout as [[quantilesByKey]]. */
+  def approxQuantilesByKey(df: DataFrame, keyCol: String, valCol: String,
+      probes: Seq[(Double, String)], k: Int = 200): DataFrame = {
+    require(probes.nonEmpty, "at least one quantile probe is required")
+    val sketch = org.apache.spark.sql.graft.CatalystBridge.column(
+      graft.plans.QuantileSketch(
+        org.apache.spark.sql.graft.CatalystBridge.expr(
+          col(valCol).cast("double")),
+        k, probes.map(_._1)))
+    df.filter(col(valCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(sketch.as("_qs"))
+      .select(col(keyCol) +:
+        probes.zipWithIndex.map { case ((_, name), i) =>
+          col("_qs").getItem(i).as(name)
+        }: _*)
+  }
+
   def quantilesByKey(df: DataFrame, keyCol: String, valCol: String,
       probes: Seq[(Double, String)], buckets: Int = 4096,
       sortPathMaxBytes: Long = SortPathMaxBytes,
