@@ -36,6 +36,16 @@ package object functions {
         org.apache.spark.sql.graft.CatalystBridge.expr(trim(text)),
         1, dedupe = false))
 
+  /** One-pass token profile `struct(n_tokens, n_distinct, n_stop)` —
+    * the fused native form of size(tokens)/size(array_distinct)/
+    * countIn for quality-feature extraction; see
+    * [[graft.plans.TokenProfile]] for the byte-level parity
+    * argument. */
+  def tokenProfile(text: Column, stops: Seq[String]): Column =
+    org.apache.spark.sql.graft.CatalystBridge.column(
+      graft.plans.TokenProfile(
+        org.apache.spark.sql.graft.CatalystBridge.expr(text), stops))
+
   /** Count of array elements equal to any of `terms` (duplicates
     * counted). `size(filter(arr, _.isin(terms:_*)))` is the natural
     * spelling, but higher-order lambdas run INTERPRETED per element

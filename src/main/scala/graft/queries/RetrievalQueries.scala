@@ -197,12 +197,16 @@ object RetrievalQueries {
         |  round(avg(score), 6) AS avg_score, round(avg(dl), 6) AS avg_dl
         |FROM bucketed GROUP BY 1, 2
         |ORDER BY source, decile""".stripMargin) { (s, dir) =>
-      val arr = graft.functions.tokens(col("text"))
+      // ONE byte scan per row (native TokenProfile) — the composed
+      // tokens/array_distinct/countIn triple would tokenize and
+      // materialize arrays three times for counts that need none.
+      val prof = graft.functions.tokenProfile(col("text"), Seq("a", "the"))
       val feats = Tables.documents(s, dir)
+        .select(col("source"), col("n_chars"), prof.as("p"))
         .select(col("source"), col("n_chars"),
-          size(arr).cast("double").as("dl"),
-          size(array_distinct(arr)).cast("double").as("uniq"),
-          graft.functions.countIn(arr, Seq("a", "the")).cast("double").as("stops"))
+          col("p.n_tokens").cast("double").as("dl"),
+          col("p.n_distinct").cast("double").as("uniq"),
+          col("p.n_stop").cast("double").as("stops"))
       val z = lit(-2.0) + lit(0.008) * col("dl") +
         lit(1.5) * (col("uniq") / col("dl")) -
         lit(3.0) * (col("stops") / col("dl")) +
