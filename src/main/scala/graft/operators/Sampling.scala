@@ -63,6 +63,31 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
+  /** Deterministic WEIGHTED sampling per stratum — Efraimidis–Spirakis
+    * A-Res with hash-derived uniforms: each row draws
+    * u = (lcg(id) + 1) / (2^31 + 1) ∈ (0, 1) from a fixed LCG of its
+    * id (no RNG state, engine- and layout-independent), scores
+    * key = ln(u) / w (monotone in the textbook u^(1/w)), and the m
+    * LARGEST keys per stratum win — rows with bigger weights
+    * systematically draw better keys, the exact weighted-reservoir
+    * semantics, reproducibly. Scale shape: per-row arithmetic + the
+    * two-phase bounded-heap [[graft.plans.TopKPerKey]] — no sort, no
+    * shuffle beyond m rows per stratum per map task. `idCol` must fit
+    * in 31 bits for the LCG product to stay in long range (shift/fold
+    * wider ids first). */
+  def weightedSample(df: DataFrame, stratumCol: String, idCol: String,
+      weightCol: String, m: Int): DataFrame = {
+    require(m >= 1, s"sample size m must be >= 1: $m")
+    val u = (pmod(col(idCol).cast("long") * 1103515245L + 12345L,
+      lit(2147483648L)) + 1L).cast("double") / 2147483649.0
+    val key = log(u) / col(weightCol).cast("double")
+    val keyed = df.withColumn("__skey", key)
+    graft.plans.TopKPerKey(keyed, Seq(stratumCol),
+        Seq(graft.plans.TopKPerKey.desc("__skey"),
+          graft.plans.TopKPerKey.asc(idCol)), m)
+      .select(df.columns.map(col) :+ col("__skey"): _*)
+  }
+
   /** Token-BUDGET carve: per stratum, keep rows in deterministic
     * `(md5(id), id)` order while the running token sum stays within
     * `budget` (a row is kept iff its INCLUSIVE prefix sum ≤ budget) —

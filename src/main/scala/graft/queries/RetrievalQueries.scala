@@ -220,6 +220,43 @@ object RetrievalQueries {
           round(avg("score"), 6).as("avg_score"),
           round(avg("dl"), 6).as("avg_dl"))
         .orderBy("source", "decile")
+    },
+
+    // T90 — deterministic weighted sampling (Efraimidis–Spirakis A-Res
+    // with hash-derived uniforms, operators/Sampling.weightedSample):
+    // q107's stratified carve draws UNIFORMLY; assembling a training
+    // mix usually wants length- or quality-WEIGHTED draws. Each doc
+    // derives u from a fixed LCG of its id (reproducible, no RNG
+    // state), scores ln(u)/n_chars, and the top-5 keys per source win
+    // — bigger weights systematically draw better keys, the exact
+    // weighted-reservoir semantics. Scale: per-row arithmetic + the
+    // two-phase bounded-heap TopKPerKey; the only cross-engine float
+    // in the rank is ln(u), and ranks flip only if two keys collide
+    // to ~1 ulp (the q46 ln precedent).
+    QueryDef("q129_weighted_sample",
+      """WITH keyed AS (
+        |  SELECT source, doc_id, n_chars,
+        |    ln(CAST((doc_id * 1103515245 + 12345) % 2147483648 + 1 AS DOUBLE)
+        |       / 2147483649.0) / CAST(n_chars AS DOUBLE) AS skey
+        |  FROM documents WHERE n_chars > 0
+        |), ranked AS (
+        |  SELECT source, doc_id, n_chars, skey,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY skey DESC, doc_id) AS rk
+        |  FROM keyed
+        |)
+        |SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |  round(skey, 9) AS skey
+        |FROM ranked WHERE rk <= 5
+        |ORDER BY source, skey DESC, doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .filter(col("n_chars") > 0)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+      graft.operators.Sampling
+        .weightedSample(docs, "source", "doc_id", "n_chars", 5)
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          round(col("__skey"), 9).as("skey"))
+        .orderBy(asc("source"), desc("skey"), asc("doc_id"))
     }
   )
 }

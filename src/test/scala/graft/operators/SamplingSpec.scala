@@ -97,4 +97,34 @@ class SamplingSpec extends SparkSpec {
     Sampling.tokenBudget(df, "src", "doc_id", "toks", 50L)
       .count() shouldBe 0L
   }
+
+  test("weightedSample: matches the local A-Res reference, layout-independent, weight-sensitive") {
+    import spark.implicits._
+    val rows = for {
+      src <- Seq("a", "b")
+      i <- 1 to 200
+    } yield (src, (if (src == "a") i else 1000 + i).toLong,
+      // source a: uniform weights; source b: doc 1001 carries 1000x
+      if (src == "b" && i == 1) 100000L else 100L)
+    val df = rows.toDF("src", "doc_id", "w")
+    val got = Sampling.weightedSample(df, "src", "doc_id", "w", 5)
+      .select("src", "doc_id").as[(String, Long)].collect().toSet
+    // local reference: same LCG + ln(u)/w, top-5 per stratum
+    def key(id: Long, w: Long): Double =
+      math.log(((id * 1103515245L + 12345L) % 2147483648L + 1).toDouble
+        / 2147483649.0) / w
+    val ref = rows.groupBy(_._1).toSeq.flatMap { case (src, rs) =>
+      rs.sortBy { case (_, id, w) => (-key(id, w), id) }.take(5)
+        .map(r => (src, r._2))
+    }.toSet
+    got shouldBe ref
+    // the 1000x-weight doc is in its stratum's sample (its key is
+    // ~1000x closer to zero than any uniform draw's)
+    got should contain(("b", 1001L))
+    // layout-independent
+    val again = Sampling
+      .weightedSample(df.repartition(7), "src", "doc_id", "w", 5)
+      .select("src", "doc_id").as[(String, Long)].collect().toSet
+    again shouldBe got
+  }
 }
