@@ -122,4 +122,23 @@ package object functions {
       .otherwise(transform(
         sequence(lit(1), size(toks) - lit(w - 1)),
         i => concat_ws(" ", slice(toks, i, lit(w)))))
+
+  // ---------------------------------------------------------------------
+  // Count-Min sketch (graft.plans.CmSketch) — mergeable frequency grid.
+  // ---------------------------------------------------------------------
+
+  /** Count-Min sketch aggregate over a string column: a depth×width
+    * mergeable counter grid, O(width·depth) state per partition. */
+  def cmSketch(item: Column, width: Int, depth: Int): Column =
+    org.apache.spark.sql.graft.CatalystBridge.column(
+      graft.plans.CmSketch(
+        org.apache.spark.sql.graft.CatalystBridge.expr(item), width, depth))
+
+  /** Point-frequency probe of a [[cmSketch]] result — never
+    * undercounts; overcounts by ≤ ~(e/width)·N w.h.p. */
+  def cmEstimate(sketch: Column, item: Column): Column =
+    org.apache.spark.sql.graft.CatalystBridge.column(
+      graft.plans.CmProbe(
+        org.apache.spark.sql.graft.CatalystBridge.expr(sketch),
+        org.apache.spark.sql.graft.CatalystBridge.expr(item)))
 }

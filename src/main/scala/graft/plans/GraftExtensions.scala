@@ -110,6 +110,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) =>
         FreqSketch(args(0), intLit(args(1), "freq_sketch k"))))
 
+    ext.injectFunction((
+      new FunctionIdentifier("cm_sketch"),
+      info("cm_sketch",
+        "cm_sketch(str, width, depth) - Count-Min frequency sketch: struct(width, depth, total, cells)"),
+      (args: Seq[Expression]) =>
+        CmSketch(args(0), intLit(args(1), "cm_sketch width"),
+          intLit(args(2), "cm_sketch depth"))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("cm_estimate"),
+      info("cm_estimate",
+        "cm_estimate(sketch, item) - Count-Min point estimate (never undercounts)"),
+      (args: Seq[Expression]) => CmProbe(args(0), args(1))))
+
     // parse_relative_time: native node composition mirroring
     // graft.functions.parseRelativeTime (reference semantics: substring
     // match on hour/day, first digit run, yesterday -> NULL). Seconds

@@ -150,6 +150,18 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     3L should be <= (aMin + aErr)
   }
 
+  test("cm_sketch / cm_estimate SQL round trip: never undercounts, empty-safe") {
+    val row = spark.sql(
+      """SELECT cm_estimate(s, 'a') AS ea, cm_estimate(s, 'zz') AS ez,
+        |       s.total AS n FROM (
+        |  SELECT cm_sketch(v, 64, 4) AS s FROM (
+        |    SELECT explode(array('a','a','a','b','c')) AS v))
+        |""".stripMargin).collect().head
+    row.getLong(0) should be >= 3L // 'a' appears 3 times, never under
+    row.getLong(1) should be >= 0L
+    row.getLong(2) shouldBe 5L
+  }
+
   test("dot_product null semantics match the composed aggregate(zip_with) form") {
     val row = spark.sql(
       """SELECT
