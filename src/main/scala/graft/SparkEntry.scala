@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnnQueries, CoreQueries, CorpusQueries, EventQueries, QueryDef, RetrievalQueries, SqlViews, StarQueries, TextQueries}
+import graft.queries.{AnnQueries, CoreQueries, EventQueries, QueryDef, RetrievalQueries, SqlViews, StarQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,7 @@ object SparkEntry {
   val allDefs: Seq[QueryDef] =
     CoreQueries.defs ++ StarQueries.defs ++ TextQueries.defs ++
       EventQueries.defs ++ AnnQueries.defs ++ RetrievalQueries.defs ++
-      CorpusQueries.defs ++ SqlViews.defs
+      SqlViews.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
