@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding-matrix statistics: corpus covariance in ONE pass and the
+  * top principal component — the QA/whitening kernel run before ANN
+  * index builds (mis-scaled encoders, correlated dimensions and
+  * collapsed representations all show up here first).
+  *
+  * Scale shape: the whole reduction is
+  * [[graft.plans.VecOuterSum]] — O(dim²) state per partition,
+  * cell-wise-add merge, one emitted row. The dim×dim matrix is
+  * driver-trivial (64×64 = 32 KB), so the eigen step is deterministic
+  * local arithmetic, never a distributed iteration: power iteration
+  * needs the COVARIANCE, not the data, and the covariance never
+  * grows with the corpus.
+  */
+object Embeddings {
+
+  final case class CovStats(n: Long, dim: Int,
+      mean: Array[Double], cov: Array[Double] /* row-major dim×dim */)
+
+  /** The one-row covariance reduction. */
+  def covStatsCol(vec: Column): Column =
+    org.apache.spark.sql.graft.CatalystBridge.column(
+      graft.plans.VecOuterSum(
+        org.apache.spark.sql.graft.CatalystBridge.expr(vec)))
+
+  /** Run the reduction and collect the single stats row. */
+  def covStats(df: DataFrame, vecCol: String): CovStats = {
+    val row = df.agg(covStatsCol(col(vecCol)).as("s"))
+      .select(col("s.n"), col("s.dim"), col("s.mean"), col("s.cov"))
+      .collect()(0)
+    CovStats(row.getLong(0), row.getInt(1),
+      row.getSeq[Double](2).toArray, row.getSeq[Double](3).toArray)
+  }
+
+  final case class TopComponent(
+      eigenvalue: Double,
+      component: Array[Double], // unit length, sign-fixed
+      explainedVariance: Double) // λ / trace(cov)
+
+  /** Top principal component by deterministic power iteration on the
+    * collected covariance: v₀ = 1/√d, fixed `iters` Rayleigh steps,
+    * sign fixed so the largest-|coordinate| entry is positive (lowest
+    * index on ties) — reproducible across runs and layouts. */
+  def topComponent(stats: CovStats, iters: Int = 100): TopComponent = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val d = stats.dim
+    val c = stats.cov
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var it = 0
+    while (it < iters) {
+      val w = new Array[Double](d)
+      var i = 0
+      while (i < d) {
+        var s = 0.0
+        var j = 0
+        while (j < d) { s += c(i * d + j) * v(j); j += 1 }
+        w(i) = s
+        i += 1
+      }
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      if (norm == 0.0) it = iters // degenerate (zero matrix): keep v₀
+      else { v = w.map(_ / norm); it += 1 }
+    }
+    // Rayleigh quotient λ = vᵀCv (v is unit length).
+    var lambda = 0.0
+    var i = 0
+    while (i < d) {
+      var s = 0.0
+      var j = 0
+      while (j < d) { s += c(i * d + j) * v(j); j += 1 }
+      lambda += v(i) * s
+      i += 1
+    }
+    // Sign convention: the largest-|coordinate| entry is positive.
+    var arg = 0
+    i = 1
+    while (i < d) { if (math.abs(v(i)) > math.abs(v(arg))) arg = i; i += 1 }
+    if (v(arg) < 0.0) v = v.map(-_)
+    val trace = (0 until d).map(k => c(k * d + k)).sum
+    TopComponent(lambda, v, if (trace > 0.0) lambda / trace else 0.0)
+  }
+}

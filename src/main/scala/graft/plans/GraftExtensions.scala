@@ -124,6 +124,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "cm_estimate(sketch, item) - Count-Min point estimate (never undercounts)"),
       (args: Seq[Expression]) => CmProbe(args(0), args(1))))
 
+    ext.injectFunction((
+      new FunctionIdentifier("vec_outer_sum"),
+      info("vec_outer_sum",
+        "vec_outer_sum(array<float|double>) - one-pass vector moments: struct(n, dim, mean, cov)"),
+      (args: Seq[Expression]) => VecOuterSum(args.head)))
+
     // parse_relative_time: native node composition mirroring
     // graft.functions.parseRelativeTime (reference semantics: substring
     // match on hour/day, first digit run, yesterday -> NULL). Seconds

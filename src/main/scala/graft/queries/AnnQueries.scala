@@ -258,6 +258,40 @@ object AnnQueries {
         .orderBy("pos")
     },
 
+    // T95 — full embedding covariance matrix in ONE pass
+    // (plans/VecOuterSum via operators/Embeddings): q93 profiles each
+    // dimension alone; correlated/redundant dimensions and collapsed
+    // representations only show in the CROSS moments. The naive shape
+    // (posexplode → self-join on vec_id → covar per (i,j), the oracle
+    // below) shuffles N·dim² rows; the engine ships ONE O(dim²)
+    // partial per partition (upper triangle, cell-wise-add merge) and
+    // emits one row, so the reduction is a single map-side-combined
+    // pass at any corpus size. Output is the dim-bounded upper
+    // triangle (64 dims → 2 080 rows). The raw-moment vs Welford
+    // difference between engines vanishes at round(6) (doc'd error
+    // bound ≲ n·ε·max|x|², far below 5e-7 here).
+    QueryDef("q130_embedding_cov",
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings
+        |), x AS (
+        |  SELECT vec_id, i - 1 AS i, e[i] AS x
+        |  FROM v, unnest(generate_series(1, len(e))) AS g(i)
+        |)
+        |SELECT a.i AS i, b.i AS j, round(covar_samp(a.x, b.x), 6) AS cov
+        |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |GROUP BY a.i, b.i ORDER BY i, j""".stripMargin) { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .agg(graft.operators.Embeddings.covStatsCol(col("embedding")).as("st"))
+        .select(col("st.dim").as("dim"),
+          posexplode(col("st.cov")).as(Seq("idx", "c")))
+        .select(expr("idx div dim").cast("int").as("i"),
+          pmod(col("idx"), col("dim")).as("j"),
+          round(col("c"), 6).as("cov"))
+        .filter(col("i") <= col("j"))
+        .orderBy("i", "j")
+    },
+
     // Inter-label centroid separation matrix: pairwise cosine between
     // label centroids — q83's cohesion (how tight is each cluster)
     // paired with separation (how far apart the clusters sit), the

@@ -162,6 +162,18 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     row.getLong(2) shouldBe 5L
   }
 
+  test("vec_outer_sum SQL aggregate: one-row moments from plain SQL") {
+    val row = spark.sql(
+      """SELECT s.n AS n, s.dim AS d, s.mean[0] AS m0, s.cov[3] AS c11 FROM (
+        |  SELECT vec_outer_sum(v) AS s FROM (
+        |    SELECT explode(array(array(1.0D, 2.0D), array(3.0D, 6.0D))) AS v))
+        |""".stripMargin).collect().head
+    row.getLong(0) shouldBe 2L
+    row.getInt(1) shouldBe 2
+    row.getDouble(2) shouldBe 2.0 +- 1e-15 // mean of 1, 3
+    row.getDouble(3) shouldBe 8.0 +- 1e-12 // var_samp of 2, 6
+  }
+
   test("dot_product null semantics match the composed aggregate(zip_with) form") {
     val row = spark.sql(
       """SELECT
