@@ -141,4 +141,13 @@ package object functions {
       graft.plans.CmProbe(
         org.apache.spark.sql.graft.CatalystBridge.expr(sketch),
         org.apache.spark.sql.graft.CatalystBridge.expr(item)))
+
+  /** Sorted distinct indices of the `phrases` occurring in `text` —
+    * ONE Aho–Corasick pass over the bytes regardless of phrase count
+    * ([[graft.plans.PhraseScan]]; the scale path where the unrolled
+    * per-term Contains chain of [[extractTags]] doesn't hold). */
+  def phraseScan(text: Column, phrases: Seq[String]): Column =
+    org.apache.spark.sql.graft.CatalystBridge.column(
+      graft.plans.PhraseScan(
+        org.apache.spark.sql.graft.CatalystBridge.expr(text), phrases))
 }

@@ -3047,8 +3047,50 @@ object TextQueries {
       }
       r.select(col("token"), round(col("rank"), 6).as("rank"))
         .orderBy(desc("rank"), asc("token")).limit(25)
+    },
+
+    // T96 — blocklist phrase census via the byte-level Aho–Corasick
+    // scan (plans/PhraseScan): which blocklist phrases occur in which
+    // feeds, per-source doc counts. q25/q72's unrolled Contains chain
+    // re-reads every document once PER TERM — fine for a dozen
+    // vocabulary words, O(len·phrases) for the 10⁴-entry blocklists
+    // policy scrubbing actually ships. The automaton scans each doc's
+    // bytes ONCE for all phrases (goto+fail collapsed to a dense DFA,
+    // shipped to generated code as a codegen reference — built once
+    // per executor). The oracle IS the naive shape: a contains() theta
+    // join of documents × phrases. Output is (source × phrases)-
+    // bounded; nothing shuffles but the hit ids.
+    QueryDef("q131_blocklist_census", {
+      val vals = BlockPhrases.map(p => s"('${p}')").mkString(", ")
+      s"""WITH p AS (SELECT * FROM (VALUES $vals) AS t(phrase))
+         |SELECT d.source, p.phrase, count(*) AS n_docs
+         |FROM documents d JOIN p ON contains(d.text, p.phrase)
+         |GROUP BY d.source, p.phrase
+         |ORDER BY source, phrase""".stripMargin
+    }) { (s, dir) =>
+      val phraseLit = array(BlockPhrases.map(lit): _*)
+      Tables.documents(s, dir)
+        .select(col("source"),
+          explode(org.apache.spark.sql.graft.CatalystBridge.column(
+            graft.plans.PhraseScan(
+              org.apache.spark.sql.graft.CatalystBridge.expr(col("text")),
+              BlockPhrases))).as("pid"))
+        .select(col("source"),
+          element_at(phraseLit, col("pid") + 1).as("phrase"))
+        .groupBy("source", "phrase")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "phrase")
     }
   )
+
+  /** q131's blocklist: two-word collocations of the corpus vocabulary
+    * (plus one absent control phrase) — the census proves presence AND
+    * absence handling. (`lazy`: referenced from `defs`, which is
+    * declared above this in initialization order.) */
+  private lazy val BlockPhrases: Seq[String] = Seq(
+    "customer order", "hash join", "sort merge", "big data",
+    "fast scan", "slow query", "stream batch", "key value",
+    "spark table", "row filter", "quantum leapfrog")
 
   private def tokensBySource(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
