@@ -83,4 +83,59 @@ object Embeddings {
     val trace = (0 until d).map(k => c(k * d + k)).sum
     TopComponent(lambda, v, if (trace > 0.0) lambda / trace else 0.0)
   }
+
+  /** Whitening matrix W = L⁻¹ where cov + ridge·I = L·Lᵀ (Cholesky):
+    * applying y = W·(x − mean) makes the output covariance ≈ identity.
+    * The ridge keeps degenerate (dead) dimensions factorizable —
+    * standard practice, and the reason this never throws on a
+    * collapsed representation. Row-major d×d (lower triangular). */
+  def whiteningMatrix(stats: CovStats, ridge: Double = 1e-9): Array[Double] = {
+    val d = stats.dim
+    // Cholesky: L lower-triangular with cov = L·Lᵀ.
+    val l = new Array[Double](d * d)
+    var i = 0
+    while (i < d) {
+      var j = 0
+      while (j <= i) {
+        var s = stats.cov(i * d + j) + (if (i == j) ridge else 0.0)
+        var k = 0
+        while (k < j) { s -= l(i * d + k) * l(j * d + k); k += 1 }
+        if (i == j) l(i * d + i) = math.sqrt(math.max(s, ridge))
+        else l(i * d + j) = s / l(j * d + j)
+        j += 1
+      }
+      i += 1
+    }
+    // Forward-substitute column by column for L⁻¹ (lower triangular).
+    val inv = new Array[Double](d * d)
+    var c = 0
+    while (c < d) {
+      inv(c * d + c) = 1.0 / l(c * d + c)
+      var r = c + 1
+      while (r < d) {
+        var s = 0.0
+        var k = c
+        while (k < r) { s -= l(r * d + k) * inv(k * d + c); k += 1 }
+        inv(r * d + c) = s / l(r * d + r)
+        r += 1
+      }
+      c += 1
+    }
+    inv
+  }
+
+  /** Whitened copy of `vecCol` as `outCol` (array<double>): one fused
+    * d² multiply-add per row via the codegen'd [[graft.plans.MatVec]];
+    * the d×d matrix ships once per executor as a codegen reference,
+    * never per row. Downstream covariance of `outCol` ≈ identity —
+    * the isotropy normalization run before cosine ANN indexes. */
+  def whiten(df: DataFrame, vecCol: String, stats: CovStats,
+      outCol: String = "white", ridge: Double = 1e-9): DataFrame = {
+    val w = whiteningMatrix(stats, ridge)
+    df.withColumn(outCol,
+      org.apache.spark.sql.graft.CatalystBridge.column(
+        graft.plans.MatVec(
+          org.apache.spark.sql.graft.CatalystBridge.expr(col(vecCol)),
+          w, stats.mean, stats.dim)))
+  }
 }

@@ -59,6 +59,40 @@ class EmbeddingsSpec extends SparkSpec {
     pc.component(1) should be > 0.0
   }
 
+  test("whiten: output covariance is the identity, mean is zero") {
+    // Correlated 3-dim data: x2 = x0 + x1 + jitter, distinct scales.
+    val rows = (0 until 400).map { i =>
+      val a = noise(i, 0) * 3.0
+      val b = noise(i, 1)
+      Array(a.toFloat, b.toFloat, (a + b + noise(i, 2) * 0.1).toFloat)
+    }
+    val df = rows.map(Tuple1(_)).toDF("embedding")
+    val stats = Embeddings.covStats(df, "embedding")
+    val white = Embeddings.whiten(df, "embedding", stats)
+    val ws = Embeddings.covStats(white, "white")
+    for (i <- 0 until 3; j <- 0 until 3) {
+      // 1e-4: the x2 ≈ x0 + x1 construction is deliberately
+      // ill-conditioned (κ ~ 10³), which amplifies the float32
+      // input rounding through the factorization.
+      ws.cov(i * 3 + j) shouldBe (if (i == j) 1.0 else 0.0) +- 1e-4
+      ws.mean(i) shouldBe 0.0 +- 1e-9
+    }
+  }
+
+  test("whiten survives a dead (zero-variance) dimension via the ridge") {
+    val rows = (0 until 100).map(i =>
+      Array(noise(i, 0).toFloat, 0.0f)) // dim 1 is constant
+    val df = rows.map(Tuple1(_)).toDF("embedding")
+    val stats = Embeddings.covStats(df, "embedding")
+    val out = Embeddings.whiten(df, "embedding", stats)
+      .select("white").as[Seq[Double]].collect()
+    out.foreach(v => v.foreach(x => assert(!x.isNaN && !x.isInfinite)))
+    // live dim still whitens to unit variance
+    Embeddings.covStats(
+      Embeddings.whiten(df, "embedding", stats), "white")
+      .cov(0) shouldBe 1.0 +- 1e-6
+  }
+
   test("null vectors are skipped, and an all-null input evaluates to null") {
     val df = Seq(Some(Array(1.0f, 2.0f)), None, Some(Array(3.0f, 4.0f)))
       .toDF("embedding")
