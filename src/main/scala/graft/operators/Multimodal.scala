@@ -605,6 +605,101 @@ object Multimodal {
       } catch { case _: Exception => None }
     }
 
+    /** Spectral band energies at the given `freqs` (Hz) via the
+      * Goertzel algorithm over the mono mix — per-band power computed
+      * WITHOUT an FFT or any external DSP library, in the same
+      * bounded-buffer single pass as [[sampleStats]]: k running
+      * second-order recurrences (3 doubles each), O(n·k) time, O(k)
+      * state no matter what the header claims. Returns the RELATIVE
+      * band fractions (each band's power over the probed total), the
+      * robust spectral profile for tone/voicing classification —
+      * absolute Goertzel magnitudes scale with n² and signal level,
+      * fractions don't. None when the payload isn't decodable audio
+      * or no band is below Nyquist. */
+    def bandEnergies(bytes: Array[Byte], freqs: Seq[Double])
+        : Option[Array[Double]] = {
+      import javax.sound.sampled._
+      if (bytes == null || bytes.length == 0 || freqs.isEmpty) return None
+      try {
+        val raw = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val enc = raw.getFormat.getEncoding
+        val pcm =
+          if (enc == AudioFormat.Encoding.PCM_SIGNED ||
+              enc == AudioFormat.Encoding.PCM_UNSIGNED) raw
+          else AudioSystem.getAudioInputStream(
+            AudioFormat.Encoding.PCM_SIGNED, raw)
+        try {
+          val f = pcm.getFormat
+          val bits = f.getSampleSizeInBits
+          val channels = math.max(f.getChannels, 1)
+          val rate = f.getSampleRate.toDouble
+          if (bits % 8 != 0 || bits <= 0 || bits > 32 || rate <= 0) return None
+          val k = freqs.length
+          // Bands at or above Nyquist alias — they report 0 and are
+          // excluded from the normalizing total.
+          val live = freqs.map(fr => fr > 0 && fr < rate / 2).toArray
+          if (!live.exists(identity)) return None
+          val coeff = freqs.map(fr =>
+            2.0 * math.cos(2.0 * math.Pi * fr / rate)).toArray
+          val s1 = new Array[Double](k)
+          val s2 = new Array[Double](k)
+          val bytesPer = bits / 8
+          val unsigned = f.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED
+          val big = f.isBigEndian
+          val fullScale = (1L << (bits - 1)).toDouble
+          val frameSize = math.max(f.getFrameSize, bytesPer * channels)
+          val buf = new Array[Byte](math.max(frameSize, 8192 / frameSize * frameSize))
+          var mix = 0.0 // running per-frame channel mix
+          var chIdx = 0
+          var n = 0L
+          var read = pcm.read(buf)
+          while (read > 0) {
+            var o = 0
+            while (o + bytesPer <= read) {
+              var v = 0L
+              var i = 0
+              while (i < bytesPer) {
+                val b = buf(o + (if (big) i else bytesPer - 1 - i)) & 0xffL
+                v = (v << 8) | b
+                i += 1
+              }
+              val signed =
+                if (unsigned) v - (1L << (bits - 1))
+                else (v << (64 - bits)) >> (64 - bits)
+              mix += signed / fullScale
+              chIdx += 1
+              if (chIdx == channels) {
+                val x = mix / channels
+                var j = 0
+                while (j < k) {
+                  if (live(j)) {
+                    val s0 = x + coeff(j) * s1(j) - s2(j)
+                    s2(j) = s1(j)
+                    s1(j) = s0
+                  }
+                  j += 1
+                }
+                n += 1L
+                mix = 0.0
+                chIdx = 0
+              }
+              o += bytesPer
+            }
+            read = pcm.read(buf)
+          }
+          if (n == 0L) return None
+          val powers = Array.tabulate(k) { j =>
+            if (!live(j)) 0.0
+            else math.max(
+              s1(j) * s1(j) + s2(j) * s2(j) - coeff(j) * s1(j) * s2(j), 0.0)
+          }
+          val total = powers.sum
+          Some(if (total > 0.0) powers.map(_ / total) else powers)
+        } finally pcm.close()
+      } catch { case _: Exception => None }
+    }
+
     def decode(r: MediaRecord): AudioMeta = audioMeta(r.payload) match {
       case Some((container, enc, rate, ch, bits, frames)) =>
         val dur =
@@ -657,6 +752,37 @@ object Multimodal {
         case None =>
           AudioSampleFeatures(r.media_id, r.kind, decoded_samples = false,
             0L, 0.0, 0.0, 0.0, 0.0, 0.0,
+            if (r.payload == null) 0L else r.payload.length.toLong)
+      }
+    })
+  }
+
+  final case class AudioBandProfile(
+      media_id: Long,
+      kind: String,
+      decoded_samples: Boolean,
+      band_fracs: Array[Double], // one fraction per requested freq
+      n_bytes: Long)
+
+  /** Relative Goertzel band energies per audio payload
+    * ([[AudioIoCodec.bandEnergies]]) — the spectral-profile feature
+    * column (tone/voicing classification, synthetic-audio detection)
+    * on the same no-shuffle mapPartitions plumbing as
+    * [[decodeAudioSamples]]: k second-order recurrences per payload,
+    * O(k) state, bounded read buffer, no FFT and no external DSP
+    * dependency. Undecodable payloads carry an empty array behind
+    * `decoded_samples = false`. */
+  def audioBandProfile(media: Dataset[MediaRecord], freqs: Seq[Double])(
+      implicit spark: SparkSession): Dataset[AudioBandProfile] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      AudioIoCodec.bandEnergies(r.payload, freqs) match {
+        case Some(fr) =>
+          AudioBandProfile(r.media_id, r.kind, decoded_samples = true,
+            fr, r.payload.length.toLong)
+        case None =>
+          AudioBandProfile(r.media_id, r.kind, decoded_samples = false,
+            Array.empty[Double],
             if (r.payload == null) 0L else r.payload.length.toLong)
       }
     })

@@ -791,4 +791,62 @@ class MultimodalSpec extends SparkSpec {
     pairs.length shouldBe 1
     pairs(0).getInt(2) shouldBe 2
   }
+
+  test("bandEnergies: a pure sine concentrates in its own Goertzel band") {
+    val rate = 8000f
+    val f0 = 1000.0
+    val n = 4000 // whole number of cycles at 1 kHz / 8 kHz
+    val wav = pcm16Wav(Array.tabulate(n)(i =>
+      (math.sin(2 * math.Pi * f0 * i / rate) * 20000).toShort), rate)
+    val bands = Seq(250.0, 1000.0, 3500.0)
+    val got = Multimodal.AudioIoCodec.bandEnergies(wav, bands).get
+    got.sum shouldBe 1.0 +- 1e-9
+    got(1) should be > 0.99 // the probed tone
+    got(0) should be < 0.01
+    got(2) should be < 0.01
+  }
+
+  test("bandEnergies: two-tone mix splits energy by amplitude squared") {
+    val rate = 8000f
+    val n = 8000
+    val wav = pcm16Wav(Array.tabulate(n) { i =>
+      val a = math.sin(2 * math.Pi * 500.0 * i / rate) * 16000
+      val b = math.sin(2 * math.Pi * 2000.0 * i / rate) * 8000
+      (a + b).toShort
+    }, rate)
+    val got = Multimodal.AudioIoCodec
+      .bandEnergies(wav, Seq(500.0, 2000.0)).get
+    // power ratio 4:1 → fractions 0.8 / 0.2
+    got(0) shouldBe 0.8 +- 0.01
+    got(1) shouldBe 0.2 +- 0.01
+  }
+
+  test("audioBandProfile: Dataset plumbing carries fractions and the decode flag") {
+    implicit val s = spark
+    import spark.implicits._
+    val wav = pcm16Wav(Array.tabulate(2000)(i =>
+      (math.sin(2 * math.Pi * 1000.0 * i / 8000.0) * 12000).toShort))
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "audio", wav, "wav", 0, 0),
+      Multimodal.MediaRecord(2L, "junk", Array.fill[Byte](16)(3),
+        "raw", 0, 0)).toDS()
+    val rows = Multimodal.audioBandProfile(media, Seq(250.0, 1000.0))
+      .collect().sortBy(_.media_id)
+    rows(0).decoded_samples shouldBe true
+    rows(0).band_fracs(1) should be > 0.99
+    rows(1).decoded_samples shouldBe false
+    rows(1).band_fracs shouldBe empty
+  }
+
+  test("bandEnergies: Nyquist-violating bands report zero; junk payloads None") {
+    val wav = pcm16Wav(Array.tabulate(800)(i =>
+      (math.sin(2 * math.Pi * 440.0 * i / 8000.0) * 10000).toShort))
+    val got = Multimodal.AudioIoCodec
+      .bandEnergies(wav, Seq(440.0, 7999.0)).get
+    got(1) shouldBe 0.0
+    got(0) shouldBe 1.0 +- 1e-9
+    Multimodal.AudioIoCodec.bandEnergies(
+      Array.fill[Byte](64)(7), Seq(440.0)) shouldBe None
+    Multimodal.AudioIoCodec.bandEnergies(wav, Seq(7999.0)) shouldBe None
+  }
 }
