@@ -224,6 +224,69 @@ object DocumentStreams {
       }
   }
 
+  final case class FreqRow(source: String, term: String,
+      estimate: Long, total: Long)
+  /** Count-Min grid as streaming state: fixed width×depth cells plus
+    * the observation total — NEVER grows with the stream. */
+  final case class CmStreamState(cells: Seq[Long], total: Long)
+
+  /** Streaming per-source token-frequency estimates on Count-Min
+    * state ([[graft.plans.CmSketch]]'s grid, T94, as
+    * `flatMapGroupsWithState` state) — the "how often has THIS term
+    * arrived so far" twin of [[heavyHitterStream]] (which answers
+    * "WHICH terms are frequent"): after every micro-batch each source
+    * emits updated estimates for the fixed `probes` list. State is
+    * width×depth longs per source at ANY stream length, and because
+    * the grid is the T94 cell-wise-add merge, the running estimate
+    * carries Count-Min's guarantee across batches: never an
+    * undercount of the true arrivals so far, overcount ≤ ~(e/width)·N
+    * w.h.p. Batch twin: exact `groupBy(term).count` filtered to the
+    * probes (`DocumentStreamsSpec` pins the bracket). */
+  def tokenFrequencyStream(docs: DataFrame, probes: Seq[String],
+      width: Int = 1024, depth: Int = 4)(
+      implicit spark: SparkSession)
+      : org.apache.spark.sql.Dataset[FreqRow] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(probes.nonEmpty, "at least one probe term is required")
+    require(width >= 8 && depth >= 1, s"bad grid: ${width}x$depth")
+    val terms = docs
+      .select(col("source"),
+        explode(graft.functions.tokens(col("text"))).as("term"))
+      .as[(String, String)]
+    terms.groupByKey(_._1)
+      .flatMapGroupsWithState[CmStreamState, FreqRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (source, rows, state) =>
+          val cells = state.getOption.map(_.cells.toArray)
+            .getOrElse(new Array[Long](width * depth))
+          var total = state.getOption.map(_.total).getOrElse(0L)
+          rows.foreach { case (_, term) =>
+            val h = graft.plans.CmSketch.fnv64(
+              term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            var r = 0
+            while (r < depth) {
+              cells(r * width + graft.plans.CmSketch.bucket(h, r, width)) += 1L
+              r += 1
+            }
+            total += 1L
+          }
+          state.update(CmStreamState(cells.toSeq, total))
+          probes.map { p =>
+            val h = graft.plans.CmSketch.fnv64(
+              p.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            var mn = Long.MaxValue
+            var r = 0
+            while (r < depth) {
+              val c = cells(r * width + graft.plans.CmSketch.bucket(h, r, width))
+              if (c < mn) mn = c
+              r += 1
+            }
+            FreqRow(source, p, mn, total)
+          }.iterator
+      }
+  }
+
   def tokenBudgetGate(docs: DataFrame, budget: Long)(
       implicit spark: SparkSession)
       : org.apache.spark.sql.Dataset[DocTokens] = {

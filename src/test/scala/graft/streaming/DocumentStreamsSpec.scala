@@ -261,4 +261,47 @@ class DocumentStreamsSpec extends SparkSpec {
       }
     }
   }
+
+  test("tokenFrequencyStream: CM estimates never undercount arrivals, per source, across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s2 = spark
+    val probes = Seq("hot", "warm", "absent")
+    val batch1 = (1 to 20).map(i => (i.toLong, "hot warm cold n" + (i % 5), "a")) ++
+      (1 to 10).map(i => (100L + i, "hot hot", "b"))
+    val batch2 = (21 to 40).map(i => (i.toLong, "hot n" + (i % 7), "a"))
+    val mem = MemoryStream[(Long, String, String)]
+    val q = DocumentStreams.tokenFrequencyStream(
+        mem.toDF().toDF("doc_id", "text", "source"), probes,
+        width = 256, depth = 4)
+      .writeStream.format("memory").queryName("freqs")
+      .outputMode(OutputMode.Update()).start()
+    mem.addData(batch1: _*); q.processAllAvailable()
+    mem.addData(batch2: _*); q.processAllAvailable()
+    q.stop()
+    val all = spark.table("freqs").as[DocumentStreams.FreqRow].collect()
+    // final emission per source = max total
+    val finalTotal = all.groupBy(_.source).view.mapValues(_.map(_.total).max)
+    val fin = all.filter(r => r.total == finalTotal(r.source))
+      .map(r => (r.source, r.term) -> r.estimate).toMap
+    // exact arrival counts per (source, term)
+    val truth = (batch1 ++ batch2)
+      .flatMap { case (_, text, src) => text.split(" ").map(src -> _) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (src <- Seq("a", "b"); p <- probes) {
+      val t = truth.getOrElse(src -> p, 0L)
+      val est = fin((src, p))
+      withClue(s"$src/$p true=$t est=$est: ") {
+        est should be >= t // Count-Min never undercounts
+        // 256-wide grid, tiny vocab: overcount ≤ 3·⌈e/256⌉·N is generous
+        est - t should be <= 3 * (math.ceil(math.E / 256 *
+          finalTotal(src)).toLong + 1)
+      }
+    }
+    // totals are per-source arrival counts
+    finalTotal("a") shouldBe truth.collect { case ((s, _), c) if s == "a" => c }.sum
+    finalTotal("b") shouldBe 20L
+    // emissions are probe-bounded: exactly |probes| rows per (source, batch)
+    all.groupBy(r => (r.source, r.total)).values
+      .foreach(_.length shouldBe probes.length)
+  }
 }
