@@ -689,6 +689,113 @@ object EventQueries {
         .select(col("src"), col("dst"), col("cnt"),
           round(col("cnt") * lit(1.0) / col("t"), 6).as("prob"))
         .orderBy("src", "dst")
+    },
+
+    // T99 — population-stability-index (PSI) drift census: for each
+    // event_type, split its timeline at the epoch-µs midpoint
+    // (integer arithmetic — engine-identical), bin values into 10
+    // equal-width bins over the type's COMBINED value range (the
+    // single-stats-pass PSI variant: range and midpoint both come
+    // from one aggregate, so the corpus is scanned exactly TWICE —
+    // classic ref-half binning would need a third pass), and report
+    // PSI = Σ (q−p)·ln(q/p) with Laplace-smoothed bin fractions
+    // ((c+0.5)/(n+5) — exact IEEE ops, so p/q are bit-identical
+    // cross-engine; smoothing also makes empty bins well-defined).
+    // The distribution-drift monitor a pipeline runs per feed —
+    // q71's source-vs-source divergence is over TOKENS, this is over
+    // a numeric feature through TIME. Scale: two corpus scans (type
+    // stats, then (half, bin) counts — both map-side-partial
+    // aggregates with a type-bounded broadcast back); everything
+    // after the counts is (types × 10)-bounded, zero-count bins
+    // included via an exploded bin spine, never a corpus re-scan.
+    QueryDef("q132_psi_drift",
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS tus, value
+        |  FROM events WHERE value IS NOT NULL
+        |), stats AS (
+        |  SELECT event_type, (min(tus) + max(tus)) // 2 AS mid,
+        |    min(value) AS lo, max(value) AS hi
+        |  FROM e GROUP BY event_type
+        |), binned AS (
+        |  SELECT e.event_type,
+        |    CASE WHEN e.tus <= s.mid THEN 0 ELSE 1 END AS half,
+        |    CASE WHEN s.hi <= s.lo THEN 0
+        |      ELSE CAST(least(greatest(
+        |        floor((e.value - s.lo) / ((s.hi - s.lo) / 10.0)), 0), 9)
+        |        AS INT)
+        |    END AS bin
+        |  FROM e JOIN stats s USING (event_type)
+        |), counts AS (
+        |  SELECT event_type, half, bin, count(*) AS c
+        |  FROM binned GROUP BY event_type, half, bin
+        |), totals AS (
+        |  SELECT event_type,
+        |    sum(CASE WHEN half = 0 THEN c ELSE 0 END) AS nref,
+        |    sum(CASE WHEN half = 1 THEN c ELSE 0 END) AS ncur
+        |  FROM counts GROUP BY event_type
+        |), spine AS (
+        |  SELECT t.event_type, g.b AS bin, t.nref, t.ncur
+        |  FROM totals t, unnest(generate_series(0, 9)) AS g(b)
+        |), pq AS (
+        |  SELECT s.event_type, s.nref, s.ncur,
+        |    (coalesce(cr.c, 0) + 0.5) / (s.nref + 5.0) AS pf,
+        |    (coalesce(cc.c, 0) + 0.5) / (s.ncur + 5.0) AS qf
+        |  FROM spine s
+        |  LEFT JOIN counts cr ON cr.event_type = s.event_type
+        |    AND cr.half = 0 AND cr.bin = s.bin
+        |  LEFT JOIN counts cc ON cc.event_type = s.event_type
+        |    AND cc.half = 1 AND cc.bin = s.bin
+        |)
+        |SELECT event_type, CAST(nref AS BIGINT) AS n_ref,
+        |  CAST(ncur AS BIGINT) AS n_cur,
+        |  round(sum((qf - pf) * ln(qf / pf)), 6) AS psi
+        |FROM pq GROUP BY event_type, nref, ncur
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), unix_micros(col("ts")).as("tus"),
+          col("value"))
+      val stats = broadcast(e.groupBy("event_type")
+        .agg(min("tus").as("mn"), max("tus").as("mx"),
+          min("value").as("lo"), max("value").as("hi"))
+        .select(col("event_type"), expr("(mn + mx) div 2").as("mid"),
+          col("lo"), col("hi")))
+      val binned = e.join(stats, "event_type")
+        .select(col("event_type"),
+          when(col("tus") <= col("mid"), 0).otherwise(1).as("half"),
+          when(col("hi") <= col("lo"), 0)
+            .otherwise(least(greatest(
+              floor((col("value") - col("lo")) /
+                ((col("hi") - col("lo")) / 10.0)), lit(0L)), lit(9L))
+              .cast("int"))
+            .as("bin"))
+      // ONE (type, bin) aggregate with the halves pivoted into
+      // conditional sums, PERSISTED (types × 10 rows) — referenced by
+      // both the totals and the spine join below; without the cache
+      // each reference re-runs the corpus scan + join + aggregate.
+      val counts = graft.CacheRegistry.persistTracked(
+        binned.groupBy("event_type", "bin")
+          .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("cref"),
+            sum(when(col("half") === 1, 1L).otherwise(0L)).as("ccur")),
+        graft.CacheRegistry.DataSized)
+      val totals = counts.groupBy("event_type")
+        .agg(sum("cref").as("nref"), sum("ccur").as("ncur"))
+      val spine = totals
+        .select(col("event_type"), col("nref"), col("ncur"),
+          explode(sequence(lit(0), lit(9))).as("bin"))
+      val pq = spine
+        .join(counts, Seq("event_type", "bin"), "left")
+        .select(col("event_type"), col("nref"), col("ncur"),
+          ((coalesce(col("cref"), lit(0L)) + 0.5) / (col("nref") + 5.0))
+            .as("pf"),
+          ((coalesce(col("ccur"), lit(0L)) + 0.5) / (col("ncur") + 5.0))
+            .as("qf"))
+      pq.groupBy("event_type", "nref", "ncur")
+        .agg(round(sum((col("qf") - col("pf")) * log(col("qf") / col("pf"))),
+          6).as("psi"))
+        .select(col("event_type"), col("nref").as("n_ref"),
+          col("ncur").as("n_cur"), col("psi"))
+        .orderBy("event_type")
     }
   )
 
