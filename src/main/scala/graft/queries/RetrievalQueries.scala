@@ -51,9 +51,14 @@ object RetrievalQueries {
       |)""".stripMargin
 
   /** Shared Spark-side `(doc_id, term, tf)` aggregate — ONE token
-    * explode, ONE shuffle; every downstream frame derives from it. */
+    * explode, ONE shuffle; every downstream frame derives from it.
+    * The repartition fans the (often single-file) scan out BEFORE the
+    * explode + partial aggregation (the `shingled()` lesson): without
+    * it the whole tokenize runs in as many tasks as there are input
+    * files. */
   private def tfFrame(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
+      .repartition(col("doc_id"))
       .select(col("doc_id"), explode(graft.functions.tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
@@ -257,6 +262,120 @@ object RetrievalQueries {
         .select(col("source"), col("doc_id"), col("n_chars"),
           round(col("__skey"), 9).as("skey"))
         .orderBy(asc("source"), desc("skey"), asc("doc_id"))
+    },
+
+    // T100 — hybrid-ranker fusion via Reciprocal Rank Fusion
+    // (Cormack et al. 2009, the standard hybrid-search combiner):
+    // the same probe terms ranked by TWO scorers — BM25 (q126's
+    // model) and TF·IDF (q46's weighting) — fused per (term, doc) as
+    // Σ 1/(60 + rank), top-5 fused docs per term. Ranks are integers
+    // and 1/(60+r) is one exact IEEE division, so fused scores are
+    // bit-identical cross-engine — fusing RANKS instead of raw scores
+    // is exactly why RRF is the production default. Scale shape: ONE
+    // persisted tf backbone feeds both scorers; each scorer's
+    // per-term top-RankDepth comes off the bounded-heap TopKPerKey
+    // (corpus-sized posting lists never sort); ranking, the full
+    // outer fuse join and the final top-5 all run on
+    // (terms × RankDepth)-bounded frames.
+    QueryDef("q133_rrf_fusion",
+      s"""WITH $toksSql, tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+        |), df AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), qterms AS (
+        |  SELECT term, df FROM df ORDER BY df DESC, term LIMIT $NQueryTerms
+        |), dl AS (
+        |  SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY 1
+        |), stats AS (
+        |  SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+        |    (SELECT avg(dl) FROM dl) AS avgdl
+        |), bm25 AS (
+        |  SELECT tf.term, tf.doc_id,
+        |    round(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+        |      * (tf * ($K1 + 1.0))
+        |      / (tf + $K1 * (1.0 - $B + $B * dl / avgdl)), 6) AS score
+        |  FROM tf JOIN qterms USING (term) JOIN dl USING (doc_id)
+        |  CROSS JOIN stats
+        |), tfidf AS (
+        |  SELECT tf.term, tf.doc_id,
+        |    round(tf * ln(n / df), 6) AS score
+        |  FROM tf JOIN qterms USING (term) CROSS JOIN stats
+        |), ra AS (
+        |  SELECT term, doc_id,
+        |    row_number() OVER (PARTITION BY term
+        |      ORDER BY score DESC, doc_id) AS rk
+        |  FROM bm25
+        |), rb AS (
+        |  SELECT term, doc_id,
+        |    row_number() OVER (PARTITION BY term
+        |      ORDER BY score DESC, doc_id) AS rk
+        |  FROM tfidf
+        |), fused AS (
+        |  SELECT coalesce(ra.term, rb.term) AS term,
+        |    coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+        |    round(coalesce(1.0 / ($RrfK + ra.rk), 0.0)
+        |      + coalesce(1.0 / ($RrfK + rb.rk), 0.0), 6) AS rrf
+        |  FROM (SELECT * FROM ra WHERE rk <= $RankDepth) ra
+        |  FULL JOIN (SELECT * FROM rb WHERE rk <= $RankDepth) rb
+        |    ON ra.term = rb.term AND ra.doc_id = rb.doc_id
+        |), top AS (
+        |  SELECT term, doc_id, rrf,
+        |    row_number() OVER (PARTITION BY term
+        |      ORDER BY rrf DESC, doc_id) AS rk
+        |  FROM fused
+        |)
+        |SELECT term, doc_id, rrf FROM top WHERE rk <= $TopDocs
+        |ORDER BY term, rrf DESC, doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tf = graft.CacheRegistry.persistTracked(tfFrame(s, dir),
+        graft.CacheRegistry.DataSized)
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val qterms = df.orderBy(desc("df"), asc("term")).limit(NQueryTerms)
+      val dl = tf.groupBy("doc_id").agg(sum("tf").cast("double").as("dl"))
+      val n = Tables.documents(s, dir).agg(count(lit(1)).cast("double").as("n"))
+      val avgdl = dl.agg(avg("dl").as("avgdl"))
+      val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+      val bm25 = tf
+        .join(broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(n))
+        .crossJoin(broadcast(avgdl))
+        .withColumn("score",
+          round(idf * (col("tf") * (K1 + 1.0))
+            / (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))), 6))
+        .select("term", "doc_id", "score")
+      val tfidf = tf
+        .join(broadcast(qterms), "term")
+        .crossJoin(broadcast(n))
+        .withColumn("score", round(col("tf") * log(col("n") / col("df")), 6))
+        .select("term", "doc_id", "score")
+      // Bounded-heap top-RankDepth per term FIRST, then ranks via a
+      // window over the ≤ RankDepth-row frames.
+      def ranked(scored: org.apache.spark.sql.DataFrame) =
+        graft.plans.TopKPerKey(scored, Seq("term"),
+            Seq(graft.plans.TopKPerKey.desc("score"),
+              graft.plans.TopKPerKey.asc("doc_id")), RankDepth)
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("term").orderBy(desc("score"), asc("doc_id"))))
+          .select("term", "doc_id", "rk")
+      val ra = ranked(bm25)
+      val rb = ranked(tfidf)
+      val fused = ra.withColumnRenamed("rk", "ra")
+        .join(rb.withColumnRenamed("rk", "rb"),
+          Seq("term", "doc_id"), "full_outer")
+        .select(col("term"), col("doc_id"),
+          round(coalesce(lit(1.0) / (lit(RrfK) + col("ra")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(RrfK) + col("rb")), lit(0.0)), 6)
+            .as("rrf"))
+      graft.plans.TopKPerKey(fused, Seq("term"),
+          Seq(graft.plans.TopKPerKey.desc("rrf"),
+            graft.plans.TopKPerKey.asc("doc_id")), TopDocs)
+        .orderBy(asc("term"), desc("rrf"), asc("doc_id"))
     }
   )
+
+  /** RRF constants: standard k = 60 (Cormack et al.), fuse over each
+    * scorer's top-10. `lazy`: referenced from `defs` above. */
+  private lazy val RrfK = 60
+  private lazy val RankDepth = 10
 }
