@@ -207,6 +207,7 @@ object RetrievalQueries {
       // materialize arrays three times for counts that need none.
       val prof = graft.functions.tokenProfile(col("text"), Seq("a", "the"))
       val feats = Tables.documents(s, dir)
+        .repartition(col("doc_id")) // fan out the single-file scan
         .select(col("source"), col("n_chars"), prof.as("p"))
         .select(col("source"), col("n_chars"),
           col("p.n_tokens").cast("double").as("dl"),

@@ -111,7 +111,12 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
     // 1-row (avgdl) broadcast aggregates to the scored stream — the
     // q46/q68 lazy-totals pattern; every multi-row join in the plan is
     // an equi-join (probe terms broadcast, dl on doc_id).
-    "q126_bm25_topk")
+    "q126_bm25_topk",
+    // q133: the same q126 lazy-totals cross products, once per scorer
+    // (BM25 reuses N + avgdl, TF·IDF reuses N); the fuse join itself
+    // is a full-outer EQUI-join on (term, doc_id) over
+    // (terms × RankDepth)-bounded frames.
+    "q133_rrf_fusion")
 
   test("suite-wide: nested-loop joins only as broadcast builds of bounded frames") {
     val offenders = SparkEntry.allDefs.flatMap { d =>
