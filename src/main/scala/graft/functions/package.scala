@@ -142,6 +142,34 @@ package object functions {
         org.apache.spark.sql.graft.CatalystBridge.expr(sketch),
         org.apache.spark.sql.graft.CatalystBridge.expr(item)))
 
+  /** Fan a scan out by `key` ONLY when it would under-parallelize:
+    * a single-file (single-row-group) parquet input runs its per-row
+    * tokenize/shingle/hash work in as many tasks as the scan has
+    * splits — at cluster scale splits are plentiful and this is a
+    * no-op, but a local/few-file input needs an explicit repartition
+    * BEFORE the heavy map (the q30 lesson). Decision from FREE plan
+    * stats (the T82 precedent): fan out iff the input is big enough
+    * for the shuffle to pay for itself (> 2 MB) AND the estimated
+    * split count is below half the available parallelism. */
+  def fanOutScan(df: org.apache.spark.sql.DataFrame, key: Column)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
+    val cores = spark.sparkContext.defaultParallelism
+    val estSplits = (bytes / math.max(maxPart, 1L)).toLong + 1
+    if (bytes > 2L * 1024 * 1024 && estSplits < cores / 2)
+      df.repartition(key)
+    else df
+  }
+
+  /** Chained-call form of [[fanOutScan]]. */
+  implicit class FanOutOps(private val df: org.apache.spark.sql.DataFrame)
+      extends AnyVal {
+    def fanOutScan(key: Column): org.apache.spark.sql.DataFrame =
+      graft.functions.fanOutScan(df, key)
+  }
+
   /** Sorted distinct indices of the `phrases` occurring in `text` —
     * ONE Aho–Corasick pass over the bytes regardless of phrase count
     * ([[graft.plans.PhraseScan]]; the scale path where the unrolled

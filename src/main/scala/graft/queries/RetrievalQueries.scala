@@ -57,8 +57,7 @@ object RetrievalQueries {
     * it the whole tokenize runs in as many tasks as there are input
     * files. */
   private def tfFrame(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .repartition(col("doc_id"))
+    graft.functions.fanOutScan(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id"), explode(graft.functions.tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
@@ -206,8 +205,8 @@ object RetrievalQueries {
       // tokens/array_distinct/countIn triple would tokenize and
       // materialize arrays three times for counts that need none.
       val prof = graft.functions.tokenProfile(col("text"), Seq("a", "the"))
-      val feats = Tables.documents(s, dir)
-        .repartition(col("doc_id")) // fan out the single-file scan
+      val feats = graft.functions
+        .fanOutScan(Tables.documents(s, dir), col("doc_id"))
         .select(col("source"), col("n_chars"), prof.as("p"))
         .select(col("source"), col("n_chars"),
           col("p.n_tokens").cast("double").as("dl"),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{functions => gf}
+import graft.functions.FanOutOps
 import graft.Tables
 
 /** Training-data-pipeline operators over `documents` / `embeddings`:
@@ -932,7 +933,7 @@ object TextQueries {
         |    string_split_regex(trim(text), '\s+'), x -> x <> ''), ' ')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Tables.documents(s, dir)
-        .repartition(col("doc_id")) // fan out the single-file scan
+        .fanOutScan(col("doc_id")) // scale-aware scan fan-out
         .select(col("doc_id"),
           md5(array_join(gf.tokens(col("text")), " ")).as("fingerprint"))
         .orderBy("doc_id")
@@ -1566,7 +1567,7 @@ object TextQueries {
         |FROM st JOIN src USING (source) JOIN gt USING (tok) CROSS JOIN tot
         |GROUP BY st.source, src.src_n ORDER BY st.source""".stripMargin) { (s, dir) =>
       val st = Tables.documents(s, dir)
-        .repartition(col("doc_id")) // fan out the single-file scan
+        .fanOutScan(col("doc_id")) // scale-aware scan fan-out
         .select(col("source"), explode(gf.tokens(col("text"))).as("tok"))
         .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
       val src = st.groupBy("source").agg(sum("cnt").cast("double").as("src_n"))
@@ -1655,7 +1656,7 @@ object TextQueries {
         |GROUP BY a.source, b.source, sa.n, sb.n
         |ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
       val st = Tables.documents(s, dir)
-        .repartition(col("doc_id")) // fan out the single-file scan
+        .fanOutScan(col("doc_id")) // scale-aware scan fan-out
         .select(col("source"), explode(gf.tokens(col("text"))).as("tok"))
         .distinct()
       val sz = st.groupBy("source").agg(count(lit(1)).as("n"))
@@ -1814,7 +1815,7 @@ object TextQueries {
         |FROM pts GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val tf = Tables.documents(s, dir)
-        .repartition(col("doc_id")) // fan out the single-file scan
+        .fanOutScan(col("doc_id")) // scale-aware scan fan-out
         .select(col("source"), explode(gf.tokens(col("text"))).as("tok"))
         .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
       val w = Window.partitionBy("source").orderBy(desc("cnt"), asc("tok"))
@@ -2080,7 +2081,7 @@ object TextQueries {
         |ORDER BY source, rank""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.graft.CatalystBridge
       val toks = Tables.documents(s, dir)
-        .repartition(col("doc_id")) // fan out the single-file scan
+        .fanOutScan(col("doc_id")) // scale-aware scan fan-out
         .select(col("source"), explode(gf.tokens(col("text"))).as("tok"))
       val cand = toks.groupBy("source")
         .agg(CatalystBridge.column(graft.plans.FreqSketch(
@@ -2247,7 +2248,7 @@ object TextQueries {
         |LEFT JOIN agg a ON s.source = a.source
         |ORDER BY s.source""".stripMargin) { (s, dir) =>
       val t = Tables.documents(s, dir)
-        .repartition(col("doc_id")) // fan out the single-file scan
+        .fanOutScan(col("doc_id")) // scale-aware scan fan-out
         .select(col("doc_id"), col("source"),
           size(gf.tokens(col("text"))).cast("long").as("n_toks"))
       val kept = graft.operators.Sampling
@@ -2618,7 +2619,7 @@ object TextQueries {
         size(array_distinct(t)).cast("double") / size(t) >= 0.5, 1L)
         .otherwise(0L)
       Tables.documents(s, dir)
-        .repartition(col("doc_id")) // fan out the single-file scan
+        .fanOutScan(col("doc_id")) // scale-aware scan fan-out
         .select(col("source"), gf.tokens(col("text")).as("t"))
         .select(col("source"), rLen.as("r_len"), rWordlen.as("r_wordlen"),
           rStop.as("r_stop"), rRep.as("r_rep"))
