@@ -3088,6 +3088,153 @@ object TextQueries {
         .groupBy("source", "phrase")
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("source", "phrase")
+    },
+
+    // T101 — passage-level exact dedup WITH document reconstruction
+    // (the C4/RefinedWeb line-dedup shape): docs split into
+    // non-overlapping 16-token blocks, every distinct block retained
+    // only at its FIRST corpus occurrence (smallest (doc_id, blk)),
+    // surviving blocks reassembled per home document. q77/q78 DETECT
+    // repeated passages; this op REMOVES them and emits the rebuilt
+    // corpus census — the step that actually shrinks a training set.
+    // Shape: one scan → per-row blockify (transform + slice, zero
+    // shuffle) → posexplode → ONE content-keyed aggregate (min /
+    // min_by — map-side combinable, never a corpus-wide window) → ONE
+    // doc-keyed aggregate over the distinct-block-bounded winner set.
+    // First-occurrence ties are impossible: the packed
+    // doc_id·10⁶ + blk key is unique (blk < 10⁶ at any plausible doc
+    // length; doc_id ≤ ~10⁸ even in the replica-offset scale dirs, so
+    // the packed key stays far below 2⁶³). The reconstructed text is
+    // witnessed by an md5 over the blk-ordered join, so the oracle
+    // checks BYTES of the rebuilt docs, not just counts.
+    QueryDef("q134_passage_dedup",
+      """WITH docs AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents
+        |), nz AS (
+        |  SELECT doc_id, toks, len(toks) AS n FROM docs WHERE len(toks) > 0
+        |), blocks AS (
+        |  SELECT doc_id, CAST(ceil(n / 16.0) AS BIGINT) AS nb, i AS blk,
+        |    array_to_string(list_slice(toks,
+        |      CAST(i * 16 + 1 AS BIGINT), CAST(i * 16 + 16 AS BIGINT)), ' ')
+        |      AS block_text,
+        |    len(list_slice(toks, CAST(i * 16 + 1 AS BIGINT),
+        |      CAST(i * 16 + 16 AS BIGINT))) AS blk_len
+        |  FROM (SELECT doc_id, toks, n,
+        |          unnest(range(0, CAST(ceil(n / 16.0) AS BIGINT))) AS i
+        |        FROM nz)
+        |), winners AS (
+        |  SELECT block_text,
+        |    min(doc_id * 1000000 + blk) AS word,
+        |    arg_min(nb, doc_id * 1000000 + blk) AS nb,
+        |    arg_min(blk_len, doc_id * 1000000 + blk) AS blk_len
+        |  FROM blocks GROUP BY block_text
+        |)
+        |SELECT CAST(word // 1000000 AS BIGINT) AS doc_id,
+        |  nb AS n_blocks, count(*) AS kept_blocks,
+        |  CAST(sum(blk_len) AS BIGINT) AS retained_tokens,
+        |  md5(string_agg(block_text, ' ' ORDER BY word % 1000000))
+        |    AS retained_md5
+        |FROM winners GROUP BY 1, 2 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val k = 16
+      Tables.documents(s, dir)
+        .fanOutScan(col("doc_id")) // scale-aware scan fan-out
+        .select(col("doc_id"), gf.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .withColumn("nb",
+          ceil(size(col("toks")) / lit(k.toDouble)).cast("long"))
+        .select(col("doc_id"), col("nb"),
+          posexplode(transform(sequence(lit(0L), col("nb") - 1),
+            i => slice(col("toks"), (i * k + 1).cast("int"), lit(k)))))
+        .select(col("doc_id"), col("nb"), col("pos").cast("long").as("blk"),
+          array_join(col("col"), " ").as("block_text"),
+          size(col("col")).cast("long").as("blk_len"))
+        .withColumn("ord", col("doc_id") * lit(1000000L) + col("blk"))
+        .groupBy("block_text")
+        .agg(min("ord").as("word"),
+          min_by(col("nb"), col("ord")).as("nb"),
+          min_by(col("blk_len"), col("ord")).as("blk_len"))
+        .select(expr("word div 1000000").as("doc_id"), col("nb"),
+          (col("word") % lit(1000000L)).as("wblk"),
+          col("block_text"), col("blk_len"))
+        .groupBy("doc_id", "nb")
+        .agg(count(lit(1)).as("kept_blocks"),
+          sum("blk_len").as("retained_tokens"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("wblk"), col("block_text")))),
+            x => x.getField("block_text")), " ")).as("retained_md5"))
+        .select(col("doc_id"), col("nb").as("n_blocks"), col("kept_blocks"),
+          col("retained_tokens"), col("retained_md5"))
+        .orderBy("doc_id")
+    },
+
+    // T104 — content-defined chunking census (token-level twin of the
+    // byte-level FastCDC expression in plans/CdcChunks): chunk
+    // boundaries close AFTER any token whose stable hash ≡ 0 (mod 16)
+    // — boundaries depend only on CONTENT, so an insertion reshapes
+    // only its own chunk while fixed-size blocks (q134/q69) shift
+    // every downstream boundary. The census: per-source chunk counts,
+    // distinct-chunk counts (md5-witnessed bytes) and length profile —
+    // the dedup-potential readout storage/dataset dedup systems size
+    // against. Shape: scan → fan-out on doc_id → posexplode → per-DOC
+    // window cumsum (fanOutScan already clustered by doc_id, so the
+    // window adds a local sort, no second exchange; partitions are
+    // doc-length-bounded) → (doc, chunk) aggregate → skinny source
+    // census. avg over integer token counts: integer-valued doubles
+    // sum exactly in any order, so cross-engine rounding agrees.
+    QueryDef("q135_cdc_chunks",
+      """WITH docs AS (
+        |  SELECT doc_id, source, list_filter(
+        |    string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents
+        |), nz AS (
+        |  SELECT doc_id, source, toks, len(toks) AS n
+        |  FROM docs WHERE len(toks) > 0
+        |), tok AS (
+        |  SELECT doc_id, source, unnest(toks) AS tok,
+        |    unnest(range(1, n + 1)) AS pos
+        |  FROM nz
+        |), flagged AS (
+        |  SELECT doc_id, source, tok, pos,
+        |    CASE WHEN CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT)
+        |      % 16 = 0 THEN 1 ELSE 0 END AS b
+        |  FROM tok
+        |), chunked AS (
+        |  SELECT doc_id, source, tok, pos,
+        |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos) - b AS chunk_id
+        |  FROM flagged
+        |), chunks AS (
+        |  SELECT doc_id, source, chunk_id,
+        |    md5(string_agg(tok, ' ' ORDER BY pos)) AS ch, count(*) AS clen
+        |  FROM chunked GROUP BY doc_id, source, chunk_id
+        |)
+        |SELECT source, count(*) AS n_chunks,
+        |  CAST(count(DISTINCT ch) AS BIGINT) AS n_distinct,
+        |  CAST(sum(clen) AS BIGINT) AS n_tokens,
+        |  round(avg(clen), 4) AS avg_len
+        |FROM chunks GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      Tables.documents(s, dir)
+        .fanOutScan(col("doc_id")) // scale-aware scan fan-out
+        .select(col("doc_id"), col("source"),
+          posexplode(gf.tokens(col("text"))))
+        .select(col("doc_id"), col("source"),
+          (col("pos") + 1).cast("long").as("pos"), col("col").as("tok"))
+        .withColumn("b",
+          when(gf.stableHash(col("tok")) % 16 === 0, 1L).otherwise(0L))
+        .withColumn("chunk_id", sum("b").over(w) - col("b"))
+        .groupBy("doc_id", "source", "chunk_id")
+        .agg(md5(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ")).as("ch"),
+          count(lit(1)).as("clen"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct("ch").as("n_distinct"),
+          sum("clen").as("n_tokens"),
+          round(avg("clen"), 4).as("avg_len"))
+        .orderBy("source")
     }
   )
 
