@@ -36,16 +36,21 @@ object BenchPq {
     val n = corpus.count()
     val dim = corpus.select(size(col("embedding"))).as[Int].head()
     val m = 8
-    val ksub = 256
+    // ksub must not exceed the training sample; downscale for tiny dirs
+    val trainN = math.min(4096, n).toInt
+    val ksub = math.min(256, Integer.highestOneBit(math.max(1, trainN)))
     println(s"[benchpq] corpus n=$n dim=$dim -> m=$m bytes/vector " +
       f"(${dim * 4.0 / m}%.0fx compression)")
 
-    val queries = corpus.orderBy(md5(col("vec_id").cast("string")))
+    // salted ordering: train samples the smallest md5(vec_id), so an
+    // unsalted query pick would be a strict PREFIX of the training set
+    // and bias recall upward — out-of-sample queries are the honest test
+    val queries = corpus
+      .orderBy(md5(concat(lit("q|"), col("vec_id").cast("string"))))
       .limit(nq).select(col("vec_id"), col("embedding"))
     queries.collect() // warm
 
-    val cb = operators.Pq.train(corpus, m, ksub,
-      trainN = math.min(4096, n).toInt, iters = 8)
+    val cb = operators.Pq.train(corpus, m, ksub, trainN = trainN, iters = 8)
     val codes = operators.Pq.encode(corpus, cb)
       .select(col("vec_id"), col("pq_code"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

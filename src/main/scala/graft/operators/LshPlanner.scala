@@ -66,19 +66,25 @@ object LshPlanner {
     (fp / cells, fn / cells)
   }
 
-  /** All maximal (b, r) splits of a signature budget: for every r in
-    * 1..n, b = ⌊n/r⌋ (never waste budget — a smaller b at the same r
-    * only shifts the curve with no upside). Deduplicated on (b, r). */
+  /** ALL (b, r) splits that fit the signature budget: every r in 1..n
+    * and every b in 1..⌊n/r⌋ — not just the maximal b per r. Using
+    * fewer bands than the budget allows is sometimes strictly better:
+    * b shifts the curve's inflection (1/b)^(1/r), and when the maximal
+    * b overshoots the target threshold a smaller b can sit its
+    * inflection closer to t and cut the total error mass (e.g. at
+    * n=32, t=0.1 the optimum is (15, 1), not the budget-exhausting
+    * (32, 1)). O(n log n) pairs of exact driver arithmetic — free. */
   def candidates(nSignature: Int, threshold: Double): Seq[LshPlan] = {
     require(nSignature >= 1, s"signature budget must be >= 1: $nSignature")
     require(threshold > 0.0 && threshold < 1.0,
       s"threshold must be in (0, 1): $threshold")
-    (1 to nSignature).map(r => (nSignature / r, r))
-      .distinct
-      .map { case (b, r) =>
-        val (fp, fn) = areas(b, r, threshold)
-        LshPlan(b, r, threshold, fp, fn)
-      }
+    for {
+      r <- 1 to nSignature
+      b <- 1 to nSignature / r
+    } yield {
+      val (fp, fn) = areas(b, r, threshold)
+      LshPlan(b, r, threshold, fp, fn)
+    }
   }
 
   /** The minimum-error plan for a signature budget at a threshold.

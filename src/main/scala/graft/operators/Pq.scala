@@ -74,6 +74,7 @@ object Pq {
     require(trainN >= ksub && trainN <= MaxTrainN,
       s"pq train: trainN must be in [$ksub, $MaxTrainN]: $trainN")
     val sample = corpus
+      .filter(col(embCol).isNotNull) // null vectors can't train (loud NPE otherwise)
       .select(col(idCol).cast("string").as("id"),
         col(embCol).cast("array<double>").as("e"))
       .withColumn("h", md5(col("id")))
@@ -180,11 +181,18 @@ object Pq {
     val qt = queries.select(col(idCol).as("qid"),
       distTableCol(col(embCol).cast("array<double>"), cb).as("tbl"))
     val rw = Window.partitionBy("qid").orderBy(asc("adc"), asc(idCol))
-    codes.join(broadcast(qt), lit(true))
+    codes
+      // a null code (null embedding) has no distance — without this it
+      // would sort FIRST under asc() and displace a real neighbor
+      .filter(col(codeCol).isNotNull)
+      .join(broadcast(qt), lit(true))
       .filter(col(idCol) =!= col("qid"))
       .select(col("qid"), col(idCol),
         round(adcCol(col(codeCol), col("tbl"), cb), 6).as("adc"))
-      .withColumn("rank", row_number().over(rw).cast("long"))
-      .filter(col("rank") <= k)
+      // rank stays IntegerType and the bound an Int literal so
+      // TopKRewriteRule's RankLimit pattern fires (bounded per-key heap,
+      // not a full per-qid sort)
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= lit(k))
   }
 }

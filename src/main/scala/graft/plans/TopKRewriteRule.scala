@@ -116,5 +116,18 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
         if (p.references.contains(rnAttr)) Some(rnAttr) else None
       Project(projectList,
         TopKPerKey(partitionSpec, orderSpec, k, child, rankOut))
+
+    // Same idiom with nothing above the filter (an API returning the
+    // ranked frame as-is, e.g. Pq.topK; or a caller aggregating the
+    // filter output directly — RemoveNoopOperators strips any identity
+    // Project before this batch runs). The rank is part of the visible
+    // output here, so it is always emitted.
+    case Filter(RankLimit(rnAttr, k),
+        Window(Seq(winExpr), partitionSpec, orderSpec, child, _))
+        if k >= 1 &&
+          winExpr.toAttribute.semanticEquals(rnAttr) &&
+          isRowNumberWindow(winExpr).isDefined &&
+          fitsMemoryBound(child) =>
+      TopKPerKey(partitionSpec, orderSpec, k, child, Some(rnAttr))
   }
 }

@@ -3102,9 +3102,10 @@ object TextQueries {
     // min_by — map-side combinable, never a corpus-wide window) → ONE
     // doc-keyed aggregate over the distinct-block-bounded winner set.
     // First-occurrence ties are impossible: the packed
-    // doc_id·10⁶ + blk key is unique (blk < 10⁶ at any plausible doc
-    // length; doc_id ≤ ~10⁸ even in the replica-offset scale dirs, so
-    // the packed key stays far below 2⁶³). The reconstructed text is
+    // doc_id·2³² + blk key is unique — a collision needs a single doc
+    // with ≥ 2³² blocks (≈ 68 billion tokens, beyond any document),
+    // and doc_id ≤ ~10⁸ even in the replica-offset scale dirs keeps
+    // the packed key below 2⁶³. The reconstructed text is
     // witnessed by an md5 over the blk-ordered join, so the oracle
     // checks BYTES of the rebuilt docs, not just counts.
     QueryDef("q134_passage_dedup",
@@ -3126,15 +3127,15 @@ object TextQueries {
         |        FROM nz)
         |), winners AS (
         |  SELECT block_text,
-        |    min(doc_id * 1000000 + blk) AS word,
-        |    arg_min(nb, doc_id * 1000000 + blk) AS nb,
-        |    arg_min(blk_len, doc_id * 1000000 + blk) AS blk_len
+        |    min(doc_id * 4294967296 + blk) AS word,
+        |    arg_min(nb, doc_id * 4294967296 + blk) AS nb,
+        |    arg_min(blk_len, doc_id * 4294967296 + blk) AS blk_len
         |  FROM blocks GROUP BY block_text
         |)
-        |SELECT CAST(word // 1000000 AS BIGINT) AS doc_id,
+        |SELECT CAST(word // 4294967296 AS BIGINT) AS doc_id,
         |  nb AS n_blocks, count(*) AS kept_blocks,
         |  CAST(sum(blk_len) AS BIGINT) AS retained_tokens,
-        |  md5(string_agg(block_text, ' ' ORDER BY word % 1000000))
+        |  md5(string_agg(block_text, ' ' ORDER BY word % 4294967296))
         |    AS retained_md5
         |FROM winners GROUP BY 1, 2 ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val k = 16
@@ -3150,13 +3151,13 @@ object TextQueries {
         .select(col("doc_id"), col("nb"), col("pos").cast("long").as("blk"),
           array_join(col("col"), " ").as("block_text"),
           size(col("col")).cast("long").as("blk_len"))
-        .withColumn("ord", col("doc_id") * lit(1000000L) + col("blk"))
+        .withColumn("ord", col("doc_id") * lit(4294967296L) + col("blk"))
         .groupBy("block_text")
         .agg(min("ord").as("word"),
           min_by(col("nb"), col("ord")).as("nb"),
           min_by(col("blk_len"), col("ord")).as("blk_len"))
-        .select(expr("word div 1000000").as("doc_id"), col("nb"),
-          (col("word") % lit(1000000L)).as("wblk"),
+        .select(expr("word div 4294967296").as("doc_id"), col("nb"),
+          (col("word") % lit(4294967296L)).as("wblk"),
           col("block_text"), col("blk_len"))
         .groupBy("doc_id", "nb")
         .agg(count(lit(1)).as("kept_blocks"),
@@ -3177,12 +3178,17 @@ object TextQueries {
     // every downstream boundary. The census: per-source chunk counts,
     // distinct-chunk counts (md5-witnessed bytes) and length profile —
     // the dedup-potential readout storage/dataset dedup systems size
-    // against. Shape: scan → fan-out on doc_id → posexplode → per-DOC
-    // window cumsum (fanOutScan already clustered by doc_id, so the
-    // window adds a local sort, no second exchange; partitions are
-    // doc-length-bounded) → (doc, chunk) aggregate → skinny source
-    // census. avg over integer token counts: integer-valued doubles
-    // sum exactly in any order, so cross-engine rounding agrees.
+    // against. Shape: scan → UNCONDITIONAL repartition on doc_id
+    // BEFORE the explode (not fanOutScan, which is a no-op on
+    // already-parallel inputs: the per-doc boundary cumsum needs
+    // hashpartitioning(doc_id) regardless, and satisfying it here
+    // shuffles raw documents — satisfying it at the window would
+    // shuffle the far larger exploded token stream) → posexplode →
+    // per-DOC window cumsum (distribution already satisfied: local
+    // sort only, partitions doc-length-bounded) → (doc, chunk)
+    // aggregate → skinny source census. avg over integer token counts:
+    // integer-valued doubles sum exactly in any order, so cross-engine
+    // rounding agrees.
     QueryDef("q135_cdc_chunks",
       """WITH docs AS (
         |  SELECT doc_id, source, list_filter(
@@ -3216,7 +3222,7 @@ object TextQueries {
         |FROM chunks GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy("doc_id").orderBy("pos")
       Tables.documents(s, dir)
-        .fanOutScan(col("doc_id")) // scale-aware scan fan-out
+        .repartition(col("doc_id")) // the window's distribution, paid on raw docs
         .select(col("doc_id"), col("source"),
           posexplode(gf.tokens(col("text"))))
         .select(col("doc_id"), col("source"),

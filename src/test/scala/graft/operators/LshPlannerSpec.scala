@@ -65,6 +65,24 @@ class LshPlannerSpec extends AnyFunSuite with Matchers {
     p.rowsPerBand should (be >= 3 and be <= 5)
   }
 
+  test("non-maximal band counts are in the search space and win when " +
+    "the budget-exhausting split overshoots the threshold") {
+    // at n=32, t=0.1 every maximal split (b = n/r) has its inflection
+    // well above or below t; the optimum uses FEWER bands than the
+    // budget allows (verified against a brute-force sweep of all
+    // b*r <= n)
+    val best = LshPlanner.plan(32, 0.1)
+    val maximalOnly = (1 to 32).map { r =>
+      val b = 32 / r
+      val all = LshPlanner.candidates(32, 0.1)
+      all.find(p => p.bands == b && p.rowsPerBand == r).get
+    }.minBy(_.errorArea)
+    best.errorArea should be <= maximalOnly.errorArea
+    best.bands * best.rowsPerBand should be <= 32
+    // and the winner here really is non-maximal
+    best.bands should be < (32 / best.rowsPerBand)
+  }
+
   test("degenerate budgets and bad inputs fail loudly or stay sane") {
     val one = LshPlanner.plan(1, 0.5)
     one.bands shouldBe 1

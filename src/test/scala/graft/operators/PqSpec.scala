@@ -136,11 +136,27 @@ class PqSpec extends SparkSpec {
     val q = Seq((999L, Array.tabulate(m * dsub)(_ => 1.0f)))
       .toDF("vec_id", "embedding")
     val r1 = Pq.topK(codes, q, cb, k = 5)
-      .select("vec_id", "rank").as[(Long, Long)].collect().sortBy(_._2)
+      .select(col("vec_id"), col("rank").cast("long")).as[(Long, Long)].collect().sortBy(_._2)
     val r2 = Pq.topK(codes, q, cb, k = 5)
-      .select("vec_id", "rank").as[(Long, Long)].collect().sortBy(_._2)
+      .select(col("vec_id"), col("rank").cast("long")).as[(Long, Long)].collect().sortBy(_._2)
     r1.toSeq shouldBe r2.toSeq
     r1.map(_._1).toSeq shouldBe Seq(0L, 1L, 2L, 3L, 4L) // id-ordered ties
+  }
+
+  test("null embeddings: excluded from train sample and from topK " +
+    "candidates (a null ADC would otherwise sort FIRST under asc)") {
+    val m = 2; val dsub = 2
+    val good = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(m * dsub)(d => (i * (d + 1)).toFloat)))
+    val bad = Seq((900L, null.asInstanceOf[Array[Float]]))
+    val df = (good ++ bad).toDF("vec_id", "embedding")
+    val cb = Pq.train(df, m, ksub = 4, trainN = 40, iters = 3) // no NPE
+    val q = Seq((999L, Array.tabulate(m * dsub)(_ => 0.0f)))
+      .toDF("vec_id", "embedding")
+    val top = Pq.topK(Pq.encode(df, cb), q, cb, k = 5)
+      .select("vec_id").as[Long].collect()
+    top should not contain 900L
+    top should have length 5
   }
 
   test("bad shapes fail loudly: wrong dim, bad ksub, oversized trainN") {

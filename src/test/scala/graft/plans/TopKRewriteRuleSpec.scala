@@ -53,6 +53,28 @@ class TopKRewriteRuleSpec extends AnyFunSuite with Matchers {
     got shouldBe expected
   }
 
+  test("a BARE Filter(rank<=k, Window) with no Project above rewrites " +
+    "too (API surfaces returning the ranked frame as-is, e.g. Pq.topK)") {
+    import spark.implicits._
+    val rows = for { key <- 1 to 5; i <- 1 to 20 }
+      yield (key.toLong, (key * 100 + i).toLong, ((i * 7) % 20).toDouble)
+    val df = rows.toDF("key", "id", "score")
+    val w = Window.partitionBy("key").orderBy(asc("score"), asc("id"))
+    // no trailing select: the filter IS the query root
+    val ranked = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+    ranked.queryExecution.optimizedPlan.toString should include("TopKPerKey")
+    // rank column is emitted and correct
+    val got = ranked.orderBy("key", "rn")
+      .select(col("key"), col("id"), col("rn").cast("long"))
+      .as[(Long, Long, Long)].collect()
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (k, g) =>
+      g.sortBy(r => (r._3, r._2)).take(3).zipWithIndex
+        .map { case (r, i) => (k, r._2, i + 1L) }
+    }.sortBy(r => (r._1, r._3)).toArray
+    got shouldBe expected
+  }
+
   test("children above the memory bound keep the spilling window plan") {
     // TopKPerKeyExec DOES have a runtime spill fallback (the per-task
     // retained-bytes budget degrades to UnsafeExternalRowSorter —
