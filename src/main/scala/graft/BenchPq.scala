@@ -88,6 +88,20 @@ object BenchPq {
     val pqDf = operators.Pq.topK(codes, queries, cb, k)
     val tPq = time("pq_adc")(pqDf.count())
 
+    // IVFADC: √N coarse buckets built ONCE (the index), then the probe
+    // scans only nprobe buckets' codes per query
+    val nlist = operators.Similarity.sqrtNlist(n)
+    val nprobe = math.max(2, nlist / 8)
+    val (cent, ivfCodes) = operators.Pq.ivfEncode(corpus, cb,
+      nCentroids = nlist, trainN = operators.Similarity.sizingTrainN(nlist))
+    val centP = cent.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ivfCodesP = ivfCodes
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    centP.count(); ivfCodesP.count() // materialize the index
+    val ivfDf = operators.Pq.ivfAdcProbe(ivfCodesP, centP, queries, cb, k,
+      nprobe = nprobe)
+    val tIvf = time(s"ivfadc(nlist=$nlist,nprobe=$nprobe)")(ivfDf.count())
+
     // Recall@k of the ADC ranking against the exact ranking.
     val exact = exactDf.select("qid", "vec_id").as[(Long, Long)]
       .collect().groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
@@ -96,10 +110,17 @@ object BenchPq {
     val recall = exact.map { case (q, ex) =>
       approx.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
     }.sum / exact.size
+    val ivfSets = ivfDf.select("qid", "vec_id").as[(Long, Long)]
+      .collect().groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val ivfRecall = exact.map { case (q, ex) =>
+      ivfSets.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+    }.sum / exact.size
 
     println(f"""{"metric":"benchpq","n":$n,"dim":$dim,"m":$m,"ksub":$ksub,""" +
       f""""nq":$nq,"k":$k,"exact_sec":$tExact%.4f,"pq_sec":$tPq%.4f,""" +
       f""""speedup":${tExact / tPq}%.2f,"recall":$recall%.4f,""" +
+      f""""ivf_nlist":$nlist,"ivf_nprobe":$nprobe,"ivfadc_sec":$tIvf%.4f,""" +
+      f""""ivfadc_speedup":${tExact / tIvf}%.2f,"ivfadc_recall":$ivfRecall%.4f,""" +
       f""""bytes_per_vec":$m,"exact_bytes_per_vec":${dim * 4}}""")
     spark.stop()
   }

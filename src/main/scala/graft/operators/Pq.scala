@@ -195,4 +195,76 @@ object Pq {
       .withColumn("rank", row_number().over(rw))
       .filter(col("rank") <= lit(k))
   }
+
+  /** IVFADC — the IVF × PQ composition (Jégou–Douze–Schmid TPAMI'11
+    * §IV, the standard billion-scale layout): the IVF coarse quantizer
+    * prunes WHICH vectors a query scans (only the `nprobe` nearest
+    * buckets' members), the PQ codes shrink WHAT each scanned vector
+    * costs (m byte-lookups instead of d multiplies on 32× less data).
+    * Per query the candidate volume is nprobe·N/nlist rows of m bytes —
+    * with √N sizing ([[Similarity.sqrtNlist]]) that is O(√N) scanned
+    * BYTES per query at any corpus size.
+    *
+    * Buckets come from [[Similarity.trainCentroids]]/
+    * [[Similarity.assignToCentroids]] (cosine coarse quantizer, the
+    * engine's IVF contract); in-bucket ranking is ADC L2 — the same
+    * mixed-metric stance as [[topK]], deterministic ties by id.
+    * Output: (qid, idCol, adc, rank). */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, cb: Codebook,
+      k: Int, nCentroids: Int = 16, nprobe: Int = 2,
+      trainN: Int = 128, iters: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val (cent, codes) = ivfEncode(
+      corpus, cb, nCentroids, trainN, iters, idCol, embCol)
+    ivfAdcProbe(codes, cent, queries, cb, k, nprobe, idCol, embCol)
+  }
+
+  /** The index-build half of [[ivfAdcTopK]]: train the coarse
+    * quantizer, assign, PQ-encode. Returns (centroids, codes) where
+    * codes = (idCol, bucket, pq_code) — persist/bucket these once and
+    * probe many times (the 100 TB shape, as [[Similarity.buildIndex]]
+    * does for exact IVF). */
+  def ivfEncode(corpus: DataFrame, cb: Codebook,
+      nCentroids: Int = 16, trainN: Int = 128, iters: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding")
+      : (DataFrame, DataFrame) = {
+    val prepped = corpus.select(col(idCol),
+        transform(col(embCol), x => x.cast("double")).as("e"))
+      .withColumn("nrm", Similarity.norm(col("e")))
+    val cent = Similarity.trainCentroids(
+      corpus, nCentroids, trainN, iters, idCol, embCol)
+    val assigned = Similarity.assignToCentroids(prepped, cent, idCol)
+    // a null embedding yields a null code — excluded as in topK
+    val codes = assigned
+      .select(col(idCol), col("bucket"), encodeCol(col("e"), cb).as("pq_code"))
+      .filter(col("pq_code").isNotNull)
+    (cent, codes)
+  }
+
+  /** The query half of [[ivfAdcTopK]] over a pre-built (cent, codes)
+    * pair from [[ivfEncode]]. */
+  def ivfAdcProbe(codes: DataFrame, cent: DataFrame, queries: DataFrame,
+      cb: Codebook, k: Int, nprobe: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    // query side: ADC table once per query, probes by centroid cosine
+    val q = queries
+      .select(col(idCol).as("qid"),
+        transform(col(embCol), x => x.cast("double")).as("qe"))
+      .withColumn("qn", Similarity.norm(col("qe")))
+      .withColumn("tbl", distTableCol(col("qe"), cb))
+    val qw = Window.partitionBy("qid").orderBy(desc("qsim"), asc("cent_id"))
+    val probes = broadcast(q).join(broadcast(cent), lit(true))
+      .withColumn("qsim",
+        Similarity.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("prank", row_number().over(qw))
+      .filter(col("prank") <= nprobe)
+      .select(col("qid"), col("tbl"), col("cent_id").as("bucket"))
+    val rw = Window.partitionBy("qid").orderBy(asc("adc"), asc(idCol))
+    codes.join(broadcast(probes), Seq("bucket")) // only probed buckets scan
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol),
+        round(adcCol(col("pq_code"), col("tbl"), cb), 6).as("adc"))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= lit(k))
+  }
 }

@@ -124,6 +124,48 @@ class PqSpec extends SparkSpec {
     got.foreach(id => (id % 4) shouldBe 1L)
   }
 
+  test("IVFADC with nprobe = nlist (probe everything) equals the full " +
+    "PQ scan — the composition prunes, never re-ranks") {
+    val m = 4; val dsub = 4; val dim = m * dsub
+    val data = (0 until 200).map { i =>
+      val c = i % 4
+      val v = Array.tabulate(dim)(j => (c * 100.0 + noise(i, j)).toFloat)
+      (i.toLong, v)
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val cb = Pq.train(df, m, ksub = 8, trainN = 200, iters = 6)
+    val q = Seq(data(1), data(2)).toDF("vec_id", "embedding")
+    val full = Pq.topK(Pq.encode(df, cb), q, cb, k = 10)
+      .select(col("qid"), col("vec_id"), col("adc"), col("rank"))
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val ivf = Pq.ivfAdcTopK(df, q, cb, k = 10,
+        nCentroids = 4, nprobe = 4, trainN = 200, iters = 2)
+      .select(col("qid"), col("vec_id"), col("adc"), col("rank"))
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    ivf.toSeq shouldBe full.toSeq
+  }
+
+  test("IVFADC with nprobe=1 on angle-separated data scans only the " +
+    "query's own bucket and finds its twin") {
+    // 4 mutually ORTHOGONAL directions (one hot block each): cosine
+    // separates them perfectly, and with one corpus vector per
+    // direction the coarse quantizer's seeds ARE the directions —
+    // fully deterministic
+    val m = 4; val dsub = 4; val dim = m * dsub
+    val corpus = (0 until 4).map { c =>
+      (c.toLong, Array.tabulate(dim)(j =>
+        if (j / dsub == c) 100.0f else 0.0f))
+    }
+    val df = corpus.toDF("vec_id", "embedding")
+    val cb = Pq.train(df, m, ksub = 4, trainN = 4, iters = 4)
+    val q = corpus.map { case (id, v) => (id + 100L, v) }
+      .toDF("vec_id", "embedding")
+    val got = Pq.ivfAdcTopK(df, q, cb, k = 1,
+        nCentroids = 4, nprobe = 1, trainN = 4, iters = 2)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toMap
+    got shouldBe corpus.map { case (id, _) => (id + 100L) -> id }.toMap
+  }
+
   test("deterministic ranking: ties break by id and reruns are " +
     "bit-identical") {
     val m = 2; val dsub = 2
