@@ -287,6 +287,133 @@ object DocumentStreams {
       }
   }
 
+  /** One admitted block of [[passageDedupStream]]: the block survives
+    * (first corpus occurrence at arrival time) with its home doc,
+    * in-doc position, content hash, and token count. */
+  final case class KeptBlock(doc_id: Long, blk: Long, block_hash: String,
+      n_toks: Long)
+
+  /** Seen-block index for one hash bucket — Seq because Spark's state
+    * encoder codegen constructs it (the BudgetState precedent). */
+  final case class SeenBlocks(hashes: Seq[String])
+
+  /** Bloom bits for one hash bucket of [[passageDedupStreamBloom]]. */
+  final case class BloomState(bits: Array[Byte], nSet: Long)
+
+  /** Blockify a document frame exactly as q134 does: non-overlapping
+    * `k`-token blocks, md5-keyed. */
+  private def blockified(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        graft.functions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("nb", ceil(size(col("toks")) / lit(k.toDouble)).cast("long"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0L), col("nb") - 1),
+          i => slice(col("toks"), (i * k + 1).cast("int"), lit(k)))))
+      .select(col("doc_id"), col("pos").cast("long").as("blk"),
+        md5(array_join(col("col"), " ")).as("block_hash"),
+        size(col("col")).cast("long").as("n_toks"))
+
+  /** Streaming passage-level exact dedup gate — the arrival-order twin
+    * of q134 (T101): every distinct `k`-token block is admitted at its
+    * FIRST arrival and dropped on every later one, so the emitted
+    * stream is the ingest-time deduplicated corpus (C4/RefinedWeb
+    * line-dedup applied at the door instead of in a batch rewrite).
+    * Blocks hash-partition into `buckets` groups; each group's state
+    * is the set of block md5s it has admitted. That state IS the dedup
+    * index — it grows with DISTINCT corpus blocks (inherent to exact
+    * first-occurrence semantics; at 100 TB it lives in the RocksDB
+    * state store, sized by distinct — not total — blocks, and dup-heavy
+    * streams grow it sublinearly in arrivals). For fixed-size state
+    * accept the bounded-FP variant [[passageDedupStreamBloom]].
+    * Arrival order is the stream's order (micro-batch sequence; pin
+    * one doc per batch where the exact cut matters); when arrivals
+    * come in (doc_id, blk) order the admitted set is EXACTLY q134's
+    * winner set (spec-pinned). */
+  def passageDedupStream(docs: DataFrame, k: Int = 16, buckets: Int = 16)(
+      implicit spark: SparkSession)
+      : org.apache.spark.sql.Dataset[KeptBlock] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(k > 0, s"block size must be positive: $k")
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    blockified(docs, k)
+      .select(pmod(hash(col("block_hash")), lit(buckets)).as("bucket"),
+        col("doc_id"), col("blk"), col("block_hash"), col("n_toks"))
+      .as[(Int, Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SeenBlocks, KeptBlock](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          val seen = scala.collection.mutable.LinkedHashSet[String](
+            state.getOption.map(_.hashes).getOrElse(Nil): _*)
+          val out = Seq.newBuilder[KeptBlock]
+          rows.foreach { case (_, docId, blk, h, n) =>
+            if (seen.add(h)) out += KeptBlock(docId, blk, h, n)
+          }
+          state.update(SeenBlocks(seen.toSeq))
+          out.result().iterator
+      }
+  }
+
+  /** Bounded-state variant of [[passageDedupStream]]: each bucket's
+    * seen-index is a fixed `bloomBytes`-byte Bloom filter (two
+    * double-hashed probes per block). CONSERVATIVE in the gate's
+    * direction: a duplicate block is NEVER admitted twice (Bloom
+    * filters have no false negatives), but a novel block can be
+    * false-positive-dropped once the filter saturates — the standard
+    * at-scale trade (state is buckets × bloomBytes FOREVER, and the
+    * emitted stream is dup-free by construction). Size bloomBytes for
+    * the expected distinct-block count (~10 bits/block for ~1% FP). */
+  def passageDedupStreamBloom(docs: DataFrame, bloomBytes: Int,
+      k: Int = 16, buckets: Int = 16)(implicit spark: SparkSession)
+      : org.apache.spark.sql.Dataset[KeptBlock] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(k > 0, s"block size must be positive: $k")
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    require(bloomBytes > 0, s"bloomBytes must be positive: $bloomBytes")
+    val nBits = bloomBytes.toLong * 8
+    blockified(docs, k)
+      .select(pmod(hash(col("block_hash")), lit(buckets)).as("bucket"),
+        col("doc_id"), col("blk"), col("block_hash"), col("n_toks"))
+      .as[(Int, Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BloomState, KeptBlock](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          val st = state.getOption
+            .getOrElse(BloomState(new Array[Byte](bloomBytes), 0L))
+          val bits = st.bits.clone() // never mutate the stored state array
+          var nSet = st.nSet
+          def probe(h1: Long, h2: Long, set: Boolean): Boolean = {
+            var all = true
+            var i = 0
+            while (i < 2) {
+              val bit = java.lang.Long.remainderUnsigned(
+                h1 + i * h2, nBits).toInt
+              val mask = (1 << (bit & 7)).toByte
+              val idx = bit >>> 3
+              if ((bits(idx) & mask) == 0) {
+                all = false
+                if (set) { bits(idx) = (bits(idx) | mask).toByte; nSet += 1 }
+              }
+              i += 1
+            }
+            all
+          }
+          val out = Seq.newBuilder[KeptBlock]
+          rows.foreach { case (_, docId, blk, h, n) =>
+            val h1 = java.lang.Long.parseUnsignedLong(h.substring(0, 15), 16)
+            val h2 = java.lang.Long.parseUnsignedLong(h.substring(15, 30), 16) | 1L
+            if (!probe(h1, h2, set = true))
+              out += KeptBlock(docId, blk, h, n)
+          }
+          state.update(BloomState(bits, nSet))
+          out.result().iterator
+      }
+  }
+
   def tokenBudgetGate(docs: DataFrame, budget: Long)(
       implicit spark: SparkSession)
       : org.apache.spark.sql.Dataset[DocTokens] = {

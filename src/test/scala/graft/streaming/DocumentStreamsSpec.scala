@@ -304,4 +304,86 @@ class DocumentStreamsSpec extends SparkSpec {
     all.groupBy(r => (r.source, r.total)).values
       .foreach(_.length shouldBe probes.length)
   }
+
+  // Shared corpus for the passage-dedup gate: k=4 blocks, duplicates
+  // only ACROSS docs (cross-batch, so arrival order is pinned by the
+  // one-doc-per-batch feed).
+  private val dedupDocs = Seq(
+    (1L, "a b c d e f g h"),   // blocks [a b c d], [e f g h]
+    (2L, "a b c d x y z w"),   // first block dups doc 1
+    (3L, "e f g h"),           // whole doc dups doc 1
+    (4L, "p q r s t"))         // novel, ragged tail block [t]
+
+  private def runDedupStream(
+      gate: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.Dataset[DocumentStreams.KeptBlock],
+      name: String): Seq[DocumentStreams.KeptBlock] = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = gate(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    dedupDocs.foreach { d => mem.addData(d); q.processAllAvailable() }
+    q.stop()
+    spark.table(name).as[DocumentStreams.KeptBlock].collect().toSeq
+  }
+
+  test("passageDedupStream: arrival-order first occurrence reproduces " +
+    "the q134 winner fold; later duplicates drop") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s2 = spark
+    val got = runDedupStream(
+      df => DocumentStreams.passageDedupStream(df, k = 4, buckets = 3),
+      "pdedup_exact")
+    // reference: q134's fold in arrival (= doc_id) order — every
+    // distinct block text kept at its first doc
+    val ref = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
+    dedupDocs.foreach { case (id, text) =>
+      text.split(" ").grouped(4).zipWithIndex.foreach { case (blk, i) =>
+        val key = blk.mkString(" ")
+        if (!ref.contains(key)) ref(key) = (id, i.toLong)
+      }
+    }
+    got.map(b => (b.doc_id, b.blk)).toSet shouldBe ref.values.toSet
+    // doc 3 contributed nothing; doc 4's ragged tail block counted at
+    // its true token length
+    got.map(_.doc_id).toSet shouldBe Set(1L, 2L, 4L)
+    got.filter(_.doc_id == 4L).map(_.n_toks).sorted shouldBe Seq(1L, 4L)
+    // no hash emitted twice
+    got.map(_.block_hash).distinct.length shouldBe got.length
+  }
+
+  test("passageDedupStreamBloom: never admits a duplicate, and with " +
+    "generous sizing equals the exact gate") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s2 = spark
+    val exact = runDedupStream(
+      df => DocumentStreams.passageDedupStream(df, k = 4, buckets = 3),
+      "pdedup_exact2")
+    val bloom = runDedupStream(
+      df => DocumentStreams.passageDedupStreamBloom(
+        df, bloomBytes = 1024, k = 4, buckets = 3),
+      "pdedup_bloom")
+    // conservative: emitted set is a subset of the exact gate's…
+    bloom.map(_.block_hash).toSet.subsetOf(
+      exact.map(_.block_hash).toSet) shouldBe true
+    // …dup-free by construction…
+    bloom.map(_.block_hash).distinct.length shouldBe bloom.length
+    // …and at ~10 bits/block sizing it IS the exact set
+    bloom.map(b => (b.doc_id, b.blk)).toSet shouldBe
+      exact.map(b => (b.doc_id, b.blk)).toSet
+  }
+
+  test("passageDedupStreamBloom: a saturated filter drops novel blocks " +
+    "but still never admits dups (the documented FP direction)") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s2 = spark
+    // 1 byte = 8 bits per bucket: saturates after a couple of blocks
+    val tiny = runDedupStream(
+      df => DocumentStreams.passageDedupStreamBloom(
+        df, bloomBytes = 1, k = 4, buckets = 1),
+      "pdedup_tiny")
+    tiny.map(_.block_hash).distinct.length shouldBe tiny.length
+    tiny.length should be < 6 // 6 distinct blocks exist; some FP-drop
+  }
 }
