@@ -18,9 +18,9 @@ package graft.operators
   * work) against recall (false negatives → missed dups), so at 100 TB
   * it deserves a sizing function, not a hard-coded (16, 4).
   *
-  * Everything here is exact driver-side arithmetic on O(n) divisor
-  * pairs — no data, no sampling; the chosen plan plugs straight into
-  * the existing banding queries.
+  * Everything here is exact driver-side arithmetic on the O(n log n)
+  * (b, r) pairs with b·r ≤ n — no data, no sampling; the chosen plan
+  * plugs straight into the existing banding queries.
   */
 object LshPlanner {
 

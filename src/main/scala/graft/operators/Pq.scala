@@ -228,11 +228,14 @@ object Pq {
       nCentroids: Int = 16, trainN: Int = 128, iters: Int = 2,
       idCol: String = "vec_id", embCol: String = "embedding")
       : (DataFrame, DataFrame) = {
-    val prepped = corpus.select(col(idCol),
+    // null vectors can neither seed the coarse quantizer (a null
+    // centroid silently shrinks nlist) nor encode — drop them up front
+    val clean = corpus.filter(col(embCol).isNotNull)
+    val prepped = clean.select(col(idCol),
         transform(col(embCol), x => x.cast("double")).as("e"))
       .withColumn("nrm", Similarity.norm(col("e")))
     val cent = Similarity.trainCentroids(
-      corpus, nCentroids, trainN, iters, idCol, embCol)
+      clean, nCentroids, trainN, iters, idCol, embCol)
     val assigned = Similarity.assignToCentroids(prepped, cent, idCol)
     // a null embedding yields a null code — excluded as in topK
     val codes = assigned
@@ -247,18 +250,14 @@ object Pq {
       cb: Codebook, k: Int, nprobe: Int = 2,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     // query side: ADC table once per query, probes by centroid cosine
+    // (the SHARED coarse-quantizer probe — Similarity.probeBuckets —
+    // so probe semantics can never drift from the exact IVF path)
     val q = queries
       .select(col(idCol).as("qid"),
         transform(col(embCol), x => x.cast("double")).as("qe"))
       .withColumn("qn", Similarity.norm(col("qe")))
       .withColumn("tbl", distTableCol(col("qe"), cb))
-    val qw = Window.partitionBy("qid").orderBy(desc("qsim"), asc("cent_id"))
-    val probes = broadcast(q).join(broadcast(cent), lit(true))
-      .withColumn("qsim",
-        Similarity.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
-      .withColumn("prank", row_number().over(qw))
-      .filter(col("prank") <= nprobe)
-      .select(col("qid"), col("tbl"), col("cent_id").as("bucket"))
+    val probes = Similarity.probeBuckets(q, cent, nprobe, Seq("tbl"))
     val rw = Window.partitionBy("qid").orderBy(asc("adc"), asc(idCol))
     codes.join(broadcast(probes), Seq("bucket")) // only probed buckets scan
       .filter(col(idCol) =!= col("qid"))

@@ -140,14 +140,25 @@ object Similarity {
     * queries probe their `nprobe` nearest centroids, the exact cosine
     * ranking runs only inside the probed buckets (equi-join on bucket
     * id). Output: (qid, idCol, cos, rank). */
-  private def searchBuckets(assigned: DataFrame, cent: DataFrame,
-      q: DataFrame, k: Int, nprobe: Int, idCol: String): DataFrame = {
+  /** Coarse-quantizer probe: each query row (`qid`, `qe`, `qn`, plus
+    * any carried columns) → its `nprobe` nearest centroids by cosine
+    * (ties by cent_id), one output row per (query, probed bucket)
+    * carrying `qid`, `carry` and `bucket`. Shared by the exact
+    * in-bucket search and the IVFADC composition ([[Pq.ivfAdcProbe]])
+    * so probe semantics can never drift between them. */
+  private[operators] def probeBuckets(q: DataFrame, cent: DataFrame,
+      nprobe: Int, carry: Seq[String]): DataFrame = {
     val qw = Window.partitionBy("qid").orderBy(desc("qsim"), asc("cent_id"))
-    val probes = broadcast(q).join(broadcast(cent), lit(true))
+    broadcast(q).join(broadcast(cent), lit(true))
       .withColumn("qsim", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
       .withColumn("prank", row_number().over(qw))
       .filter(col("prank") <= nprobe)
-      .select(col("qid"), col("qe"), col("qn"), col("cent_id").as("bucket"))
+      .select((col("qid") +: carry.map(col)) :+ col("cent_id").as("bucket"): _*)
+  }
+
+  private def searchBuckets(assigned: DataFrame, cent: DataFrame,
+      q: DataFrame, k: Int, nprobe: Int, idCol: String): DataFrame = {
+    val probes = probeBuckets(q, cent, nprobe, Seq("qe", "qn"))
 
     val cos = dot(col("qe"), col("e")) / (col("qn") * col("nrm"))
     val rw = Window.partitionBy("qid").orderBy(desc("cos"), asc(idCol))

@@ -98,7 +98,11 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  // transformDown, NOT transformUp: the Project-anchored case must see
+  // Project(Filter(Window)) intact — post-order would rewrite the inner
+  // Filter via the bare case first, making the Project case unreachable
+  // and its dead-rank elision (rankOut=None) never fire.
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case p @ Project(projectList,
         Filter(RankLimit(rnAttr, k),
           w @ Window(Seq(winExpr), partitionSpec, orderSpec, child, _)))
@@ -117,11 +121,12 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
       Project(projectList,
         TopKPerKey(partitionSpec, orderSpec, k, child, rankOut))
 
-    // Same idiom with nothing above the filter (an API returning the
+    // Same idiom with no PROJECT above the filter (an API returning the
     // ranked frame as-is, e.g. Pq.topK; or a caller aggregating the
     // filter output directly — RemoveNoopOperators strips any identity
-    // Project before this batch runs). The rank is part of the visible
-    // output here, so it is always emitted.
+    // Project before this batch runs). Reached only when the case above
+    // did not match (top-down traversal), so the rank really is part of
+    // the visible output here and is always emitted.
     case Filter(RankLimit(rnAttr, k),
         Window(Seq(winExpr), partitionSpec, orderSpec, child, _))
         if k >= 1 &&

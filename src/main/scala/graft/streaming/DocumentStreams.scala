@@ -298,7 +298,7 @@ object DocumentStreams {
   final case class SeenBlocks(hashes: Seq[String])
 
   /** Bloom bits for one hash bucket of [[passageDedupStreamBloom]]. */
-  final case class BloomState(bits: Array[Byte], nSet: Long)
+  final case class BloomState(bits: Array[Byte])
 
   /** Blockify a document frame exactly as q134 does: non-overlapping
     * `k`-token blocks, md5-keyed. */
@@ -347,11 +347,14 @@ object DocumentStreams {
         (_, rows, state) =>
           val seen = scala.collection.mutable.LinkedHashSet[String](
             state.getOption.map(_.hashes).getOrElse(Nil): _*)
+          val before = seen.size
           val out = Seq.newBuilder[KeptBlock]
           rows.foreach { case (_, docId, blk, h, n) =>
             if (seen.add(h)) out += KeptBlock(docId, blk, h, n)
           }
-          state.update(SeenBlocks(seen.toSeq))
+          // all-duplicate batches (the steady state of a dup-heavy
+          // stream) must not re-serialize the whole index
+          if (seen.size != before) state.update(SeenBlocks(seen.toSeq))
           out.result().iterator
       }
   }
@@ -372,7 +375,12 @@ object DocumentStreams {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     require(k > 0, s"block size must be positive: $k")
     require(buckets > 0, s"buckets must be positive: $buckets")
-    require(bloomBytes > 0, s"bloomBytes must be positive: $bloomBytes")
+    // bit positions are Int array offsets: past 2^32 bits (512 MiB per
+    // bucket) extra bytes would silently alias instead of lowering the
+    // FP rate — size MORE BUCKETS, not a bigger filter
+    require(bloomBytes > 0 && bloomBytes <= (1 << 29),
+      s"bloomBytes must be in [1, ${1 << 29}] (512 MiB/bucket; " +
+        s"shard across more buckets beyond that): $bloomBytes")
     val nBits = bloomBytes.toLong * 8
     blockified(docs, k)
       .select(pmod(hash(col("block_hash")), lit(buckets)).as("bucket"),
@@ -382,11 +390,12 @@ object DocumentStreams {
       .flatMapGroupsWithState[BloomState, KeptBlock](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (_, rows, state) =>
-          val st = state.getOption
-            .getOrElse(BloomState(new Array[Byte](bloomBytes), 0L))
-          val bits = st.bits.clone() // never mutate the stored state array
-          var nSet = st.nSet
-          def probe(h1: Long, h2: Long, set: Boolean): Boolean = {
+          val stored = state.getOption.map(_.bits)
+          // clone lazily: an all-duplicate batch (the dup-heavy steady
+          // state) must neither copy nor re-serialize the filter
+          var bits = stored.getOrElse(new Array[Byte](bloomBytes))
+          var dirty = stored.isEmpty
+          def probe(h1: Long, h2: Long): Boolean = {
             var all = true
             var i = 0
             while (i < 2) {
@@ -396,7 +405,8 @@ object DocumentStreams {
               val idx = bit >>> 3
               if ((bits(idx) & mask) == 0) {
                 all = false
-                if (set) { bits(idx) = (bits(idx) | mask).toByte; nSet += 1 }
+                if (!dirty && stored.isDefined) { bits = bits.clone(); dirty = true }
+                bits(idx) = (bits(idx) | mask).toByte
               }
               i += 1
             }
@@ -406,10 +416,10 @@ object DocumentStreams {
           rows.foreach { case (_, docId, blk, h, n) =>
             val h1 = java.lang.Long.parseUnsignedLong(h.substring(0, 15), 16)
             val h2 = java.lang.Long.parseUnsignedLong(h.substring(15, 30), 16) | 1L
-            if (!probe(h1, h2, set = true))
+            if (!probe(h1, h2))
               out += KeptBlock(docId, blk, h, n)
           }
-          state.update(BloomState(bits, nSet))
+          if (dirty) state.update(BloomState(bits))
           out.result().iterator
       }
   }

@@ -38,6 +38,9 @@ class TopKRewriteRuleSpec extends AnyFunSuite with Matchers {
     val df = windowTopK(3)
     df.queryExecution.optimizedPlan.toString should include("TopKPerKey")
     df.queryExecution.optimizedPlan.toString should not include "Window"
+    // the PROJECT-anchored case must have matched (top-down order):
+    // the rank is dead above the filter, so it is NOT emitted
+    df.queryExecution.optimizedPlan.toString should not include "rn#"
   }
 
   test("the rewritten plan returns exactly the window-rank rows") {
