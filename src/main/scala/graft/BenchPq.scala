@@ -102,6 +102,18 @@ object BenchPq {
       nprobe = nprobe)
     val tIvf = time(s"ivfadc(nlist=$nlist,nprobe=$nprobe)")(ivfDf.count())
 
+    // residual-coded IVFADC (TPAMI'11 §IV-A): same bytes, the codebook
+    // spends its resolution on within-cell displacements
+    val (centR, cbR, codesR) = operators.Pq.ivfPqBuild(corpus, m, ksub,
+      nCentroids = nlist, pqTrainN = trainN,
+      centTrainN = operators.Similarity.sizingTrainN(nlist))
+    val centRP = centR.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codesRP = codesR.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    centRP.count(); codesRP.count()
+    val resDf = operators.Pq.ivfPqProbe(codesRP, centRP, queries, cbR, k,
+      nprobe = nprobe)
+    val tRes = time(s"ivfpq_res(nlist=$nlist,nprobe=$nprobe)")(resDf.count())
+
     // Recall@k of the ADC ranking against the exact ranking.
     val exact = exactDf.select("qid", "vec_id").as[(Long, Long)]
       .collect().groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
@@ -115,12 +127,18 @@ object BenchPq {
     val ivfRecall = exact.map { case (q, ex) =>
       ivfSets.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
     }.sum / exact.size
+    val resSets = resDf.select("qid", "vec_id").as[(Long, Long)]
+      .collect().groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val resRecall = exact.map { case (q, ex) =>
+      resSets.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+    }.sum / exact.size
 
     println(f"""{"metric":"benchpq","n":$n,"dim":$dim,"m":$m,"ksub":$ksub,""" +
       f""""nq":$nq,"k":$k,"exact_sec":$tExact%.4f,"pq_sec":$tPq%.4f,""" +
       f""""speedup":${tExact / tPq}%.2f,"recall":$recall%.4f,""" +
       f""""ivf_nlist":$nlist,"ivf_nprobe":$nprobe,"ivfadc_sec":$tIvf%.4f,""" +
       f""""ivfadc_speedup":${tExact / tIvf}%.2f,"ivfadc_recall":$ivfRecall%.4f,""" +
+      f""""ivfpq_res_sec":$tRes%.4f,"ivfpq_res_recall":$resRecall%.4f,""" +
       f""""bytes_per_vec":$m,"exact_bytes_per_vec":${dim * 4}}""")
     spark.stop()
   }

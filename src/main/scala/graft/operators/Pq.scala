@@ -266,4 +266,59 @@ object Pq {
       .withColumn("rank", row_number().over(rw))
       .filter(col("rank") <= lit(k))
   }
+
+  /** Full IVFADC build with RESIDUAL encoding (TPAMI'11 §IV-A: codes
+    * quantize x − q₁(x), the displacement inside the coarse cell, not
+    * the raw coordinates — residuals concentrate near zero, so the
+    * same m bytes spend their resolution on the part of x the coarse
+    * quantizer didn't already explain). Trains the coarse quantizer,
+    * assigns, trains the PQ codebook ON THE RESIDUALS, encodes.
+    * Returns (centroids, codebook, codes) — persist the codes once,
+    * probe with [[ivfPqProbe]]. */
+  def ivfPqBuild(corpus: DataFrame, m: Int, ksub: Int,
+      nCentroids: Int = 16, pqTrainN: Int = 1024,
+      centTrainN: Int = 128, iters: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding")
+      : (DataFrame, Codebook, DataFrame) = {
+    val clean = corpus.filter(col(embCol).isNotNull)
+    val prepped = clean.select(col(idCol),
+        transform(col(embCol), x => x.cast("double")).as("e"))
+      .withColumn("nrm", Similarity.norm(col("e")))
+    val cent = Similarity.trainCentroids(
+      clean, nCentroids, centTrainN, iters, idCol, embCol)
+    val residuals = Similarity.assignToCentroids(prepped, cent, idCol)
+      .join(broadcast(cent), col("bucket") === col("cent_id"))
+      .select(col(idCol), col("bucket"),
+        zip_with(col("e"), col("ce"), (a, b) => a - b).as("res"))
+    val cb = train(residuals, m, ksub, pqTrainN, iters = 8, idCol, "res")
+    val codes = residuals
+      .select(col(idCol), col("bucket"), encodeCol(col("res"), cb).as("pq_code"))
+      .filter(col("pq_code").isNotNull)
+    (cent, cb, codes)
+  }
+
+  /** Query half of the residual-coded index from [[ivfPqBuild]]: each
+    * probed (query, bucket) pair gets its OWN ADC table, built from
+    * the query's residual against that bucket's centroid (qe − ce) —
+    * m·ksub·nprobe driver-free arithmetic per query, all on the
+    * broadcast side. Output: (qid, idCol, adc, rank). */
+  def ivfPqProbe(codes: DataFrame, cent: DataFrame, queries: DataFrame,
+      cb: Codebook, k: Int, nprobe: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val q = queries
+      .select(col(idCol).as("qid"),
+        transform(col(embCol), x => x.cast("double")).as("qe"))
+      .withColumn("qn", Similarity.norm(col("qe")))
+    val probes = Similarity.probeBuckets(q, cent, nprobe, Seq("qe", "ce"))
+      .select(col("qid"), col("bucket"),
+        distTableCol(zip_with(col("qe"), col("ce"), (a, b) => a - b), cb)
+          .as("tbl"))
+    val rw = Window.partitionBy("qid").orderBy(asc("adc"), asc(idCol))
+    codes.join(broadcast(probes), Seq("bucket"))
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol),
+        round(adcCol(col("pq_code"), col("tbl"), cb), 6).as("adc"))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= lit(k))
+  }
 }

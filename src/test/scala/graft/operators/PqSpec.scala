@@ -166,6 +166,55 @@ class PqSpec extends SparkSpec {
     got shouldBe corpus.map { case (id, _) => (id + 100L) -> id }.toMap
   }
 
+  test("residual-coded IVFADC (ivfPqBuild/ivfPqProbe): within-cell " +
+    "displacement coding ranks the true angular cluster first even " +
+    "probing every bucket") {
+    // 4 ORTHOGONAL directions (cosine-separable — the coarse
+    // quantizer's metric), 10 members each at magnitudes 100..109.
+    // Seeds are the 4 smallest md5(id)s (trainCentroids' own rule), so
+    // pin ONE seed per direction by assigning directions in md5 order.
+    val m = 4; val dsub = 4; val dim = m * dsub
+    val ids = (0L until 40L)
+    val md5Order = ids.sortBy(id =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+    val dirOf = md5Order.zipWithIndex.map { case (id, r) => id -> r % 4 }.toMap
+    val data = ids.map { id =>
+      val d = dirOf(id)
+      val mag = 100.0f + (id % 10)
+      (id, Array.tabulate(dim)(j => if (j / dsub == d) mag else 0.0f))
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val (cent, cb, codes) = Pq.ivfPqBuild(df, m, ksub = 8,
+      nCentroids = 4, pqTrainN = 40, centTrainN = 40, iters = 4)
+    // fresh query along direction 1: true neighbors are ALL direction-1
+    // members (cross-direction distance² ≥ 100² + 100² vs ≤ 9² within)
+    val q = Seq((999L, Array.tabulate(dim)(j =>
+      if (j / dsub == 1) 100.0f else 0.0f))).toDF("vec_id", "embedding")
+    val got = Pq.ivfPqProbe(codes, cent, q, cb, k = 10, nprobe = 4)
+      .select("vec_id").as[Long].collect()
+    got.length shouldBe 10
+    got.foreach(id => dirOf(id) shouldBe 1)
+  }
+
+  test("residual-coded IVFADC on orthogonal one-per-bucket data finds " +
+    "each query's twin with nprobe=1") {
+    val m = 4; val dsub = 4; val dim = m * dsub
+    val corpus = (0 until 4).map { c =>
+      (c.toLong, Array.tabulate(dim)(j =>
+        if (j / dsub == c) 100.0f else 0.0f))
+    }
+    val df = corpus.toDF("vec_id", "embedding")
+    val (cent, cb, codes) = Pq.ivfPqBuild(df, m, ksub = 4,
+      nCentroids = 4, pqTrainN = 4, centTrainN = 4, iters = 2)
+    val q = corpus.map { case (id, v) => (id + 100L, v) }
+      .toDF("vec_id", "embedding")
+    val got = Pq.ivfPqProbe(codes, cent, q, cb, k = 1, nprobe = 1)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toMap
+    got shouldBe corpus.map { case (id, _) => (id + 100L) -> id }.toMap
+  }
+
   test("deterministic ranking: ties break by id and reruns are " +
     "bit-identical") {
     val m = 2; val dsub = 2
