@@ -3241,6 +3241,65 @@ object TextQueries {
           sum("clen").as("n_tokens"),
           round(avg("clen"), 4).as("avg_len"))
         .orderBy("source")
+    },
+
+    // T106 — corpus version-diff census (release accounting): given
+    // two corpus versions keyed by doc_id, classify every doc as
+    // added / removed / changed (content md5 differs) / unchanged and
+    // report the per-source census plus the token delta — the readout
+    // every dataset release ships (what changed since v1?) and the
+    // input to incremental re-processing (only added+changed re-enter
+    // the pipeline). Versions here are deterministic derivations of
+    // the one documents table so the oracle is exact: v_old drops
+    // doc_id%7==0 (later additions) and upper-cases text at
+    // doc_id%5==0 (later edits); v_new drops doc_id%11==0 (removals).
+    // Shape: two projections of the SAME scan → ONE full-outer
+    // doc_id-keyed hash join (the only shuffle; at 100 TB both sides
+    // bucket by doc_id and the join is exchange-free) → when()
+    // classification → (source × 4)-bounded census. coalesce(source)
+    // because each side owns the rows the other lacks.
+    QueryDef("q136_version_diff",
+      """WITH v_old AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |), v_new AS (
+        |  SELECT doc_id, source, text FROM documents WHERE doc_id % 11 <> 0
+        |), j AS (
+        |  SELECT coalesce(o.source, n.source) AS source,
+        |    CASE
+        |      WHEN o.doc_id IS NULL THEN 'added'
+        |      WHEN n.doc_id IS NULL THEN 'removed'
+        |      WHEN md5(o.text) <> md5(n.text) THEN 'changed'
+        |      ELSE 'unchanged' END AS status,
+        |    CASE WHEN n.doc_id IS NOT NULL THEN
+        |      len(list_filter(string_split_regex(trim(n.text), '\s+'),
+        |        x -> x <> '')) ELSE 0 END AS new_toks
+        |  FROM v_old o FULL OUTER JOIN v_new n ON o.doc_id = n.doc_id
+        |)
+        |SELECT source, status, count(*) AS n_docs,
+        |  CAST(sum(new_toks) AS BIGINT) AS new_tokens
+        |FROM j GROUP BY source, status ORDER BY source, status""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val vOld = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id").as("o_id"), col("source").as("o_src"),
+          when(col("doc_id") % 5 === 0, upper(col("text")))
+            .otherwise(col("text")).as("o_text"))
+      val vNew = docs.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id").as("n_id"), col("source").as("n_src"),
+          col("text").as("n_text"))
+      vOld.join(vNew, col("o_id") === col("n_id"), "full_outer")
+        .select(coalesce(col("o_src"), col("n_src")).as("source"),
+          when(col("o_id").isNull, lit("added"))
+            .when(col("n_id").isNull, lit("removed"))
+            .when(md5(col("o_text")) =!= md5(col("n_text")), lit("changed"))
+            .otherwise(lit("unchanged")).as("status"),
+          when(col("n_id").isNotNull, size(gf.tokens(col("n_text"))))
+            .otherwise(lit(0)).cast("long").as("new_toks"))
+        .groupBy("source", "status")
+        .agg(count(lit(1)).as("n_docs"), sum("new_toks").as("new_tokens"))
+        .orderBy("source", "status")
     }
   )
 
