@@ -103,35 +103,32 @@ object BenchPq {
     val tIvf = time(s"ivfadc(nlist=$nlist,nprobe=$nprobe)")(ivfDf.count())
 
     // residual-coded IVFADC (TPAMI'11 §IV-A): same bytes, the codebook
-    // spends its resolution on within-cell displacements
-    val (centR, cbR, codesR) = operators.Pq.ivfPqBuild(corpus, m, ksub,
-      nCentroids = nlist, pqTrainN = trainN,
-      centTrainN = operators.Similarity.sizingTrainN(nlist))
-    val centRP = centR.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // spends its resolution on within-cell displacements; the coarse
+    // quantizer is deterministic so the already-persisted cent is
+    // passed straight in (no retrain, no second assignment chain)
+    val (_, cbR, codesR) = operators.Pq.ivfPqBuild(corpus, m, ksub,
+      nCentroids = nlist, pqTrainN = trainN, cent = Some(centP))
     val codesRP = codesR.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    centRP.count(); codesRP.count()
-    val resDf = operators.Pq.ivfPqProbe(codesRP, centRP, queries, cbR, k,
+    codesRP.count()
+    val resDf = operators.Pq.ivfPqProbe(codesRP, centP, queries, cbR, k,
       nprobe = nprobe)
     val tRes = time(s"ivfpq_res(nlist=$nlist,nprobe=$nprobe)")(resDf.count())
 
-    // Recall@k of the ADC ranking against the exact ranking.
-    val exact = exactDf.select("qid", "vec_id").as[(Long, Long)]
-      .collect().groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
-    val approx = pqDf.select("qid", "vec_id").as[(Long, Long)]
-      .collect().groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
-    val recall = exact.map { case (q, ex) =>
-      approx.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
-    }.sum / exact.size
-    val ivfSets = ivfDf.select("qid", "vec_id").as[(Long, Long)]
-      .collect().groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
-    val ivfRecall = exact.map { case (q, ex) =>
-      ivfSets.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
-    }.sum / exact.size
-    val resSets = resDf.select("qid", "vec_id").as[(Long, Long)]
-      .collect().groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
-    val resRecall = exact.map { case (q, ex) =>
-      resSets.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
-    }.sum / exact.size
+    // Recall@k of each approximate ranking against the exact ranking —
+    // ONE rule for all three variants.
+    def idSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("qid", "vec_id").as[(Long, Long)]
+        .collect().groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val exact = idSets(exactDf)
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val sets = idSets(df)
+      exact.map { case (q, ex) =>
+        sets.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+      }.sum / exact.size
+    }
+    val recall = recallOf(pqDf)
+    val ivfRecall = recallOf(ivfDf)
+    val resRecall = recallOf(resDf)
 
     println(f"""{"metric":"benchpq","n":$n,"dim":$dim,"m":$m,"ksub":$ksub,""" +
       f""""nq":$nq,"k":$k,"exact_sec":$tExact%.4f,"pq_sec":$tPq%.4f,""" +

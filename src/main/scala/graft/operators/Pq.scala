@@ -219,6 +219,41 @@ object Pq {
     ivfAdcProbe(codes, cent, queries, cb, k, nprobe, idCol, embCol)
   }
 
+  /** Null-safe (id, e: array<double>, nrm) projection — the shared
+    * preamble of both index builds. Null vectors can neither seed the
+    * coarse quantizer (a null centroid silently shrinks nlist) nor
+    * encode, so they are dropped up front. */
+  private def cleanPrepped(corpus: DataFrame,
+      idCol: String, embCol: String): (DataFrame, DataFrame) = {
+    val clean = corpus.filter(col(embCol).isNotNull)
+    val prepped = clean.select(col(idCol),
+        transform(col(embCol), x => x.cast("double")).as("e"))
+      .withColumn("nrm", Similarity.norm(col("e")))
+    (clean, prepped)
+  }
+
+  /** Shared (qid, qe, qn) query projection. */
+  private def prepQueries(queries: DataFrame,
+      idCol: String, embCol: String): DataFrame =
+    queries.select(col(idCol).as("qid"),
+        transform(col(embCol), x => x.cast("double")).as("qe"))
+      .withColumn("qn", Similarity.norm(col("qe")))
+
+  /** Shared scan/rank tail of both probes: join the (qid, tbl, bucket)
+    * probe frame against the coded corpus — only probed buckets scan —
+    * ADC-score, rank, cut at k. Tie/round/null semantics live HERE so
+    * the raw and residual paths can never drift. */
+  private def adcRank(codes: DataFrame, probes: DataFrame, cb: Codebook,
+      k: Int, idCol: String): DataFrame = {
+    val rw = Window.partitionBy("qid").orderBy(asc("adc"), asc(idCol))
+    codes.join(broadcast(probes), Seq("bucket"))
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol),
+        round(adcCol(col("pq_code"), col("tbl"), cb), 6).as("adc"))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= lit(k))
+  }
+
   /** The index-build half of [[ivfAdcTopK]]: train the coarse
     * quantizer, assign, PQ-encode. Returns (centroids, codes) where
     * codes = (idCol, bucket, pq_code) — persist/bucket these once and
@@ -228,12 +263,7 @@ object Pq {
       nCentroids: Int = 16, trainN: Int = 128, iters: Int = 2,
       idCol: String = "vec_id", embCol: String = "embedding")
       : (DataFrame, DataFrame) = {
-    // null vectors can neither seed the coarse quantizer (a null
-    // centroid silently shrinks nlist) nor encode — drop them up front
-    val clean = corpus.filter(col(embCol).isNotNull)
-    val prepped = clean.select(col(idCol),
-        transform(col(embCol), x => x.cast("double")).as("e"))
-      .withColumn("nrm", Similarity.norm(col("e")))
+    val (clean, prepped) = cleanPrepped(corpus, idCol, embCol)
     val cent = Similarity.trainCentroids(
       clean, nCentroids, trainN, iters, idCol, embCol)
     val assigned = Similarity.assignToCentroids(prepped, cent, idCol)
@@ -245,56 +275,53 @@ object Pq {
   }
 
   /** The query half of [[ivfAdcTopK]] over a pre-built (cent, codes)
-    * pair from [[ivfEncode]]. */
+    * pair from [[ivfEncode]]: ADC table once per query, probes by
+    * centroid cosine (the SHARED coarse-quantizer probe —
+    * [[Similarity.probeBuckets]] — so probe semantics can never drift
+    * from the exact IVF path). */
   def ivfAdcProbe(codes: DataFrame, cent: DataFrame, queries: DataFrame,
       cb: Codebook, k: Int, nprobe: Int = 2,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    // query side: ADC table once per query, probes by centroid cosine
-    // (the SHARED coarse-quantizer probe — Similarity.probeBuckets —
-    // so probe semantics can never drift from the exact IVF path)
-    val q = queries
-      .select(col(idCol).as("qid"),
-        transform(col(embCol), x => x.cast("double")).as("qe"))
-      .withColumn("qn", Similarity.norm(col("qe")))
+    val q = prepQueries(queries, idCol, embCol)
       .withColumn("tbl", distTableCol(col("qe"), cb))
-    val probes = Similarity.probeBuckets(q, cent, nprobe, Seq("tbl"))
-    val rw = Window.partitionBy("qid").orderBy(asc("adc"), asc(idCol))
-    codes.join(broadcast(probes), Seq("bucket")) // only probed buckets scan
-      .filter(col(idCol) =!= col("qid"))
-      .select(col("qid"), col(idCol),
-        round(adcCol(col("pq_code"), col("tbl"), cb), 6).as("adc"))
-      .withColumn("rank", row_number().over(rw))
-      .filter(col("rank") <= lit(k))
+    adcRank(codes, Similarity.probeBuckets(q, cent, nprobe, Seq("tbl")),
+      cb, k, idCol)
   }
 
   /** Full IVFADC build with RESIDUAL encoding (TPAMI'11 §IV-A: codes
     * quantize x − q₁(x), the displacement inside the coarse cell, not
     * the raw coordinates — residuals concentrate near zero, so the
     * same m bytes spend their resolution on the part of x the coarse
-    * quantizer didn't already explain). Trains the coarse quantizer,
-    * assigns, trains the PQ codebook ON THE RESIDUALS, encodes.
+    * quantizer didn't already explain). Trains the coarse quantizer
+    * (or reuses a pre-trained one via `cent`), assigns, trains the PQ
+    * codebook ON THE RESIDUALS, encodes. The residual frame is
+    * persisted across the train-sample and encode passes — the
+    * full-corpus assignment runs ONCE, not once per consumer.
     * Returns (centroids, codebook, codes) — persist the codes once,
     * probe with [[ivfPqProbe]]. */
   def ivfPqBuild(corpus: DataFrame, m: Int, ksub: Int,
       nCentroids: Int = 16, pqTrainN: Int = 1024,
       centTrainN: Int = 128, iters: Int = 2,
-      idCol: String = "vec_id", embCol: String = "embedding")
+      idCol: String = "vec_id", embCol: String = "embedding",
+      cent: Option[DataFrame] = None)
       : (DataFrame, Codebook, DataFrame) = {
-    val clean = corpus.filter(col(embCol).isNotNull)
-    val prepped = clean.select(col(idCol),
-        transform(col(embCol), x => x.cast("double")).as("e"))
-      .withColumn("nrm", Similarity.norm(col("e")))
-    val cent = Similarity.trainCentroids(
-      clean, nCentroids, centTrainN, iters, idCol, embCol)
-    val residuals = Similarity.assignToCentroids(prepped, cent, idCol)
-      .join(broadcast(cent), col("bucket") === col("cent_id"))
-      .select(col(idCol), col("bucket"),
-        zip_with(col("e"), col("ce"), (a, b) => a - b).as("res"))
+    val (clean, prepped) = cleanPrepped(corpus, idCol, embCol)
+    val centroids = cent.getOrElse(Similarity.trainCentroids(
+      clean, nCentroids, centTrainN, iters, idCol, embCol))
+    // CacheRegistry-tracked (DataSized: one row per corpus vector) so
+    // the auto-drain reclaims it — a raw persist here would leak past
+    // Verify's trackedCount==0 suite-end guard
+    val residuals = graft.CacheRegistry.persistTracked(
+      Similarity.assignToCentroids(prepped, centroids, idCol)
+        .join(broadcast(centroids), col("bucket") === col("cent_id"))
+        .select(col(idCol), col("bucket"),
+          zip_with(col("e"), col("ce"), (a, b) => a - b).as("res")),
+      graft.CacheRegistry.DataSized)
     val cb = train(residuals, m, ksub, pqTrainN, iters = 8, idCol, "res")
     val codes = residuals
       .select(col(idCol), col("bucket"), encodeCol(col("res"), cb).as("pq_code"))
       .filter(col("pq_code").isNotNull)
-    (cent, cb, codes)
+    (centroids, cb, codes)
   }
 
   /** Query half of the residual-coded index from [[ivfPqBuild]]: each
@@ -305,20 +332,11 @@ object Pq {
   def ivfPqProbe(codes: DataFrame, cent: DataFrame, queries: DataFrame,
       cb: Codebook, k: Int, nprobe: Int = 2,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val q = queries
-      .select(col(idCol).as("qid"),
-        transform(col(embCol), x => x.cast("double")).as("qe"))
-      .withColumn("qn", Similarity.norm(col("qe")))
+    val q = prepQueries(queries, idCol, embCol)
     val probes = Similarity.probeBuckets(q, cent, nprobe, Seq("qe", "ce"))
       .select(col("qid"), col("bucket"),
         distTableCol(zip_with(col("qe"), col("ce"), (a, b) => a - b), cb)
           .as("tbl"))
-    val rw = Window.partitionBy("qid").orderBy(asc("adc"), asc(idCol))
-    codes.join(broadcast(probes), Seq("bucket"))
-      .filter(col(idCol) =!= col("qid"))
-      .select(col("qid"), col(idCol),
-        round(adcCol(col("pq_code"), col("tbl"), cb), 6).as("adc"))
-      .withColumn("rank", row_number().over(rw))
-      .filter(col("rank") <= lit(k))
+    adcRank(codes, probes, cb, k, idCol)
   }
 }
