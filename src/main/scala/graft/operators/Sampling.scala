@@ -129,4 +129,33 @@ object Sampling {
     // 1/10000 granularity.
     df.filter(bucket < round(rateCol * 10000).cast("long"))
   }
+
+  /** Deterministic seeded EPOCH SHUFFLE: the corpus in a pseudo-random
+    * total order keyed by `stableHashSeeded(seed, id)` — "shuffle the
+    * dataset between training epochs" as a reproducible sort, not an
+    * engine-dependent rand(). Changing the seed re-permutes; the same
+    * seed yields the same order on any engine, layout, or partition
+    * count (the q58 stance applied to ORDER instead of membership).
+    *
+    * Scale: the hash key is uniform on [0, 2⁶⁰) BY CONSTRUCTION, so
+    * the total sort needs neither RangePartitioner's sample pass (an
+    * extra execution of the child) nor a side frame for
+    * [[RangeSort.weightedBounds]] — the split bounds are pure
+    * arithmetic (even slices of the hash space, balanced in
+    * expectation like any hash partitioning) and the sort is ONE
+    * shuffle + per-partition external sorts. Output partition i holds
+    * hash-range slice i in order, so partition-ordered readers (part
+    * files, toLocalIterator) see the full permutation contract.
+    * Ties (hash collisions) break by the id itself. */
+  def epochShuffle(df: DataFrame, seed: String, idCol: String,
+      parts: Int = 32): DataFrame = {
+    require(parts > 0, s"parts must be positive: $parts")
+    val h = gf.stableHashSeeded(lit(seed), col(idCol).cast("string"))
+    val space = 1L << 60
+    val bounds = Array.tabulate(parts - 1)(i => (i + 1).toLong * (space / parts))
+    RangeSort.sortedByBounds(
+        df.withColumn("__epoch_h", h),
+        col("__epoch_h"), bounds, Seq(col(idCol)))
+      .drop("__epoch_h")
+  }
 }

@@ -3300,6 +3300,42 @@ object TextQueries {
         .groupBy("source", "status")
         .agg(count(lit(1)).as("n_docs"), sum("new_toks").as("new_tokens"))
         .orderBy("source", "status")
+    },
+
+    // T107 — seeded epoch-shuffle order witness: the corpus permuted
+    // by Sampling.epochShuffle (total order on stableHashSeeded(42,
+    // doc_id), sample-FREE arithmetic range bounds — the hash key is
+    // uniform by construction, so RangePartitioner's extra child
+    // execution buys nothing), then a per-slice census in which the
+    // BUCKET COLUMN IS THE OPERATOR'S OUTPUT PARTITION ID — if
+    // sortedByBounds steered any row to the wrong partition, or broke
+    // the within-partition order feeding the ordered md5, the census
+    // hash-mismatches the oracle's arithmetic slice definition.
+    // Per-slice state is bounded (8 buckets × ordered id digest).
+    QueryDef("q137_epoch_census",
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(concat('42|',
+        |      CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS eh
+        |  FROM documents
+        |)
+        |SELECT CAST(eh // 144115188075855872 AS INT) AS bucket,
+        |  count(*) AS n_docs,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY eh, doc_id))
+        |    AS order_md5
+        |FROM h GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val shuffled = graft.operators.Sampling.epochShuffle(
+        Tables.documents(s, dir).select("doc_id"), "42", "doc_id", parts = 8)
+      shuffled
+        .select(col("doc_id"), spark_partition_id().as("bucket"),
+          gf.stableHashSeeded(lit("42"), col("doc_id").cast("string")).as("eh"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("eh"), col("doc_id")))),
+            x => x.getField("doc_id").cast("string")), ","))
+            .as("order_md5"))
+        .orderBy("bucket")
     }
   )
 

@@ -127,4 +127,32 @@ class SamplingSpec extends SparkSpec {
       .select("src", "doc_id").as[(String, Long)].collect().toSet
     again shouldBe got
   }
+
+  test("epochShuffle: a true permutation in the seeded-hash total " +
+    "order, reproducible, layout-independent, seed-sensitive") {
+    val ids = (1L to 2000L)
+    val df = ids.map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val got = Sampling.epochShuffle(df, "42", "doc_id", parts = 8)
+      .select("doc_id").as[Long].collect()
+    // permutation: same multiset, different order
+    got.sorted.toSeq shouldBe ids.toSeq
+    got.toSeq should not be ids.toSeq
+    // the order IS sort-by-(seeded hash, id) — driver-side reference
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): Long = {
+      val hex = md.digest(s"42|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    got.toSeq shouldBe ids.sortBy(i => (h(i), i)).toSeq
+    // layout-independent: a different input partitioning, same order
+    val re = Sampling.epochShuffle(df.repartition(13), "42", "doc_id",
+      parts = 8).select("doc_id").as[Long].collect()
+    re.toSeq shouldBe got.toSeq
+    // a different seed is a different permutation
+    val other = Sampling.epochShuffle(df, "43", "doc_id", parts = 8)
+      .select("doc_id").as[Long].collect()
+    other.sorted.toSeq shouldBe ids.toSeq
+    other.toSeq should not be got.toSeq
+  }
 }
