@@ -110,6 +110,9 @@ object BenchPq {
       nCentroids = nlist, pqTrainN = trainN, cent = Some(centP))
     val codesRP = codesR.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     codesRP.count()
+    // the build's tracked residual cache is corpus-sized and now dead
+    // (codes are materialized) — drop it before the timed probe runs
+    graft.CacheRegistry.drain()
     val resDf = operators.Pq.ivfPqProbe(codesRP, centP, queries, cbR, k,
       nprobe = nprobe)
     val tRes = time(s"ivfpq_res(nlist=$nlist,nprobe=$nprobe)")(resDf.count())

@@ -306,11 +306,20 @@ object Pq {
       cent: Option[DataFrame] = None)
       : (DataFrame, Codebook, DataFrame) = {
     val (clean, prepped) = cleanPrepped(corpus, idCol, embCol)
+    cent.foreach { c =>
+      // nCentroids/centTrainN/iters are ignored when a pre-trained
+      // quantizer is supplied — at least fail fast on the wrong shape
+      require(Seq("cent_id", "ce", "cn").forall(c.columns.contains),
+        s"pre-trained cent must have (cent_id, ce, cn), got " +
+          c.columns.mkString("(", ", ", ")"))
+    }
     val centroids = cent.getOrElse(Similarity.trainCentroids(
       clean, nCentroids, centTrainN, iters, idCol, embCol))
-    // CacheRegistry-tracked (DataSized: one row per corpus vector) so
-    // the auto-drain reclaims it — a raw persist here would leak past
-    // Verify's trackedCount==0 suite-end guard
+    // CacheRegistry-tracked (DataSized: one row per corpus vector).
+    // Reclamation: the query path arms+drains it automatically; a
+    // DIRECT caller must CacheRegistry.drain() once its codes are
+    // materialized (BenchPq does; repeated un-drained builds would
+    // accumulate a corpus-sized cache per call)
     val residuals = graft.CacheRegistry.persistTracked(
       Similarity.assignToCentroids(prepped, centroids, idCol)
         .join(broadcast(centroids), col("bucket") === col("cent_id"))

@@ -152,7 +152,13 @@ object Sampling {
     require(parts > 0, s"parts must be positive: $parts")
     val h = gf.stableHashSeeded(lit(seed), col(idCol).cast("string"))
     val space = 1L << 60
-    val bounds = Array.tabulate(parts - 1)(i => (i + 1).toLong * (space / parts))
+    // SortedBucket bounds are upper-INCLUSIVE, so bound i = the last
+    // hash of slice i — partition i is then EXACTLY the floor-division
+    // slice h*parts/space (the contract q137's oracle checks); the
+    // unshifted (i+1)·slice form would put an exact-boundary hash one
+    // partition early
+    val bounds = Array.tabulate(parts - 1)(i =>
+      (i + 1).toLong * (space / parts) - 1)
     RangeSort.sortedByBounds(
         df.withColumn("__epoch_h", h),
         col("__epoch_h"), bounds, Seq(col(idCol)))

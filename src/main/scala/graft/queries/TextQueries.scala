@@ -3308,10 +3308,13 @@ object TextQueries {
     // uniform by construction, so RangePartitioner's extra child
     // execution buys nothing), then a per-slice census in which the
     // BUCKET COLUMN IS THE OPERATOR'S OUTPUT PARTITION ID — if
-    // sortedByBounds steered any row to the wrong partition, or broke
-    // the within-partition order feeding the ordered md5, the census
-    // hash-mismatches the oracle's arithmetic slice definition.
-    // Per-slice state is bounded (8 buckets × ordered id digest).
+    // sortedByBounds steered any row to the wrong partition, the
+    // counts and membership digests mismatch the oracle's arithmetic
+    // slice definition. The digest is canonicalized by (eh, doc_id)
+    // before hashing (collect_list merge order is not contractual),
+    // so WITHIN-partition emission order is pinned by SamplingSpec's
+    // driver-reference equality, not by this oracle. Per-slice state
+    // is bounded (8 buckets × ordered id digest).
     QueryDef("q137_epoch_census",
       """WITH h AS (
         |  SELECT doc_id,

@@ -196,6 +196,7 @@ class PqSpec extends SparkSpec {
       .select("vec_id").as[Long].collect()
     got.length shouldBe 10
     got.foreach(id => dirOf(id) shouldBe 1)
+    graft.CacheRegistry.drain() // the build's tracked residual cache
   }
 
   test("residual-coded IVFADC on orthogonal one-per-bucket data finds " +
@@ -213,6 +214,7 @@ class PqSpec extends SparkSpec {
     val got = Pq.ivfPqProbe(codes, cent, q, cb, k = 1, nprobe = 1)
       .select("qid", "vec_id").as[(Long, Long)].collect().toMap
     got shouldBe corpus.map { case (id, _) => (id + 100L) -> id }.toMap
+    graft.CacheRegistry.drain() // the build's tracked residual cache
   }
 
   test("deterministic ranking: ties break by id and reruns are " +
