@@ -3339,6 +3339,92 @@ object TextQueries {
             x => x.getField("doc_id").cast("string")), ","))
             .as("order_md5"))
         .orderBy("bucket")
+    },
+
+    // T108 — overlapping-stride chunk census (RAG window prep):
+    // size-16 windows every 8 tokens, so consecutive chunks share half
+    // their tokens — the retrieval-chunking default (overlap preserves
+    // cross-boundary context that q134's disjoint blocks lose; q135's
+    // CDC boundaries are content-defined instead). The census: chunks,
+    // emitted tokens, and the OVERLAP COST — emitted/base duplication
+    // factor, the storage/compute price of the overlap — plus a
+    // content witness per source. Shape: one scan → per-row
+    // window-start sequence (transform + slice, zero shuffle — the
+    // q134 blockify with a stride) → per-DOC digest (md5 of the
+    // start-ordered chunk md5s: BOUNDED state, one doc's chunks) →
+    // (source)-keyed aggregate whose witness is the SUM of each doc
+    // digest's 60-bit hash mod 1000003 — an order-free O(1)-state
+    // combine (a per-source ordered collect would hold the whole
+    // corpus's chunk digests in ONE aggregation buffer; the residue
+    // sum detects any single-doc change with P ≈ 1−10⁻⁶ and is
+    // exact cross-engine, no overflow: ≤ n_docs·10⁶ ≪ 2⁶³).
+    // Chunk count per doc is ⌈max(n−w+s, 1) / s⌉ with w=16, s=8:
+    // starts 1, 9, 17, … — the arithmetic spans every token.
+    QueryDef("q138_window_chunks",
+      """WITH docs AS (
+        |  SELECT doc_id, source, list_filter(
+        |    string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents
+        |), nz AS (
+        |  SELECT doc_id, source, toks, len(toks) AS n
+        |  FROM docs WHERE len(toks) > 0
+        |), chunks AS (
+        |  SELECT doc_id, source,
+        |    1 + i * 8 AS start,
+        |    array_to_string(list_slice(toks,
+        |      CAST(1 + i * 8 AS BIGINT), CAST(16 + i * 8 AS BIGINT)), ' ')
+        |      AS chunk_text,
+        |    len(list_slice(toks, CAST(1 + i * 8 AS BIGINT),
+        |      CAST(16 + i * 8 AS BIGINT))) AS clen
+        |  FROM (SELECT doc_id, source, toks, n,
+        |          unnest(range(0, CAST(ceil(
+        |            greatest(n - 16 + 8, 1) / 8.0) AS BIGINT))) AS i
+        |        FROM nz)
+        |), base AS (
+        |  SELECT source, sum(n) AS base_tokens FROM nz GROUP BY source
+        |), per_doc AS (
+        |  SELECT doc_id, source, count(*) AS n_chunks,
+        |    sum(clen) AS clen,
+        |    CAST(concat('0x', substr(md5(string_agg(md5(chunk_text), ','
+        |      ORDER BY start)), 1, 15)) AS BIGINT) % 1000003 AS doc_res
+        |  FROM chunks GROUP BY doc_id, source
+        |)
+        |SELECT d.source, CAST(sum(d.n_chunks) AS BIGINT) AS n_chunks,
+        |  CAST(sum(d.clen) AS BIGINT) AS emitted_tokens,
+        |  round(sum(d.clen) * 1.0 / max(b.base_tokens), 4) AS dup_factor,
+        |  CAST(sum(d.doc_res) AS BIGINT) AS content_sum
+        |FROM per_doc d JOIN base b ON d.source = b.source
+        |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, dir) =>
+      val w = 16; val st = 8
+      val chunks = Tables.documents(s, dir)
+        .fanOutScan(col("doc_id")) // scale-aware scan fan-out
+        .select(col("doc_id"), col("source"), gf.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .withColumn("n", size(col("toks")).cast("long"))
+        .select(col("doc_id"), col("source"), col("n"),
+          posexplode(transform(
+            sequence(lit(0L), ceil(greatest(col("n") - (w - st), lit(1L))
+              / lit(st.toDouble)).cast("long") - 1),
+            i => slice(col("toks"), (i * st + 1).cast("int"), lit(w)))))
+        .select(col("doc_id"), col("source"), col("n"),
+          (col("pos").cast("long") * st + 1).as("start"),
+          md5(array_join(col("col"), " ")).as("chunk_md5"),
+          size(col("col")).cast("long").as("clen"))
+      chunks
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_chunks"), sum("clen").as("clen"),
+          first(col("n")).as("n"),
+          // stableHash = 60-bit prefix of md5(input): one md5, matching
+          // the oracle's md5(string_agg(...)) prefix exactly
+          (gf.stableHash(array_join(transform(
+            array_sort(collect_list(struct(col("start"), col("chunk_md5")))),
+            x => x.getField("chunk_md5")), ",")) % 1000003).as("doc_res"))
+        .groupBy("source")
+        .agg(sum("n_chunks").as("n_chunks"),
+          sum("clen").as("emitted_tokens"),
+          round(sum(col("clen")) / sum(col("n")), 4).as("dup_factor"),
+          sum("doc_res").as("content_sum"))
+        .orderBy("source")
     }
   )
 
