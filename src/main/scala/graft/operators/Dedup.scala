@@ -149,13 +149,20 @@ object Dedup {
   }
 
   /** Quality gate used by the clean-corpus pipeline (mirrors q32's
-    * scoring: enough tokens, not stopword-soup). */
+    * scoring: enough tokens, not stopword-soup). Computed by the fused
+    * [[graft.plans.TokenProfile]] byte scan — ONE pass per row, no
+    * token-array materialization (q128 oracle-pinned equal to the
+    * `size(tokens)` / `countIn` composition this replaces). */
   def qualityFilter(docs: DataFrame, textCol: String = "text",
       minTokens: Int = 30, maxStopwordRatio: Double = 0.15): DataFrame = {
-    val t = gf.tokens(col(textCol))
-    val nTokens = size(t)
-    val ratio = gf.countIn(t, Seq("the", "a")).cast("double") / nTokens
-    docs.filter(nTokens >= minTokens && ratio < maxStopwordRatio)
+    import org.apache.spark.sql.graft.CatalystBridge
+    val prof = CatalystBridge.column(graft.plans.TokenProfile(
+      CatalystBridge.expr(col(textCol)), Seq("the", "a")))
+    docs.withColumn("__qprof", prof)
+      .filter(col("__qprof.n_tokens") >= minTokens &&
+        col("__qprof.n_stop").cast("double") / col("__qprof.n_tokens")
+          < maxStopwordRatio)
+      .drop("__qprof")
   }
 
   /** The composed training-data cleanup: quality → exact dedup →

@@ -3425,6 +3425,73 @@ object TextQueries {
           round(sum(col("clen")) / sum(col("n")), 4).as("dup_factor"),
           sum("doc_res").as("content_sum"))
         .orderBy("source")
+    },
+
+    // T109 — END-TO-END corpus build census: the full training-corpus
+    // assembly chain as ONE query, composing the ACTUAL operators
+    // (Dedup.qualityFilter → Dedup.exact → Sampling.tokenBudget) —
+    // the capstone proof that the pipeline stages COMPOSE and that
+    // the composed result is still oracle-exact. Chain: quality gate
+    // (≥30 tokens, stopword ratio < 0.15 — q32's contract) → exact
+    // content dedup (min doc_id per md5(text) — q27's contract) →
+    // per-source 1500-token budget carve in stable-hash order (q108's
+    // contract) → per-source census with a membership residue witness
+    // (sum of stableHash(doc_id) mod 1000003 — order-free O(1)
+    // combine, the q138 stance). Every stage is the operator the
+    // standalone queries already gate; the composition is what a real
+    // corpus release runs.
+    QueryDef("q139_corpus_build",
+      """WITH toks AS (
+        |  SELECT doc_id, source, text,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> '') AS t
+        |  FROM documents
+        |), gated AS (
+        |  SELECT doc_id, source, text, len(t) AS n_toks FROM toks
+        |  WHERE len(t) >= 30
+        |    AND CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS DOUBLE)
+        |        / len(t) < 0.15
+        |), deduped AS (
+        |  SELECT g.* FROM gated g
+        |  JOIN (SELECT md5(text) AS h, min(doc_id) AS doc_id
+        |        FROM gated GROUP BY md5(text)) k
+        |    ON g.doc_id = k.doc_id
+        |), carved AS (
+        |  SELECT doc_id, source, n_toks FROM (
+        |    SELECT doc_id, source, n_toks,
+        |      sum(n_toks) OVER (PARTITION BY source
+        |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |    FROM deduped)
+        |  WHERE cum <= 1500
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+        |    1, 15)) AS BIGINT) % 1000003) AS BIGINT) AS member_sum
+        |FROM carved GROUP BY source ORDER BY source""".stripMargin
+    ) { (s, dir) =>
+      import graft.operators.{Dedup, Sampling}
+      // persisted between stages: Dedup.exact consumes the gated frame
+      // in BOTH semi-join branches (keepers + survivors) — uncached,
+      // each branch would re-scan and re-tokenize the whole corpus
+      val gated = graft.CacheRegistry.persistTracked(
+        Dedup.qualityFilter(
+          Tables.documents(s, dir)
+            .fanOutScan(col("doc_id")) // tokenize-heavy gate: scan fan-out
+            .select("doc_id", "source", "text")),
+        graft.CacheRegistry.DataSized)
+      val deduped = Dedup.exact(gated)
+        .withColumn("n_toks", size(gf.tokens(col("text"))).cast("long"))
+      val carved = Sampling.tokenBudget(
+        deduped, "source", "doc_id", "n_toks", budget = 1500L)
+      carved
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_toks").as("n_tokens"),
+          sum(gf.stableHash(col("doc_id").cast("string")) % 1000003)
+            .as("member_sum"))
+        .orderBy("source")
     }
   )
 
