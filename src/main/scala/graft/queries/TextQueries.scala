@@ -645,15 +645,20 @@ object TextQueries {
         |        list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val t = gf.tokens(col("text"))
-      val nTokens = size(t)
-      val stopCnt = gf.countIn(t, Seq("the", "a"))
-      val ratio = stopCnt.cast("double") / nTokens
+      // fused TokenProfile byte scan: ONE pass, no token array (the
+      // q128/q139 lesson — oracle-pinned equal to the composed form)
+      val prof = org.apache.spark.sql.graft.CatalystBridge.column(
+        graft.plans.TokenProfile(
+          org.apache.spark.sql.graft.CatalystBridge.expr(col("text")),
+          Seq("the", "a")))
+      val nTokens = col("p.n_tokens")
+      val ratio = col("p.n_stop").cast("double") / nTokens
       Tables.documents(s, dir)
         .repartition(col("doc_id")) // fan out the single-file scan
+        .select(col("doc_id"), prof.as("p"))
         .select(
           col("doc_id"),
-          nTokens.cast("long").as("n_tokens"),
+          nTokens.as("n_tokens"),
           round(ratio, 4).as("stopword_ratio"),
           when(nTokens >= 30 && ratio < 0.15, "good").otherwise("low").as("quality"))
         .orderBy("doc_id")
