@@ -3497,6 +3497,166 @@ object TextQueries {
           sum(gf.stableHash(col("doc_id").cast("string")) % 1000003)
             .as("member_sum"))
         .orderBy("source")
+    },
+
+    // T110 — ranked-separability census (Mann–Whitney AUC): does the
+    // stopword-fraction quality score actually SEPARATE English from
+    // non-English docs, per source? The calibration check every
+    // heuristic quality filter needs before its threshold is trusted:
+    // AUC = P(score_en > score_other) + ½P(=), computed EXACTLY via
+    // the tie-corrected rank-sum identity. Scale shape: ONE fused
+    // TokenProfile byte scan per row (no token array — the q128/q32
+    // stance), score quantized to an integer bucket (floor(frac·1000),
+    // exact IEEE in both engines) so the per-(source, bucket) aggregate
+    // is (sources × ≤1001)-bounded BEFORE the rank window runs — the
+    // cumsum that would be a corpus-wide total sort on raw scores is a
+    // window over the bounded cell frame instead. All rank arithmetic
+    // stays in LONGS (2·midrank = 2·below + ties + 1), so there is no
+    // summation-order float drift; the ONLY division is the final
+    // AUC = (R₂⁺ − n₊(n₊+1)) / (2·n₊·n₋), one exact long-ratio per
+    // source. Degenerate single-class sources are filtered, not NaN.
+    QueryDef("q140_auc_separability",
+      """WITH toks AS (
+        |  SELECT source, lang, list_filter(
+        |    string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), scored AS (
+        |  SELECT source,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+        |    CAST(floor(CAST(len(list_filter(t, x -> x IN ('the', 'a')))
+        |      AS DOUBLE) / len(t) * 1000.0) AS BIGINT) AS bucket
+        |  FROM toks WHERE len(t) > 0
+        |), cells AS (
+        |  SELECT source, bucket, CAST(count(*) AS BIGINT) AS tot,
+        |    CAST(sum(pos) AS BIGINT) AS npos
+        |  FROM scored GROUP BY source, bucket
+        |), ranked AS (
+        |  SELECT source, tot, npos,
+        |    sum(tot) OVER (PARTITION BY source ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tot
+        |      AS below
+        |  FROM cells
+        |), agg AS (
+        |  SELECT source, sum(npos) AS n_pos, sum(tot) - sum(npos) AS n_neg,
+        |    sum(npos * (2 * below + tot + 1)) AS ranksum2
+        |  FROM ranked GROUP BY source
+        |)
+        |SELECT source, CAST(n_pos AS BIGINT) AS n_pos,
+        |  CAST(n_neg AS BIGINT) AS n_neg,
+        |  round(CAST(ranksum2 - n_pos * (n_pos + 1) AS DOUBLE)
+        |    / CAST(2 * n_pos * n_neg AS DOUBLE), 6) AS auc
+        |FROM agg WHERE n_pos > 0 AND n_neg > 0
+        |ORDER BY source""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.graft.CatalystBridge
+      val prof = CatalystBridge.column(graft.plans.TokenProfile(
+        CatalystBridge.expr(col("text")), Seq("the", "a")))
+      val scored = Tables.documents(s, dir)
+        .select(col("source"), col("lang"), prof.as("p"))
+        .filter(col("p.n_tokens") > 0)
+        .select(col("source"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"),
+          floor(col("p.n_stop").cast("double") / col("p.n_tokens") * 1000.0)
+            .cast("long").as("bucket"))
+      val cells = scored.groupBy("source", "bucket")
+        .agg(count(lit(1)).as("tot"), sum("pos").as("npos"))
+      val rankW = Window.partitionBy("source").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells
+        .withColumn("below", sum("tot").over(rankW) - col("tot"))
+        .groupBy("source")
+        .agg(sum("npos").as("n_pos"),
+          (sum("tot") - sum("npos")).as("n_neg"),
+          sum(col("npos") * (col("below") * 2 + col("tot") + 1))
+            .as("ranksum2"))
+        .filter(col("n_pos") > 0 && col("n_neg") > 0)
+        .select(col("source"), col("n_pos"), col("n_neg"),
+          round((col("ranksum2") - col("n_pos") * (col("n_pos") + 1))
+            .cast("double")
+            / (col("n_pos") * col("n_neg") * 2).cast("double"), 6)
+            .as("auc"))
+        .orderBy("source")
+    },
+
+    // T111 — PMI collocation extraction (Church & Hanks 1990): top-20
+    // bigrams by pointwise mutual information with a min-support gate —
+    // the corpus-analysis op behind phrase-vocabulary induction and
+    // tokenizer merge auditing (q103 ranks pairs by raw count; PMI
+    // ranks by ASSOCIATION STRENGTH, surfacing pairs frequent together
+    // relative to their parts). Scale shape: ONE corpus scan feeds BOTH
+    // censuses — the unigram and width-2 shingle arrays are tagged and
+    // concatenated per row, so a single explode + (kind, gram) hash
+    // aggregate (map-side combined) collapses corpus volume to
+    // vocab/bigram-vocab-bounded frames; that counted frame is
+    // persisted (four consumers: c1, c12, and the two 1-row totals).
+    // The unigram lookups join on the token key (vocab-bounded skinny
+    // join, AQE may broadcast), totals ride a broadcast 1-row cross
+    // join, and the top-20 is TakeOrderedAndProject — nothing
+    // corpus-sized ever sorts. PMI ties break on (w1, w2).
+    QueryDef("q141_pmi_collocations",
+      """WITH docs AS (
+        |  SELECT list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> x <> '') AS t
+        |  FROM documents
+        |), bg AS (
+        |  SELECT split_part(bigram, ' ', 1) AS w1,
+        |    split_part(bigram, ' ', 2) AS w2
+        |  FROM (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |          i -> t[i] || ' ' || t[i+1])) AS bigram
+        |        FROM docs WHERE len(t) >= 2)
+        |), c12 AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+        |  FROM bg GROUP BY w1, w2
+        |), uni AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(t) AS tok FROM docs) GROUP BY tok
+        |), nb AS (SELECT CAST(sum(n_pair) AS DOUBLE) AS nb FROM c12),
+        |nt AS (SELECT CAST(sum(cnt) AS DOUBLE) AS nt FROM uni)
+        |SELECT c12.w1, c12.w2, c12.n_pair,
+        |  round(ln(c12.n_pair * nt.nt * nt.nt
+        |    / (nb.nb * ua.cnt * ub.cnt)), 6) AS pmi
+        |FROM c12
+        |JOIN uni ua ON c12.w1 = ua.tok
+        |JOIN uni ub ON c12.w2 = ub.tok
+        |CROSS JOIN nb CROSS JOIN nt
+        |WHERE c12.n_pair >= 5
+        |ORDER BY pmi DESC, c12.w1, c12.w2 LIMIT 20""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.graft.CatalystBridge
+      // one scan: unigrams (kind 0) + bigrams (kind 1) tagged into one
+      // exploded stream, counted in one map-side-combined aggregate
+      val grams = graft.CacheRegistry.persistTracked(
+        Tables.documents(s, dir)
+          .select(gf.tokens(col("text")).as("t"),
+            CatalystBridge.column(graft.plans.ShingleTokens(
+              CatalystBridge.expr(trim(col("text"))), 2, dedupe = false))
+              .as("b"))
+          .select(explode(concat(
+            transform(col("t"), x => struct(lit(0).as("kind"), x.as("gram"))),
+            transform(col("b"), x => struct(lit(1).as("kind"), x.as("gram")))))
+            .as("g"))
+          .groupBy(col("g.kind").as("kind"), col("g.gram").as("gram"))
+          .agg(count(lit(1)).as("cnt")),
+        graft.CacheRegistry.DataSized) // vocab + bigram-vocab bounded
+      val uni = grams.filter(col("kind") === 0)
+        .select(col("gram").as("tok"), col("cnt"))
+      val c12 = grams.filter(col("kind") === 1)
+        .select(split_part(col("gram"), lit(" "), lit(1)).as("w1"),
+          split_part(col("gram"), lit(" "), lit(2)).as("w2"),
+          col("cnt").as("n_pair"))
+        .filter(col("n_pair") >= 5)
+      val nb = grams.filter(col("kind") === 1)
+        .agg(sum("cnt").cast("double").as("nb"))
+      val nt = grams.filter(col("kind") === 0)
+        .agg(sum("cnt").cast("double").as("nt"))
+      val ua = uni.select(col("tok").as("w1"), col("cnt").as("ca"))
+      val ub = uni.select(col("tok").as("w2"), col("cnt").as("cb"))
+      c12.join(ua, "w1").join(ub, "w2")
+        .crossJoin(broadcast(nb)).crossJoin(broadcast(nt))
+        .select(col("w1"), col("w2"), col("n_pair"),
+          round(log(col("n_pair").cast("double") * col("nt") * col("nt")
+            / (col("nb") * col("ca").cast("double") * col("cb").cast("double"))), 6)
+            .as("pmi"))
+        .orderBy(desc("pmi"), col("w1"), col("w2"))
+        .limit(20)
     }
   )
 
