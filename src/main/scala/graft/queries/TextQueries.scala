@@ -3657,6 +3657,109 @@ object TextQueries {
             .as("pmi"))
         .orderBy(desc("pmi"), col("w1"), col("w2"))
         .limit(20)
+    },
+
+    // T113 — held-out Kneser–Ney perplexity census (Kneser & Ney 1995;
+    // Chen & Goodman 1999 interpolated form, fixed discount d=0.75):
+    // the LM trains on the EVEN doc_ids and scores the ODD ones, so
+    // unseen bigrams actually occur and the backoff path is exercised
+    // — the production upgrade over q88, whose MLE inner join silently
+    // DROPS every bigram the corpus half never saw (P_MLE = 0).
+    // P_KN(w2|w1) = max(c12−d,0)/c1 + (d·N1+(w1·)/c1)·(N1+(·w2)/B):
+    // the continuation probability ranks w2 by HOW MANY contexts it
+    // follows, not how often — the fix for "San Francisco" inflating
+    // P(Francisco). Bigrams whose w1 or w2 never appeared in training
+    // count into the n_oov column instead of a zero-probability blowup.
+    // Scale shape: the corpus is tokenized ONCE into the persisted
+    // (doc_id, half, w1, w2, k) counted frame (distinct-bigrams-per-doc
+    // bounded, the q88 stance); the train-side model (bgt) is a second
+    // persisted distinct-bigram-bounded aggregate feeding its four
+    // consumers (c1+n1l in ONE pass, n1r, the 1-row B total, and the
+    // scoring join); scoring is three vocab/bigram-keyed equi-joins +
+    // one doc-keyed weighted aggregate — nothing all-pairs, nothing
+    // corpus-sized past the first aggregate.
+    QueryDef("q142_kneser_ney",
+      """WITH docs AS (
+        |  SELECT doc_id, doc_id % 2 AS half,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> '') AS t
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id, half,
+        |    unnest(list_transform(generate_series(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1])) AS bigram
+        |  FROM docs WHERE len(t) >= 2
+        |), d AS (
+        |  SELECT doc_id, half, split_part(bigram, ' ', 1) AS w1,
+        |    split_part(bigram, ' ', 2) AS w2, CAST(count(*) AS BIGINT) AS k
+        |  FROM bg GROUP BY 1, 2, 3, 4
+        |), bgt AS (
+        |  SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c12
+        |  FROM d WHERE half = 0 GROUP BY w1, w2
+        |), c1 AS (
+        |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+        |    CAST(count(*) AS BIGINT) AS n1l
+        |  FROM bgt GROUP BY w1
+        |), n1r AS (
+        |  SELECT w2, CAST(count(*) AS BIGINT) AS n1r FROM bgt GROUP BY w2
+        |), btot AS (SELECT CAST(count(*) AS DOUBLE) AS bb FROM bgt),
+        |sc AS (
+        |  SELECT s.doc_id, s.k,
+        |    (c1.c1 IS NOT NULL AND n1r.n1r IS NOT NULL) AS scored,
+        |    greatest(coalesce(bgt.c12, 0) - 0.75, 0.0) / c1.c1
+        |      + 0.75 * c1.n1l / c1.c1 * (n1r.n1r / btot.bb) AS p
+        |  FROM (SELECT * FROM d WHERE half = 1) s
+        |  LEFT JOIN bgt ON s.w1 = bgt.w1 AND s.w2 = bgt.w2
+        |  LEFT JOIN c1 ON s.w1 = c1.w1
+        |  LEFT JOIN n1r ON s.w2 = n1r.w2
+        |  CROSS JOIN btot
+        |)
+        |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(CASE WHEN NOT scored THEN k ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  round(-sum(CASE WHEN scored THEN k * ln(p) END)
+        |    / sum(CASE WHEN scored THEN k END), 6) AS avg_nll,
+        |  round(exp(-sum(CASE WHEN scored THEN k * ln(p) END)
+        |    / sum(CASE WHEN scored THEN k END)), 4) AS ppl
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.graft.CatalystBridge
+      val d = graft.CacheRegistry.persistTracked(Tables.documents(s, dir)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), (col("doc_id") % 2).as("half"),
+          explode(CatalystBridge.column(graft.plans.ShingleTokens(
+            CatalystBridge.expr(trim(col("text"))), 2, dedupe = false)))
+            .as("bigram"))
+        .groupBy("doc_id", "half", "bigram")
+        .agg(count(lit(1)).as("k"))
+        .select(col("doc_id"), col("half"), col("k"),
+          split_part(col("bigram"), lit(" "), lit(1)).as("w1"),
+          split_part(col("bigram"), lit(" "), lit(2)).as("w2")),
+        graft.CacheRegistry.DataSized) // distinct bigrams per doc
+      val bgt = graft.CacheRegistry.persistTracked(
+        d.filter(col("half") === 0)
+          .groupBy("w1", "w2").agg(sum("k").as("c12")),
+        graft.CacheRegistry.DataSized) // distinct train bigrams
+      val c1 = bgt.groupBy("w1")
+        .agg(sum("c12").as("c1"), count(lit(1)).as("n1l"))
+      val n1r = bgt.groupBy("w2").agg(count(lit(1)).as("n1r"))
+      val btot = bgt.agg(count(lit(1)).cast("double").as("bb"))
+      val sc = d.filter(col("half") === 1)
+        .join(bgt, Seq("w1", "w2"), "left")
+        .join(c1, Seq("w1"), "left")
+        .join(n1r, Seq("w2"), "left")
+        .crossJoin(broadcast(btot))
+      val scored = col("c1").isNotNull && col("n1r").isNotNull
+      val p = greatest(coalesce(col("c12"), lit(0L)) - 0.75, lit(0.0)) /
+        col("c1") +
+        lit(0.75) * col("n1l") / col("c1") * (col("n1r") / col("bb"))
+      val wnll = sum(when(scored, col("k").cast("double") * log(p)))
+      val wk = sum(when(scored, col("k")))
+      sc.groupBy("doc_id")
+        .agg(sum("k").as("n_bigrams"),
+          sum(when(!scored, col("k")).otherwise(0L)).as("n_oov"),
+          round(-wnll / wk, 6).as("avg_nll"),
+          round(exp(-wnll / wk), 4).as("ppl"))
+        .orderBy("doc_id")
     }
   )
 
