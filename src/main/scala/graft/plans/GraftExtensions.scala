@@ -111,6 +111,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FreqSketch(args(0), intLit(args(1), "freq_sketch k"))))
 
     ext.injectFunction((
+      new FunctionIdentifier("kmv_sketch"),
+      info("kmv_sketch",
+        "kmv_sketch(str, k) - k-minimum-values theta sketch: sorted array of the k smallest distinct stable_hash60 values (mergeable distinct/intersection/union estimates)"),
+      (args: Seq[Expression]) =>
+        KmvSketch(args(0), intLit(args(1), "kmv_sketch k"))))
+
+    ext.injectFunction((
       new FunctionIdentifier("cm_sketch"),
       info("cm_sketch",
         "cm_sketch(str, width, depth) - Count-Min frequency sketch: struct(width, depth, total, cells)"),

@@ -3793,6 +3793,45 @@ object TextQueries {
         approx_count_distinct(col("doc_id"), rsd).as("n_docs"))
       .orderBy("source")
 
+  /** KMV scale twin of q73: per-source k-minimum-values vocabulary
+    * sketches ([[graft.plans.KmvSketch]] — ONE corpus pass, O(k) longs
+    * of state per source) + pairwise set-operation estimates over the
+    * collected sketches (sources-bounded driver work) — the 100 TB
+    * path q73's scaladoc promises: with millions of distinct tokens
+    * per source the exact postings self-join shuffles the full
+    * source×token table, while the sketches ship kilobytes and the
+    * estimates carry the ~1/√(k−2) KMV error. When a source's
+    * vocabulary fits inside k the sketch — and therefore the estimate
+    * — is EXACT (the spec pins this against q73's exact Jaccard). */
+  def vocabOverlapApprox(s: SparkSession, dir: String,
+      k: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.graft.CatalystBridge
+    import s.implicits._
+    val sketches = Tables.documents(s, dir)
+      .select(col("source"), explode(gf.tokens(col("text"))).as("tok"))
+      .groupBy("source")
+      .agg(CatalystBridge.column(
+        graft.plans.KmvSketch(CatalystBridge.expr(col("tok")), k)
+          .toAggregateExpression()).as("sketch"))
+      .as[(String, Array[Long])]
+      .collect() // sources-bounded (one O(k) array per source)
+      .sortBy(_._1)
+    val pairs = for {
+      i <- sketches.indices
+      j <- (i + 1) until sketches.length
+    } yield {
+      val (sa, va) = sketches(i)
+      val (sb, vb) = sketches(j)
+      (sa, sb,
+        graft.plans.Kmv.estimate(va, k),
+        graft.plans.Kmv.estimate(vb, k),
+        graft.plans.Kmv.intersectEstimate(va, vb, k),
+        graft.plans.Kmv.jaccardEstimate(va, vb, k))
+    }
+    pairs.toDF("src_a", "src_b", "est_n_a", "est_n_b",
+      "est_shared", "est_jaccard")
+  }
+
   /** One-pass bounded-memory heavy-hitter candidates via the native
     * Misra–Gries aggregate ([[graft.plans.FreqSketch]]) — the scale
     * twin of exact token top-k (q08's TakeOrderedAndProject shape

@@ -150,6 +150,23 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     3L should be <= (aMin + aErr)
   }
 
+  test("kmv_sketch SQL aggregate: sorted min-k distinct hashes") {
+    import spark.implicits._
+    val vs = spark.sql(
+      """SELECT explode(kmv_sketch(v, 8)) AS h FROM (
+        |  SELECT concat('tok', i) AS v FROM (
+        |    SELECT explode(sequence(1, 100)) AS i))
+        |""".stripMargin).as[Long].collect()
+    vs.length shouldBe 8
+    vs.toSeq shouldBe vs.sorted.toSeq
+    // the same 8 values KmvSketch computes natively — registry and
+    // direct construction agree
+    val direct = (1 to 100).map(i => StableHash60.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s"tok$i")))
+      .sorted.take(8)
+    vs.toSeq shouldBe direct
+  }
+
   test("cm_sketch / cm_estimate SQL round trip: never undercounts, empty-safe") {
     val row = spark.sql(
       """SELECT cm_estimate(s, 'a') AS ea, cm_estimate(s, 'zz') AS ez,
