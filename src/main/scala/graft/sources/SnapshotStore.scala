@@ -1,0 +1,187 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned snapshot table — the minimal transactional layer the
+  * incremental sinks (S7/S12) and [[graft.operators.Compaction]]'s
+  * "the swap is the table format's transaction" note assume: every
+  * write lands in its OWN data directory, then publishes by creating
+  * an immutable numbered manifest with `CREATE_NEW` (an atomic
+  * filesystem primitive). Readers resolve the highest manifest and
+  * scan exactly the directories it lists — a half-written data dir is
+  * invisible until its manifest exists, and a manifest is never
+  * rewritten, so reads are snapshot-consistent without any lock.
+  *
+  * This is the Delta/Iceberg commit idea reduced to what local/HDFS
+  * semantics give for free (atomic exclusive-create), built on public
+  * knowledge of those designs — no external format dependency.
+  *
+  * Concurrency: two writers racing to version N+1 — one wins the
+  * exclusive create, the loser's create throws, and [[commit]] retries
+  * at N+2 re-reading the then-current lineage (optimistic concurrency;
+  * append lineage is recomputed per attempt so the retry includes the
+  * winner's data).
+  *
+  * Scale: manifests list data DIRECTORIES (one per commit), so
+  * manifest size and read-side listing grow with commit count, not
+  * row count; [[rewrite]] collapses lineage back to one directory
+  * (pair with [[graft.operators.Compaction]] for file-level sizing)
+  * and [[vacuum]] deletes directories no retained manifest references.
+  * Driver state is O(#versions).
+  */
+object SnapshotStore {
+
+  final case class Version(
+      version: Long,
+      op: String, // "append" | "overwrite"
+      dataDirs: Seq[String], // relative to the table root
+      columns: Seq[String],
+      tsMillis: Long)
+
+  private def versionsDir(root: String): Path = Paths.get(root, "_versions")
+  private def manifestPath(root: String, v: Long): Path =
+    versionsDir(root).resolve(f"v$v%08d.json")
+
+  /** All published versions, ascending (empty for a fresh/absent table). */
+  def history(root: String): Seq[Version] = {
+    val dir = versionsDir(root)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.matches("v\\d{8}\\.json"))
+      .toSeq
+      .sortBy(_.getFileName.toString)
+      .map(p => parseVersion(
+        new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
+  }
+
+  def latestVersion(root: String): Option[Version] = history(root).lastOption
+
+  /** Append `df` as the next version (lineage = parent dirs + new dir). */
+  def append(df: DataFrame, root: String): Version =
+    commit(df, root, "append")
+
+  /** Replace the table content as the next version. Old versions stay
+    * readable until [[vacuum]]. */
+  def overwrite(df: DataFrame, root: String): Version =
+    commit(df, root, "overwrite")
+
+  /** Compact lineage: read the latest snapshot, write it as ONE new
+    * data directory, publish as an overwrite. */
+  def rewrite(root: String)(implicit spark: SparkSession): Version =
+    overwrite(read(root), root)
+
+  /** Latest snapshot. */
+  def read(root: String)(implicit spark: SparkSession): DataFrame =
+    readVersion(root, latestVersion(root)
+      .getOrElse(sys.error(s"snapshot table $root has no versions")).version)
+
+  /** Time travel: the table exactly as version `v` published it. */
+  def readVersion(root: String, v: Long)(
+      implicit spark: SparkSession): DataFrame = {
+    val m = history(root).find(_.version == v)
+      .getOrElse(sys.error(s"snapshot table $root has no version $v"))
+    val dirs = m.dataDirs.map(d => Paths.get(root, d))
+    dirs.filterNot(Files.isDirectory(_)) match {
+      case missing if missing.nonEmpty =>
+        sys.error(s"version $v references vacuumed data: ${missing.head}")
+      case _ =>
+    }
+    spark.read.parquet(dirs.map(_.toString): _*)
+  }
+
+  /** Delete data directories referenced by NO retained manifest.
+    * `keepLast` manifests are retained (default: all — vacuum only
+    * orphans from failed commits); older manifests are deleted first
+    * so no manifest ever points at vacuumed data. */
+  def vacuum(root: String, keepLast: Int = Int.MaxValue): Unit = {
+    val all = history(root)
+    val dropped = if (all.size > keepLast) all.dropRight(keepLast) else Seq.empty
+    dropped.foreach(v => Files.deleteIfExists(manifestPath(root, v.version)))
+    val retained = all.drop(dropped.size)
+    val referenced = retained.flatMap(_.dataDirs).toSet
+    val dataRoot = Paths.get(root, "data")
+    if (!Files.isDirectory(dataRoot)) return
+    Files.list(dataRoot).iterator().asScala.toSeq.foreach { d =>
+      val rel = s"data/${d.getFileName}"
+      if (!referenced.contains(rel)) deleteRecursively(d)
+    }
+  }
+
+  // ---- internals --------------------------------------------------------
+
+  private def commit(df: DataFrame, root: String, op: String): Version = {
+    Files.createDirectories(versionsDir(root))
+    // one data dir per commit attempt set; the dir name is unique so a
+    // lost race never collides on data
+    val commitId = java.util.UUID.randomUUID().toString.take(12)
+    val rel = s"data/$commitId"
+    df.write.parquet(Paths.get(root, rel).toString)
+    val cols = df.columns.toSeq
+    var attempt = 0
+    while (attempt < 64) {
+      val parent = latestVersion(root)
+      parent.foreach { p =>
+        require(op == "overwrite" || p.columns == cols,
+          s"append schema mismatch: table has ${p.columns}, got $cols")
+      }
+      val nextV = parent.map(_.version + 1).getOrElse(1L)
+      val dirs =
+        if (op == "overwrite") Seq(rel)
+        else parent.map(_.dataDirs).getOrElse(Seq.empty) :+ rel
+      val v = Version(nextV, op, dirs, cols, System.currentTimeMillis())
+      try {
+        Files.write(manifestPath(root, nextV),
+          versionJson(v).getBytes(StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE_NEW) // atomic publish
+        return v
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1 // lost the race — recompute lineage, try next slot
+      }
+    }
+    sys.error(s"snapshot commit to $root lost ${64} races; giving up")
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def versionJson(v: Version): String = {
+    val dirs = v.dataDirs.map(d => s""""${esc(d)}"""").mkString("[", ",", "]")
+    val cols = v.columns.map(c => s""""${esc(c)}"""").mkString("[", ",", "]")
+    s"""{"version":${v.version},"op":"${v.op}","data_dirs":$dirs,""" +
+      s""""columns":$cols,"ts_millis":${v.tsMillis}}"""
+  }
+
+  private def parseVersion(s: String): Version = {
+    def longF(name: String): Long =
+      s"""\"$name\":(-?\\d+)""".r.findFirstMatchIn(s)
+        .getOrElse(sys.error(s"manifest missing $name")).group(1).toLong
+    def strF(name: String): String =
+      (s"""\"$name\":\"((?:[^"\\\\]|\\\\.)*)\"""").r.findFirstMatchIn(s)
+        .getOrElse(sys.error(s"manifest missing $name")).group(1)
+    def arrF(name: String): Seq[String] = {
+      val body = (s"""\"$name\":\\[([^\\]]*)\\]""").r.findFirstMatchIn(s)
+        .getOrElse(sys.error(s"manifest missing $name")).group(1)
+      if (body.trim.isEmpty) Seq.empty
+      else """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(body)
+        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+    }
+    Version(longF("version"), strF("op"), arrF("data_dirs"),
+      arrF("columns"), longF("ts_millis"))
+  }
+}
