@@ -41,7 +41,8 @@ object SnapshotStore {
       op: String, // "append" | "overwrite"
       dataDirs: Seq[String], // relative to the table root
       columns: Seq[String],
-      tsMillis: Long)
+      tsMillis: Long,
+      tag: Option[String] = None)
 
   private def versionsDir(root: String): Path = Paths.get(root, "_versions")
   private def manifestPath(root: String, v: Long): Path =
@@ -69,6 +70,19 @@ object SnapshotStore {
     * readable until [[vacuum]]. */
   def overwrite(df: DataFrame, root: String): Version =
     commit(df, root, "overwrite")
+
+  /** Exactly-once append keyed by `tag`: if a retained manifest already
+    * carries the tag, the call is a NO-OP returning that version — the
+    * replay-idempotence hook for at-least-once writers (a streaming
+    * foreachBatch replays its last batch id after a crash;
+    * [[graft.streaming.SnapshotSink]] tags each batch). The guarantee
+    * holds as long as tagged manifests outlive the writer's replay
+    * horizon — vacuum retention must cover the stream checkpoint. */
+  def appendOnce(df: DataFrame, root: String, tag: String): Version =
+    history(root).find(_.tag.contains(tag)) match {
+      case Some(existing) => existing
+      case None => commit(df, root, "append", Some(tag))
+    }
 
   /** Compact lineage: read the latest snapshot, write it as ONE new
     * data directory, publish as an overwrite. */
@@ -114,7 +128,8 @@ object SnapshotStore {
 
   // ---- internals --------------------------------------------------------
 
-  private def commit(df: DataFrame, root: String, op: String): Version = {
+  private def commit(df: DataFrame, root: String, op: String,
+      tag: Option[String] = None): Version = {
     Files.createDirectories(versionsDir(root))
     // one data dir per commit attempt set; the dir name is unique so a
     // lost race never collides on data
@@ -124,7 +139,17 @@ object SnapshotStore {
     val cols = df.columns.toSeq
     var attempt = 0
     while (attempt < 64) {
-      val parent = latestVersion(root)
+      val versions = history(root)
+      // tagged commit racing another writer of the SAME tag: the loser
+      // finds the tag published, abandons its data dir (vacuum reaps
+      // it) and returns the winner's version — still exactly-once
+      tag.flatMap(t => versions.find(_.tag.contains(t))) match {
+        case Some(winner) =>
+          deleteRecursively(Paths.get(root, rel))
+          return winner
+        case None =>
+      }
+      val parent = versions.lastOption
       parent.foreach { p =>
         require(op == "overwrite" || p.columns == cols,
           s"append schema mismatch: table has ${p.columns}, got $cols")
@@ -133,7 +158,7 @@ object SnapshotStore {
       val dirs =
         if (op == "overwrite") Seq(rel)
         else parent.map(_.dataDirs).getOrElse(Seq.empty) :+ rel
-      val v = Version(nextV, op, dirs, cols, System.currentTimeMillis())
+      val v = Version(nextV, op, dirs, cols, System.currentTimeMillis(), tag)
       try {
         Files.write(manifestPath(root, nextV),
           versionJson(v).getBytes(StandardCharsets.UTF_8),
@@ -163,8 +188,9 @@ object SnapshotStore {
   private def versionJson(v: Version): String = {
     val dirs = v.dataDirs.map(d => s""""${esc(d)}"""").mkString("[", ",", "]")
     val cols = v.columns.map(c => s""""${esc(c)}"""").mkString("[", ",", "]")
+    val tagF = v.tag.map(t => s""","tag":"${esc(t)}"""").getOrElse("")
     s"""{"version":${v.version},"op":"${v.op}","data_dirs":$dirs,""" +
-      s""""columns":$cols,"ts_millis":${v.tsMillis}}"""
+      s""""columns":$cols,"ts_millis":${v.tsMillis}$tagF}"""
   }
 
   private def parseVersion(s: String): Version = {
@@ -181,7 +207,9 @@ object SnapshotStore {
       else """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(body)
         .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
     }
+    val tag = """"tag":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(s)
+      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
     Version(longF("version"), strF("op"), arrF("data_dirs"),
-      arrF("columns"), longF("ts_millis"))
+      arrF("columns"), longF("ts_millis"), tag)
   }
 }

@@ -116,7 +116,15 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
     // (BM25 reuses N + avgdl, TF·IDF reuses N); the fuse join itself
     // is a full-outer EQUI-join on (term, doc_id) over
     // (terms × RankDepth)-bounded frames.
-    "q133_rrf_fusion")
+    "q133_rrf_fusion",
+    // q141: the two cross products attach the broadcast 1-row bigram
+    // and unigram TOTALS (the q46/q68 lazy-totals pattern) to the
+    // vocab-bounded PMI frame; the unigram lookups are equi-joins.
+    "q141_pmi_collocations",
+    // q142: the broadcast 1-row distinct-bigram total (B) of the KN
+    // continuation probability crosses onto the scoring stream; the
+    // model lookups (bigram, w1, w2) are all equi-joins.
+    "q142_kneser_ney")
 
   test("suite-wide: nested-loop joins only as broadcast builds of bounded frames") {
     val offenders = SparkEntry.allDefs.flatMap { d =>
