@@ -796,6 +796,89 @@ object EventQueries {
         .select(col("event_type"), col("nref").as("n_ref"),
           col("ncur").as("n_cur"), col("psi"))
         .orderBy("event_type")
+    },
+
+    // T118 — CUSUM change-point localization (offline AMOC via
+    // max-|cumulative deviation|, Page 1954 / Hinkley 1970): for each
+    // event_type, the day where the running sum of (daily count −
+    // overall mean) peaks in magnitude — the classic single-changepoint
+    // estimate, answering WHERE the level shifted (q132's PSI says IF
+    // the distribution drifted between halves; q118's EWMA smooths; a
+    // changepoint query localizes). pre/post means quantify the shift.
+    // Scale shape: ONE corpus-scan aggregate collapses events to the
+    // (types × days)-bounded daily-count frame (persisted — three
+    // consumers: stats, the cumsum, the pre/post rollup); every window
+    // and join downstream runs on that bounded frame, never on raw
+    // events. The cumsum accumulates in day order (a pinned sequential
+    // frame — bit-identical in any engine); ties in |S_t| break on the
+    // earliest day.
+    QueryDef("q143_cusum_changepoint",
+      """WITH cells AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2
+        |), stats AS (
+        |  SELECT event_type, CAST(sum(c) AS DOUBLE) / count(*) AS m,
+        |    CAST(count(*) AS BIGINT) AS n_days
+        |  FROM cells GROUP BY event_type
+        |), cum AS (
+        |  SELECT c.event_type, c.day, c.c, s.n_days,
+        |    sum(c.c - s.m) OVER (PARTITION BY c.event_type ORDER BY c.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_t
+        |  FROM cells c JOIN stats s ON c.event_type = s.event_type
+        |), pick AS (
+        |  SELECT event_type, day AS change_day, n_days, abs(s_t) AS max_dev
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |          ORDER BY abs(s_t) DESC, day) AS rn FROM cum)
+        |  WHERE rn = 1
+        |)
+        |SELECT p.event_type, p.change_day, p.n_days,
+        |  round(p.max_dev, 4) AS max_dev,
+        |  round(CAST(sum(CASE WHEN c.day <= p.change_day THEN c.c END)
+        |      AS DOUBLE)
+        |    / count(CASE WHEN c.day <= p.change_day THEN 1 END), 4)
+        |    AS pre_mean,
+        |  round(CAST(sum(CASE WHEN c.day > p.change_day THEN c.c END)
+        |      AS DOUBLE)
+        |    / count(CASE WHEN c.day > p.change_day THEN 1 END), 4)
+        |    AS post_mean
+        |FROM pick p JOIN cells c ON p.event_type = c.event_type
+        |GROUP BY p.event_type, p.change_day, p.n_days, p.max_dev
+        |ORDER BY p.event_type""".stripMargin) { (s, dir) =>
+      val cells = graft.CacheRegistry.persistTracked(
+        Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            date_trunc("day", col("ts")).cast("date").as("day"))
+          .agg(count(lit(1)).as("c")),
+        graft.CacheRegistry.Bounded) // types × days
+      val stats = cells.groupBy("event_type")
+        .agg((sum("c").cast("double") / count(lit(1))).as("m"),
+          count(lit(1)).as("n_days"))
+      val cumW = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = cells.join(stats, "event_type")
+        .withColumn("s_t", sum(col("c") - col("m")).over(cumW))
+      val rnW = Window.partitionBy("event_type")
+        .orderBy(abs(col("s_t")).desc, col("day"))
+      val pick = cum.withColumn("rn", row_number().over(rnW))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("day").as("change_day"),
+          col("n_days"), abs(col("s_t")).as("max_dev"))
+      pick.join(cells, "event_type")
+        .groupBy("event_type", "change_day", "n_days", "max_dev")
+        .agg(
+          round(sum(when(col("day") <= col("change_day"), col("c")))
+            .cast("double")
+            / count(when(col("day") <= col("change_day"), lit(1))), 4)
+            .as("pre_mean"),
+          round(sum(when(col("day") > col("change_day"), col("c")))
+            .cast("double")
+            / count(when(col("day") > col("change_day"), lit(1))), 4)
+            .as("post_mean"))
+        .select(col("event_type"), col("change_day"), col("n_days"),
+          round(col("max_dev"), 4).as("max_dev"),
+          col("pre_mean"), col("post_mean"))
+        .orderBy("event_type")
     }
   )
 
