@@ -84,6 +84,16 @@ object SnapshotStore {
       case None => commit(df, root, "append", Some(tag))
     }
 
+  /** [[appendOnce]]'s overwrite twin: replace the table as a tagged
+    * version, no-op if the tag is already published — the refresh
+    * publish for replace-style consumers
+    * ([[graft.operators.IncrementalRollup]]). */
+  def overwriteOnce(df: DataFrame, root: String, tag: String): Version =
+    history(root).find(_.tag.contains(tag)) match {
+      case Some(existing) => existing
+      case None => commit(df, root, "overwrite", Some(tag))
+    }
+
   /** Compact lineage: read the latest snapshot, write it as ONE new
     * data directory, publish as an overwrite. */
   def rewrite(root: String)(implicit spark: SparkSession): Version =
@@ -106,6 +116,15 @@ object SnapshotStore {
       case _ =>
     }
     spark.read.parquet(dirs.map(_.toString): _*)
+  }
+
+  /** Read specific data directories of a snapshot table (relative
+    * paths as listed in a manifest) — the delta-scan hook for
+    * incremental consumers ([[graft.operators.IncrementalRollup]]). */
+  def readDirs(root: String, dirs: Seq[String])(
+      implicit spark: SparkSession): DataFrame = {
+    require(dirs.nonEmpty, "readDirs needs at least one directory")
+    spark.read.parquet(dirs.map(d => Paths.get(root, d).toString): _*)
   }
 
   /** Delete data directories referenced by NO retained manifest.
