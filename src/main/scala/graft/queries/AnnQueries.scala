@@ -399,6 +399,68 @@ object AnnQueries {
          |ORDER BY qid, rank""".stripMargin) { (s, dir) =>
       Similarity.knnJoin(Tables.embeddings(s, dir), k = 5)
         .orderBy("qid", "rank")
+    },
+
+    // T120 — per-label embedding centroid drift between releases: the
+    // embedding-space twin of q132's PSI (PSI asks "did the VALUE
+    // distribution drift"; this asks "did the REPRESENTATION move") and
+    // of q136's version diff (which counts rows; this measures the
+    // geometry). Split on vec_id parity as the two releases, report
+    // per-label centroid L2 shift and cosine — an embedding-model
+    // regression gate before re-indexing 100 TB of vectors. Scale
+    // shape: ONE posexplode pass collapses to the (label × dim)-bounded
+    // conditional-centroid frame; everything after (shift/cosine sums,
+    // the count join) runs on label/dim-bounded frames. Float sums are
+    // rounded at 6 only at the output (the q93/q130 stance — the
+    // cross-engine summation-order noise is ~1e-12 against O(0.01–1)
+    // values).
+    QueryDef("q144_embedding_drift",
+      """WITH v AS (
+        |  SELECT vec_id, label, vec_id % 2 AS half,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings
+        |), x AS (
+        |  SELECT label, half, i - 1 AS pos, e[i] AS x
+        |  FROM v, unnest(generate_series(1, len(e))) AS g(i)
+        |), c AS (
+        |  SELECT label, pos,
+        |    avg(CASE WHEN half = 0 THEN x END) AS ca,
+        |    avg(CASE WHEN half = 1 THEN x END) AS cb
+        |  FROM x GROUP BY label, pos
+        |), n AS (
+        |  SELECT label,
+        |    CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM v GROUP BY label
+        |)
+        |SELECT c.label, n.n_a, n.n_b,
+        |  round(sqrt(sum((ca - cb) * (ca - cb))), 6) AS l2_shift,
+        |  round(sum(ca * cb)
+        |    / (sqrt(sum(ca * ca)) * sqrt(sum(cb * cb))), 6) AS cos_sim
+        |FROM c JOIN n ON c.label = n.label
+        |GROUP BY c.label, n.n_a, n.n_b ORDER BY c.label""".stripMargin) {
+      (s, dir) =>
+      val v = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          (col("vec_id") % 2).as("half"),
+          transform(col("embedding"), x => x.cast("double")).as("e"))
+      val c = v
+        .select(col("label"), col("half"), posexplode(col("e")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(avg(when(col("half") === 0, col("x"))).as("ca"),
+          avg(when(col("half") === 1, col("x"))).as("cb"))
+      val n = v.groupBy("label")
+        .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_b"))
+      c.join(n, "label")
+        .groupBy("label", "n_a", "n_b")
+        .agg(
+          round(sqrt(sum((col("ca") - col("cb")) * (col("ca") - col("cb")))), 6)
+            .as("l2_shift"),
+          round(sum(col("ca") * col("cb"))
+            / (sqrt(sum(col("ca") * col("ca")))
+              * sqrt(sum(col("cb") * col("cb")))), 6).as("cos_sim"))
+        .orderBy("label")
     }
   )
 }
