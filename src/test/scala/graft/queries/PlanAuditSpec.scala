@@ -236,7 +236,10 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
     "q58_hash_split" -> Set("documents"),
     "q67_corpus_mix" -> Set("documents"),
     "q84_source_caps" -> Set("documents"),
-    "q100_clean_savings" -> Set("documents"))
+    "q100_clean_savings" -> Set("documents"),
+    // q144 consumes the whole 3-column embeddings table: vec_id is the
+    // release split, label the grouping, embedding the measure.
+    "q144_embedding_drift" -> Set("embeddings"))
 
   test("suite-wide: every parquet scan is column-pruned unless allow-listed") {
     // ReadSchema minimality, mechanically: a scan whose requiredSchema
