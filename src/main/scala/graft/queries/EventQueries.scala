@@ -879,6 +879,84 @@ object EventQueries {
           round(col("max_dev"), 4).as("max_dev"),
           col("pre_mean"), col("post_mean"))
         .orderBy("event_type")
+    },
+
+    // T122 — lag-k autocorrelation census (sample ACF, Box–Jenkins
+    // 1970): per event_type, the Pearson correlation between the daily
+    // count series and itself shifted by k = 1..7 days. Completes the
+    // drift triptych: PSI (q132) says IF the value distribution moved,
+    // CUSUM (q143) says WHERE the level shifted, ACF says whether the
+    // series has MEMORY (weekly seasonality shows as a lag-7 peak; a
+    // near-zero ACF certifies the daily counts as independent — the
+    // assumption every i.i.d.-based sampler upstream quietly makes).
+    // Scale shape: ONE corpus-scan aggregate collapses events to the
+    // (types × days)-bounded daily frame (persisted — the self-join
+    // reads it twice); the lag fan-out is a 7-row broadcast; every
+    // moment downstream is an EXACT LONG sum (Σx, Σx², Σx_t·x_{t+k},
+    // pair-edge sums), so the final ACF is a handful of double ops on
+    // exact integers — bit-identical in any engine at any partitioning,
+    // no rounding-before-the-math anywhere.
+    QueryDef("q145_acf_lags",
+      """WITH cells AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2
+        |), stats AS (
+        |  SELECT event_type, CAST(sum(c) AS BIGINT) AS sx,
+        |    CAST(sum(c * c) AS BIGINT) AS sxx,
+        |    CAST(count(*) AS BIGINT) AS n_days
+        |  FROM cells GROUP BY event_type
+        |), lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
+        |pairs AS (
+        |  SELECT a.event_type, l.lag,
+        |    CAST(sum(a.c * b.c) AS BIGINT) AS sp,
+        |    CAST(sum(a.c) AS BIGINT) AS s1,
+        |    CAST(sum(b.c) AS BIGINT) AS s2,
+        |    CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM cells a CROSS JOIN lags l
+        |  JOIN cells b ON b.event_type = a.event_type
+        |    AND b.day = a.day + CAST(l.lag AS INTEGER)
+        |  GROUP BY a.event_type, l.lag
+        |)
+        |SELECT p.event_type, p.lag, p.n_pairs,
+        |  round((CAST(p.sp AS DOUBLE)
+        |      - (CAST(s.sx AS DOUBLE) / s.n_days) * p.s1
+        |      - (CAST(s.sx AS DOUBLE) / s.n_days) * p.s2
+        |      + p.n_pairs * (CAST(s.sx AS DOUBLE) / s.n_days)
+        |        * (CAST(s.sx AS DOUBLE) / s.n_days))
+        |    / (CAST(s.sxx AS DOUBLE)
+        |      - s.n_days * (CAST(s.sx AS DOUBLE) / s.n_days)
+        |        * (CAST(s.sx AS DOUBLE) / s.n_days)), 6) AS acf
+        |FROM pairs p JOIN stats s ON p.event_type = s.event_type
+        |ORDER BY p.event_type, p.lag""".stripMargin) { (s, dir) =>
+      val cells = graft.CacheRegistry.persistTracked(
+        Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            date_trunc("day", col("ts")).cast("date").as("day"))
+          .agg(count(lit(1)).as("c")),
+        graft.CacheRegistry.Bounded) // types × days
+      val stats = cells.groupBy("event_type")
+        .agg(sum("c").as("sx"), sum(col("c") * col("c")).as("sxx"),
+          count(lit(1)).as("n_days"))
+      val lags = s.range(1, 8).select(col("id").cast("int").as("lag"))
+      val a = cells.select(col("event_type"), col("day"), col("c"))
+        .crossJoin(broadcast(lags))
+      val b = cells.select(col("event_type").as("event_type_b"),
+        col("day").as("day_b"), col("c").as("c_b"))
+      val pairs = a.join(b,
+          col("event_type_b") === col("event_type") &&
+            col("day_b") === date_add(col("day"), col("lag")))
+        .groupBy("event_type", "lag")
+        .agg(sum(col("c") * col("c_b")).as("sp"), sum("c").as("s1"),
+          sum("c_b").as("s2"), count(lit(1)).as("n_pairs"))
+      val m = col("sx").cast("double") / col("n_days")
+      pairs.join(stats, "event_type")
+        .select(col("event_type"), col("lag"), col("n_pairs"),
+          round((col("sp").cast("double") - m * col("s1") - m * col("s2")
+              + col("n_pairs") * m * m)
+            / (col("sxx").cast("double") - col("n_days") * m * m), 6)
+            .as("acf"))
+        .orderBy("event_type", "lag")
     }
   )
 
