@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -231,5 +231,97 @@ object RobustStats {
         .select(col("_k"), col("_pi"), col("_which"), col("_v"))
       assemble(picked)
     }
+  }
+
+  // ---------------------------------------------------------------------
+  // Poisson bootstrap — one-pass uncertainty quantification
+  // ---------------------------------------------------------------------
+
+  /** Cumulative Poisson(1) probabilities scaled to the 60-bit hash
+    * range: a hash h draws weight w = |{k : h >= T(k)}| (equivalently
+    * the CASE rank below the first threshold above h). Integer
+    * thresholds make the draw a LONG comparison — no float-literal
+    * matching between engines, no rounding ambiguity at the cut. */
+  private[graft] val PoissonCdfThresholds: Array[Long] = {
+    var p = math.exp(-1.0) // P(X = 0)
+    var c = 0.0
+    (0 to 7).map { k =>
+      c += p
+      p /= (k + 1).toDouble
+      (c * (1L << 60).toDouble).toLong
+    }.toArray
+  }
+
+  /** Per-key mean with a bootstrap confidence interval in ONE corpus
+    * pass (Efron 1979 resampling via the Poisson approximation —
+    * Chamandy et al. 2012, "Estimating Uncertainty for Massive Data
+    * Streams": a bootstrap resample's multinomial row counts factor
+    * into independent Poisson(1) weights, so all `replicates`
+    * resamples ride the same scan as weighted sums instead of R
+    * data-sized reshuffles).
+    *
+    * Determinism contract: replicate weights are a pure function of
+    * (idCol, replicate) — `stableHash("id:r")` against integer CDF
+    * thresholds — so results are bit-identical across engines,
+    * layouts, and reruns (the md5 stance of the minhash family; no
+    * RNG, no JVM hashCode). `valCol` must be integral: replicate sums
+    * then stay EXACT LONGS and each replicate mean is one exact
+    * double division; the replicate-mean spread folds in fixed array
+    * order (r = 0..R-1), matching the oracle's `list_sum` fold.
+    *
+    * Scale shape: one scan computes 2R+2 map-side-combinable sums per
+    * key (R = 32 default → 66 long columns; no row fan-out — the
+    * explode formulation would ship R× the scan into the exchange);
+    * everything downstream is keys-bounded row-local array math. An
+    * empty resample (all weights 0 — vanishing for groups past ~30
+    * rows) falls back to the point estimate, deterministically on
+    * both sides.
+    *
+    * Output: key, n_rows, point_mean, boot_se, ci_lo/ci_hi (normal
+    * ±1.96·se). */
+  def poissonBootstrap(df: DataFrame, keyCol: String, valCol: String,
+      idCol: String, replicates: Int = 32): DataFrame = {
+    require(replicates >= 2, s"need >= 2 replicates, got $replicates")
+    val vt = df.schema(valCol).dataType
+    require(vt == org.apache.spark.sql.types.LongType ||
+        vt == org.apache.spark.sql.types.IntegerType,
+      s"poissonBootstrap needs an integral valCol for exact replicate " +
+        s"sums; $valCol is $vt")
+    val T = PoissonCdfThresholds
+    // Hashes in their own projection below the weight CASE chain: the
+    // md5 evaluates once per (row, replicate), not once per branch.
+    val hashed = df.select(
+      col(keyCol) +: col(valCol).cast("long").as("_x") +:
+        (0 until replicates).map(r => graft.functions.stableHash(
+          concat(col(idCol).cast("string"), lit(":" + r))).as(s"_h$r")): _*)
+    def weight(r: Int): Column =
+      T.zipWithIndex.foldRight(lit(T.length): Column) {
+        case ((t, k), rest) => when(col(s"_h$r") < t, k).otherwise(rest)
+      }.cast("long")
+    val weighted = hashed.select(
+      col(keyCol) +: col("_x") +:
+        (0 until replicates).map(r => weight(r).as(s"_w$r")): _*)
+    val aggs =
+      sum(col("_x")).as("_sx") +: count(lit(1)).as("n_rows") +:
+        (0 until replicates).flatMap(r => Seq(
+          sum(col(s"_w$r") * col("_x")).as(s"_swx$r"),
+          sum(col(s"_w$r")).as(s"_sw$r")))
+    val cells = weighted.groupBy(keyCol).agg(aggs.head, aggs.tail: _*)
+    val point = col("_sx").cast("double") / col("n_rows")
+    val means = array((0 until replicates).map { r =>
+      when(col(s"_sw$r") === 0L, point)
+        .otherwise(col(s"_swx$r").cast("double") / col(s"_sw$r"))
+    }: _*)
+    val withMs = cells.withColumn("_ms", means)
+    val mbar = aggregate(col("_ms"), lit(0.0),
+      (acc, x) => acc + x) / replicates
+    val se = sqrt(aggregate(
+      transform(col("_ms"), m => (m - mbar) * (m - mbar)),
+      lit(0.0), (acc, x) => acc + x) / (replicates - 1))
+    withMs.select(col(keyCol), col("n_rows"),
+      round(point, 6).as("point_mean"),
+      round(se, 6).as("boot_se"),
+      round(point - lit(1.96) * se, 6).as("ci_lo"),
+      round(point + lit(1.96) * se, 6).as("ci_hi"))
   }
 }

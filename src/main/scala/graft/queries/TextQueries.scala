@@ -3762,8 +3762,74 @@ object TextQueries {
           round(-wnll / wk, 6).as("avg_nll"),
           round(exp(-wnll / wk), 4).as("ppl"))
         .orderBy("doc_id")
+    },
+
+    // T123 — Poisson-bootstrap confidence interval census (Efron 1979
+    // via the Poisson approximation, Chamandy et al. 2012): per-source
+    // mean document length WITH an error bar, from ONE corpus pass.
+    // Every corpus metric upstream (quality rates, dup rates, token
+    // means) ships as a point estimate; this is the operator that says
+    // whether a release-over-release delta is signal or sampling noise
+    // — without R data-sized resampling shuffles (the classic
+    // bootstrap). Weights are a pure function of (doc_id, replicate):
+    // the 60-bit md5 hash compared against INTEGER Poisson(1) CDF
+    // thresholds, so both engines draw the identical resamples;
+    // replicate sums are exact longs, the spread folds in pinned
+    // r-order. Spark side: no row fan-out — 2R+2 map-side-combinable
+    // sums per source ([[RobustStats.poissonBootstrap]]); the oracle's
+    // unnest fan-out is the same math in DuckDB's idiom.
+    QueryDef("q146_bootstrap_ci", bootstrapCiSql) { (s, dir) =>
+      graft.operators.RobustStats.poissonBootstrap(
+        Tables.documents(s, dir),
+        keyCol = "source", valCol = "n_chars", idCol = "doc_id")
+        .orderBy("source")
     }
   )
+
+  /** q146's oracle: the Poisson-weight CASE is generated from the same
+    * integer thresholds [[graft.operators.RobustStats.PoissonCdfThresholds]]
+    * the engine compares against — the draw is a long comparison on
+    * both sides, never a float-literal round trip. */
+  private def bootstrapCiSql: String = {
+    val T = graft.operators.RobustStats.PoissonCdfThresholds
+    val caseArms = T.zipWithIndex
+      .map { case (t, k) => s"WHEN h < $t THEN $k" }.mkString(" ")
+    s"""WITH reps AS (SELECT unnest(generate_series(0, 31)) AS r),
+       |base AS (
+       |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS sx,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM documents GROUP BY source
+       |), w AS (
+       |  SELECT source, r, x, CASE $caseArms ELSE ${T.length} END AS w
+       |  FROM (
+       |    SELECT d.source, r.r AS r, CAST(d.n_chars AS BIGINT) AS x,
+       |      CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)
+       |        || ':' || CAST(r.r AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |    FROM documents d CROSS JOIN reps r
+       |  )
+       |), means AS (
+       |  SELECT w.source, w.r,
+       |    CASE WHEN sum(w.w) = 0 THEN CAST(b.sx AS DOUBLE) / b.n
+       |         ELSE CAST(sum(w.w * w.x) AS DOUBLE) / sum(w.w) END AS m
+       |  FROM w JOIN base b ON w.source = b.source
+       |  GROUP BY w.source, w.r, b.sx, b.n
+       |), lists AS (
+       |  SELECT source, list(m ORDER BY r) AS ms FROM means GROUP BY source
+       |), spread AS (
+       |  SELECT source,
+       |    sqrt(list_sum(list_transform(ms,
+       |      m -> (m - list_sum(ms) / 32) * (m - list_sum(ms) / 32))) / 31)
+       |      AS se
+       |  FROM lists
+       |)
+       |SELECT b.source, b.n AS n_rows,
+       |  round(CAST(b.sx AS DOUBLE) / b.n, 6) AS point_mean,
+       |  round(s.se, 6) AS boot_se,
+       |  round(CAST(b.sx AS DOUBLE) / b.n - 1.96 * s.se, 6) AS ci_lo,
+       |  round(CAST(b.sx AS DOUBLE) / b.n + 1.96 * s.se, 6) AS ci_hi
+       |FROM base b JOIN spread s ON b.source = s.source
+       |ORDER BY b.source""".stripMargin
+  }
 
   /** q131's blocklist: two-word collocations of the corpus vocabulary
     * (plus one absent control phrase) — the census proves presence AND
