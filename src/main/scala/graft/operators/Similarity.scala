@@ -187,6 +187,63 @@ object Similarity {
     searchBuckets(assigned, cent, q, k, nprobe, idCol)
   }
 
+  /** DPR-style hard-negative mining (Karpukhin et al. 2020, "Dense
+    * Passage Retrieval"): for each query vector, the top-k
+    * most-similar corpus vectors that do NOT share the query's label —
+    * the "close but wrong" examples contrastive training needs (random
+    * negatives are trivially far; the informative gradient comes from
+    * near-misses). Exact variant: broadcast query side × one corpus
+    * scan, the label exclusion a join predicate BELOW the rank so
+    * same-label rows never enter the window. Output: (qid, idCol,
+    * cos, rank). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      labelCol: String = "label",
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol), col(labelCol),
+        transform(col(embCol), x => x.cast("double")).as("e"))
+      .withColumn("nrm", norm(col("e")))
+    val q = queries.select(col(idCol).as("qid"),
+        col(labelCol).as("_qlabel"),
+        transform(col(embCol), x => x.cast("double")).as("qe"))
+      .withColumn("qn", norm(col("qe")))
+    val cos = dot(col("qe"), col("e")) / (col("qn") * col("nrm"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc(idCol))
+    broadcast(q).join(c, col(labelCol) =!= col("_qlabel"))
+      .select(col("qid"), col(idCol), round(cos, 6).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** [[hardNegatives]]' scale path: the same label exclusion applied
+    * INSIDE the probed IVF buckets, so mining cost per query is
+    * nprobe·(N/nlist) scored rows instead of N (at √N sizing,
+    * nprobe·√N). The corpus label rides a skinny (id, label) join onto
+    * the assigned index — [[assignToCentroids]] stays label-agnostic.
+    * Same output shape as [[hardNegatives]]; recall vs the exact
+    * variant is the IVF contract (`SimilaritySpec` pins both the
+    * no-same-label invariant and the recall floor). */
+  def hardNegativesIvf(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nprobe: Int = 2,
+      trainN: Int = 128, iters: Int = 2,
+      labelCol: String = "label",
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val cent = trainCentroids(corpus, nCentroids, trainN, iters, idCol, embCol)
+    val assigned = assignToCentroids(prep(corpus, idCol, embCol), cent, idCol)
+      .join(corpus.select(col(idCol), col(labelCol)), Seq(idCol))
+    val q = queries.select(col(idCol).as("qid"),
+        col(labelCol).as("_qlabel"),
+        transform(col(embCol), x => x.cast("double")).as("qe"))
+      .withColumn("qn", norm(col("qe")))
+    val probes = probeBuckets(q, cent, nprobe, Seq("qe", "qn", "_qlabel"))
+    val cos = dot(col("qe"), col("e")) / (col("qn") * col("nrm"))
+    val rw = Window.partitionBy("qid").orderBy(desc("cos"), asc(idCol))
+    assigned.join(broadcast(probes), Seq("bucket"))
+      .filter(col(labelCol) =!= col("_qlabel"))
+      .select(col("qid"), col(idCol), round(cos, 6).as("cos"))
+      .withColumn("rank", row_number().over(rw).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Production index sizing (the rule `SimilaritySpec` pins and
     * `BenchIvf` measures — ONE definition so the gate and the probe
     * can never silently measure different rules): nlist ≈ √N keeps

@@ -461,6 +461,44 @@ object AnnQueries {
             / (sqrt(sum(col("ca") * col("ca")))
               * sqrt(sum(col("cb") * col("cb")))), 6).as("cos_sim"))
         .orderBy("label")
+    },
+
+    // T124 — DPR-style hard-negative mining (Karpukhin et al. 2020):
+    // for each query vector, the top-5 most-similar corpus vectors
+    // whose label DIFFERS from the query's — the "close but wrong"
+    // rows contrastive retrieval training pairs against its positives
+    // (random negatives are trivially far; the gradient signal lives
+    // in near-misses). The label exclusion is a join predicate BELOW
+    // the per-query rank, so same-label rows never enter the window —
+    // and since a row shares its own label, self-exclusion is free.
+    // Scale shape: exact variant is the broadcast-query × corpus scan
+    // of q41 with the predicate fused into the same pass;
+    // [[Similarity.hardNegativesIvf]] is the probed-bucket twin
+    // (nprobe·√N scored rows per query at production sizing) with the
+    // identical exclusion — `SimilaritySpec` pins its no-same-label
+    // invariant and recall floor vs this exact oracle.
+    QueryDef("q147_hard_negatives",
+      s"""WITH v AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, label, e,
+         |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
+         |), scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id,
+         |    round(${cos("q.e", "c.e", "q.nrm", "c.nrm")}, 6) AS cos
+         |  FROM n q JOIN n c ON q.vec_id < 8 AND c.label <> q.label
+         |), ranked AS (
+         |  SELECT qid, vec_id, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT qid, vec_id, cos, rank FROM ranked WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 8), k = 5)
+        .orderBy("qid", "rank")
     }
   )
 }

@@ -219,4 +219,58 @@ class SimilaritySpec extends SparkSpec {
     // The final search join must carry the bucket equality predicate.
     plan should include("bucket")
   }
+
+  // Labeled twin of `corpus`: label = cluster id, so "hard negatives"
+  // of a cluster member are the nearest OTHER-cluster vectors.
+  private lazy val labeled = {
+    val rows = (0 until 90).map { i =>
+      val cluster = i % 3
+      val base = Array.fill(8)(0.05f)
+      base(cluster * 2) = 1.0f + (i / 3) * 0.01f
+      base(cluster * 2 + 1) = 0.5f
+      (i.toLong, base.toSeq, cluster)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("hardNegatives: never a same-label row, ranks dense, nearest other-cluster first") {
+    val queries = labeled.filter($"vec_id" < 3)
+    val got = Similarity.hardNegatives(labeled, queries, k = 4)
+    // No returned neighbor shares the query's label (self excluded for free).
+    val lbl = labeled.select($"vec_id".as("nid"), $"label".as("nlabel"))
+    val qlbl = labeled.select($"vec_id".as("qid"), $"label".as("qlabel"))
+    got.join(lbl, $"vec_id" === $"nid").join(qlbl, Seq("qid"))
+      .filter($"nlabel" === $"qlabel").count() shouldBe 0
+    // Dense ranks 1..k per query.
+    got.groupBy("qid")
+      .agg(count(lit(1)).as("c"), max("rank").as("m"))
+      .as[(Long, Long, Long)].collect().foreach { case (q, c, m) =>
+        withClue(s"qid $q: ") { (c, m) shouldBe ((4L, 4L)) }
+      }
+    // Exhaustive check for qid 0: equals the brute-force ranking
+    // restricted to other labels.
+    val exact = Similarity.bruteForceTopK(labeled,
+        labeled.filter($"vec_id" === 0), k = 90)
+      .join(lbl, $"vec_id" === $"nid")
+      .filter($"nlabel" =!= 0)
+      .orderBy("rank").select("vec_id").as[Long].collect().take(4)
+    got.filter($"qid" === 0).orderBy("rank")
+      .select("vec_id").as[Long].collect() shouldBe exact
+  }
+
+  test("hardNegativesIvf: same exclusion inside probed buckets, full recall at covering probes") {
+    val queries = labeled.filter($"vec_id" < 3)
+    val exact = Similarity.hardNegatives(labeled, queries, k = 4)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.hardNegativesIvf(labeled, queries, k = 4,
+      nCentroids = 9, nprobe = 9)
+    // Invariant: no same-label row even when every bucket is probed.
+    val lbl = labeled.select($"vec_id".as("nid"), $"label".as("nlabel"))
+    val qlbl = labeled.select($"vec_id".as("qid"), $"label".as("qlabel"))
+    approx.join(lbl, $"vec_id" === $"nid").join(qlbl, Seq("qid"))
+      .filter($"nlabel" === $"qlabel").count() shouldBe 0
+    // Probing every bucket ⇒ identical to the exact miner.
+    approx.select("qid", "vec_id").as[(Long, Long)].collect().toSet shouldBe
+      exact
+  }
 }
