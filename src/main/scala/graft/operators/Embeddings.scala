@@ -138,4 +138,111 @@ object Embeddings {
           org.apache.spark.sql.graft.CatalystBridge.expr(col(vecCol)),
           w, stats.mean, stats.dim)))
   }
+
+  // ---------------------------------------------------------------------
+  // Distributed full-corpus k-means (Lloyd 1957/1982) — deterministic
+  // ---------------------------------------------------------------------
+
+  /** Trained full-corpus model. `centroids` pairs each surviving
+    * cluster id (its seed position in md5 order) with its centroid;
+    * clusters emptied during training drop (the
+    * [[Similarity.trainCentroids]] stance). */
+  final case class KMeansModel(centroids: Array[(Int, Array[Double])]) {
+    def k: Int = centroids.length
+  }
+
+  /** Fixed-point scale for centroid/inertia accumulation: element
+    * sums ship as `floor(x · 2^20)` longs, so every distributed sum is
+    * EXACT INTEGER arithmetic — the same weights at any partitioning,
+    * layout, or engine (the T112 gradient stance applied to
+    * clustering). 2^20 leaves 2^43 of headroom above unit-scale
+    * coordinates: ~10^12 rows per cluster before overflow. */
+  val KMeansScale: Double = (1L << 20).toDouble
+
+  /** Full-corpus Lloyd k-means, unlike [[Similarity.trainCentroids]]
+    * (which fits on a bounded driver sample — the index-build shape):
+    * EVERY row votes in every iteration — the corpus-bucketing
+    * operator (SemDedup-style cluster-then-dedup, topic sharding,
+    * stratified mixing all start from exactly this).
+    *
+    * Determinism contract: seeds are the k smallest `md5(id)` vectors
+    * (layout-independent); assignment is the lexicographic min of
+    * (squared-L2, cluster) — ties to the lowest cluster id; per-cluster
+    * element sums accumulate as [[KMeansScale]] fixed-point longs, so
+    * the updated centroids are bit-identical under any partitioning
+    * and exactly reproducible in the DuckDB oracle (q148 unrolls the
+    * same iterations in SQL).
+    *
+    * Scale shape: each iteration is ONE corpus pass — k codegen'd dot
+    * products per row ([[Similarity.dot]] against literal centroids),
+    * an `array_min` pick (no explode, no window), and a
+    * (k × dim)-bounded partial-aggregated shuffle; driver state is
+    * k × dim longs per iteration. The iteration count is FIXED —
+    * convergence reads would put the driver in the loop (the q121
+    * TextRank stance). The corpus projection persists once across the
+    * `iters` passes and unpersists on exit. */
+  def kmeansFit(df: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): KMeansModel = {
+    require(k >= 1 && iters >= 1, s"need k >= 1, iters >= 1: $k, $iters")
+    val v = graft.CacheRegistry.persistTracked(
+      df.select(col(idCol).as("_id"),
+        transform(col(embCol), x => x.cast("double")).as("e")),
+      graft.CacheRegistry.DataSized)
+    try {
+      val seeds = v.withColumn("_h", md5(col("_id").cast("string")))
+        .orderBy("_h", "_id").limit(k)
+        .select("e").collect()
+        .map(_.getSeq[Double](0).toArray)
+      var cents: Array[(Int, Array[Double])] =
+        seeds.zipWithIndex.map { case (c, i) => (i, c) }
+      for (_ <- 1 to iters) {
+        val assigned = assign(v, cents)
+        val cells = assigned
+          .select(col("cl"), posexplode(col("e")).as(Seq("pos", "x")))
+          .groupBy("cl", "pos")
+          .agg(sum(floor(col("x") * KMeansScale)).as("sfx"))
+          .collect()
+        val ns = assigned.groupBy("cl").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        cents = cells.groupBy(_.getInt(0)).toArray.sortBy(_._1)
+          .map { case (cl, rows) =>
+            val dims = rows.sortBy(_.getInt(1))
+              .map(r => r.getLong(2).toDouble / (ns(cl) * KMeansScale))
+            (cl, dims)
+          }
+      }
+      KMeansModel(cents)
+    } finally v.unpersist(blocking = false)
+  }
+
+  /** One assignment pass under a trained model: (idCol, cluster, d2)
+    * with d2 the squared L2 to the assigned centroid — the SAME
+    * expression shape the oracle computes (|x|² − 2·x·c + |c|², each
+    * term a sequential fold), so the doubles agree bit-for-bit. */
+  def kmeansAssign(df: DataFrame, model: KMeansModel,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val v = df.select(col(idCol).as("_id"),
+      transform(col(embCol), x => x.cast("double")).as("e"))
+    assign(v, model.centroids)
+      .select(col("_id").as(idCol), col("cl").as("cluster"), col("d2"))
+  }
+
+  /** Per-row nearest centroid: array_min over (d2, cl) structs — the
+    * lexicographic struct min IS the (d2 asc, cl asc) rank-1 row,
+    * with no explode and no window. Centroid arrays and their norms
+    * ride the plan as literals (k · dim doubles — bounded). */
+  private def assign(v: DataFrame,
+      cents: Seq[(Int, Array[Double])]): DataFrame = {
+    val structs = cents.map { case (cl, c) =>
+      val cn2 = c.foldLeft(0.0)((a, x) => a + x * x) // sequential = list_sum
+      struct(
+        (Similarity.dot(col("e"), col("e"))
+          - lit(2.0) * Similarity.dot(col("e"), typedlit(c.toSeq))
+          + lit(cn2)).as("d2"),
+        lit(cl).as("cl"))
+    }
+    v.withColumn("_b", array_min(array(structs: _*)))
+      .select(col("_id"), col("e"),
+        col("_b.cl").as("cl"), col("_b.d2").as("d2"))
+  }
 }

@@ -499,6 +499,96 @@ object AnnQueries {
       val emb = Tables.embeddings(s, dir)
       Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 8), k = 5)
         .orderBy("qid", "rank")
+    },
+
+    // T125 — distributed FULL-CORPUS Lloyd k-means census
+    // (Lloyd 1957/1982): k=8, 3 fixed iterations, every row voting in
+    // every update — the corpus-bucketing operator (SemDedup-style
+    // cluster-then-dedup, topic sharding, stratified mixing), distinct
+    // from q42's trainCentroids which fits on a bounded driver SAMPLE
+    // (the index-build shape). The entire training loop is
+    // oracle-replicated: md5-ordered seeds, (d2, cluster)-lexicographic
+    // assignment, and 2^20 FIXED-POINT centroid sums — exact integer
+    // arithmetic, so the model is bit-identical across engines,
+    // layouts, and partitionings (the T112 gradient stance applied to
+    // clustering). Census: per-cluster size + fixed-point-exact
+    // inertia under the final model.
+    QueryDef("q148_kmeans_census",
+      s"""WITH v AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings
+         |), ${kmeansCtes(k = 8, iters = 3)}
+         |SELECT cl AS cluster, CAST(count(*) AS BIGINT) AS size,
+         |  round(CAST(sum(CAST(floor(d2 * 1048576.0) AS BIGINT)) AS DOUBLE)
+         |    / 1048576.0, 6) AS inertia
+         |FROM ${kmeansAssignSql("c3")} GROUP BY cl
+         |ORDER BY cluster""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.operators.Embeddings.kmeansFit(emb, k = 8, iters = 3)
+      graft.operators.Embeddings.kmeansAssign(emb, model)
+        .groupBy(col("cluster").cast("long").as("cluster"))
+        .agg(count(lit(1)).as("size"),
+          round(sum(floor(col("d2") * graft.operators.Embeddings.KMeansScale))
+            .cast("double") / graft.operators.Embeddings.KMeansScale, 6)
+            .as("inertia"))
+        .orderBy("cluster")
     }
   )
+
+  /** q148's squared-L2 in DuckDB — the exact expression shape
+    * [[graft.operators.Embeddings.kmeansAssign]] computes:
+    * |x|² − 2·x·c + |c|², every term a sequential left fold. */
+  private def d2Sql(e: String, ce: String): String =
+    s"""list_sum(list_transform($e, x -> x * x))
+       | - 2 * list_sum(list_transform(generate_series(1, len($e)),
+       |     i -> $e[i] * $ce[i]))
+       | + list_sum(list_transform($ce, x -> x * x))""".stripMargin
+      .replace("\n", " ")
+
+  /** One assignment pass under centroid CTE `cTab`: rank-1 of
+    * (d2 asc, cl asc) per vector — the struct-min twin. */
+  private def kmeansAssignSql(cTab: String): String =
+    s"""(SELECT vec_id, e, cl, d2 FROM (
+       |  SELECT vec_id, e, cl, d2,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+       |  FROM (SELECT v.vec_id, v.e, c.cl, ${d2Sql("v.e", "c.ce")} AS d2
+       |        FROM v CROSS JOIN $cTab c)
+       |) WHERE rn = 1)""".stripMargin
+
+  /** DuckDB twin of [[graft.operators.Embeddings.kmeansFit]] as a
+    * WITH-clause fragment (expects `v(vec_id, e)`; emits `c$iters`):
+    * seeds = k smallest md5(vec_id) rows (cluster id = seed rank),
+    * then `iters` unrolled Lloyd steps — assignment via
+    * [[kmeansAssignSql]], centroid update from 2^20 fixed-point
+    * BIGINT sums (exact integer arithmetic: any summation order
+    * yields the same centroids the engine computed). Emptied clusters
+    * drop, matching the engine. */
+  private[queries] def kmeansCtes(k: Int, iters: Int): String = {
+    val b = new StringBuilder
+    b ++= s"""c0 AS (
+       |  SELECT cl, e AS ce FROM (
+       |    SELECT row_number() OVER (
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cl, e
+       |    FROM v
+       |  ) WHERE cl < $k
+       |)""".stripMargin
+    for (t <- 1 to iters) {
+      b ++= s""", a$t AS (
+         |  SELECT vec_id, e, cl FROM ${kmeansAssignSql(s"c${t - 1}")}
+         |), g$t AS (
+         |  SELECT cl, CAST(count(*) AS BIGINT) AS n FROM a$t GROUP BY cl
+         |), m$t AS (
+         |  SELECT cl, i, sum(CAST(floor(x * 1048576.0) AS BIGINT)) AS sfx
+         |  FROM (SELECT cl, unnest(generate_series(1, len(e))) AS i,
+         |          unnest(e) AS x FROM a$t)
+         |  GROUP BY cl, i
+         |), c$t AS (
+         |  SELECT m.cl AS cl,
+         |    list(CAST(m.sfx AS DOUBLE) / (g.n * 1048576.0) ORDER BY m.i) AS ce
+         |  FROM m$t m JOIN g$t g ON m.cl = g.cl GROUP BY m.cl
+         |)""".stripMargin
+    }
+    b.toString
+  }
 }

