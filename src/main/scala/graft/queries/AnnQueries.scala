@@ -533,6 +533,85 @@ object AnnQueries {
             .cast("double") / graft.operators.Embeddings.KMeansScale, 6)
             .as("inertia"))
         .orderBy("cluster")
+    },
+
+    // T126 — retrieval-quality evaluation census: recall@5 and MRR of
+    // the IVF index against the exact scan, per query — the INDEX
+    // QUALITY GATE. q41 is the ground truth, q42 the candidate; every
+    // ANN deployment needs the measurement that says whether the
+    // probe/nlist sizing still meets its recall contract after a
+    // corpus release (q136/q144 say the DATA moved; this says whether
+    // the INDEX still answers). Both pipelines and the metric
+    // arithmetic are fully oracle-replicated; hits/ranks are integers,
+    // so recall and reciprocal rank are single exact divisions.
+    // Scale shape: ground truth at 100 TB comes from the same brute
+    // scan on a SAMPLED query set (queries here are the 8-vector
+    // probe side — bounded by construction); the join of the two
+    // 5-row-per-query lists is (queries × k)-bounded.
+    QueryDef("q149_retrieval_eval",
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
+         |), exact_scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id,
+         |    round(${cos("q.e", "c.e", "q.nrm", "c.nrm")}, 6) AS cos
+         |  FROM n q JOIN n c ON q.vec_id < 8 AND c.vec_id <> q.vec_id
+         |), truth AS (
+         |  SELECT qid, vec_id AS tid, trank FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, vec_id) AS trank
+         |    FROM exact_scored
+         |  ) WHERE trank <= 5
+         |), ${centroidCtes(nCent = 16, trainN = 128, iters = 2)}, assigned AS (
+         |  SELECT vec_id, e, nrm, cent_id AS bucket FROM (
+         |    SELECT c.vec_id, c.e, c.nrm, t.cent_id,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ${cos("c.e", "t.ce", "c.nrm", "t.cn")} DESC, t.cent_id) AS arank
+         |    FROM n c CROSS JOIN cent t
+         |  ) WHERE arank = 1
+         |), probes AS (
+         |  SELECT qid, qe, qn, cent_id AS bucket FROM (
+         |    SELECT q.vec_id AS qid, q.e AS qe, q.nrm AS qn, t.cent_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cos("q.e", "t.ce", "q.nrm", "t.cn")} DESC, t.cent_id) AS prank
+         |    FROM n q CROSS JOIN cent t WHERE q.vec_id < 8
+         |  ) WHERE prank <= 2
+         |), approx AS (
+         |  SELECT qid, vec_id, arank FROM (
+         |    SELECT p.qid, a.vec_id,
+         |      row_number() OVER (PARTITION BY p.qid ORDER BY
+         |        ${cos("p.qe", "a.e", "p.qn", "a.nrm")} DESC, a.vec_id) AS arank
+         |    FROM assigned a JOIN probes p ON a.bucket = p.bucket
+         |    WHERE a.vec_id <> p.qid
+         |  ) WHERE arank <= 5
+         |)
+         |SELECT a.qid, CAST(count(t.tid) AS BIGINT) AS hits,
+         |  round(CAST(count(t.tid) AS DOUBLE) / 5, 6) AS recall_at_5,
+         |  round(coalesce(CAST(1 AS DOUBLE)
+         |    / min(CASE WHEN t.trank = 1 THEN a.arank END), 0.0), 6) AS mrr
+         |FROM approx a LEFT JOIN truth t
+         |  ON a.qid = t.qid AND a.vec_id = t.tid
+         |GROUP BY a.qid ORDER BY a.qid""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 8)
+      val truth = Similarity.bruteForceTopK(emb, queries, k = 5)
+        .select(col("qid"), col("vec_id").as("tid"), col("rank").as("trank"))
+      val idx = Similarity.indexFor(emb, Similarity.indexName("ivf", dir))
+      val approx = Similarity.ivfTopK(idx, queries, k = 5)
+        .select(col("qid"), col("vec_id"), col("rank").as("arank"))
+      approx.join(truth,
+          approx("qid") === truth("qid") && col("vec_id") === col("tid"),
+          "left")
+        .select(approx("qid"), col("tid"), col("trank"), col("arank"))
+        .groupBy("qid")
+        .agg(count(col("tid")).as("hits"),
+          round(count(col("tid")).cast("double") / 5, 6).as("recall_at_5"),
+          round(coalesce(lit(1.0)
+            / min(when(col("trank") === 1, col("arank"))), lit(0.0)), 6)
+            .as("mrr"))
+        .orderBy("qid")
     }
   )
 
