@@ -957,6 +957,82 @@ object EventQueries {
             / (col("sxx").cast("double") - col("n_days") * m * m), 6)
             .as("acf"))
         .orderBy("event_type", "lag")
+    },
+
+    // T128 — OLS trend-slope census: per event_type, the least-squares
+    // line through (day index, daily count) — slope, intercept, r².
+    // Completes the drift quartet: PSI (q132) says IF values moved,
+    // CUSUM (q143) WHERE the level shifted, ACF (q145) whether the
+    // series has memory, and the trend line says WHICH WAY and HOW
+    // FAST the volume is going (the capacity-planning readout).
+    // Scale shape: the same ONE corpus-scan (types × days)-bounded
+    // daily frame; x = days-since-first-day (integer), y = count, so
+    // ALL five regression moments are EXACT LONG sums — slope,
+    // intercept and r² are a handful of double ops on exact integers,
+    // bit-identical at any partitioning (moments cast to double before
+    // multiplying: n·Σxy overflows nothing and both engines follow the
+    // identical expression tree).
+    QueryDef("q151_trend_slope",
+      """WITH cells AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2
+        |), base AS (
+        |  SELECT event_type, min(day) AS d0 FROM cells GROUP BY event_type
+        |), xy AS (
+        |  SELECT c.event_type, CAST(c.day - b.d0 AS BIGINT) AS x, c.c AS y
+        |  FROM cells c JOIN base b ON c.event_type = b.event_type
+        |), s AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM xy GROUP BY event_type
+        |), d AS (
+        |  SELECT event_type, n, sx, sy, syy,
+        |    CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS num,
+        |    CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS den
+        |  FROM s
+        |), t AS (
+        |  SELECT event_type, n, sx, sy, syy, num, den, num / den AS slope
+        |  FROM d
+        |)
+        |SELECT event_type, n AS n_days,
+        |  round(slope, 6) AS slope,
+        |  round((CAST(sy AS DOUBLE) - slope * sx) / n, 6) AS intercept,
+        |  round(num * num
+        |    / (den * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+        |    AS r2
+        |FROM t ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val cells = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val base = cells.groupBy("event_type").agg(min("day").as("d0"))
+      val xy = cells.join(base, "event_type")
+        .select(col("event_type"),
+          datediff(col("day"), col("d0")).cast("long").as("x"),
+          col("c").as("y"))
+      val st = xy.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+      val d = st
+        .withColumn("num", col("n").cast("double") * col("sxy")
+          - col("sx").cast("double") * col("sy"))
+        .withColumn("den", col("n").cast("double") * col("sxx")
+          - col("sx").cast("double") * col("sx"))
+      val t = d.withColumn("slope", col("num") / col("den"))
+      t.select(col("event_type"), col("n").as("n_days"),
+          round(col("slope"), 6).as("slope"),
+          round((col("sy").cast("double") - col("slope") * col("sx"))
+            / col("n"), 6).as("intercept"),
+          round(col("num") * col("num")
+            / (col("den") * (col("n").cast("double") * col("syy")
+              - col("sy").cast("double") * col("sy"))), 6).as("r2"))
+        .orderBy("event_type")
     }
   )
 

@@ -3783,6 +3783,78 @@ object TextQueries {
         Tables.documents(s, dir),
         keyCol = "source", valCol = "n_chars", idCol = "doc_id")
         .orderBy("source")
+    },
+
+    // T127 — Welch two-sample t census (Welch 1947, the unequal-
+    // variance t-test): per source, is the doc_id-parity split's mean
+    // length difference SIGNIFICANT? The parametric twin of q146's
+    // bootstrap (and the release A/B gate q136's version diff feeds):
+    // t statistic + Welch–Satterthwaite degrees of freedom from ONE
+    // corpus-scan aggregate of exact long moments (Σx, Σx², n per
+    // half) — every derived double follows the identical expression
+    // tree in both engines, so no rounding-before-math anywhere.
+    // Scale shape: one (source)-keyed map-side-combinable aggregate;
+    // everything downstream is row-local arithmetic on the bounded
+    // frame.
+    QueryDef("q150_welch_ttest",
+      """WITH h AS (
+        |  SELECT source,
+        |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN n_chars END) AS BIGINT) AS sxa,
+        |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN n_chars * n_chars END) AS BIGINT) AS sxxa,
+        |    CAST(count(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS sxb,
+        |    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars * n_chars END) AS BIGINT) AS sxxb,
+        |    CAST(count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT) AS nb
+        |  FROM documents GROUP BY source
+        |), m AS (
+        |  SELECT source, na, nb, sxxa, sxxb,
+        |    CAST(sxa AS DOUBLE) / na AS ma,
+        |    CAST(sxb AS DOUBLE) / nb AS mb
+        |  FROM h
+        |), v AS (
+        |  SELECT source, na, nb, ma, mb,
+        |    (CAST(sxxa AS DOUBLE) - na * ma * ma) / (na - 1) AS va,
+        |    (CAST(sxxb AS DOUBLE) - nb * mb * mb) / (nb - 1) AS vb
+        |  FROM m
+        |), se AS (
+        |  SELECT source, na, nb, ma, mb,
+        |    va / na AS sea, vb / nb AS seb
+        |  FROM v
+        |)
+        |SELECT source, na AS n_a, nb AS n_b,
+        |  round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+        |  round((ma - mb) / sqrt(sea + seb), 6) AS t_stat,
+        |  round((sea + seb) * (sea + seb)
+        |    / (sea * sea / (na - 1) + seb * seb / (nb - 1)), 6) AS dof
+        |FROM se ORDER BY source""".stripMargin) { (s, dir) =>
+      val even = col("doc_id") % 2 === 0
+      val h = Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(
+          sum(when(even, col("n_chars"))).as("sxa"),
+          sum(when(even, col("n_chars") * col("n_chars"))).as("sxxa"),
+          count(when(even, lit(1))).as("na"),
+          sum(when(!even, col("n_chars"))).as("sxb"),
+          sum(when(!even, col("n_chars") * col("n_chars"))).as("sxxb"),
+          count(when(!even, lit(1))).as("nb"))
+      val m = h.withColumn("ma", col("sxa").cast("double") / col("na"))
+        .withColumn("mb", col("sxb").cast("double") / col("nb"))
+      val v = m
+        .withColumn("va", (col("sxxa").cast("double")
+          - col("na") * col("ma") * col("ma")) / (col("na") - 1))
+        .withColumn("vb", (col("sxxb").cast("double")
+          - col("nb") * col("mb") * col("mb")) / (col("nb") - 1))
+      val se = v.withColumn("sea", col("va") / col("na"))
+        .withColumn("seb", col("vb") / col("nb"))
+      se.select(col("source"), col("na").as("n_a"), col("nb").as("n_b"),
+          round(col("ma"), 6).as("mean_a"),
+          round(col("mb"), 6).as("mean_b"),
+          round((col("ma") - col("mb"))
+            / sqrt(col("sea") + col("seb")), 6).as("t_stat"),
+          round((col("sea") + col("seb")) * (col("sea") + col("seb"))
+            / (col("sea") * col("sea") / (col("na") - 1)
+              + col("seb") * col("seb") / (col("nb") - 1)), 6).as("dof"))
+        .orderBy("source")
     }
   )
 
