@@ -99,4 +99,61 @@ class RobustStatsOpSpec extends SparkSpec {
       .as[(String, Double)].collect().toMap
     g shouldBe Map("a" -> 2.0)
   }
+
+  // --- poissonBootstrap ---
+
+  private lazy val bootRows = (0 until 400).map { i =>
+    (i.toLong, if (i % 2 == 0) "a" else "b",
+      100L + (i * 7919 % 97)) // deterministic spread, integral values
+  }.toDF("id", "k", "x")
+
+  test("poissonBootstrap: point estimate is the exact mean; CI brackets it; se plausible") {
+    val got = RobustStats.poissonBootstrap(bootRows, "k", "x", "id")
+      .as[(String, Long, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    got.keySet shouldBe Set("a", "b")
+    val exact = bootRows.groupBy("k")
+      .agg((sum("x").cast("double") / count(lit(1))).as("m"))
+      .as[(String, Double)].collect().toMap
+    got.foreach { case (k, (_, n, point, se, lo, hi)) =>
+      n shouldBe 200L
+      point shouldBe (math.rint(exact(k) * 1e6) / 1e6)
+      se should be > 0.0
+      // se of a mean over 200 draws from a ~uniform[100, 197] spread:
+      // sd ≈ 28 ⇒ se ≈ 2; bootstrap estimate must land in the right
+      // order of magnitude, not exactly.
+      se should be < 10.0
+      lo should be < point
+      hi should be > point
+      (hi - lo) shouldBe (2 * 1.96 * se) +- 1e-5
+    }
+  }
+
+  test("poissonBootstrap is bit-identical across partitionings and reruns") {
+    val a = RobustStats.poissonBootstrap(bootRows.repartition(13), "k", "x", "id")
+      .orderBy("k").collect()
+    val b = RobustStats.poissonBootstrap(bootRows.coalesce(1), "k", "x", "id")
+      .orderBy("k").collect()
+    a shouldBe b // exact Row equality — fixed-point + pinned fold order
+  }
+
+  test("poissonBootstrap rejects non-integral value columns loudly") {
+    val doubles = Seq((1L, "a", 1.5)).toDF("id", "k", "x")
+    val e = intercept[IllegalArgumentException] {
+      RobustStats.poissonBootstrap(doubles, "k", "x", "id")
+    }
+    e.getMessage should include("integral")
+  }
+
+  test("Poisson thresholds: mean weight over hash space ≈ 1 (the bootstrap contract)") {
+    // The CDF thresholds partition [0, 2^60); expected weight
+    // Σ k · P(k) must be ~1 for Poisson(1) (truncation at 8 loses
+    // ~1e-6). Computed exactly from the integer thresholds.
+    val t = RobustStats.PoissonCdfThresholds.map(BigDecimal(_))
+    val full = BigDecimal(1L << 60)
+    val probs = (t :+ full).zip(BigDecimal(0) +: t)
+      .map { case (hi, lo) => (hi - lo) / full }
+    val mean = probs.zipWithIndex.map { case (p, k) => p * k }.sum
+    mean.toDouble shouldBe 1.0 +- 1e-4
+  }
 }
