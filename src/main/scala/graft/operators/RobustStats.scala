@@ -280,7 +280,17 @@ object RobustStats {
     * Output: key, n_rows, point_mean, boot_se, ci_lo/ci_hi (normal
     * ±1.96·se). */
   def poissonBootstrap(df: DataFrame, keyCol: String, valCol: String,
-      idCol: String, replicates: Int = 32): DataFrame = {
+      idCol: String, replicates: Int = 32): DataFrame =
+    bootstrapFinish(
+      bootstrapCells(df, keyCol, valCol, idCol, replicates),
+      keyCol, replicates)
+
+  /** The one-pass half: per-key exact-long bootstrap sums (2R+2
+    * columns). ALGEBRAIC — cells merge by addition, which is what lets
+    * [[graft.streaming.DocumentStreams.bootstrapMeanStream]] maintain
+    * the identical state incrementally under Structured Streaming. */
+  private[graft] def bootstrapCells(df: DataFrame, keyCol: String,
+      valCol: String, idCol: String, replicates: Int): DataFrame = {
     require(replicates >= 2, s"need >= 2 replicates, got $replicates")
     val vt = df.schema(valCol).dataType
     require(vt == org.apache.spark.sql.types.LongType ||
@@ -306,7 +316,14 @@ object RobustStats {
         (0 until replicates).flatMap(r => Seq(
           sum(col(s"_w$r") * col("_x")).as(s"_swx$r"),
           sum(col(s"_w$r")).as(s"_sw$r")))
-    val cells = weighted.groupBy(keyCol).agg(aggs.head, aggs.tail: _*)
+    weighted.groupBy(keyCol).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The row-local half: replicate means → se → normal CI. Pure
+    * projection over [[bootstrapCells]] output — no aggregation, so it
+    * composes with both the batch pass and a streaming aggregation. */
+  private[graft] def bootstrapFinish(cells: DataFrame, keyCol: String,
+      replicates: Int): DataFrame = {
     val point = col("_sx").cast("double") / col("n_rows")
     val means = array((0 until replicates).map { r =>
       when(col(s"_sw$r") === 0L, point)

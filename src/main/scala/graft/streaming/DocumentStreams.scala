@@ -450,4 +450,31 @@ object DocumentStreams {
           out.result().iterator
       }
   }
+
+  /** Streaming twin of
+    * [[graft.operators.RobustStats.poissonBootstrap]]: per-key mean
+    * WITH a bootstrap confidence interval, maintained live at the
+    * ingest door — the corpus-metric error bar that says whether
+    * today's arrivals actually moved a quality metric or just wiggled
+    * within sampling noise.
+    *
+    * Why it streams for free: replicate weights are STATELESS per row
+    * (a pure function of (idCol, replicate) — the batch operator's
+    * md5-vs-integer-threshold draw), and the per-key bootstrap sums
+    * are ALGEBRAIC (longs that merge by addition). So the whole
+    * operator is ONE streaming aggregation whose state per key is the
+    * same 2R+2 longs the batch pass computes — no custom state store,
+    * no watermark needed (the estimate is over EVERYTHING seen, the
+    * cumulative-census semantics of q116) — plus a row-local CI
+    * projection on the aggregation output. Emit under
+    * `OutputMode.Update`/`Complete`; after any prefix of micro-batches
+    * the emitted rows are BIT-IDENTICAL to the batch operator run over
+    * the union of arrivals so far (`DocumentStreamsSpec` pins it). */
+  def bootstrapMeanStream(rows: DataFrame, keyCol: String = "source",
+      valCol: String = "n_chars", idCol: String = "doc_id",
+      replicates: Int = 32): DataFrame =
+    graft.operators.RobustStats.bootstrapFinish(
+      graft.operators.RobustStats.bootstrapCells(
+        rows, keyCol, valCol, idCol, replicates),
+      keyCol, replicates)
 }

@@ -374,6 +374,36 @@ class DocumentStreamsSpec extends SparkSpec {
       exact.map(b => (b.doc_id, b.blk)).toSet
   }
 
+  test("bootstrapMeanStream: after each micro-batch prefix, estimates are " +
+      "bit-identical to the batch bootstrap over arrivals so far") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows1 = (0 until 40).map(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b", 100L + i * 3))
+    val rows2 = (40 until 90).map(i =>
+      (i.toLong, if (i % 3 == 0) "a" else "b", 200L + i))
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = DocumentStreams.bootstrapMeanStream(
+        mem.toDF().toDF("doc_id", "source", "n_chars"))
+      .writeStream.format("memory").queryName("bootci")
+      .outputMode(OutputMode.Complete()).start()
+
+    def batchOver(rows: Seq[(Long, String, Long)]) =
+      graft.operators.RobustStats.poissonBootstrap(
+        rows.toDF("doc_id", "source", "n_chars"),
+        "source", "n_chars", "doc_id")
+        .orderBy("source").collect()
+
+    mem.addData(rows1)
+    q.processAllAvailable()
+    spark.table("bootci").orderBy("source").collect() shouldBe
+      batchOver(rows1)
+    mem.addData(rows2)
+    q.processAllAvailable()
+    spark.table("bootci").orderBy("source").collect() shouldBe
+      batchOver(rows1 ++ rows2)
+    q.stop()
+  }
+
   test("passageDedupStreamBloom: a saturated filter drops novel blocks " +
     "but still never admits dups (the documented FP direction)") {
     implicit val sqlCtx = spark.sqlContext
