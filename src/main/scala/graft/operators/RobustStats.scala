@@ -237,20 +237,29 @@ object RobustStats {
   // Poisson bootstrap — one-pass uncertainty quantification
   // ---------------------------------------------------------------------
 
-  /** Cumulative Poisson(1) probabilities scaled to the 60-bit hash
-    * range: a hash h draws weight w = |{k : h >= T(k)}| (equivalently
-    * the CASE rank below the first threshold above h). Integer
-    * thresholds make the draw a LONG comparison — no float-literal
-    * matching between engines, no rounding ambiguity at the cut. */
+  /** Cumulative Poisson(1) probabilities scaled to the 20-bit draw
+    * range: a draw u ∈ [0, 2^20) takes weight w = the CASE rank below
+    * the first threshold above u. Integer thresholds make the draw a
+    * LONG comparison — no float-literal matching between engines, no
+    * rounding ambiguity at the cut. 20 bits resolve each weight
+    * probability to within 2^-20 (the k=7 tail mass ~1.03e-5 is ~11
+    * cells — representable), and 20-bit draws let SIX replicates share
+    * ONE md5 (below) — the md5 count per row is what dominates the
+    * one-pass cost. */
   private[graft] val PoissonCdfThresholds: Array[Long] = {
     var p = math.exp(-1.0) // P(X = 0)
     var c = 0.0
     (0 to 7).map { k =>
       c += p
       p /= (k + 1).toDouble
-      (c * (1L << 60).toDouble).toLong
+      (c * (1L << 20).toDouble).toLong
     }.toArray
   }
+
+  /** Replicates per digest: an md5 is 32 hex chars = six disjoint
+    * 5-hex-char (20-bit) chunks (2 chars spare). Replicate r draws
+    * from chunk r % 6 of digest md5(id + ":" + r / 6). */
+  private[graft] val RepsPerDigest: Int = 6
 
   /** Per-key mean with a bootstrap confidence interval in ONE corpus
     * pass (Efron 1979 resampling via the Poisson approximation —
@@ -261,10 +270,12 @@ object RobustStats {
     * data-sized reshuffles).
     *
     * Determinism contract: replicate weights are a pure function of
-    * (idCol, replicate) — `stableHash("id:r")` against integer CDF
-    * thresholds — so results are bit-identical across engines,
-    * layouts, and reruns (the md5 stance of the minhash family; no
-    * RNG, no JVM hashCode). `valCol` must be integral: replicate sums
+    * (idCol, replicate) — replicate r takes the 20-bit chunk r % 6 of
+    * digest md5(id ":" r/6) against integer CDF thresholds — so
+    * results are bit-identical across engines, layouts, and reruns
+    * (the md5 stance of the minhash family; no RNG, no JVM hashCode),
+    * and six replicates share one digest (the md5 count per row IS
+    * the one-pass cost). `valCol` must be integral: replicate sums
     * then stay EXACT LONGS and each replicate mean is one exact
     * double division; the replicate-mean spread folds in fixed array
     * order (r = 0..R-1), matching the oracle's `list_sum` fold.
@@ -298,17 +309,29 @@ object RobustStats {
       s"poissonBootstrap needs an integral valCol for exact replicate " +
         s"sums; $valCol is $vt")
     val T = PoissonCdfThresholds
-    // Hashes in their own projection below the weight CASE chain: the
-    // md5 evaluates once per (row, replicate), not once per branch.
+    // Digests in their own projection below the chunk/CASE chain: ONE
+    // md5 per (row, digest), each serving RepsPerDigest replicates —
+    // at sf1x the md5 count is the operator's whole cost (32
+    // digests/row measured 22-45 s; 6 digests/row ~5× less hashing).
+    val nDigests = (replicates + RepsPerDigest - 1) / RepsPerDigest
     val hashed = df.select(
       col(keyCol) +: col(valCol).cast("long").as("_x") +:
-        (0 until replicates).map(r => graft.functions.stableHash(
-          concat(col(idCol).cast("string"), lit(":" + r))).as(s"_h$r")): _*)
+        (0 until nDigests).map(d =>
+          md5(concat(col(idCol).cast("string"), lit(":" + d)))
+            .as(s"_h$d")): _*)
+    // Draws in a second projection so the 20-bit chunk extraction runs
+    // once per replicate, not once per CASE branch.
+    val drawn = hashed.select(
+      col(keyCol) +: col("_x") +:
+        (0 until replicates).map(r =>
+          conv(substring(col(s"_h${r / RepsPerDigest}"),
+            1 + 5 * (r % RepsPerDigest), 5), 16, 10)
+            .cast(org.apache.spark.sql.types.LongType).as(s"_u$r")): _*)
     def weight(r: Int): Column =
       T.zipWithIndex.foldRight(lit(T.length): Column) {
-        case ((t, k), rest) => when(col(s"_h$r") < t, k).otherwise(rest)
+        case ((t, k), rest) => when(col(s"_u$r") < t, k).otherwise(rest)
       }.cast("long")
-    val weighted = hashed.select(
+    val weighted = drawn.select(
       col(keyCol) +: col("_x") +:
         (0 until replicates).map(r => weight(r).as(s"_w$r")): _*)
     val aggs =

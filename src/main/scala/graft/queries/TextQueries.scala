@@ -3772,8 +3772,10 @@ object TextQueries {
     // whether a release-over-release delta is signal or sampling noise
     // — without R data-sized resampling shuffles (the classic
     // bootstrap). Weights are a pure function of (doc_id, replicate):
-    // the 60-bit md5 hash compared against INTEGER Poisson(1) CDF
-    // thresholds, so both engines draw the identical resamples;
+    // a 20-bit md5 chunk (six replicates per digest — the md5 count
+    // per row is the pass's whole cost) compared against INTEGER
+    // Poisson(1) CDF thresholds, so both engines draw identical
+    // resamples;
     // replicate sums are exact longs, the spread folds in pinned
     // r-order. Spark side: no row fan-out — 2R+2 map-side-combinable
     // sums per source ([[RobustStats.poissonBootstrap]]); the oracle's
@@ -3861,7 +3863,10 @@ object TextQueries {
   /** q146's oracle: the Poisson-weight CASE is generated from the same
     * integer thresholds [[graft.operators.RobustStats.PoissonCdfThresholds]]
     * the engine compares against — the draw is a long comparison on
-    * both sides, never a float-literal round trip. */
+    * both sides, never a float-literal round trip. Replicate r draws
+    * its 20-bit chunk (5 hex chars at offset 5·(r%6)) from digest
+    * md5(doc_id ":" r/6) — six replicates per md5, mirroring the
+    * engine's digest-sharing exactly. */
   private def bootstrapCiSql: String = {
     val T = graft.operators.RobustStats.PoissonCdfThresholds
     val caseArms = T.zipWithIndex
@@ -3876,7 +3881,8 @@ object TextQueries {
        |  FROM (
        |    SELECT d.source, r.r AS r, CAST(d.n_chars AS BIGINT) AS x,
        |      CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)
-       |        || ':' || CAST(r.r AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |        || ':' || CAST(r.r // 6 AS VARCHAR)),
+       |        1 + 5 * (r.r % 6), 5)) AS BIGINT) AS h
        |    FROM documents d CROSS JOIN reps r
        |  )
        |), means AS (

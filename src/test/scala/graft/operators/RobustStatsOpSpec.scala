@@ -146,11 +146,12 @@ class RobustStatsOpSpec extends SparkSpec {
   }
 
   test("Poisson thresholds: mean weight over hash space ≈ 1 (the bootstrap contract)") {
-    // The CDF thresholds partition [0, 2^60); expected weight
+    // The CDF thresholds partition [0, 2^20); expected weight
     // Σ k · P(k) must be ~1 for Poisson(1) (truncation at 8 loses
-    // ~1e-6). Computed exactly from the integer thresholds.
+    // ~1e-6; 20-bit quantization ~1e-5). Computed exactly from the
+    // integer thresholds.
     val t = RobustStats.PoissonCdfThresholds.map(BigDecimal(_))
-    val full = BigDecimal(1L << 60)
+    val full = BigDecimal(1L << 20)
     val probs = (t :+ full).zip(BigDecimal(0) +: t)
       .map { case (hi, lo) => (hi - lo) / full }
     val mean = probs.zipWithIndex.map { case (p, k) => p * k }.sum

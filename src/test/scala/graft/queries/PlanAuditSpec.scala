@@ -124,7 +124,19 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
     // q142: the broadcast 1-row distinct-bigram total (B) of the KN
     // continuation probability crosses onto the scoring stream; the
     // model lookups (bigram, w1, w2) are all equi-joins.
-    "q142_kneser_ney")
+    "q142_kneser_ney",
+    // q145: the 7-row lag frame broadcast-crosses onto the
+    // (types × days)-bounded daily-count frame; the lag pair join
+    // itself is an equi-join on (event_type, shifted day).
+    "q145_acf_lags",
+    // q147: the q41 brute-cosine shape — broadcast bounded query side,
+    // with the label-differs predicate as the (non-equi) join
+    // condition; corpus side streams.
+    "q147_hard_negatives",
+    // q149: inherits BOTH audited shapes it composes — q41's broadcast
+    // query side (truth) and q42's broadcast centroid frames
+    // (candidate); the metric join is an equi-join on (qid, vec_id).
+    "q149_retrieval_eval")
 
   test("suite-wide: nested-loop joins only as broadcast builds of bounded frames") {
     val offenders = SparkEntry.allDefs.flatMap { d =>
@@ -239,7 +251,11 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
     "q100_clean_savings" -> Set("documents"),
     // q144 consumes the whole 3-column embeddings table: vec_id is the
     // release split, label the grouping, embedding the measure.
-    "q144_embedding_drift" -> Set("embeddings"))
+    "q144_embedding_drift" -> Set("embeddings"),
+    // q147 consumes all three embeddings columns on both sides: vec_id
+    // is identity/rank tiebreak, embedding the measure, label the
+    // exclusion predicate.
+    "q147_hard_negatives" -> Set("embeddings"))
 
   test("suite-wide: every parquet scan is column-pruned unless allow-listed") {
     // ReadSchema minimality, mechanically: a scan whose requiredSchema
