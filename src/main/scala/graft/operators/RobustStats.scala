@@ -256,10 +256,13 @@ object RobustStats {
     }.toArray
   }
 
-  /** Replicates per digest: an md5 is 32 hex chars = six disjoint
-    * 5-hex-char (20-bit) chunks (2 chars spare). Replicate r draws
-    * from chunk r % 6 of digest md5(id + ":" + r / 6). */
-  private[graft] val RepsPerDigest: Int = 6
+  /** Replicates per digest: a 60-bit StableHash60 value is three
+    * disjoint 20-bit windows. Replicate r draws window r % 3 (top
+    * first) of digest stable_hash60(id + ":" + r / 3) — the draw is a
+    * SHIFT + MASK on a long (the native hash never materializes hex,
+    * and no radix-conversion expression runs; `conv(substring(md5))`
+    * per replicate measured 2× the whole operator). */
+  private[graft] val RepsPerDigest: Int = 3
 
   /** Per-key mean with a bootstrap confidence interval in ONE corpus
     * pass (Efron 1979 resampling via the Poisson approximation —
@@ -309,24 +312,29 @@ object RobustStats {
       s"poissonBootstrap needs an integral valCol for exact replicate " +
         s"sums; $valCol is $vt")
     val T = PoissonCdfThresholds
-    // Digests in their own projection below the chunk/CASE chain: ONE
-    // md5 per (row, digest), each serving RepsPerDigest replicates —
-    // at sf1x the md5 count is the operator's whole cost (32
-    // digests/row measured 22-45 s; 6 digests/row ~5× less hashing).
+    // Digests in their own projection below the window/CASE chain: ONE
+    // native md5 per (row, digest), each serving RepsPerDigest
+    // replicates — the digest count per row is the operator's whole
+    // cost (32 digests/row measured 22-45 s at sf1x; hex-chunk
+    // extraction via conv(substring(...)) another 2×).
     val nDigests = (replicates + RepsPerDigest - 1) / RepsPerDigest
+    def digest(d: Int): Column = {
+      import org.apache.spark.sql.graft.CatalystBridge
+      CatalystBridge.column(graft.plans.StableHash60(CatalystBridge.expr(
+        concat(col(idCol).cast("string"), lit(":" + d)))))
+    }
     val hashed = df.select(
       col(keyCol) +: col(valCol).cast("long").as("_x") +:
-        (0 until nDigests).map(d =>
-          md5(concat(col(idCol).cast("string"), lit(":" + d)))
-            .as(s"_h$d")): _*)
-    // Draws in a second projection so the 20-bit chunk extraction runs
-    // once per replicate, not once per CASE branch.
+        (0 until nDigests).map(d => digest(d).as(s"_h$d")): _*)
+    // Draws in a second projection so the 20-bit window extraction
+    // runs once per replicate, not once per CASE branch — a shift +
+    // mask on the long, allocation-free.
     val drawn = hashed.select(
       col(keyCol) +: col("_x") +:
         (0 until replicates).map(r =>
-          conv(substring(col(s"_h${r / RepsPerDigest}"),
-            1 + 5 * (r % RepsPerDigest), 5), 16, 10)
-            .cast(org.apache.spark.sql.types.LongType).as(s"_u$r")): _*)
+          shiftright(col(s"_h${r / RepsPerDigest}"),
+            20 * (2 - r % RepsPerDigest))
+            .bitwiseAND(lit(0xFFFFFL)).as(s"_u$r")): _*)
     def weight(r: Int): Column =
       T.zipWithIndex.foldRight(lit(T.length): Column) {
         case ((t, k), rest) => when(col(s"_u$r") < t, k).otherwise(rest)

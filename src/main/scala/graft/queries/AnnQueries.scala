@@ -612,6 +612,76 @@ object AnnQueries {
             / min(when(col("trank") === 1, col("arank"))), lit(0.0)), 6)
             .as("mrr"))
         .orderBy("qid")
+    },
+
+    // T129 — Davies–Bouldin cluster-quality census (Davies & Bouldin
+    // 1979): per cluster of the q148 model, the mean member distance
+    // (cohesion) and the DB score max_{j≠i} (s_i + s_j) / d_ij — the
+    // internal validity measure that says whether k was RIGHT before
+    // anything downstream trusts the buckets (completes the clustering
+    // story: q148 fits, this grades). Scale shape: ONE corpus pass for
+    // the per-cluster distance sums (accumulated as floor(√d2 · 2^20)
+    // fixed-point longs — deterministic at any partitioning); the
+    // centroid-pair frame is k × k ≤ 64 rows; everything else is
+    // row-local arithmetic on k-bounded frames, and the √d2 doubles
+    // follow the identical expression tree in both engines.
+    QueryDef("q152_cluster_quality",
+      s"""WITH v AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings
+         |), ${kmeansCtes(k = 8, iters = 3)}, fin AS (
+         |  SELECT cl, d2 FROM ${kmeansAssignSql("c3")}
+         |), s AS (
+         |  SELECT cl, CAST(count(*) AS BIGINT) AS size,
+         |    CAST(sum(CAST(floor(sqrt(d2) * 1048576.0) AS BIGINT)) AS DOUBLE)
+         |      / (count(*) * 1048576.0) AS s_i
+         |  FROM fin GROUP BY cl
+         |), cd AS (
+         |  SELECT a.cl AS ca, b.cl AS cb,
+         |    sqrt(${d2Sql("a.ce", "b.ce")}) AS d_ij
+         |  FROM c3 a JOIN c3 b ON a.cl <> b.cl
+         |)
+         |SELECT s.cl AS cluster, s.size, round(s.s_i, 6) AS mean_dist,
+         |  round(max((s.s_i + t.s_i) / cd.d_ij), 6) AS db_score
+         |FROM s JOIN cd ON s.cl = cd.ca JOIN s t ON cd.cb = t.cl
+         |GROUP BY s.cl, s.size, s.s_i
+         |ORDER BY cluster""".stripMargin) { (s, dir) =>
+      import graft.operators.Embeddings
+      val emb = Tables.embeddings(s, dir)
+      val model = Embeddings.kmeansFit(emb, k = 8, iters = 3)
+      val S = Embeddings.KMeansScale
+      val sFrame = Embeddings.kmeansAssign(emb, model)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("size"),
+          sum(floor(sqrt(col("d2")) * S)).as("sd"))
+        .select(col("cluster"), col("size"),
+          (col("sd").cast("double") / (col("size") * S)).as("s_i"))
+      // Centroid-pair distances on a k-row frame built FROM the model,
+      // with the same |a|² − 2a·b + |b|² expression shape (every term a
+      // sequential fold) the oracle's d2Sql computes.
+      val cents = {
+        import s.implicits._
+        model.centroids.toSeq
+          .map { case (cl, ce) => (cl, ce.toSeq) }.toDF("cl", "ce")
+      }
+      val a = cents.select(col("cl").as("ca"), col("ce").as("cea"))
+      val b = cents.select(col("cl").as("cb"), col("ce").as("ceb"))
+      val dij = sqrt(Similarity.dot(col("cea"), col("cea"))
+        - lit(2.0) * Similarity.dot(col("cea"), col("ceb"))
+        + Similarity.dot(col("ceb"), col("ceb")))
+      val cd = a.join(b, col("ca") =!= col("cb"))
+        .select(col("ca"), col("cb"), dij.as("d_ij"))
+      val t = sFrame.select(col("cluster").as("cb"), col("s_i").as("s_j"))
+      sFrame.join(cd, col("cluster") === col("ca"))
+        .join(t, "cb")
+        .groupBy(col("cluster").cast("long").as("cluster"),
+          col("size"), col("s_i"))
+        .agg(round(max((col("s_i") + col("s_j")) / col("d_ij")), 6)
+          .as("db_score"))
+        .select(col("cluster"), col("size"),
+          round(col("s_i"), 6).as("mean_dist"), col("db_score"))
+        .orderBy("cluster")
     }
   )
 

@@ -3864,9 +3864,9 @@ object TextQueries {
     * integer thresholds [[graft.operators.RobustStats.PoissonCdfThresholds]]
     * the engine compares against — the draw is a long comparison on
     * both sides, never a float-literal round trip. Replicate r draws
-    * its 20-bit chunk (5 hex chars at offset 5·(r%6)) from digest
-    * md5(doc_id ":" r/6) — six replicates per md5, mirroring the
-    * engine's digest-sharing exactly. */
+    * 20-bit window r % 3 (shift + mask, top window first) of the
+    * 60-bit digest stable_hash60(doc_id ":" r/3) — three replicates
+    * per md5, mirroring the engine's digest-sharing exactly. */
   private def bootstrapCiSql: String = {
     val T = graft.operators.RobustStats.PoissonCdfThresholds
     val caseArms = T.zipWithIndex
@@ -3880,9 +3880,9 @@ object TextQueries {
        |  SELECT source, r, x, CASE $caseArms ELSE ${T.length} END AS w
        |  FROM (
        |    SELECT d.source, r.r AS r, CAST(d.n_chars AS BIGINT) AS x,
-       |      CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)
-       |        || ':' || CAST(r.r // 6 AS VARCHAR)),
-       |        1 + 5 * (r.r % 6), 5)) AS BIGINT) AS h
+       |      (CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)
+       |        || ':' || CAST(r.r // 3 AS VARCHAR)), 1, 15)) AS BIGINT)
+       |       >> (20 * (2 - r.r % 3))) & 1048575 AS h
        |    FROM documents d CROSS JOIN reps r
        |  )
        |), means AS (

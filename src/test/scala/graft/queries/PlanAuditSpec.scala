@@ -136,7 +136,11 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
     // q149: inherits BOTH audited shapes it composes — q41's broadcast
     // query side (truth) and q42's broadcast centroid frames
     // (candidate); the metric join is an equi-join on (qid, vec_id).
-    "q149_retrieval_eval")
+    "q149_retrieval_eval",
+    // q152: the centroid-pair distance join — both sides are the
+    // k-row (≤ 8) model frame with an inequality condition (the q97
+    // label-centroid pattern).
+    "q152_cluster_quality")
 
   test("suite-wide: nested-loop joins only as broadcast builds of bounded frames") {
     val offenders = SparkEntry.allDefs.flatMap { d =>
