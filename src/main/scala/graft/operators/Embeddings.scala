@@ -227,6 +227,75 @@ object Embeddings {
       .select(col("_id").as(idCol), col("cl").as("cluster"), col("d2"))
   }
 
+  /** Running state of the mini-batch k-means (Sculley 2010, "Web-scale
+    * k-means clustering"): per surviving cluster, its LIFETIME
+    * fixed-point coordinate sums and member count — the centroid is
+    * always `sums / (n · 2^20)`, so merging a new batch is pure long
+    * addition and the state is exactly reproducible from the batch
+    * sequence. k × (dim + 1) longs total — driver-trivial at any k. */
+  final case class KMeansState(
+      clusters: Array[(Int, Long, Array[Long])] /* (cl, n, sumFx) */) {
+    def model: KMeansModel = KMeansModel(clusters.map { case (cl, n, s) =>
+      (cl, s.map(_.toDouble / (n * KMeansScale)))
+    })
+  }
+
+  /** Seed a streaming state from the first batch: the k smallest
+    * md5(id) rows become singleton clusters (the [[kmeansFit]] draw),
+    * then the batch folds in via [[kmeansUpdate]]. */
+  def kmeansInit(firstBatch: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): KMeansState = {
+    require(k >= 1, s"need k >= 1: $k")
+    val seeds = firstBatch.select(col(idCol).as("_id"),
+        transform(col(embCol), x => x.cast("double")).as("e"))
+      .withColumn("_h", md5(col("_id").cast("string")))
+      .orderBy("_h", "_id").limit(k)
+      .select("e").collect()
+      .map(_.getSeq[Double](0).toArray)
+    val st = KMeansState(seeds.zipWithIndex.map { case (c, i) =>
+      (i, 1L, c.map(x => math.floor(x * KMeansScale).toLong))
+    })
+    kmeansUpdate(st, firstBatch, idCol, embCol)
+  }
+
+  /** One mini-batch update: assign the batch under the CURRENT
+    * centroids (the same (d2, cl)-lexicographic pick as [[kmeansFit]]),
+    * then fold its per-cluster fixed-point sums into the lifetime
+    * state. ONE pass over the batch, a (k × dim)-bounded shuffle, pure
+    * long addition into k × (dim+1) longs of driver state — the
+    * foreachBatch shape (`StreamingKMeansSpec` pins determinism and
+    * the sequential-reference equality). Unlike [[kmeansFit]]'s
+    * fixed-iteration batch Lloyd, the result depends on arrival order
+    * — inherent to one-pass clustering and exactly reproducible given
+    * the same batch sequence. */
+  def kmeansUpdate(state: KMeansState, batch: DataFrame,
+      idCol: String = "vec_id", embCol: String = "embedding"): KMeansState = {
+    val v = batch.select(col(idCol).as("_id"),
+      transform(col(embCol), x => x.cast("double")).as("e"))
+    val assigned = assign(v, state.model.centroids)
+    val cells = assigned
+      .select(col("cl"), posexplode(col("e")).as(Seq("pos", "x")))
+      .groupBy("cl", "pos")
+      .agg(sum(floor(col("x") * KMeansScale)).as("sfx"))
+      .collect()
+    val ns = assigned.groupBy("cl").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val add: Map[Int, Array[Long]] = cells.groupBy(_.getInt(0))
+      .map { case (cl, rows) =>
+        cl -> rows.sortBy(_.getInt(1)).map(_.getLong(2))
+      }
+    KMeansState(state.clusters.map { case (cl, n, s) =>
+      add.get(cl) match {
+        case Some(delta) =>
+          val merged = s.clone()
+          var i = 0
+          while (i < merged.length) { merged(i) += delta(i); i += 1 }
+          (cl, n + ns(cl), merged)
+        case None => (cl, n, s)
+      }
+    })
+  }
+
   /** Per-row nearest centroid: array_min over (d2, cl) structs — the
     * lexicographic struct min IS the (d2 asc, cl asc) rank-1 row,
     * with no explode and no window. Centroid arrays and their norms
