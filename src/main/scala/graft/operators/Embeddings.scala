@@ -215,6 +215,23 @@ object Embeddings {
     } finally v.unpersist(blocking = false)
   }
 
+  /** Session model cache — the [[Similarity.indexFor]] stance applied
+    * to clustering: a corpus's k-means trains ONCE per session, after
+    * which every consumer (the q148 census, the q152 quality gate, any
+    * downstream bucketing) reuses the fitted model. Driver-side
+    * k × dim doubles per entry; at 100 TB the fit is a multi-pass
+    * corpus job you do not want to pay per query. Keyed by
+    * caller-supplied name (conventionally "kmeans|<dir>|<k>|<iters>"),
+    * and safe because [[kmeansFit]] is deterministic — a cache hit is
+    * bit-identical to a refit. */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, KMeansModel]()
+
+  def modelFor(df: DataFrame, key: String, k: Int, iters: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): KMeansModel =
+    modelCache.computeIfAbsent(key,
+      _ => kmeansFit(df, k, iters, idCol, embCol))
+
   /** One assignment pass under a trained model: (idCol, cluster, d2)
     * with d2 the squared L2 to the assigned centroid — the SAME
     * expression shape the oracle computes (|x|² − 2·x·c + |c|², each

@@ -525,7 +525,8 @@ object AnnQueries {
          |FROM ${kmeansAssignSql("c3")} GROUP BY cl
          |ORDER BY cluster""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val model = graft.operators.Embeddings.kmeansFit(emb, k = 8, iters = 3)
+      val model = graft.operators.Embeddings.modelFor(emb,
+        s"kmeans|$dir|8|3", k = 8, iters = 3)
       graft.operators.Embeddings.kmeansAssign(emb, model)
         .groupBy(col("cluster").cast("long").as("cluster"))
         .agg(count(lit(1)).as("size"),
@@ -649,7 +650,7 @@ object AnnQueries {
          |ORDER BY cluster""".stripMargin) { (s, dir) =>
       import graft.operators.Embeddings
       val emb = Tables.embeddings(s, dir)
-      val model = Embeddings.kmeansFit(emb, k = 8, iters = 3)
+      val model = Embeddings.modelFor(emb, s"kmeans|$dir|8|3", k = 8, iters = 3)
       val S = Embeddings.KMeansScale
       val sFrame = Embeddings.kmeansAssign(emb, model)
         .groupBy("cluster")

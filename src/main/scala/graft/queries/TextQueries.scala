@@ -3857,6 +3857,61 @@ object TextQueries {
             / (col("sea") * col("sea") / (col("na") - 1)
               + col("seb") * col("seb") / (col("nb") - 1)), 6).as("dof"))
         .orderBy("source")
+    },
+
+    // T131 — winsorized-mean census (Tukey; 12.5% both tails): per
+    // source, the mean with values clamped to [P12.5, P87.5] next to
+    // the raw mean — the robust LOCATION estimate (q113 MAD / q124 IQR
+    // DETECT outliers; this prices them out of the estimate, the
+    // standard monitoring metric when a handful of giant documents
+    // would swing the raw mean). Probes are exact binary eighths so
+    // the interpolation fraction is exact in both engines.
+    // Scale shape: quantiles ride ONE RobustStats.quantilesByKey pass
+    // (histogram path above the stats threshold — no per-key sort at
+    // scale); the winsorized mean needs NO clamped-value sum of
+    // doubles — it is (Σ in-range x + n_lo·p_lo + n_hi·p_hi) / n from
+    // exact long sums and counts, so partitioning can't move a bit.
+    QueryDef("q153_winsorized_mean",
+      """WITH qs AS (
+        |  SELECT source, quantile_cont(n_chars, 0.125) AS plo,
+        |    quantile_cont(n_chars, 0.875) AS phi
+        |  FROM documents GROUP BY source
+        |), agg AS (
+        |  SELECT d.source, q.plo, q.phi,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(d.n_chars) AS BIGINT) AS sx,
+        |    CAST(sum(CASE WHEN d.n_chars >= q.plo AND d.n_chars <= q.phi
+        |             THEN d.n_chars END) AS BIGINT) AS smid,
+        |    CAST(count(CASE WHEN d.n_chars < q.plo THEN 1 END) AS BIGINT) AS nlo,
+        |    CAST(count(CASE WHEN d.n_chars > q.phi THEN 1 END) AS BIGINT) AS nhi
+        |  FROM documents d JOIN qs q USING (source)
+        |  GROUP BY d.source, q.plo, q.phi
+        |)
+        |SELECT source, n, round(CAST(sx AS DOUBLE) / n, 6) AS raw_mean,
+        |  round((CAST(smid AS DOUBLE) + nlo * plo + nhi * phi) / n, 6)
+        |    AS win_mean,
+        |  round(plo, 6) AS p_lo, round(phi, 6) AS p_hi,
+        |  nlo + nhi AS n_clamped
+        |FROM agg ORDER BY source""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("source"), col("n_chars"))
+      val useHistogram = graft.operators.RobustStats.decideHistogram(docs)
+      val qs = graft.operators.RobustStats.quantilesByKey(
+        docs, "source", "n_chars", Seq(0.125 -> "plo", 0.875 -> "phi"),
+        histogram = useHistogram)
+      docs.join(broadcast(qs), "source")
+        .groupBy("source", "plo", "phi")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sx"),
+          sum(when(col("n_chars") >= col("plo")
+            && col("n_chars") <= col("phi"), col("n_chars"))).as("smid"),
+          count(when(col("n_chars") < col("plo"), lit(1))).as("nlo"),
+          count(when(col("n_chars") > col("phi"), lit(1))).as("nhi"))
+        .select(col("source"), col("n"),
+          round(col("sx").cast("double") / col("n"), 6).as("raw_mean"),
+          round((col("smid").cast("double") + col("nlo") * col("plo")
+            + col("nhi") * col("phi")) / col("n"), 6).as("win_mean"),
+          round(col("plo"), 6).as("p_lo"), round(col("phi"), 6).as("p_hi"),
+          (col("nlo") + col("nhi")).as("n_clamped"))
+        .orderBy("source")
     }
   )
 
