@@ -3681,79 +3681,16 @@ object TextQueries {
     // one doc-keyed weighted aggregate — nothing all-pairs, nothing
     // corpus-sized past the first aggregate.
     QueryDef("q142_kneser_ney",
-      """WITH docs AS (
-        |  SELECT doc_id, doc_id % 2 AS half,
-        |    list_filter(string_split_regex(trim(text), '\s+'),
-        |      x -> x <> '') AS t
-        |  FROM documents
-        |), bg AS (
-        |  SELECT doc_id, half,
-        |    unnest(list_transform(generate_series(1, len(t) - 1),
-        |      i -> t[i] || ' ' || t[i+1])) AS bigram
-        |  FROM docs WHERE len(t) >= 2
-        |), d AS (
-        |  SELECT doc_id, half, split_part(bigram, ' ', 1) AS w1,
-        |    split_part(bigram, ' ', 2) AS w2, CAST(count(*) AS BIGINT) AS k
-        |  FROM bg GROUP BY 1, 2, 3, 4
-        |), bgt AS (
-        |  SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c12
-        |  FROM d WHERE half = 0 GROUP BY w1, w2
-        |), c1 AS (
-        |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
-        |    CAST(count(*) AS BIGINT) AS n1l
-        |  FROM bgt GROUP BY w1
-        |), n1r AS (
-        |  SELECT w2, CAST(count(*) AS BIGINT) AS n1r FROM bgt GROUP BY w2
-        |), btot AS (SELECT CAST(count(*) AS DOUBLE) AS bb FROM bgt),
-        |sc AS (
-        |  SELECT s.doc_id, s.k,
-        |    (c1.c1 IS NOT NULL AND n1r.n1r IS NOT NULL) AS scored,
-        |    greatest(coalesce(bgt.c12, 0) - 0.75, 0.0) / c1.c1
-        |      + 0.75 * c1.n1l / c1.c1 * (n1r.n1r / btot.bb) AS p
-        |  FROM (SELECT * FROM d WHERE half = 1) s
-        |  LEFT JOIN bgt ON s.w1 = bgt.w1 AND s.w2 = bgt.w2
-        |  LEFT JOIN c1 ON s.w1 = c1.w1
-        |  LEFT JOIN n1r ON s.w2 = n1r.w2
-        |  CROSS JOIN btot
-        |)
-        |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
-        |  CAST(sum(CASE WHEN NOT scored THEN k ELSE 0 END) AS BIGINT)
-        |    AS n_oov,
-        |  round(-sum(CASE WHEN scored THEN k * ln(p) END)
-        |    / sum(CASE WHEN scored THEN k END), 6) AS avg_nll,
-        |  round(exp(-sum(CASE WHEN scored THEN k * ln(p) END)
-        |    / sum(CASE WHEN scored THEN k END)), 4) AS ppl
-        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.graft.CatalystBridge
-      val d = graft.CacheRegistry.persistTracked(Tables.documents(s, dir)
-        .repartition(col("doc_id"))
-        .select(col("doc_id"), (col("doc_id") % 2).as("half"),
-          explode(CatalystBridge.column(graft.plans.ShingleTokens(
-            CatalystBridge.expr(trim(col("text"))), 2, dedupe = false)))
-            .as("bigram"))
-        .groupBy("doc_id", "half", "bigram")
-        .agg(count(lit(1)).as("k"))
-        .select(col("doc_id"), col("half"), col("k"),
-          split_part(col("bigram"), lit(" "), lit(1)).as("w1"),
-          split_part(col("bigram"), lit(" "), lit(2)).as("w2")),
-        graft.CacheRegistry.DataSized) // distinct bigrams per doc
-      val bgt = graft.CacheRegistry.persistTracked(
-        d.filter(col("half") === 0)
-          .groupBy("w1", "w2").agg(sum("k").as("c12")),
-        graft.CacheRegistry.DataSized) // distinct train bigrams
-      val c1 = bgt.groupBy("w1")
-        .agg(sum("c12").as("c1"), count(lit(1)).as("n1l"))
-      val n1r = bgt.groupBy("w2").agg(count(lit(1)).as("n1r"))
-      val btot = bgt.agg(count(lit(1)).cast("double").as("bb"))
-      val sc = d.filter(col("half") === 1)
-        .join(bgt, Seq("w1", "w2"), "left")
-        .join(c1, Seq("w1"), "left")
-        .join(n1r, Seq("w2"), "left")
-        .crossJoin(broadcast(btot))
-      val scored = col("c1").isNotNull && col("n1r").isNotNull
-      val p = greatest(coalesce(col("c12"), lit(0L)) - 0.75, lit(0.0)) /
-        col("c1") +
-        lit(0.75) * col("n1l") / col("c1") * (col("n1r") / col("bb"))
+      s"""WITH $knCtesSql
+         |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(CASE WHEN NOT scored THEN k ELSE 0 END) AS BIGINT)
+         |    AS n_oov,
+         |  round(-sum(CASE WHEN scored THEN k * ln(p) END)
+         |    / sum(CASE WHEN scored THEN k END), 6) AS avg_nll,
+         |  round(exp(-sum(CASE WHEN scored THEN k * ln(p) END)
+         |    / sum(CASE WHEN scored THEN k END)), 4) AS ppl
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val (sc, scored, p) = knScored(s, dir)
       val wnll = sum(when(scored, col("k").cast("double") * log(p)))
       val wk = sum(when(scored, col("k")))
       sc.groupBy("doc_id")
@@ -3764,6 +3701,70 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // T132 — CCNet-style perplexity-bucket census (Wenzek et al. 2020,
+    // "CCNet: Extracting High Quality Monolingual Datasets"): held-out
+    // docs bucketed head/middle/tail per LANG by per-lang NLL terciles
+    // of the q142 Kneser–Ney model — the quality stratification CCNet
+    // uses to keep the fluent third and route the rest to review. The
+    // whole chain — model, per-doc NLL, exact tercile cuts, buckets —
+    // is oracle-replicated; census stats are order-free (counts, long
+    // sums, min/max), so no per-bucket double summation exists.
+    // Scale shape: the model frames are the q142 shapes (one corpus
+    // tokenize, vocab/bigram-bounded aggregates); the per-doc NLL
+    // frame is docs-bounded and skinny; tercile cuts ride ONE
+    // multi-probe quantilesByKey pass per lang (histogram path at
+    // scale); census is (langs × 3)-bounded.
+    QueryDef("q154_ppl_buckets",
+      s"""WITH $knCtesSql, perdoc AS (
+         |  SELECT doc_id,
+         |    CAST(sum(k) AS BIGINT) AS n_bigrams,
+         |    -sum(CASE WHEN scored THEN k * ln(p) END)
+         |      / sum(CASE WHEN scored THEN k END) AS nll
+         |  FROM sc GROUP BY doc_id
+         |  HAVING sum(CASE WHEN scored THEN k END) IS NOT NULL
+         |), pd AS (
+         |  SELECT p.doc_id, p.n_bigrams, p.nll, d.lang
+         |  FROM perdoc p JOIN documents d ON p.doc_id = d.doc_id
+         |), cuts AS (
+         |  SELECT lang, quantile_cont(nll, ${1.0 / 3}) AS t1,
+         |    quantile_cont(nll, ${2.0 / 3}) AS t2
+         |  FROM pd GROUP BY lang
+         |)
+         |SELECT pd.lang,
+         |  CASE WHEN pd.nll <= c.t1 THEN 'head'
+         |       WHEN pd.nll <= c.t2 THEN 'middle' ELSE 'tail' END AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(pd.n_bigrams) AS BIGINT) AS n_bigrams,
+         |  round(min(pd.nll), 6) AS min_nll, round(max(pd.nll), 6) AS max_nll
+         |FROM pd JOIN cuts c ON pd.lang = c.lang
+         |GROUP BY 1, 2 ORDER BY pd.lang, bucket""".stripMargin) { (s, dir) =>
+      val (sc, scored, p) = knScored(s, dir)
+      val wnll = sum(when(scored, col("k").cast("double") * log(p)))
+      val wk = sum(when(scored, col("k")))
+      val perdoc = sc.groupBy("doc_id")
+        .agg(sum("k").as("n_bigrams"), (-wnll / wk).as("nll"),
+          wk.as("_wk"))
+        .filter(col("_wk").isNotNull)
+        .drop("_wk")
+      val pd = graft.CacheRegistry.persistTracked(
+        perdoc.join(Tables.documents(s, dir).select("doc_id", "lang"),
+          "doc_id"),
+        graft.CacheRegistry.DataSized) // one skinny row per scored doc
+      val cuts = graft.operators.RobustStats.quantilesByKey(
+        pd, "lang", "nll", Seq(1.0 / 3 -> "t1", 2.0 / 3 -> "t2"))
+      pd.join(broadcast(cuts), "lang")
+        .select(col("lang"),
+          when(col("nll") <= col("t1"), "head")
+            .when(col("nll") <= col("t2"), "middle")
+            .otherwise("tail").as("bucket"),
+          col("n_bigrams"), col("nll"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n_bigrams").as("n_bigrams"),
+          round(min("nll"), 6).as("min_nll"),
+          round(max("nll"), 6).as("max_nll"))
+        .orderBy("lang", "bucket")
+    },
+
     // T123 — Poisson-bootstrap confidence interval census (Efron 1979
     // via the Poisson approximation, Chamandy et al. 2012): per-source
     // mean document length WITH an error bar, from ONE corpus pass.
@@ -3772,10 +3773,10 @@ object TextQueries {
     // whether a release-over-release delta is signal or sampling noise
     // — without R data-sized resampling shuffles (the classic
     // bootstrap). Weights are a pure function of (doc_id, replicate):
-    // a 20-bit md5 chunk (six replicates per digest — the md5 count
-    // per row is the pass's whole cost) compared against INTEGER
-    // Poisson(1) CDF thresholds, so both engines draw identical
-    // resamples;
+    // a 20-bit shift/mask window of the native 60-bit digest (three
+    // replicates per md5 — the digest count per row is the pass's
+    // whole cost) compared against INTEGER Poisson(1) CDF thresholds,
+    // so both engines draw identical resamples;
     // replicate sums are exact longs, the spread folds in pinned
     // r-order. Spark side: no row fan-out — 2R+2 map-side-combinable
     // sums per source ([[RobustStats.poissonBootstrap]]); the oracle's
@@ -3914,6 +3915,88 @@ object TextQueries {
         .orderBy("source")
     }
   )
+
+  /** The Kneser–Ney chain shared by q142 (per-doc perplexity) and
+    * q154 (CCNet buckets): corpus tokenize → per-(doc, half) counted
+    * bigrams → train-half model frames (c12 / c1+n1l / n1r / 1-row B)
+    * → held-out rows scored with the interpolated KN probability.
+    * One definition so the two queries' models can never drift.
+    * (`lazy`: referenced from `defs`, which is declared above this in
+    * initialization order — the BlockPhrases precedent.) */
+  private lazy val knCtesSql: String =
+    """docs AS (
+      |  SELECT doc_id, doc_id % 2 AS half,
+      |    list_filter(string_split_regex(trim(text), '\s+'),
+      |      x -> x <> '') AS t
+      |  FROM documents
+      |), bg AS (
+      |  SELECT doc_id, half,
+      |    unnest(list_transform(generate_series(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1])) AS bigram
+      |  FROM docs WHERE len(t) >= 2
+      |), d AS (
+      |  SELECT doc_id, half, split_part(bigram, ' ', 1) AS w1,
+      |    split_part(bigram, ' ', 2) AS w2, CAST(count(*) AS BIGINT) AS k
+      |  FROM bg GROUP BY 1, 2, 3, 4
+      |), bgt AS (
+      |  SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c12
+      |  FROM d WHERE half = 0 GROUP BY w1, w2
+      |), c1 AS (
+      |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+      |    CAST(count(*) AS BIGINT) AS n1l
+      |  FROM bgt GROUP BY w1
+      |), n1r AS (
+      |  SELECT w2, CAST(count(*) AS BIGINT) AS n1r FROM bgt GROUP BY w2
+      |), btot AS (SELECT CAST(count(*) AS DOUBLE) AS bb FROM bgt),
+      |sc AS (
+      |  SELECT s.doc_id, s.k,
+      |    (c1.c1 IS NOT NULL AND n1r.n1r IS NOT NULL) AS scored,
+      |    greatest(coalesce(bgt.c12, 0) - 0.75, 0.0) / c1.c1
+      |      + 0.75 * c1.n1l / c1.c1 * (n1r.n1r / btot.bb) AS p
+      |  FROM (SELECT * FROM d WHERE half = 1) s
+      |  LEFT JOIN bgt ON s.w1 = bgt.w1 AND s.w2 = bgt.w2
+      |  LEFT JOIN c1 ON s.w1 = c1.w1
+      |  LEFT JOIN n1r ON s.w2 = n1r.w2
+      |  CROSS JOIN btot
+      |)""".stripMargin
+
+  /** Engine twin of [[knCtesSql]]: the scored held-out frame plus the
+    * `scored` predicate and KN probability columns. Both model frames
+    * persist tracked (two consumers each). */
+  private def knScored(s: SparkSession, dir: String)
+      : (DataFrame, Column, Column) = {
+    import org.apache.spark.sql.graft.CatalystBridge
+    val d = graft.CacheRegistry.persistTracked(Tables.documents(s, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), (col("doc_id") % 2).as("half"),
+        explode(CatalystBridge.column(graft.plans.ShingleTokens(
+          CatalystBridge.expr(trim(col("text"))), 2, dedupe = false)))
+          .as("bigram"))
+      .groupBy("doc_id", "half", "bigram")
+      .agg(count(lit(1)).as("k"))
+      .select(col("doc_id"), col("half"), col("k"),
+        split_part(col("bigram"), lit(" "), lit(1)).as("w1"),
+        split_part(col("bigram"), lit(" "), lit(2)).as("w2")),
+      graft.CacheRegistry.DataSized) // distinct bigrams per doc
+    val bgt = graft.CacheRegistry.persistTracked(
+      d.filter(col("half") === 0)
+        .groupBy("w1", "w2").agg(sum("k").as("c12")),
+      graft.CacheRegistry.DataSized) // distinct train bigrams
+    val c1 = bgt.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n1l"))
+    val n1r = bgt.groupBy("w2").agg(count(lit(1)).as("n1r"))
+    val btot = bgt.agg(count(lit(1)).cast("double").as("bb"))
+    val sc = d.filter(col("half") === 1)
+      .join(bgt, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .join(n1r, Seq("w2"), "left")
+      .crossJoin(broadcast(btot))
+    val scored = col("c1").isNotNull && col("n1r").isNotNull
+    val p = greatest(coalesce(col("c12"), lit(0L)) - 0.75, lit(0.0)) /
+      col("c1") +
+      lit(0.75) * col("n1l") / col("c1") * (col("n1r") / col("bb"))
+    (sc, scored, p)
+  }
 
   /** q146's oracle: the Poisson-weight CASE is generated from the same
     * integer thresholds [[graft.operators.RobustStats.PoissonCdfThresholds]]
