@@ -140,7 +140,11 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
     // q152: the centroid-pair distance join — both sides are the
     // k-row (≤ 8) model frame with an inequality condition (the q97
     // label-centroid pattern).
-    "q152_cluster_quality")
+    "q152_cluster_quality",
+    // q154: the q142 KN chain's broadcast 1-row distinct-bigram total
+    // (B) crossed onto the scoring stream — the same shape, shared
+    // code (knScored).
+    "q154_ppl_buckets")
 
   test("suite-wide: nested-loop joins only as broadcast builds of bounded frames") {
     val offenders = SparkEntry.allDefs.flatMap { d =>
