@@ -3765,6 +3765,113 @@ object TextQueries {
         .orderBy("lang", "bucket")
     },
 
+    // T133 — lang-ID confusion census: the q34 stopword heuristic
+    // EVALUATED against the labeled lang column — per (true, predicted)
+    // cell count and row fraction (diagonal row_frac = per-lang
+    // recall). The evaluation-gate family (q149 grades the ANN index,
+    // q156 the LSH banding): every heuristic filter upstream of a
+    // 100 TB corpus build needs the measurement that says what its
+    // labels are worth before anything trusts them. One corpus scan →
+    // (langs × predictions)-bounded cells; fractions are exact long
+    // divisions.
+    QueryDef("q155_langid_confusion",
+      """WITH pred AS (
+        |  SELECT lang,
+        |    CASE WHEN contains(' ' || lower(text) || ' ', ' the ') THEN 'en'
+        |         WHEN contains(' ' || lower(text) || ' ', ' le ') THEN 'fr'
+        |         WHEN contains(' ' || lower(text) || ' ', ' der ') THEN 'de'
+        |         WHEN contains(' ' || lower(text) || ' ', ' el ') THEN 'es'
+        |         ELSE 'unk' END AS predicted_lang
+        |  FROM documents
+        |), cells AS (
+        |  SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM pred GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT lang, CAST(sum(n_docs) AS BIGINT) AS t
+        |  FROM cells GROUP BY lang
+        |)
+        |SELECT c.lang, c.predicted_lang, c.n_docs,
+        |  round(CAST(c.n_docs AS DOUBLE) / t.t, 6) AS row_frac
+        |FROM cells c JOIN tot t USING (lang)
+        |ORDER BY c.lang, c.predicted_lang""".stripMargin) { (s, dir) =>
+      val padded = concat(lit(" "), lower(col("text")), lit(" "))
+      val cells = Tables.documents(s, dir)
+        .select(col("lang"),
+          when(padded.contains(" the "), "en")
+            .when(padded.contains(" le "), "fr")
+            .when(padded.contains(" der "), "de")
+            .when(padded.contains(" el "), "es")
+            .otherwise("unk").as("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = cells.groupBy("lang").agg(sum("n_docs").as("t"))
+      cells.join(tot, "lang")
+        .select(col("lang"), col("predicted_lang"), col("n_docs"),
+          round(col("n_docs").cast("double") / col("t"), 6).as("row_frac"))
+        .orderBy("lang", "predicted_lang")
+    },
+
+    // T134 — LSH candidate-precision census: the q28 banding EVALUATED
+    // — every candidate pair's exact Jaccard, censused by similarity
+    // band. The S-curve says what banding SHOULD admit
+    // (`LshPlannerSpec` pins it analytically); this measures what it
+    // DID admit on the actual corpus — the drift alarm for when the
+    // corpus's similarity profile departs from the banding design
+    // point (precision collapse = verify-join cost explosion at
+    // scale). Scale shape: the verify runs on the LSH-bounded
+    // candidate stream only (never all-pairs); token arrays fetch via
+    // two doc_id equi-joins; the intersect is the zero-allocation
+    // two-pointer kernel; the census is ≤ 4 rows, its total a window
+    // over that bounded frame.
+    QueryDef("q156_lsh_precision",
+      s"""$lshPairsSql, t AS (
+         |  SELECT doc_id,
+         |    list_sort(list_distinct(list_filter(
+         |      string_split_regex(trim(text), '\\s+'), x -> x <> ''))) AS toks
+         |  FROM documents
+         |), jac AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         |      / (len(a.toks) + len(b.toks)
+         |         - len(list_intersect(a.toks, b.toks))) AS j
+         |  FROM pairs p
+         |  JOIN t a ON a.doc_id = p.doc_a
+         |  JOIN t b ON b.doc_id = p.doc_b
+         |), cells AS (
+         |  SELECT CASE WHEN j >= 0.9 THEN 'dup' WHEN j >= 0.5 THEN 'near'
+         |              WHEN j >= 0.2 THEN 'weak' ELSE 'chance' END AS band,
+         |    CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM jac GROUP BY 1
+         |)
+         |SELECT band, n_pairs,
+         |  round(CAST(n_pairs AS DOUBLE) / sum(n_pairs) OVER (), 6)
+         |    AS frac
+         |FROM cells ORDER BY band""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.graft.CatalystBridge
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          sort_array(CatalystBridge.column(graft.plans.ShingleTokens(
+            CatalystBridge.expr(trim(col("text"))), 1))).as("toks"))
+      val pairs = lshPairs(s, dir)
+      val joined = pairs
+        .join(t.select(col("doc_id").as("doc_a"), col("toks").as("ta")),
+          "doc_a")
+        .join(t.select(col("doc_id").as("doc_b"), col("toks").as("tb")),
+          "doc_b")
+      val inter = CatalystBridge.column(graft.plans.SortedIntersectSize(
+        CatalystBridge.expr(col("ta")), CatalystBridge.expr(col("tb"))))
+      val j = col("inter").cast("double") /
+        (size(col("ta")) + size(col("tb")) - col("inter"))
+      val cells = joined.withColumn("inter", inter)
+        .select(when(j >= 0.9, "dup").when(j >= 0.5, "near")
+          .when(j >= 0.2, "weak").otherwise("chance").as("band"))
+        .groupBy("band").agg(count(lit(1)).as("n_pairs"))
+      cells
+        .withColumn("frac", round(col("n_pairs").cast("double")
+          / sum("n_pairs").over(Window.partitionBy()), 6))
+        .orderBy("band")
+    },
+
     // T123 — Poisson-bootstrap confidence interval census (Efron 1979
     // via the Poisson approximation, Chamandy et al. 2012): per-source
     // mean document length WITH an error bar, from ONE corpus pass.
