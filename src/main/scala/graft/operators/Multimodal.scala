@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: media as opaque `binary` payloads with
@@ -65,6 +65,54 @@ object Multimodal {
       n_bytes: Long,
       checksum: Long,
       histogram: Array[Long]) // 16 coarse byte-value bins
+
+  /** File extension → media kind for [[readMediaDir]]. Unknown
+    * extensions map to "other" (kept, not dropped — the audit decides
+    * downstream). */
+  private val KindByExt: Map[String, String] = Map(
+    "png" -> "image", "jpg" -> "image", "jpeg" -> "image",
+    "gif" -> "image", "bmp" -> "image",
+    "wav" -> "audio", "aiff" -> "audio", "aif" -> "audio", "au" -> "audio",
+    "mp4" -> "video", "mov" -> "video", "m4v" -> "video")
+
+  /** Ingest a media LAKE directory through Spark's built-in
+    * `binaryFile` source: (path, modificationTime, length, content) →
+    * [[MediaRecord]] rows, kind/format inferred from the extension,
+    * media_id the stable 60-bit hash of the path (layout- and
+    * listing-order-independent; re-ingesting the same lake yields the
+    * same ids). Declared dimensions stay 0 — real dimensions come from
+    * the decode operators (the header, not the filename, is the
+    * authority).
+    *
+    * Scale notes: `binaryFile` is a real FileFormat — directory
+    * listing distributes, each file body is read exactly once by the
+    * task that gets it (no driver collect), and the `length` metadata
+    * column supports pushdown (`maxBytes` becomes a scan-level filter
+    * that skips oversized payloads WITHOUT reading their bytes — at
+    * 100 TB of media the skip is the difference between a metadata
+    * listing and a full read). Feature extraction composes directly:
+    * the decode operators are mapPartitions over these rows, so bytes
+    * are processed where the scan put them. */
+  def readMediaDir(spark: SparkSession, dir: String,
+      maxBytes: Long = 256L << 20,
+      glob: String = "*"): Dataset[MediaRecord] = {
+    import spark.implicits._
+    val ext = lower(element_at(split(col("path"), "\\."), -1))
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .filter(col("length") <= maxBytes) // pushed into the file index
+      .select(
+        graft.functions.stableHash(col("path")).as("media_id"),
+        KindByExt.foldRight(lit("other"): Column) {
+          case ((e, k), rest) => when(ext === e, k).otherwise(rest)
+        }.as("kind"),
+        col("content").as("payload"),
+        ext.as("format"),
+        lit(0).as("declared_width"),
+        lit(0).as("declared_height"))
+      .as[MediaRecord]
+  }
 
   /** STUB codec — deterministic fake of the decode step. A real
     * implementation would parse `format` and emit pixel/sample

@@ -849,4 +849,39 @@ class MultimodalSpec extends SparkSpec {
       Array.fill[Byte](64)(7), Seq(440.0)) shouldBe None
     Multimodal.AudioIoCodec.bandEnergies(wav, Seq(7999.0)) shouldBe None
   }
+
+  test("readMediaDir: binaryFile lake ingest — kinds by extension, stable ids, " +
+      "size filter, decode composition") {
+    val dir = java.nio.file.Files.createTempDirectory("medialake")
+    def put(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(dir.resolve(name), bytes)
+    put("a.png", imageBytes(4, 2, "png"))
+    val wav = pcm16Wav(Array.tabulate(100)(i => (i * 100).toShort))
+    put("b.wav", wav)
+    put("notes.txt", "not media".getBytes("UTF-8"))
+    put("huge.png", Array.fill[Byte](4096)(1)) // over the maxBytes cap below
+
+    val got = Multimodal.readMediaDir(spark, dir.toString, maxBytes = 2048)
+    val rows = got.collect().map(r => r.format -> r).toMap
+    rows.keySet shouldBe Set("png", "wav", "txt") // huge.png filtered by size
+    rows("png").kind shouldBe "image"
+    rows("wav").kind shouldBe "audio"
+    rows("txt").kind shouldBe "other"
+    rows("png").payload shouldBe imageBytes(4, 2, "png")
+    // Stable ids: re-ingesting the same lake yields identical ids.
+    val again = Multimodal.readMediaDir(spark, dir.toString, maxBytes = 2048)
+      .collect().map(r => r.format -> r.media_id).toMap
+    rows.map { case (f, r) => f -> r.media_id } shouldBe again
+    // Decode operators compose directly on the ingested rows.
+    import spark.implicits._
+    implicit val s = spark
+    val meta = Multimodal.decodeMeta(got.filter($"kind" === "image"))
+      .collect()
+    meta.length shouldBe 1
+    meta(0).width shouldBe 4
+    meta(0).height shouldBe 2
+    // The scan really is the binaryFile FileFormat.
+    got.queryExecution.executedPlan.toString.toLowerCase should
+      include("binaryfile")
+  }
 }
