@@ -3847,25 +3847,47 @@ object TextQueries {
          |  round(CAST(n_pairs AS DOUBLE) / sum(n_pairs) OVER (), 6)
          |    AS frac
          |FROM cells ORDER BY band""".stripMargin) { (s, dir) =>
+      // Distinct-content collapse (the q125/q30 principle — the naive
+      // per-pair verify measured 39-68 s at sf10x on the dup-heavy
+      // replica corpus): identical texts share identical signatures,
+      // so every in-group pair is a candidate at J = 1.0 ('dup' —
+      // C(n,2) arithmetic) and every cross-group pair inherits its
+      // representatives' band verdict and Jaccard (weight n_a·n_b).
+      // Banding + verify run over DISTINCT texts only; the <3-token
+      // gate mirrors the oracle (no 3-shingles ⇒ no signature ⇒ no
+      // candidates).
       import org.apache.spark.sql.graft.CatalystBridge
-      val t = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          sort_array(CatalystBridge.column(graft.plans.ShingleTokens(
-            CatalystBridge.expr(trim(col("text"))), 1))).as("toks"))
-      val pairs = lshPairs(s, dir)
-      val joined = pairs
-        .join(t.select(col("doc_id").as("doc_a"), col("toks").as("ta")),
-          "doc_a")
-        .join(t.select(col("doc_id").as("doc_b"), col("toks").as("tb")),
-          "doc_b")
+      val groups = graft.CacheRegistry.persistTracked(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), trim(col("text")).as("txt"))
+          .groupBy("txt")
+          .agg(count(lit(1)).as("n"), min("doc_id").as("doc_id")),
+        graft.CacheRegistry.DataSized) // ≤ one row per distinct text
+      val repPairs = lshPairsFrom(
+        groups.select(col("doc_id"), col("txt").as("text")))
+      val t = groups.select(col("doc_id"),
+        sort_array(CatalystBridge.column(graft.plans.ShingleTokens(
+          CatalystBridge.expr(col("txt")), 1))).as("toks"),
+        col("n"))
+      val joined = repPairs
+        .join(t.select(col("doc_id").as("doc_a"), col("toks").as("ta"),
+          col("n").as("na")), "doc_a")
+        .join(t.select(col("doc_id").as("doc_b"), col("toks").as("tb"),
+          col("n").as("nb")), "doc_b")
       val inter = CatalystBridge.column(graft.plans.SortedIntersectSize(
         CatalystBridge.expr(col("ta")), CatalystBridge.expr(col("tb"))))
       val j = col("inter").cast("double") /
         (size(col("ta")) + size(col("tb")) - col("inter"))
-      val cells = joined.withColumn("inter", inter)
+      val cross = joined.withColumn("inter", inter)
         .select(when(j >= 0.9, "dup").when(j >= 0.5, "near")
-          .when(j >= 0.2, "weak").otherwise("chance").as("band"))
-        .groupBy("band").agg(count(lit(1)).as("n_pairs"))
+          .when(j >= 0.2, "weak").otherwise("chance").as("band"),
+          (col("na") * col("nb")).as("cnt"))
+      val within = groups
+        .filter(col("n") >= 2 && size(gf.tokens(col("txt"))) >= 3)
+        .select(lit("dup").as("band"),
+          expr("(n * (n - 1)) div 2").as("cnt"))
+      val cells = cross.union(within)
+        .groupBy("band").agg(sum("cnt").as("n_pairs"))
       cells
         .withColumn("frac", round(col("n_pairs").cast("double")
           / sum("n_pairs").over(Window.partitionBy()), 6))
