@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{Multimodal, Similarity}
@@ -536,6 +537,86 @@ object AnnQueries {
         .orderBy("cluster")
     },
 
+    // T135 — nDCG@5 census (Järvelin & Kekäläinen 2002): the rank-
+    // sensitive companion to q149's recall/MRR — binary relevance
+    // (approx hit ∈ exact top-5), discounted by position. Rank weights
+    // 1/ln(r+1) are EXACT LITERALS generated from one Scala constant
+    // table and embedded in both engines' plans — no libm log at query
+    // time, so cross-engine parity is by construction; the ideal DCG
+    // is the same table's prefix sum. Same (queries × k)-bounded join
+    // as q149.
+    QueryDef("q157_ndcg",
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
+         |), exact_scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id,
+         |    round(${cos("q.e", "c.e", "q.nrm", "c.nrm")}, 6) AS cos
+         |  FROM n q JOIN n c ON q.vec_id < 8 AND c.vec_id <> q.vec_id
+         |), truth AS (
+         |  SELECT qid, vec_id AS tid FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, vec_id) AS trank
+         |    FROM exact_scored
+         |  ) WHERE trank <= 5
+         |), ${centroidCtes(nCent = 16, trainN = 128, iters = 2)}, assigned AS (
+         |  SELECT vec_id, e, nrm, cent_id AS bucket FROM (
+         |    SELECT c.vec_id, c.e, c.nrm, t.cent_id,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ${cos("c.e", "t.ce", "c.nrm", "t.cn")} DESC, t.cent_id) AS arank
+         |    FROM n c CROSS JOIN cent t
+         |  ) WHERE arank = 1
+         |), probes AS (
+         |  SELECT qid, qe, qn, cent_id AS bucket FROM (
+         |    SELECT q.vec_id AS qid, q.e AS qe, q.nrm AS qn, t.cent_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cos("q.e", "t.ce", "q.nrm", "t.cn")} DESC, t.cent_id) AS prank
+         |    FROM n q CROSS JOIN cent t WHERE q.vec_id < 8
+         |  ) WHERE prank <= 2
+         |), approx AS (
+         |  SELECT qid, vec_id, arank FROM (
+         |    SELECT p.qid, a.vec_id,
+         |      row_number() OVER (PARTITION BY p.qid ORDER BY
+         |        ${cos("p.qe", "a.e", "p.qn", "a.nrm")} DESC, a.vec_id) AS arank
+         |    FROM assigned a JOIN probes p ON a.bucket = p.bucket
+         |    WHERE a.vec_id <> p.qid
+         |  ) WHERE arank <= 5
+         |)
+         |SELECT a.qid,
+         |  round(($dcgDotSql) / $IdealDcg5, 6) AS ndcg_at_5
+         |FROM approx a LEFT JOIN truth t
+         |  ON a.qid = t.qid AND a.vec_id = t.tid
+         |GROUP BY a.qid ORDER BY a.qid""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 8)
+      val truth = Similarity.bruteForceTopK(emb, queries, k = 5)
+        .select(col("qid"), col("vec_id").as("tid"))
+      val idx = Similarity.indexFor(emb, Similarity.indexName("ivf", dir))
+      val approx = Similarity.ivfTopK(idx, queries, k = 5)
+        .select(col("qid"), col("vec_id"), col("rank").as("arank"))
+      // Hits per rank as ORDER-FREE integer maxes, then ONE fixed-order
+      // weighted expression — a runtime double SUM over hit weights
+      // would be summation-order-dependent.
+      val hitAggs = DcgWeights.indices.map { i =>
+        max(when(col("arank") === (i + 1) && col("tid").isNotNull, 1L)
+          .otherwise(0L)).as(s"_h${i + 1}")
+      }
+      val dcg = DcgWeights.zipWithIndex.map { case (wt, i) =>
+        (col(s"_h${i + 1}") * wt): Column
+      }.reduceLeft(_ + _)
+      approx.join(truth,
+          approx("qid") === truth("qid") && col("vec_id") === col("tid"),
+          "left")
+        .select(approx("qid"), col("tid"), col("arank"))
+        .groupBy("qid")
+        .agg(hitAggs.head, hitAggs.tail: _*)
+        .select(col("qid"),
+          round(dcg / IdealDcg5, 6).as("ndcg_at_5"))
+        .orderBy("qid")
+    },
+
     // T126 — retrieval-quality evaluation census: recall@5 and MRR of
     // the IVF index against the exact scan, per query — the INDEX
     // QUALITY GATE. q41 is the ground truth, q42 the candidate; every
@@ -685,6 +766,28 @@ object AnnQueries {
         .orderBy("cluster")
     }
   )
+
+  /** q157's DCG rank weights 1/ln(r+1), r = 1..5 — ONE constant table
+    * (full-precision Double.toString literals) embedded in both
+    * engines' plans, so no libm log runs at query time and parity is
+    * by construction. `lazy`: referenced from `defs` above. */
+  private lazy val DcgWeights: Seq[Double] =
+    (1 to 5).map(r => 1.0 / math.log(r + 1.0))
+
+  /** Σ of the weight-table prefix — the ideal DCG for 5 relevant
+    * results (sequential fold, printed losslessly into the SQL). */
+  private lazy val IdealDcg5: Double = DcgWeights.foldLeft(0.0)(_ + _)
+
+  /** The fixed-order weighted hit expression: per-rank hits as
+    * order-free integer MAXes, multiplied by the weight literals and
+    * added left-to-right — matching the engine's projection exactly
+    * (a runtime double SUM over hit weights would be summation-order-
+    * dependent). */
+  private lazy val dcgDotSql: String =
+    DcgWeights.zipWithIndex.map { case (w, i) =>
+      s"max(CASE WHEN a.arank = ${i + 1} AND t.tid IS NOT NULL " +
+        s"THEN 1 ELSE 0 END) * $w"
+    }.mkString(" + ")
 
   /** q148's squared-L2 in DuckDB — the exact expression shape
     * [[graft.operators.Embeddings.kmeansAssign]] computes:

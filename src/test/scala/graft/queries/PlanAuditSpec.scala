@@ -144,7 +144,10 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
     // q154: the q142 KN chain's broadcast 1-row distinct-bigram total
     // (B) crossed onto the scoring stream — the same shape, shared
     // code (knScored).
-    "q154_ppl_buckets")
+    "q154_ppl_buckets",
+    // q157: inherits q149's composed shapes verbatim (q41 broadcast
+    // query side + q42 broadcast centroid frames).
+    "q157_ndcg")
 
   test("suite-wide: nested-loop joins only as broadcast builds of bounded frames") {
     val offenders = SparkEntry.allDefs.flatMap { d =>
