@@ -3750,8 +3750,14 @@ object TextQueries {
         perdoc.join(Tables.documents(s, dir).select("doc_id", "lang"),
           "doc_id"),
         graft.CacheRegistry.DataSized) // one skinny row per scored doc
+      // Path decision from the SCAN size, not the join (the q113
+      // stance: Catalyst join estimates inflate multiplicatively and
+      // would misroute the per-doc frame to the histogram path at toy
+      // scale — the frame is ≤ one skinny row per document).
       val cuts = graft.operators.RobustStats.quantilesByKey(
-        pd, "lang", "nll", Seq(1.0 / 3 -> "t1", 2.0 / 3 -> "t2"))
+        pd, "lang", "nll", Seq(1.0 / 3 -> "t1", 2.0 / 3 -> "t2"),
+        histogram = graft.operators.RobustStats.decideHistogram(
+          Tables.documents(s, dir).select("doc_id", "lang")))
       pd.join(broadcast(cuts), "lang")
         .select(col("lang"),
           when(col("nll") <= col("t1"), "head")
