@@ -193,6 +193,8 @@ object Embeddings {
         .orderBy("_h", "_id").limit(k)
         .select("e").collect()
         .map(_.getSeq[Double](0).toArray)
+      require(seeds.nonEmpty,
+        "kmeansFit: empty corpus — nothing to seed from")
       var cents: Array[(Int, Array[Double])] =
         seeds.zipWithIndex.map { case (c, i) => (i, c) }
       for (_ <- 1 to iters) {
@@ -269,6 +271,8 @@ object Embeddings {
       .orderBy("_h", "_id").limit(k)
       .select("e").collect()
       .map(_.getSeq[Double](0).toArray)
+    require(seeds.nonEmpty,
+      "kmeansInit: empty first batch — nothing to seed from")
     val st = KMeansState(seeds.zipWithIndex.map { case (c, i) =>
       (i, 1L, c.map(x => math.floor(x * KMeansScale).toLong))
     })

@@ -129,6 +129,16 @@ class StreamingKMeansSpec extends SparkSpec {
     states.size shouldBe 2
   }
 
+  test("empty inputs reject loudly instead of failing deep in analysis") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Embeddings.kmeansInit(empty, k = 2)
+    }.getMessage should include("empty first batch")
+    intercept[IllegalArgumentException] {
+      Embeddings.kmeansFit(empty, k = 2, iters = 1)
+    }.getMessage should include("empty corpus")
+  }
+
   test("model centroids are the lifetime means; counts cover seeds + members") {
     val b = mkBatch(0 until 30, _ % 3)
     val st = Embeddings.kmeansInit(b, k = 3)
