@@ -134,6 +134,37 @@ object LayoutAudit {
     rows.map(s => (s.max_long.get - s.min_long.get) / span).sum / rows.length
   }
 
+  /** Schema drift between two table releases — the axis the rest of
+    * the release-diff family doesn't cover (q136 diffs ROWS, q144
+    * embedding GEOMETRY, `audit` physical LAYOUT; a silently widened
+    * int or a dropped column breaks every downstream consumer first).
+    * One row per column name present in either release:
+    * (column, status ∈ added|removed|type_changed|unchanged,
+    * type_a, type_b). Reads ONLY footer metadata via Spark's schema
+    * resolution — no data pages at any table size; output bounded by
+    * the wider schema's width. Nested types compare by full DDL
+    * (catalogString), so a struct field change surfaces as
+    * type_changed on its top-level column. */
+  def schemaDiff(spark: SparkSession, dirA: String,
+      dirB: String): DataFrame = {
+    import spark.implicits._
+    def types(dir: String): Map[String, String] =
+      spark.read.parquet(dir).schema.fields
+        .map(f => f.name -> f.dataType.catalogString).toMap
+    val a = types(dirA)
+    val b = types(dirB)
+    (a.keySet ++ b.keySet).toSeq.sorted.map { c =>
+      val (ta, tb) = (a.get(c), b.get(c))
+      val status = (ta, tb) match {
+        case (None, Some(_))                  => "added"
+        case (Some(_), None)                  => "removed"
+        case (Some(x), Some(y)) if x != y     => "type_changed"
+        case _                                => "unchanged"
+      }
+      (c, status, ta.getOrElse(""), tb.getOrElse(""))
+    }.toDF("column", "status", "type_a", "type_b")
+  }
+
   private def listParquetFiles(spark: SparkSession, dir: String): Seq[String] = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)

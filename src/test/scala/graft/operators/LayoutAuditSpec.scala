@@ -96,4 +96,36 @@ class LayoutAuditSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       LayoutAudit.audit(spark, dir, Seq("x"))
   }
+
+  test("schemaDiff: added / removed / type_changed / unchanged per column, footer-only") {
+    val a = tmp("schema-a")
+    val b = tmp("schema-b")
+    Seq((1L, 1, "x", 0.5)).toDF("id", "version", "name", "score")
+      .write.mode("overwrite").parquet(a)
+    // Release B: drops `name`, widens `version` int→long, adds `lang`.
+    Seq((1L, 1L, 0.5, "en")).toDF("id", "version", "score", "lang")
+      .write.mode("overwrite").parquet(b)
+    val got = LayoutAudit.schemaDiff(spark, a, b)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    got("id") shouldBe (("unchanged", "bigint", "bigint"))
+    got("version") shouldBe (("type_changed", "int", "bigint"))
+    got("name") shouldBe (("removed", "string", ""))
+    got("lang") shouldBe (("added", "", "string"))
+    got("score") shouldBe (("unchanged", "double", "double"))
+    // Output is column-name sorted and bounded by the wider schema.
+    LayoutAudit.schemaDiff(spark, a, b).select("column")
+      .as[String].collect() shouldBe
+      Array("id", "lang", "name", "score", "version")
+  }
+
+  test("schemaDiff surfaces nested struct-field changes on the top-level column") {
+    val a = tmp("schema-na")
+    val b = tmp("schema-nb")
+    Seq((1L, (1, "u"))).toDF("id", "meta").write.mode("overwrite").parquet(a)
+    Seq((1L, (1L, "u"))).toDF("id", "meta").write.mode("overwrite").parquet(b)
+    val got = LayoutAudit.schemaDiff(spark, a, b)
+      .filter($"column" === "meta").collect()(0)
+    got.getString(1) shouldBe "type_changed"
+  }
 }
