@@ -234,6 +234,12 @@ object Embeddings {
     modelCache.computeIfAbsent(key,
       _ => kmeansFit(df, k, iters, idCol, embCol))
 
+  /** Drop all memoized models — the layout-fuzz harness
+    * ([[graft.VerifyFuzz]]) calls this between runs so every pass
+    * re-derives the fit instead of replaying a cached one (a cache hit
+    * would hide fit-path non-determinism from the fuzz). */
+  def clearModelCache(): Unit = modelCache.clear()
+
   /** One assignment pass under a trained model: (idCol, cluster, d2)
     * with d2 the squared L2 to the assigned centroid — the SAME
     * expression shape the oracle computes (|x|² − 2·x·c + |c|², each

