@@ -267,7 +267,12 @@ object Embeddings {
 
   /** Seed a streaming state from the first batch: the k smallest
     * md5(id) rows become singleton clusters (the [[kmeansFit]] draw),
-    * then the batch folds in via [[kmeansUpdate]]. */
+    * then the WHOLE batch — seed rows included — folds in via
+    * [[kmeansUpdate]]. Each seed row therefore carries lifetime
+    * weight 2 (its singleton init plus its fold vote): deliberate —
+    * the seed acts as the cluster's prior, keeping a cluster anchored
+    * even when the first fold assigns it nothing else — and exactly
+    * reproduced by `StreamingKMeansSpec`'s sequential reference. */
   def kmeansInit(firstBatch: DataFrame, k: Int,
       idCol: String = "vec_id", embCol: String = "embedding"): KMeansState = {
     require(k >= 1, s"need k >= 1: $k")

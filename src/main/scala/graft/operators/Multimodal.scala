@@ -97,7 +97,12 @@ object Multimodal {
       maxBytes: Long = 256L << 20,
       glob: String = "*"): Dataset[MediaRecord] = {
     import spark.implicits._
-    val ext = lower(element_at(split(col("path"), "\\."), -1))
+    // A dotless path has NO extension: split leaves one element (the
+    // whole path), which must become the explicit unknown marker ''
+    // rather than leaking the full lowercased path into `format`.
+    val parts = split(col("path"), "\\.")
+    val ext = when(size(parts) === 1, lit(""))
+      .otherwise(lower(element_at(parts, -1)))
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
       .load(dir)

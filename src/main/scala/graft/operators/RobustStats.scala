@@ -243,9 +243,9 @@ object RobustStats {
     * LONG comparison — no float-literal matching between engines, no
     * rounding ambiguity at the cut. 20 bits resolve each weight
     * probability to within 2^-20 (the k=7 tail mass ~1.03e-5 is ~11
-    * cells — representable), and 20-bit draws let SIX replicates share
-    * ONE md5 (below) — the md5 count per row is what dominates the
-    * one-pass cost. */
+    * cells — representable), and 20-bit draws let THREE replicates
+    * share ONE 60-bit StableHash60 digest (below) — the digest count
+    * per row is what dominates the one-pass cost. */
   private[graft] val PoissonCdfThresholds: Array[Long] = {
     var p = math.exp(-1.0) // P(X = 0)
     var c = 0.0
@@ -273,12 +273,13 @@ object RobustStats {
     * data-sized reshuffles).
     *
     * Determinism contract: replicate weights are a pure function of
-    * (idCol, replicate) — replicate r takes the 20-bit chunk r % 6 of
-    * digest md5(id ":" r/6) against integer CDF thresholds — so
-    * results are bit-identical across engines, layouts, and reruns
-    * (the md5 stance of the minhash family; no RNG, no JVM hashCode),
-    * and six replicates share one digest (the md5 count per row IS
-    * the one-pass cost). `valCol` must be integral: replicate sums
+    * (idCol, replicate) — replicate r takes the 20-bit window r % 3
+    * (top first) of digest stable_hash60(id ":" r/3) against integer
+    * CDF thresholds — so results are bit-identical across engines,
+    * layouts, and reruns (the md5 stance of the minhash family; no
+    * RNG, no JVM hashCode), and three replicates share one 60-bit
+    * digest (the digest count per row IS the one-pass cost).
+    * `valCol` must be integral: replicate sums
     * then stay EXACT LONGS and each replicate mean is one exact
     * double division; the replicate-mean spread folds in fixed array
     * order (r = 0..R-1), matching the oracle's `list_sum` fold.

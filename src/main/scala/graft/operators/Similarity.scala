@@ -99,11 +99,17 @@ object Similarity {
         .agg(max(struct(col("csim"), (-col("cent_id")).as("negc"),
           col("e").as("e"))).as("b"))
         .select((-col("b.negc")).as("cent_id"), col("b.e").as("e"))
-      // Element-wise mean via posexplode + per-position avg, restitched
-      // in position order. Rounded so float summation order is moot.
+      // Element-wise mean via posexplode + per-position EXACT-LONG
+      // mean of xq = floor(x·2^15), rounded once to 6 dp (the
+      // q130/T125 idiom): raw-double avg merges partials in task
+      // order and round(6) masks that drift only probabilistically —
+      // this form is bit-identical at any layout and exactly
+      // replicable in SQL (AnnQueries.centroidCtes).
       val ce = assigned
         .select(col("cent_id"), posexplode(col("e")).as(Seq("pos", "x")))
-        .groupBy("cent_id", "pos").agg(round(avg(col("x")), 6).as("x"))
+        .groupBy("cent_id", "pos")
+        .agg(round(sum(floor(col("x") * lit(32768.0)).cast("long"))
+          .cast("double") / count(lit(1)) / 32768.0, 6).as("x"))
         .groupBy("cent_id")
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("x")))),

@@ -22,7 +22,9 @@ object AnnQueries {
     * fragment (expects a CTE `n(vec_id, e, nrm)` in scope; emits the
     * final centroids as `cent(cent_id, ce, cn)`): md5-ordered seed and
     * sample draw, then `iters` unrolled Lloyd steps — argmax-cosine
-    * assignment, element-wise per-position mean rounded to 6 decimals,
+    * assignment, element-wise per-position EXACT-LONG mean of
+    * floor(x·2^15) rounded once to 6 decimals (the q130/T125
+    * determinism idiom, mirrored in `Similarity.trainCentroids`),
     * restitched in position order. */
   private[queries] def centroidCtes(
       nCent: Int, trainN: Int, iters: Int): String = {
@@ -45,7 +47,9 @@ object AnnQueries {
          |    FROM samp s CROSS JOIN c${t - 1} t
          |  ) WHERE arank = 1
          |), m$t AS (
-         |  SELECT cent_id, i, round(avg(x), 6) AS x FROM (
+         |  SELECT cent_id, i,
+         |    round(CAST(sum(CAST(floor(x * 32768.0) AS BIGINT)) AS DOUBLE)
+         |      / count(*) / 32768.0, 6) AS x FROM (
          |    SELECT cent_id, unnest(range(1, len(e) + 1)) AS i,
          |      unnest(e) AS x FROM a$t
          |  ) GROUP BY cent_id, i
@@ -182,12 +186,20 @@ object AnnQueries {
     // Scale shape: the centroid pass is one (label, pos) aggregate
     // (#labels × dim rows — always tiny), centroids broadcast into a
     // per-row codegen'd dot product, one final per-label aggregate.
+    // Determinism (the q130/T125 idiom): centroid components are
+    // exact-long means of xq = floor(x·2^15) rounded once to 6 dp (so
+    // every downstream cosine starts from identical doubles in both
+    // engines), and the per-label cosine average accumulates exact
+    // micro-units (round(cos·1e6) longs) — no raw-double sum ever
+    // crosses a partition merge. min is order-free on the same micros.
     QueryDef("q83_label_centroid_cos",
       """WITH v AS (
         |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
         |  FROM embeddings
         |), cm AS (
-        |  SELECT label, i, round(avg(e[i]), 6) AS x
+        |  SELECT label, i,
+        |    round(CAST(sum(CAST(floor(e[i] * 32768.0) AS BIGINT)) AS DOUBLE)
+        |      / count(*) / 32768.0, 6) AS x
         |  FROM v, unnest(generate_series(1, len(e))) AS g(i)
         |  GROUP BY label, i
         |), cent0 AS (
@@ -198,20 +210,24 @@ object AnnQueries {
         |  FROM cent0
         |), scored AS (
         |  SELECT v.vec_id, v.label,
-        |    round(list_sum(list_transform(generate_series(1, len(v.e)),
+        |    CAST(round(list_sum(list_transform(generate_series(1, len(v.e)),
         |        i -> v.e[i] * c.ce[i]))
-        |      / (sqrt(list_sum(list_transform(v.e, x -> x * x))) * c.cn), 6) AS cos
+        |      / (sqrt(list_sum(list_transform(v.e, x -> x * x))) * c.cn)
+        |      * 1000000.0, 0) AS BIGINT) AS micro
         |  FROM v JOIN cent c ON v.label = c.label
         |)
         |SELECT label, count(*) AS n_vecs,
-        |  round(avg(cos), 6) AS avg_cos, round(min(cos), 6) AS min_cos
+        |  round(CAST(sum(micro) AS DOUBLE) / count(*) / 1000000.0, 6) AS avg_cos,
+        |  CAST(min(micro) AS DOUBLE) / 1000000.0 AS min_cos
         |FROM scored GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
       val v = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("label"),
           transform(col("embedding"), x => x.cast("double")).as("e"))
       val cent = v
         .select(col("label"), posexplode(col("e")).as(Seq("i", "x")))
-        .groupBy("label", "i").agg(round(avg("x"), 6).as("x"))
+        .groupBy("label", "i")
+        .agg(round(sum(floor(col("x") * lit(32768.0)).cast("long"))
+          .cast("double") / count(lit(1)) / 32768.0, 6).as("x"))
         .groupBy("label")
         .agg(collect_list(struct(col("i"), col("x"))).as("pairs"))
         .select(col("label"),
@@ -220,11 +236,13 @@ object AnnQueries {
       v.join(broadcast(cent), "label")
         .select(col("label"), round(
           Similarity.dot(col("e"), col("ce"))
-            / (Similarity.norm(col("e")) * col("cn")), 6).as("cos"))
+            / (Similarity.norm(col("e")) * col("cn"))
+            * 1000000.0, 0).cast("long").as("micro"))
         .groupBy("label")
         .agg(count(lit(1)).as("n_vecs"),
-          round(avg("cos"), 6).as("avg_cos"),
-          round(min("cos"), 6).as("min_cos"))
+          round(sum("micro").cast("double") / count(lit(1)) / 1000000.0, 6)
+            .as("avg_cos"),
+          (min("micro").cast("double") / 1000000.0).as("min_cos"))
         .orderBy("label")
     },
 
@@ -234,28 +252,47 @@ object AnnQueries {
     // mis-scaled encoders before ANN indexes are built over the
     // vectors. One posexplode + ONE pos-keyed aggregate with partial
     // aggregation upstream; output is dim-bounded (64 rows) no matter
-    // the corpus size.
+    // the corpus size. Determinism (the q130/T125 idiom): mean/std
+    // come from exact long moments of xq = floor(x·2^15) — raw-double
+    // avg/stddev merge partials in task order and round(6) masks the
+    // drift only probabilistically; min/max stay on raw doubles
+    // (comparison-based, order-free exact).
     QueryDef("q93_embedding_dims",
       """WITH v AS (
         |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
         |  FROM embeddings
         |), x AS (
-        |  SELECT i - 1 AS pos, e[i] AS x
+        |  SELECT i - 1 AS pos, e[i] AS x,
+        |    CAST(floor(e[i] * 32768.0) AS BIGINT) AS xq
         |  FROM v, unnest(generate_series(1, len(e))) AS g(i)
+        |), m AS (
+        |  SELECT pos, count(*) AS n, sum(xq) AS sx, sum(xq * xq) AS sxx,
+        |    round(min(x), 6) AS vmin, round(max(x), 6) AS vmax
+        |  FROM x GROUP BY pos
         |)
-        |SELECT pos, count(*) AS n,
-        |  round(avg(x), 6) AS mean, round(stddev_samp(x), 6) AS std,
-        |  round(min(x), 6) AS vmin, round(max(x), 6) AS vmax
-        |FROM x GROUP BY pos ORDER BY pos""".stripMargin) { (s, dir) =>
+        |SELECT pos, n,
+        |  round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 32768.0, 6) AS mean,
+        |  round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+        |      * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / CAST(n - 1 AS DOUBLE)) / 32768.0, 6) AS std,
+        |  vmin, vmax
+        |FROM m ORDER BY pos""".stripMargin) { (s, dir) =>
       Tables.embeddings(s, dir)
         .select(transform(col("embedding"), x => x.cast("double")).as("e"))
         .select(posexplode(col("e")).as(Seq("pos", "x")))
+        .withColumn("xq", floor(col("x") * lit(32768.0)).cast("long"))
         .groupBy("pos")
         .agg(count(lit(1)).as("n"),
-          round(avg("x"), 6).as("mean"),
-          round(stddev_samp(col("x")), 6).as("std"),
+          sum("xq").as("sx"),
+          sum(col("xq") * col("xq")).as("sxx"),
           round(min("x"), 6).as("vmin"),
           round(max("x"), 6).as("vmax"))
+        .select(col("pos"), col("n"),
+          round(col("sx").cast("double") / col("n") / 32768.0, 6).as("mean"),
+          round(sqrt((col("sxx").cast("double") - col("sx").cast("double")
+              * col("sx").cast("double") / col("n"))
+            / (col("n") - 1)) / 32768.0, 6).as("std"),
+          col("vmin"), col("vmax"))
         .orderBy("pos")
     },
 
@@ -312,12 +349,18 @@ object AnnQueries {
     // the same (label, pos) aggregate as q83, rounded to 6dp in both
     // engines; the pair join is over #labels rows — bounded, broadcast,
     // upper-triangle only.
+    // Centroids use the same exact-long quantized means as q83 (the
+    // q130/T125 determinism idiom); the pairwise cosine itself is a
+    // bounded sequential fold over the 6-dp centroid components —
+    // identical doubles in both engines, nothing merge-order-shaped.
     QueryDef("q97_label_separation",
       """WITH v AS (
         |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
         |  FROM embeddings
         |), cm AS (
-        |  SELECT label, i, round(avg(e[i]), 6) AS x
+        |  SELECT label, i,
+        |    round(CAST(sum(CAST(floor(e[i] * 32768.0) AS BIGINT)) AS DOUBLE)
+        |      / count(*) / 32768.0, 6) AS x
         |  FROM v, unnest(generate_series(1, len(e))) AS g(i)
         |  GROUP BY label, i
         |), cent AS (
@@ -334,7 +377,9 @@ object AnnQueries {
           transform(col("embedding"), x => x.cast("double")).as("e"))
       val cent = v
         .select(col("label"), posexplode(col("e")).as(Seq("i", "x")))
-        .groupBy("label", "i").agg(round(avg("x"), 6).as("x"))
+        .groupBy("label", "i")
+        .agg(round(sum(floor(col("x") * lit(32768.0)).cast("long"))
+          .cast("double") / count(lit(1)) / 32768.0, 6).as("x"))
         .groupBy("label")
         .agg(collect_list(struct(col("i"), col("x"))).as("pairs"))
         .select(col("label"),

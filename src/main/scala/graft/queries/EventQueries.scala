@@ -1005,10 +1005,15 @@ object EventQueries {
         |    / (den * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
         |    AS r2
         |FROM t ORDER BY event_type""".stripMargin) { (s, dir) =>
-      val cells = Tables.events(s, dir)
-        .groupBy(col("event_type"),
-          date_trunc("day", col("ts")).cast("date").as("day"))
-        .agg(count(lit(1)).as("c"))
+      // Persisted like q145's identical frame: `cells` feeds BOTH the
+      // per-type min-day frame and the xy join — without the persist
+      // the full events scan+aggregate would run twice.
+      val cells = graft.CacheRegistry.persistTracked(
+        Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            date_trunc("day", col("ts")).cast("date").as("day"))
+          .agg(count(lit(1)).as("c")),
+        graft.CacheRegistry.Bounded) // types × days
       val base = cells.groupBy("event_type").agg(min("day").as("d0"))
       val xy = cells.join(base, "event_type")
         .select(col("event_type"),

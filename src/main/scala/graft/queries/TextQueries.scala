@@ -141,39 +141,13 @@ object TextQueries {
 
   /** [[lshPairs]] over an arbitrary (doc_id, text) frame — q125 feeds
     * DISTINCT-TEXT representatives through the same pipeline, so the
-    * banding cost tracks distinct content, not corpus rows. */
-  private def lshPairsFrom(docs: DataFrame): DataFrame = {
-    val sig = shingled(docs)
-      .select(col("doc_id"), (shingleHash(col("tok")) % MinhashP).as("h"))
-      .groupBy("doc_id").agg(minhashAggs(col("h")).head, minhashAggs(col("h")).tail: _*)
-    // One pass over sig: explode an array of (band_idx, band_hash)
-    // structs — a per-band union would recompute the whole
-    // shingle+minhash aggregation once per band.
-    val bandStructs = array((0 until Bands).map { b =>
-      struct(lit(b).as("band_idx"), bandCol(b).as("band_hash"))
-    }: _*)
-    val bands = sig
-      .select(col("doc_id"), explode(bandStructs).as("bd"))
-      .select(col("doc_id"), col("bd.band_idx").as("band_idx"),
-        col("bd.band_hash").as("band_hash"))
-    // Candidate pairs WITHOUT a self-join: group each band bucket,
-    // emit in-bucket id combinations via higher-order array ops. A
-    // self-join would evaluate the whole shingle+minhash pipeline once
-    // per side; this computes signatures exactly once, and bucket
-    // sizes bound the pair blow-up (LSH's contract).
-    val buckets = bands
-      .groupBy("band_idx", "band_hash")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-    val pairs = flatten(transform(col("ids"), (x, i) =>
-      transform(
-        slice(col("ids"), i + lit(2), size(col("ids")) - i - lit(1)),
-        y => struct(x.as("doc_a"), y.as("doc_b")))))
-    buckets
-      .select(explode(pairs).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .distinct()
-  }
+    * banding cost tracks distinct content, not corpus rows. The
+    * pipeline lives in [[graft.operators.MinHashLsh]] (parameterized —
+    * `BenchLsh` measures planner-sized bandings on the same code
+    * path); these queries pin (16, 4, 4) for oracle replication. */
+  private def lshPairsFrom(docs: DataFrame): DataFrame =
+    graft.operators.MinHashLsh.candidatePairs(
+      docs, NumHashes, Bands, RowsPerBand)
 
   /** IVF-bucketed embedding near-dup candidate pairs with exact cosine
     * ≥ [[EmbDupThreshold]] — shared by q47 (pair listing) and q66
@@ -3924,31 +3898,45 @@ object TextQueries {
     },
 
     // T127 — Welch two-sample t census (Welch 1947, the unequal-
-    // variance t-test): per source, is the doc_id-parity split's mean
+    // variance t-test): per source, is the hash-split halves' mean
     // length difference SIGNIFICANT? The parametric twin of q146's
     // bootstrap (and the release A/B gate q136's version diff feeds):
     // t statistic + Welch–Satterthwaite degrees of freedom from ONE
     // corpus-scan aggregate of exact long moments (Σx, Σx², n per
     // half) — every derived double follows the identical expression
     // tree in both engines, so no rounding-before-math anywhere.
+    // The split is the T17 md5-hash draw, NOT raw id parity: id
+    // assignment interleaves by source in this corpus, so doc_id % 2
+    // is CONSTANT within each source (one half always empty — the
+    // round-9 ADVICE find) — an A/B split variable must be
+    // independent of the grouping key by construction, which the
+    // stable hash is for any id layout. Sources where either half
+    // still has < 2 rows are filtered alike on both sides (no sample
+    // variance ⇒ no pinned cross-engine divide-by-zero behavior).
     // Scale shape: one (source)-keyed map-side-combinable aggregate;
     // everything downstream is row-local arithmetic on the bounded
     // frame.
     QueryDef("q150_welch_ttest",
-      """WITH h AS (
+      """WITH d AS (
+        |  SELECT source, n_chars,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 2 AS pb
+        |  FROM documents
+        |), h AS (
         |  SELECT source,
-        |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN n_chars END) AS BIGINT) AS sxa,
-        |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN n_chars * n_chars END) AS BIGINT) AS sxxa,
-        |    CAST(count(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS BIGINT) AS na,
-        |    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS sxb,
-        |    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars * n_chars END) AS BIGINT) AS sxxb,
-        |    CAST(count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT) AS nb
-        |  FROM documents GROUP BY source
+        |    CAST(sum(CASE WHEN pb = 0 THEN n_chars END) AS BIGINT) AS sxa,
+        |    CAST(sum(CASE WHEN pb = 0 THEN n_chars * n_chars END) AS BIGINT) AS sxxa,
+        |    CAST(count(CASE WHEN pb = 0 THEN 1 END) AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN pb = 1 THEN n_chars END) AS BIGINT) AS sxb,
+        |    CAST(sum(CASE WHEN pb = 1 THEN n_chars * n_chars END) AS BIGINT) AS sxxb,
+        |    CAST(count(CASE WHEN pb = 1 THEN 1 END) AS BIGINT) AS nb
+        |  FROM d GROUP BY source
         |), m AS (
         |  SELECT source, na, nb, sxxa, sxxb,
         |    CAST(sxa AS DOUBLE) / na AS ma,
         |    CAST(sxb AS DOUBLE) / nb AS mb
         |  FROM h
+        |  WHERE na >= 2 AND nb >= 2
         |), v AS (
         |  SELECT source, na, nb, ma, mb,
         |    (CAST(sxxa AS DOUBLE) - na * ma * ma) / (na - 1) AS va,
@@ -3965,8 +3953,9 @@ object TextQueries {
         |  round((sea + seb) * (sea + seb)
         |    / (sea * sea / (na - 1) + seb * seb / (nb - 1)), 6) AS dof
         |FROM se ORDER BY source""".stripMargin) { (s, dir) =>
-      val even = col("doc_id") % 2 === 0
+      val even = col("pb") === 0
       val h = Tables.documents(s, dir)
+        .withColumn("pb", gf.stableHash(col("doc_id").cast("string")) % 2)
         .groupBy("source")
         .agg(
           sum(when(even, col("n_chars"))).as("sxa"),
@@ -3975,6 +3964,11 @@ object TextQueries {
           sum(when(!even, col("n_chars"))).as("sxb"),
           sum(when(!even, col("n_chars") * col("n_chars"))).as("sxxb"),
           count(when(!even, lit(1))).as("nb"))
+        // A parity half with < 2 rows has no sample variance: the
+        // (n−1) divisors below would hit zero, and double-div-by-zero
+        // behavior differs across engines — pin ONE behavior by
+        // requiring both halves testable (both sides filter alike).
+        .filter(col("na") >= 2 && col("nb") >= 2)
       val m = h.withColumn("ma", col("sxa").cast("double") / col("na"))
         .withColumn("mb", col("sxb").cast("double") / col("nb"))
       val v = m

@@ -670,6 +670,51 @@ class MultimodalSpec extends SparkSpec {
     Multimodal.IsoBmffCodec.syncFrameSlices(forged, 4) shouldBe Nil
   }
 
+  test("FUZZ: forged size/count fields — every u32 in the container × " +
+    "{1, 2^16, 2^31−1, 2^32−1} declines cleanly, output stays payload-bounded") {
+    // The structural form of the round-9 one-off guards (forged
+    // sample counts, box sizes): corrupt EVERY 4-aligned u32 of a
+    // fully valid container with each boundary count and re-run every
+    // parsing entry point. Contract: no throw, no hang, and nothing
+    // in the output proportional to a claimed count — so the next
+    // codec or table type inherits the guard instead of relearning it.
+    val (mp4, _) = craftMp4WithSamples()
+    val forgedValues = Seq(1, 0x10000, 0x7fffffff, 0xffffffff)
+    val t0 = System.nanoTime()
+    for (off <- 0 until (mp4.length - 3) by 4; v <- forgedValues) {
+      val m = mp4.clone()
+      java.nio.ByteBuffer.wrap(m).putInt(off, v)
+      withClue(s"mp4 u32@$off := $v: ") {
+        noException should be thrownBy {
+          Multimodal.IsoBmffCodec.videoMeta(m)
+          Multimodal.IsoBmffCodec.frameStats(m)
+          val slices = Multimodal.IsoBmffCodec.syncFrameSlices(m, 4)
+          assert(slices.length <= 4)
+          slices.foreach { case (_, sliceBytes) =>
+            assert(sliceBytes.length <= m.length) }
+        }
+      }
+    }
+    // Same sweep over a WAV header (fmt/data chunk sizes, rates,
+    // frame counts all live in the first bytes).
+    val wav = pcm16Wav(Array.tabulate(64)(i => (i * 257).toShort))
+    for (off <- 0 until math.min(wav.length - 3, 64) by 4;
+        v <- forgedValues) {
+      val w = wav.clone()
+      java.nio.ByteBuffer.wrap(w).putInt(off, v)
+      withClue(s"wav u32@$off := $v: ") {
+        noException should be thrownBy {
+          Multimodal.AudioIoCodec.audioMeta(w)
+          Multimodal.AudioIoCodec.sampleStats(w)
+          Multimodal.AudioIoCodec.bandEnergies(w, Seq(1000.0))
+        }
+      }
+    }
+    // Interactivity budget: a count-proportional allocation or
+    // quadratic re-walk in ANY mutant blows this bound loudly.
+    (System.nanoTime() - t0) / 1e9 should be < 120.0
+  }
+
   // ---- REAL image resize ---------------------------------------------
 
   test("resizeImages: bilinear downscale + PNG re-encode, pass-through below maxDim") {

@@ -282,4 +282,41 @@ class ZOrderSpec extends SparkSpec {
     bx should be < 4096.0 * 0.2
     by should be > 4096.0 * 0.9
   }
+
+  test("FUZZ: adversarial bounds arrays — unsorted, duplicated, extreme, " +
+    "NaN/Inf, oversized — never throw and the curve key stays in range") {
+    // The structural form of the round-9 wide-bounds guard: whatever
+    // garbage a caller feeds as per-dimension bounds (a future
+    // dimension type's bug, a stale persisted bounds file), zvalue
+    // must stay total — no throw, no null for non-null input, every
+    // key inside [0, 2^(ndims·bits)). Degraded LOCALITY is acceptable
+    // (InterleaveBits' documented stance); a wrapped or out-of-range
+    // key would silently break the global-order clustering contract.
+    val longSets: Seq[Array[Long]] = Seq(
+      Array(0L), Array(Long.MinValue), Array(Long.MaxValue),
+      Array(Long.MinValue, Long.MaxValue),
+      Array(5L, -5L, 5L), // unsorted + duplicate
+      Array.tabulate(1 << 12)(i => i * 2654435761L), // oversized, unsorted
+      Array.fill(64)(7L)) // all-equal
+    val dblSets: Seq[Array[Double]] = Seq(
+      Array(0.0), Array(Double.NaN), Array(Double.PositiveInfinity),
+      Array(Double.NegativeInfinity, Double.NaN, 0.5),
+      Array(1.0, -1.0, 1.0), // unsorted + duplicate
+      Array.tabulate(1000)(i => math.sin(i.toDouble)))
+    val df = spark.range(-8, 8).select(
+      col("id").as("x"), (col("id").cast("double") / 3.0).as("xd"))
+    val bits = 6
+    for (ba <- longSets; bb <- dblSets) {
+      val z = ZOrder.zvalue(Seq(col("x"), col("xd")),
+        Seq(ZOrder.LongBounds(ba), ZOrder.DoubleBounds(bb)), bits)
+      val got = df.select(z.as("z")).collect()
+      got.foreach { r =>
+        assert(!r.isNullAt(0), "null curve key for non-null input")
+        val v = r.getLong(0)
+        assert(v >= 0L && v < (1L << (2 * bits)),
+          s"curve key $v out of range under forged bounds " +
+            s"(${ba.length} long / ${bb.length} double cells)")
+      }
+    }
+  }
 }
