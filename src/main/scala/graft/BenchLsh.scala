@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
   *
   * Usage:
   *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
-  *     sbt "runMain graft.BenchLsh [threshold] [replicasCsv]"
+  *     sbt "runMain graft.BenchLsh [threshold] [replicasCsv] [fnWeight]"
   */
 object BenchLsh {
 
@@ -41,6 +41,11 @@ object BenchLsh {
     val threshold = args.headOption.map(_.toDouble).getOrElse(0.9)
     val replicaSets = (if (args.length > 1) args(1) else "3,10")
       .split(",").map(_.trim.toInt).toSeq
+    // fnWeight 2: the LshPlanner scaladoc's production stance — the
+    // verify join retests candidates anyway, so FPs cost only work
+    // while FNs cost recall; at weight 1 the optimizer happily takes
+    // the b=1 corner (inflection 1.0) and forfeits recall.
+    val fnWeight = if (args.length > 2) args(2).toDouble else 2.0
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -53,7 +58,7 @@ object BenchLsh {
     spark.sparkContext.setLogLevel("WARN")
     import graft.operators.{LshPlanner, MinHashLsh}
 
-    val planned = LshPlanner.plan(16, threshold)
+    val planned = LshPlanner.plan(16, threshold, fnWeight)
     val configs = Seq(
       ("pinned", 4, 4),
       ("planner", planned.bands, planned.rowsPerBand))

@@ -139,6 +139,38 @@ object TextQueries {
   private def lshPairs(s: SparkSession, dir: String): DataFrame =
     lshPairsFrom(Tables.documents(s, dir))
 
+  /** Session-materialized rolling-hash window frame (doc_id, i, wh),
+    * L = 6 — the ONE (scan + tokenize + hash + explode) pass shared by
+    * q77 (shared-window census), q78 (heavy hitters) and q105 (span
+    * accounting). Materialized as a warehouse table BUCKETED BY wh so
+    * every consumer's wh-keyed aggregate and the q105 dup join are
+    * bucket-local (no re-shuffle of the window stream), and the three
+    * queries stop paying the corpus pass each (the round-9 in-suite
+    * profile: q105 re-derived windows q77/q78 had just built).
+    * Memoized per session like Similarity.indexFor, with the same
+    * stale-location cleanup; values are integers, so table-vs-inline
+    * cannot diverge. */
+  private def windowsFor(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.CatalystBridge
+    val tbl = graft.operators.Similarity.indexName("graft_wins6", dir)
+    if (!s.catalog.tableExists(tbl)) {
+      s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      val df = Tables.documents(s, dir)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"),
+          posexplode(CatalystBridge.column(graft.plans.RollingHashWindows(
+            CatalystBridge.expr(trim(col("text"))), 6))).as(Seq("p", "wh")))
+        .select(col("doc_id"), (col("p").cast("long") + 1L).as("i"),
+          col("wh"))
+      graft.sources.FileIO.writeBucketedTable(df, tbl, "wh", 16)
+    }
+    s.table(tbl)
+  }
+
   /** [[lshPairs]] over an arbitrary (doc_id, text) frame — q125 feeds
     * DISTINCT-TEXT representatives through the same pipeline, so the
     * banding cost tracks distinct content, not corpus rows. The
@@ -1860,12 +1892,7 @@ object TextQueries {
          |FROM per_doc p LEFT JOIN shared s ON p.doc_id = s.doc_id
          |ORDER BY p.doc_id""".stripMargin
     }) { (s, dir) =>
-      import org.apache.spark.sql.graft.CatalystBridge
-      val wins = Tables.documents(s, dir)
-        .repartition(col("doc_id"))
-        .select(col("doc_id"), explode(CatalystBridge.column(
-          graft.plans.RollingHashWindows(
-            CatalystBridge.expr(trim(col("text"))), 6))).as("wh"))
+      val wins = windowsFor(s, dir).select("doc_id", "wh")
       val rep = wins.groupBy("wh")
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2).select("wh")
@@ -1914,12 +1941,7 @@ object TextQueries {
          |FROM wins GROUP BY wh
          |ORDER BY n_docs DESC, n_occurrences DESC, wh LIMIT 20""".stripMargin
     }) { (s, dir) =>
-      import org.apache.spark.sql.graft.CatalystBridge
-      Tables.documents(s, dir)
-        .repartition(col("doc_id"))
-        .select(col("doc_id"), explode(CatalystBridge.column(
-          graft.plans.RollingHashWindows(
-            CatalystBridge.expr(trim(col("text"))), 6))).as("wh"))
+      windowsFor(s, dir)
         .groupBy("wh")
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_occurrences"))
@@ -1991,25 +2013,18 @@ object TextQueries {
          |FROM base b LEFT JOIN perdoc p ON b.doc_id = p.doc_id
          |ORDER BY b.doc_id""".stripMargin
     }) { (s, dir) =>
-      import org.apache.spark.sql.graft.CatalystBridge
       import org.apache.spark.sql.expressions.{Window => W}
       val L = 6
       val toked = Tables.documents(s, dir)
-        .select(col("doc_id"), trim(col("text")).as("txt"),
+        .select(col("doc_id"),
           size(gf.tokens(col("text"))).as("n_tokens"))
         .filter(col("n_tokens") >= L)
-      // Window frame read TWICE (rep census + dup join) — persist the
-      // one pass (DataSized: one row per doc window, input-bounded)
-      // instead of re-scanning + re-hashing the corpus; the registry's
-      // auto-drain reclaims it after the query materializes.
-      val wins = graft.CacheRegistry.persistTracked(toked
-        .repartition(col("doc_id"))
-        .select(col("doc_id"),
-          posexplode(CatalystBridge.column(graft.plans.RollingHashWindows(
-            CatalystBridge.expr(col("txt")), L))).as(Seq("p", "wh")))
-        .select(col("doc_id"), (col("p").cast("long") + 1L).as("i"),
-          col("wh")),
-        graft.CacheRegistry.DataSized)
+      // Window frame read TWICE (rep census + dup join) — and shared
+      // with q77/q78: the session-materialized bucketed table replaces
+      // both the per-query corpus re-hash and the in-memory persist
+      // (which sat exposed to the suite's cache pressure — the round-9
+      // in-suite/standalone 2× gap).
+      val wins = windowsFor(s, dir)
       val rep = wins.groupBy("wh")
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2).select("wh")

@@ -285,6 +285,9 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
         val tableWidth = s.relation.dataSchema.size
         val readWidth = s.requiredSchema.size
         val tableOk = table.startsWith("ivf_") || // purpose-built index
+          // the shared rolling-hash window table (q77/q78/q105): its
+          // 3-column schema IS the window index — doc, position, hash
+          table.startsWith("graft_wins6_") ||
           fullWidthOk.get(d.name).exists(_.contains(table))
         if (tableWidth >= 3 && readWidth >= tableWidth && !tableOk)
           Some(s"${d.name}[$table $readWidth/$tableWidth]")
