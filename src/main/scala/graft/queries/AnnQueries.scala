@@ -18,6 +18,48 @@ object AnnQueries {
   private def cos(ae: String, be: String, an: String, bn: String) =
     cosSql.format(ae, ae, be, an, bn)
 
+  /** Prefix-d cosine between q.e and c.e — the matryoshka-truncation
+    * scorer (left folds over generate_series(1, d), matching the
+    * engine's `dot(slice)`/`norm(slice)` sequential folds). */
+  private def cosPrefix(d: Int): String =
+    s"""list_sum(list_transform(generate_series(1, $d), i -> q.e[i] * c.e[i]))
+       |      / (sqrt(list_sum(list_transform(generate_series(1, $d), i -> q.e[i] * q.e[i])))
+       |         * sqrt(list_sum(list_transform(generate_series(1, $d), i -> c.e[i] * c.e[i]))))""".stripMargin
+
+  /** q158's oracle: one ranked-top5 CTE per prefix dim, overlap joined
+    * against the full-dim reference ranking. */
+  private def matryoshkaSql(dims: Seq[Int], full: Int): String = {
+    val blocks = dims.map { d =>
+      s"""rank$d AS (
+         |  SELECT qid, vec_id, r, cos_full FROM (
+         |    SELECT q.vec_id AS qid, c.vec_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosPrefix(d)} DESC, c.vec_id) AS r,
+         |      ${cosPrefix(full)} AS cos_full
+         |    FROM n q JOIN n c ON q.vec_id < 8 AND c.vec_id <> q.vec_id
+         |  ) WHERE r <= 5
+         |)""".stripMargin
+    }.mkString(", ")
+    val union = dims.map(d =>
+      s"SELECT $d AS dim, qid, vec_id, r, cos_full FROM rank$d")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings
+       |), n AS (SELECT vec_id, e FROM v), $blocks, ranked AS (
+       |  $union
+       |)
+       |SELECT u.dim,
+       |  CAST(count(f.vec_id) AS BIGINT) AS n_overlap,
+       |  round(CAST(count(f.vec_id) AS DOUBLE) / 40.0, 6) AS recall_at_5,
+       |  round(CAST(sum(CASE WHEN u.r = 1
+       |      THEN CAST(round(u.cos_full * 1000000.0, 0) AS BIGINT) END)
+       |    AS DOUBLE) / 8.0 / 1000000.0, 6) AS avg_top1_full_cos
+       |FROM ranked u LEFT JOIN rank$full f
+       |  ON u.qid = f.qid AND u.vec_id = f.vec_id
+       |GROUP BY u.dim ORDER BY u.dim""".stripMargin
+  }
+
   /** DuckDB twin of [[Similarity.trainCentroids]] as a WITH-clause
     * fragment (expects a CTE `n(vec_id, e, nrm)` in scope; emits the
     * final centroids as `cent(cent_id, ce, cn)`): md5-ordered seed and
@@ -339,6 +381,59 @@ object AnnQueries {
           round(col("c"), 6).as("cov"))
         .filter(col("i") <= col("j"))
         .orderBy("i", "j")
+    },
+
+    // T137 — matryoshka truncation-quality census (Kusupati et al.
+    // 2022, "Matryoshka Representation Learning" — public knowledge):
+    // how much ANN quality survives if the engine scans only the
+    // first d of 64 embedding dims? At 100 TB the prefix dim is the
+    // single biggest IO lever on the vector path (d = 8 reads 1/8 of
+    // the bytes BEFORE any index sees them), and this census is the
+    // decision table: per prefix dim, recall@5 of the truncated
+    // brute-force ranking against the full-dim reference plus the
+    // full-space cosine of the truncated top-1 pick. One scored pass
+    // (all four prefix cosines projected together — prefix dots are
+    // sequential folds, so truncation costs nothing extra per row),
+    // four bounded rank windows over the 8-query frame, exact-integer
+    // overlap counts, micro-long top-1 averages (the q83 idiom).
+    QueryDef("q158_matryoshka",
+      matryoshkaSql(dims = Seq(8, 16, 32, 64), full = 64)) { (s, dir) =>
+      import org.apache.spark.sql.expressions.{Window => W}
+      val dims = Seq(8, 16, 32, 64)
+      val v = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("e"))
+      val q = v.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("e").as("qe"))
+      def cosD(d: Int) = {
+        val a = slice(col("qe"), 1, d)
+        val b = slice(col("e"), 1, d)
+        Similarity.dot(a, b) / (Similarity.norm(a) * Similarity.norm(b))
+      }
+      val scored = graft.CacheRegistry.persistTracked(
+        broadcast(q).join(v, col("vec_id") =!= col("qid"))
+          .select(Seq(col("qid"), col("vec_id")) ++
+            dims.map(d => cosD(d).as(s"cos$d")): _*),
+        graft.CacheRegistry.DataSized) // Q-bounded: 8 × corpus rows
+      val ranked = dims.map { d =>
+        val w = W.partitionBy("qid").orderBy(desc(s"cos$d"), asc("vec_id"))
+        scored.withColumn("r", row_number().over(w)).filter(col("r") <= 5)
+          .select(lit(d).as("dim"), col("qid"), col("vec_id"), col("r"),
+            col("cos64").as("cos_full"))
+      }.reduce(_ union _)
+      val fullTop = ranked.filter(col("dim") === 64)
+        .select(col("qid"), col("vec_id").as("fv"))
+      ranked
+        .join(fullTop, ranked("qid") === fullTop("qid") &&
+          col("vec_id") === col("fv"), "left")
+        .drop(fullTop("qid"))
+        .groupBy("dim")
+        .agg(count(col("fv")).as("n_overlap"),
+          round(count(col("fv")).cast("double") / 40.0, 6).as("recall_at_5"),
+          round(sum(when(col("r") === 1,
+              round(col("cos_full") * 1000000.0, 0).cast("long")))
+            .cast("double") / 8.0 / 1000000.0, 6).as("avg_top1_full_cos"))
+        .orderBy("dim")
     },
 
     // Inter-label centroid separation matrix: pairwise cosine between

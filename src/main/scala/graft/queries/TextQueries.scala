@@ -388,6 +388,70 @@ object TextQueries {
         .orderBy("band")
     },
 
+    // T138 — containment census (Broder 1997's second resemblance
+    // measure — public knowledge): directional |A∩B| / |A| over the
+    // LSH candidates, the asymmetric companion to q30's symmetric
+    // Jaccard. Jaccard misses SUB-DOCUMENT inclusion (a doc quoted
+    // whole inside a 10× larger one scores J ≈ 0.1 but containment
+    // 1.0) — the shape quote-chains, boilerplate wrappers and
+    // scrape-of-scrape corpora actually take. Candidates are q28's
+    // band buckets (never all-pairs; the dup-heavy production path
+    // collapses to distinct content first — q125/q156's measured
+    // lesson); per-pair work is two exact integer set sizes, and
+    // every emitted double is an int/int division — deterministic at
+    // any layout with no rounding bet.
+    QueryDef("q159_containment",
+      s"""$lshPairsSql, sizes AS (
+         |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+         |), inter AS (
+         |  SELECT p.doc_a, p.doc_b, count(b.tok) AS ninter
+         |  FROM pairs p
+         |  LEFT JOIN sh a ON a.doc_id = p.doc_a
+         |  LEFT JOIN sh b ON b.doc_id = p.doc_b AND b.tok = a.tok
+         |  GROUP BY p.doc_a, p.doc_b
+         |), cont AS (
+         |  SELECT i.doc_a, i.doc_b,
+         |    CAST(i.ninter AS DOUBLE) / sa.n AS ca,
+         |    CAST(i.ninter AS DOUBLE) / sb.n AS cb
+         |  FROM inter i
+         |  JOIN sizes sa ON sa.doc_id = i.doc_a
+         |  JOIN sizes sb ON sb.doc_id = i.doc_b
+         |)
+         |SELECT CASE WHEN ca >= 0.8 AND cb >= 0.8 THEN 'mutual'
+         |            WHEN ca >= 0.8 THEN 'a_in_b'
+         |            WHEN cb >= 0.8 THEN 'b_in_a'
+         |            ELSE 'below' END AS relation,
+         |  count(*) AS n_pairs,
+         |  round(min(CASE WHEN ca >= cb THEN ca ELSE cb END), 6) AS min_maxc,
+         |  round(max(CASE WHEN ca >= cb THEN ca ELSE cb END), 6) AS max_maxc
+         |FROM cont GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val pairs = lshPairs(s, dir)
+      val sets = graft.operators.MinHashLsh
+        .shingles(Tables.documents(s, dir))
+        .groupBy("doc_id").agg(collect_set(col("tok")).as("sh"))
+      val ca = size(array_intersect(col("sa"), col("sb"))).cast("double") /
+        size(col("sa"))
+      val cb = size(array_intersect(col("sa"), col("sb"))).cast("double") /
+        size(col("sb"))
+      pairs
+        .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sa")),
+          "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sb")),
+          "doc_b")
+        .select(ca.as("ca"), cb.as("cb"))
+        .select(
+          when(col("ca") >= 0.8 && col("cb") >= 0.8, "mutual")
+            .when(col("ca") >= 0.8, "a_in_b")
+            .when(col("cb") >= 0.8, "b_in_a")
+            .otherwise("below").as("relation"),
+          greatest(col("ca"), col("cb")).as("maxc"))
+        .groupBy("relation")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(min("maxc"), 6).as("min_maxc"),
+          round(max("maxc"), 6).as("max_maxc"))
+        .orderBy("relation")
+    },
+
     // SimHash fingerprints: per-bit majority vote over token hashes.
     QueryDef("q29_simhash",
       s"WITH $simhashFpSql\nSELECT doc_id, simhash FROM fp ORDER BY doc_id") { (s, dir) =>
@@ -1439,6 +1503,65 @@ object TextQueries {
           defaultRate = 0.1)
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+        .orderBy("source")
+    },
+
+    // T139 — sampling-temperature mixing design (the GPT-3/Pile
+    // w_s ∝ n_s^α rule — public knowledge): per source, the effective
+    // sampling share and epoch multiplier at temperatures
+    // α ∈ {1, 0.5, 0.25}. α < 1 upweights small sources (the standard
+    // anti-domination lever); the census is the design table a
+    // mixing run is configured FROM, next to q67 which executes a
+    // chosen mix. Determinism: α = 0.5/0.25 are sqrt/sqrt∘sqrt
+    // (IEEE-exact, correctly rounded in both engines — never libm
+    // pow with a fractional exponent), and the cross-source
+    // normalizers sum floor(·2^20)-quantized longs (the q130 idiom)
+    // so no raw-double sum crosses a merge. Scale shape: one
+    // (source)-keyed aggregate, a 1-row lazy-totals broadcast cross
+    // (the q46 pattern), everything downstream row-local on ≤
+    // #sources rows.
+    QueryDef("q160_mixing_design",
+      """WITH s AS (
+        |  SELECT source,
+        |    CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |             x -> x <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source
+        |), q AS (
+        |  SELECT source, n_tokens,
+        |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1048576.0) AS BIGINT) AS q5,
+        |    CAST(floor(sqrt(sqrt(CAST(n_tokens AS DOUBLE))) * 1048576.0) AS BIGINT) AS q25
+        |  FROM s
+        |), t AS (
+        |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+        |    CAST(sum(q5) AS BIGINT) AS tot5, CAST(sum(q25) AS BIGINT) AS tot25
+        |  FROM q
+        |)
+        |SELECT q.source, q.n_tokens,
+        |  round(CAST(q.n_tokens AS DOUBLE) / t.tot, 6) AS share_a100,
+        |  round(CAST(q.q5 AS DOUBLE) / t.tot5, 6) AS share_a050,
+        |  round(CAST(q.q25 AS DOUBLE) / t.tot25, 6) AS share_a025,
+        |  round(CAST(q.q5 AS DOUBLE) / t.tot5 * t.tot / q.n_tokens, 6)
+        |    AS epochs_a050
+        |FROM q, t ORDER BY q.source""".stripMargin) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(sum(size(gf.tokens(col("text"))).cast("long")).as("n_tokens"))
+        .withColumn("q5",
+          floor(sqrt(col("n_tokens").cast("double")) * 1048576.0)
+            .cast("long"))
+        .withColumn("q25",
+          floor(sqrt(sqrt(col("n_tokens").cast("double"))) * 1048576.0)
+            .cast("long"))
+      val tot = toks.agg(sum("n_tokens").as("tot"), sum("q5").as("tot5"),
+        sum("q25").as("tot25"))
+      toks.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("tot"), 6)
+            .as("share_a100"),
+          round(col("q5").cast("double") / col("tot5"), 6).as("share_a050"),
+          round(col("q25").cast("double") / col("tot25"), 6).as("share_a025"),
+          round(col("q5").cast("double") / col("tot5") * col("tot")
+            / col("n_tokens"), 6).as("epochs_a050"))
         .orderBy("source")
     },
 

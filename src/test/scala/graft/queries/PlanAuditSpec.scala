@@ -133,6 +133,14 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
     // with the label-differs predicate as the (non-equi) join
     // condition; corpus side streams.
     "q147_hard_negatives",
+    // q158: the q41 broadcast bounded-query (8 rows) brute shape, one
+    // scored pass carrying all four prefix-dim cosines; corpus side
+    // streams.
+    "q158_matryoshka",
+    // q160: the 1-row lazy-totals broadcast cross (q46/q68 pattern)
+    // attaching the three cross-source normalizers to the
+    // (sources)-bounded design frame.
+    "q160_mixing_design",
     // q149: inherits BOTH audited shapes it composes — q41's broadcast
     // query side (truth) and q42's broadcast centroid frames
     // (candidate); the metric join is an equi-join on (qid, vec_id).
