@@ -60,6 +60,64 @@ object AnnQueries {
        |GROUP BY u.dim ORDER BY u.dim""".stripMargin
   }
 
+  /** q161's deterministic ±1 sign matrix (Charikar 2002 signed random
+    * projection — public knowledge): sign(b, i) from bit 0 of byte 0
+    * of md5("b:i") — the T17/T90 md5-draw idiom, computed ONCE here
+    * and embedded as LITERALS in both engines' plans (the q157
+    * constant-table pattern; no RNG, no libm at query time). */
+  private val SrpBits = 32
+  private val SrpDims = 64
+  private lazy val srpSigns: Array[Array[Long]] =
+    Array.tabulate(SrpBits, SrpDims) { (b, i) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$b:$i".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1L else -1L
+    }
+
+  /** Engine-side SRP sketch over the floor(x·2^15) quantized vector:
+    * bit b set iff Σᵢ eq[i]·sign(b,i) > 0. The projection sums are
+    * EXACT LONGS (|eq| < 2^24, 64 terms — no overflow, no fold-order
+    * coin: the q130 discipline applied to the sign decision, which
+    * raw-double sums would flip near zero). */
+  private def srpSketch(eq: Column): Column =
+    (0 until SrpBits).map { b =>
+      val proj = aggregate(
+        zip_with(eq, typedlit(srpSigns(b).toSeq), (x, s) => x * s),
+        lit(0L), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** q161's oracle: the identical sign literals, exact BIGINT
+    * projections, xor + bit_count Hamming banding. */
+  private lazy val srpSql: String = {
+    val bits = (0 until SrpBits).map { b =>
+      val lst = srpSigns(b).mkString("[", ", ", "]")
+      s"""(CASE WHEN list_sum(list_transform(generate_series(1, $SrpDims),
+         |      i -> eq[i] * ($lst)[i])) > 0 THEN ${1L << b} ELSE 0 END)""".stripMargin
+    }.mkString("\n    + ")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, e,
+       |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm,
+       |    list_transform(e, x -> CAST(floor(x * 32768.0) AS BIGINT)) AS eq
+       |  FROM v
+       |), sk AS (
+       |  SELECT vec_id, e, nrm, CAST($bits AS BIGINT) AS sketch FROM n
+       |), pairs AS (
+       |  SELECT CAST(bit_count(xor(q.sketch, c.sketch)) // 4 AS INTEGER) AS band,
+       |    round(${cos("q.e", "c.e", "q.nrm", "c.nrm")}, 6) AS cos
+       |  FROM sk q JOIN sk c ON q.vec_id < 8 AND c.vec_id <> q.vec_id
+       |)
+       |SELECT band, count(*) AS n_pairs,
+       |  round(CAST(sum(CAST(round(cos * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+       |    / count(*) / 1000000.0, 6) AS avg_cos,
+       |  round(min(cos), 6) AS min_cos,
+       |  round(max(cos), 6) AS max_cos
+       |FROM pairs GROUP BY band ORDER BY band""".stripMargin
+  }
+
   /** DuckDB twin of [[Similarity.trainCentroids]] as a WITH-clause
     * fragment (expects a CTE `n(vec_id, e, nrm)` in scope; emits the
     * final centroids as `cent(cent_id, ce, cn)`): md5-ordered seed and
@@ -434,6 +492,44 @@ object AnnQueries {
               round(col("cos_full") * 1000000.0, 0).cast("long")))
             .cast("double") / 8.0 / 1000000.0, 6).as("avg_top1_full_cos"))
         .orderBy("dim")
+    },
+
+    // T140 — SRP binary-sketch fidelity census (Charikar 2002, random
+    // hyperplane LSH — public knowledge): 32 sign bits of ±1
+    // projections compress a 256-byte float vector to 4 bytes, and
+    // Hamming distance estimates the angle — the embedding twin of
+    // T3's text SimHash and the cheapest 100 TB pre-filter on the
+    // vector path (xor + popcount on packed longs, pure integer
+    // codegen, 64× less IO than the float scan). This census is the
+    // fidelity table: per 4-bit Hamming band over the bounded query ×
+    // corpus frame, how tightly does true cosine track the sketch?
+    // Determinism: sign matrix from md5 literals in both plans, bit
+    // decisions on EXACT LONG projections of floor(x·2^15) components
+    // (a raw-double sum would flip the sign coin near zero), cosine
+    // averaged via round(cos·1e6) micro-longs (the q83 idiom).
+    QueryDef("q161_srp_sketch", srpSql) { (s, dir) =>
+      val v = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("e"))
+        .withColumn("nrm", Similarity.norm(col("e")))
+        .withColumn("sketch", srpSketch(
+          transform(col("e"), x => floor(x * 32768.0).cast("long"))))
+      val q = v.select(col("vec_id").as("qid"), col("e").as("qe"),
+        col("nrm").as("qn"), col("sketch").as("qs"))
+        .filter(col("qid") < 8)
+      val cosc = Similarity.dot(col("qe"), col("e")) / (col("qn") * col("nrm"))
+      broadcast(q).join(v, col("vec_id") =!= col("qid"))
+        .select(
+          (bit_count(col("qs").bitwiseXOR(col("sketch"))) / lit(4))
+            .cast("int").as("band"),
+          round(cosc, 6).as("cos"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum(round(col("cos") * 1000000.0, 0).cast("long"))
+            .cast("double") / count(lit(1)) / 1000000.0, 6).as("avg_cos"),
+          round(min("cos"), 6).as("min_cos"),
+          round(max("cos"), 6).as("max_cos"))
+        .orderBy("band")
     },
 
     // Inter-label centroid separation matrix: pairwise cosine between

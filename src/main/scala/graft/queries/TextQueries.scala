@@ -862,6 +862,53 @@ object TextQueries {
         .orderBy("vec_a", "vec_b")
     },
 
+    // T141 — label-noise census: q47's IVF-bucketed near-dup pairs
+    // joined back to their labels and censused by sorted label pair —
+    // near-identical vectors carrying DIFFERENT labels are the label
+    // errors / taxonomy collisions a training run inherits silently,
+    // and the off-diagonal mass of this matrix is the standard
+    // curation signal (Northcutt et al. 2021's confident-learning
+    // premise — public knowledge). Reuses the shared [[embPairs]]
+    // candidate stream (IVF buckets, never all-pairs — the 100 TB
+    // path is the same index every other embedding query amortizes);
+    // per-pair work is two label lookups via key-partitioned
+    // equi-joins; cosine averaged via round(cos·1e6) micro-longs on
+    // the round-6 value (the q83 idiom — no raw-double sum crosses a
+    // merge).
+    QueryDef("q162_label_noise",
+      s"""$embPairsSql, lab AS (
+         |  SELECT vec_id, label FROM embeddings
+         |), pl AS (
+         |  SELECT CASE WHEN la.label <= lb.label THEN la.label ELSE lb.label END AS label_lo,
+         |    CASE WHEN la.label <= lb.label THEN lb.label ELSE la.label END AS label_hi,
+         |    p.cos
+         |  FROM epairs p
+         |  JOIN lab la ON la.vec_id = p.vec_a
+         |  JOIN lab lb ON lb.vec_id = p.vec_b
+         |)
+         |SELECT label_lo, label_hi, count(*) AS n_pairs,
+         |  round(CAST(sum(CAST(round(cos * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+         |    / count(*) / 1000000.0, 6) AS avg_cos,
+         |  round(max(cos), 6) AS max_cos
+         |FROM pl GROUP BY label_lo, label_hi
+         |ORDER BY label_lo, label_hi""".stripMargin) { (s, dir) =>
+      val lab = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+      embPairs(s, dir)
+        .join(lab.select(col("vec_id").as("vec_a"), col("label").as("la")),
+          "vec_a")
+        .join(lab.select(col("vec_id").as("vec_b"), col("label").as("lb")),
+          "vec_b")
+        .select(least(col("la"), col("lb")).as("label_lo"),
+          greatest(col("la"), col("lb")).as("label_hi"),
+          round(col("cos"), 6).as("cos"))
+        .groupBy("label_lo", "label_hi")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum(round(col("cos") * 1000000.0, 0).cast("long"))
+            .cast("double") / count(lit(1)) / 1000000.0, 6).as("avg_cos"),
+          round(max("cos"), 6).as("max_cos"))
+        .orderBy("label_lo", "label_hi")
+    },
+
     // BPE-ish token counting: word pieces + standalone punctuation via
     // regex extraction (the pre-tokenizer shape GPT-style BPE uses).
     QueryDef("q48_bpe_token_stats",
@@ -1562,6 +1609,66 @@ object TextQueries {
           round(col("q25").cast("double") / col("tot25"), 6).as("share_a025"),
           round(col("q5").cast("double") / col("tot5") * col("tot")
             / col("n_tokens"), 6).as("epochs_a050"))
+        .orderBy("source")
+    },
+
+    // T142 — Spearman rank-correlation census (Spearman 1904 — public
+    // knowledge): per source, ρ between each doc's token count and its
+    // distinct-token count — DO two quality signals rank documents the
+    // same way, the question asked before combining filters (two
+    // highly rank-correlated signals gate the same docs; paying for
+    // both buys nothing). Rank statistics are the robust choice at
+    // corpus scale (Pearson on raw lengths is dominated by the heavy
+    // tail). Determinism by construction: BOTH inputs are integers,
+    // ranks are row_number with a doc_id tie-break (identical windows
+    // both engines), Σd² accumulates exact longs, and the only double
+    // math is the one final ρ expression shared verbatim. Scale shape:
+    // one scan, one (source)-keyed shuffle feeding both rank windows,
+    // then a (sources)-bounded aggregate; per-source sorts spill (the
+    // same contract as every rank statistic — W1's PartitionedOffset
+    // machinery is the escape hatch if a single source outgrows a
+    // task's spill budget).
+    QueryDef("q163_spearman",
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> x <> '')) AS n_tok,
+        |    len(list_distinct(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> x <> ''))) AS n_distinct
+        |  FROM documents
+        |), r AS (
+        |  SELECT source,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_tok, doc_id) AS r_len,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_distinct, doc_id) AS r_dis
+        |  FROM d
+        |), agg AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum((r_len - r_dis) * (r_len - r_dis)) AS BIGINT) AS sum_d2
+        |  FROM r GROUP BY source
+        |)
+        |SELECT source, n_docs, sum_d2,
+        |  round(1.0 - 6.0 * sum_d2 / (CAST(n_docs AS DOUBLE)
+        |    * (CAST(n_docs AS DOUBLE) * n_docs - 1.0)), 6) AS rho
+        |FROM agg ORDER BY source""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.{Window => W}
+      val toks = gf.tokens(col("text"))
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        size(toks).as("n_tok"), size(array_distinct(toks)).as("n_distinct"))
+      val wLen = W.partitionBy("source").orderBy(col("n_tok"), col("doc_id"))
+      val wDis = W.partitionBy("source")
+        .orderBy(col("n_distinct"), col("doc_id"))
+      d.select(col("source"),
+          row_number().over(wLen).as("r_len"),
+          row_number().over(wDis).as("r_dis"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("r_len") - col("r_dis")).cast("long")
+            * (col("r_len") - col("r_dis")).cast("long")).as("sum_d2"))
+        .select(col("source"), col("n_docs"), col("sum_d2"),
+          round(lit(1.0) - lit(6.0) * col("sum_d2")
+            / (col("n_docs").cast("double")
+               * (col("n_docs").cast("double") * col("n_docs") - 1.0)), 6)
+            .as("rho"))
         .orderBy("source")
     },
 

@@ -137,6 +137,10 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
     // scored pass carrying all four prefix-dim cosines; corpus side
     // streams.
     "q158_matryoshka",
+    // q161: same q41 broadcast bounded-query (8 rows) shape — the
+    // sketch-vs-cosine fidelity frame joins non-equi (vec_id <> qid);
+    // corpus side streams.
+    "q161_srp_sketch",
     // q160: the 1-row lazy-totals broadcast cross (q46/q68 pattern)
     // attaching the three cross-source normalizers to the
     // (sources)-bounded design frame.
