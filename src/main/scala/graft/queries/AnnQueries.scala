@@ -60,39 +60,13 @@ object AnnQueries {
        |GROUP BY u.dim ORDER BY u.dim""".stripMargin
   }
 
-  /** q161's deterministic ±1 sign matrix (Charikar 2002 signed random
-    * projection — public knowledge): sign(b, i) from bit 0 of byte 0
-    * of md5("b:i") — the T17/T90 md5-draw idiom, computed ONCE here
-    * and embedded as LITERALS in both engines' plans (the q157
-    * constant-table pattern; no RNG, no libm at query time). */
-  private val SrpBits = 32
-  private val SrpDims = 64
-  private lazy val srpSigns: Array[Array[Long]] =
-    Array.tabulate(SrpBits, SrpDims) { (b, i) =>
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$b:$i".getBytes("UTF-8"))
-      if ((h(0) & 1) == 0) 1L else -1L
-    }
-
-  /** Engine-side SRP sketch over the floor(x·2^15) quantized vector:
-    * bit b set iff Σᵢ eq[i]·sign(b,i) > 0. The projection sums are
-    * EXACT LONGS (|eq| < 2^24, 64 terms — no overflow, no fold-order
-    * coin: the q130 discipline applied to the sign decision, which
-    * raw-double sums would flip near zero). */
-  private def srpSketch(eq: Column): Column =
-    (0 until SrpBits).map { b =>
-      val proj = aggregate(
-        zip_with(eq, typedlit(srpSigns(b).toSeq), (x, s) => x * s),
-        lit(0L), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
-  /** q161's oracle: the identical sign literals, exact BIGINT
-    * projections, xor + bit_count Hamming banding. */
+  /** q161's oracle: [[graft.operators.Srp]]'s sign literals, exact
+    * BIGINT projections, xor + bit_count Hamming banding. */
   private lazy val srpSql: String = {
-    val bits = (0 until SrpBits).map { b =>
-      val lst = srpSigns(b).mkString("[", ", ", "]")
-      s"""(CASE WHEN list_sum(list_transform(generate_series(1, $SrpDims),
+    import graft.operators.Srp
+    val bits = (0 until Srp.Bits).map { b =>
+      val lst = Srp.signs(b).mkString("[", ", ", "]")
+      s"""(CASE WHEN list_sum(list_transform(generate_series(1, ${Srp.Dims}),
          |      i -> eq[i] * ($lst)[i])) > 0 THEN ${1L << b} ELSE 0 END)""".stripMargin
     }.mkString("\n    + ")
     s"""WITH v AS (
@@ -512,8 +486,8 @@ object AnnQueries {
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("e"))
         .withColumn("nrm", Similarity.norm(col("e")))
-        .withColumn("sketch", srpSketch(
-          transform(col("e"), x => floor(x * 32768.0).cast("long"))))
+        .withColumn("sketch", graft.operators.Srp.sketch(
+          graft.operators.Srp.quantize(col("e"))))
       val q = v.select(col("vec_id").as("qid"), col("e").as("qe"),
         col("nrm").as("qn"), col("sketch").as("qs"))
         .filter(col("qid") < 8)

@@ -140,6 +140,49 @@ object EventQueries {
         .orderBy("user_id", "session_id")
     },
 
+    // T144 — inter-arrival burstiness census: per event_type, the
+    // log2-bucketed histogram of per-user inter-arrival gaps — the
+    // feed-health shape a 100 TB ingest monitor watches (a healthy
+    // feed's gaps concentrate in a few buckets; a stuck producer grows
+    // the tail bucket, a replay attack the zero bucket). Windows
+    // partition by (event_type, user_id) — millions of independent
+    // keys, so the rank-statistic single-task chokepoint never forms
+    // (contrast q163's per-source sorts) — and gaps are EXACT INTEGER
+    // microsecond differences floor-divided to seconds; the log2
+    // bucket is floor(log2(n+1)) of an integer, the q99-established
+    // IEEE-identical idiom. Output bounded by types × ~45 buckets.
+    QueryDef("q164_interarrival",
+      """WITH g AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY event_type, user_id
+        |      ORDER BY epoch_us(ts), event_id)) // 1000000 AS gap_s
+        |  FROM events
+        |)
+        |SELECT event_type,
+        |  CAST(floor(log2(gap_s + 1)) AS BIGINT) AS bucket,
+        |  count(*) AS n_gaps,
+        |  CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+        |  CAST(max(gap_s) AS BIGINT) AS max_gap_s
+        |FROM g WHERE gap_s IS NOT NULL
+        |GROUP BY event_type, bucket
+        |ORDER BY event_type, bucket""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("event_type", "user_id")
+        .orderBy(col("_tus"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("_tus", unix_micros(col("ts")))
+        .withColumn("gap_us", col("_tus") - lag("_tus", 1).over(w))
+        .filter(col("gap_us").isNotNull)
+        .select(col("event_type"),
+          expr("gap_us div 1000000").as("gap_s"))
+        .groupBy(col("event_type"),
+          floor(log2(col("gap_s") + 1)).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_gaps"),
+          min("gap_s").cast("long").as("min_gap_s"),
+          max("gap_s").cast("long").as("max_gap_s"))
+        .orderBy("event_type", "bucket")
+    },
+
     // Interval join (batch twin of the streaming viewToClick): each
     // click paired with same-user views in the preceding 30 minutes.
     // Scale note: per-user equi-key + time band; never a full theta

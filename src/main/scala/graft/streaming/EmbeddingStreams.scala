@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Srp
+
+/** Streaming operators over an embedding stream — the arrival-order
+  * companions to the batch ANN family (q41/q42/q161). */
+object EmbeddingStreams {
+
+  /** One emitted near-dup candidate: `vec_a` was admitted BEFORE
+    * `vec_b` (arrival order), their sketches agree on band `band`,
+    * and the full-sketch Hamming distance is `hamming`. */
+  final case class SrpCand(vec_a: Long, vec_b: Long, hamming: Int,
+      band: Int)
+
+  /** Per-(band, key) admitted index: the (vec_id, sketch) pairs this
+    * bucket has seen — Seq because Spark's state encoder codegen
+    * constructs it (the SeenBlocks precedent). */
+  final case class BandState(ids: Seq[Long], sketches: Seq[Long])
+
+  /** Streaming SRP near-dup CANDIDATE generator — the arrival-order
+    * twin of the batch LSH banding (T2 for text, q161's sketch for
+    * embeddings): every arriving vector is checked against all
+    * previously-arrived vectors that share any of `bands` disjoint
+    * sketch bands, and each (earlier, later) pair within `maxHamming`
+    * full-sketch bits is emitted AT THE LATER VECTOR'S ARRIVAL — the
+    * ingest-time dedup/linkage signal, with the exact-cosine verify
+    * join left downstream exactly as in the batch pipeline.
+    *
+    * Completeness is the q59 pigeonhole: with `bands` disjoint bands
+    * of `Srp.Bits / bands` bits, any pair within Hamming < `bands`
+    * agrees exactly on at least one band — so for maxHamming <= bands
+    * - 1 the candidate stream contains EVERY qualifying pair (possibly
+    * via several bands; dedup on (vec_a, vec_b) downstream).
+    *
+    * State: each (band, bandKey) bucket stores the (vec_id, sketch)
+    * pairs seen — 12 bytes per vector per band, O(corpus) in total
+    * like every exact first-occurrence index (at 100 TB it lives in
+    * the RocksDB state store; a TTL/watermark variant bounds it to
+    * the linkage window a pipeline actually needs).
+    *
+    * The sketch is computed with [[Srp.sketch]] on the same
+    * floor(x·2^15) quantization as q161 — bit-identical to the batch
+    * sketch at any partitioning, so stream and batch candidates can
+    * be diffed exactly (spec-pinned). */
+  def srpCandidateStream(vecs: DataFrame, maxHamming: Int = 3,
+      bands: Int = 4)(implicit spark: SparkSession): Dataset[SrpCand] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(bands > 0 && Srp.Bits % bands == 0,
+      s"bands must divide ${Srp.Bits}: $bands")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"pigeonhole completeness needs maxHamming < bands: " +
+        s"$maxHamming vs $bands")
+    val bandBits = Srp.Bits / bands
+    val mask = (1L << bandBits) - 1
+    vecs
+      .select(col("vec_id").cast("long").as("vec_id"),
+        Srp.sketch(Srp.quantize(
+          transform(col("embedding"), x => x.cast("double")))).as("sk"))
+      .select(col("vec_id"), col("sk"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("band"), col("vec_id"), col("sk"),
+        expr(s"shiftrightunsigned(sk, band * $bandBits)")
+          .bitwiseAND(mask).as("bkey"))
+      .as[(Int, Long, Long, Long)]
+      .groupByKey { case (band, _, _, bkey) => (band, bkey) }
+      .flatMapGroupsWithState[BandState, SrpCand](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key, rows, state) =>
+          val st = state.getOption.getOrElse(BandState(Nil, Nil))
+          val ids = scala.collection.mutable.ArrayBuffer[Long](st.ids: _*)
+          val sks = scala.collection.mutable.ArrayBuffer[Long](
+            st.sketches: _*)
+          val before = ids.size
+          val out = Seq.newBuilder[SrpCand]
+          rows.foreach { case (band, vecId, sk, _) =>
+            var i = 0
+            while (i < ids.size) {
+              val h = java.lang.Long.bitCount(sk ^ sks(i))
+              if (h <= maxHamming) out += SrpCand(ids(i), vecId, h, band)
+              i += 1
+            }
+            ids += vecId
+            sks += sk
+          }
+          if (ids.size != before)
+            state.update(BandState(ids.toSeq, sks.toSeq))
+          out.result().iterator
+      }
+  }
+
+  /** Batch reference for the spec: ALL ordered pairs (a before b in
+    * `order`) within `maxHamming` sketch bits — what the pigeonhole
+    * guarantees the stream emits (after (vec_a, vec_b) dedup). */
+  def batchCandidates(vecs: DataFrame, maxHamming: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    val sk = vecs.select(col("vec_id").cast("long").as("vec_id"),
+      Srp.sketch(Srp.quantize(
+        transform(col("embedding"), x => x.cast("double")))).as("sk"))
+    val a = sk.select(col("vec_id").as("vec_a"), col("sk").as("ska"))
+    val b = sk.select(col("vec_id").as("vec_b"), col("sk").as("skb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        bit_count(col("ska").bitwiseXOR(col("skb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

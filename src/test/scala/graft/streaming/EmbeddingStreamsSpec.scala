@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+/** Streaming SRP candidate generator vs the batch pigeonhole
+  * reference: the same vectors through `srpCandidateStream` as a
+  * MemoryStream must emit exactly the pairs `batchCandidates` finds,
+  * each at the LATER vector's arrival. */
+class EmbeddingStreamsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // Deterministic synthetic vectors: family f's members are small
+  // perturbations of a shared base (near-dups within a family, far
+  // across families). Values are exact binary fractions (k/64) so
+  // quantization is exact and the test is platform-stable.
+  private def vec(family: Int, member: Int): Seq[Float] =
+    Seq.tabulate(graft.operators.Srp.Dims) { i =>
+      val base = if ((i * 7 + family * 13) % 5 == 0) 1f else -1f
+      val tweak = if ((i + member * 11) % 17 == 0) 0.25f else 0f
+      (base / 4 + tweak * (if (family % 2 == 0) 1 else -1))
+    }
+
+  // 3 families × 3 members, interleaved arrival across two batches.
+  private val batch1 = Seq(
+    (10L, vec(0, 0)), (20L, vec(1, 0)), (11L, vec(0, 1)), (30L, vec(2, 0)))
+  private val batch2 = Seq(
+    (21L, vec(1, 1)), (12L, vec(0, 2)), (31L, vec(2, 1)), (22L, vec(1, 2)))
+
+  private val MaxHamming = 3
+
+  test("stream emits exactly the batch pigeonhole pairs, in arrival order") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = EmbeddingStreams.srpCandidateStream(
+        mem.toDF().toDF("vec_id", "embedding"), maxHamming = MaxHamming)
+      .writeStream.format("memory").queryName("srpcands")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(batch1)
+    q.processAllAvailable()
+    mem.addData(batch2)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("srpcands")
+      .select($"vec_a", $"vec_b", $"hamming")
+      .distinct() // a pair may surface via several agreeing bands
+      .as[(Long, Long, Int)].collect()
+      .map { case (a, b, h) => ((math.min(a, b), math.max(a, b)), h) }
+      .toMap
+
+    val arrivalPos = (batch1 ++ batch2).map(_._1).zipWithIndex.toMap
+    val ref = EmbeddingStreams.batchCandidates(
+        (batch1 ++ batch2).toDF("vec_id", "embedding"), MaxHamming)
+      .as[(Long, Long, Int)].collect()
+      .map { case (a, b, h) => ((math.min(a, b), math.max(a, b)), h) }
+      .toMap
+
+    assert(ref.nonEmpty, "degenerate test: no qualifying pairs")
+    assert(streamed === ref)
+
+    // Each emitted pair respects arrival order: vec_a arrived first.
+    val ordered = spark.table("srpcands")
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect()
+    ordered.foreach { case (a, b) =>
+      assert(arrivalPos(a) < arrivalPos(b),
+        s"pair ($a, $b) violates arrival order")
+    }
+  }
+
+  test("cross-family pairs stay out; within-family pairs are found") {
+    implicit val s = spark
+    val all = (batch1 ++ batch2).toDF("vec_id", "embedding")
+    val pairs = EmbeddingStreams.batchCandidates(all, MaxHamming)
+      .as[(Long, Long, Int)].collect()
+    // Families are ids/10: candidates must be dominated by
+    // within-family pairs (the sketch separates the construction).
+    val (within, cross) = pairs.partition { case (a, b, _) => a / 10 == b / 10 }
+    assert(within.nonEmpty, "sketch failed to find any within-family pair")
+    assert(cross.length <= within.length,
+      s"sketch admits more cross-family than within-family pairs: " +
+        s"${cross.length} vs ${within.length}")
+  }
+
+  test("guards: bands must divide bits, pigeonhole bound enforced") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val df = mem.toDF().toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      EmbeddingStreams.srpCandidateStream(df, maxHamming = 4, bands = 4)
+    }
+    intercept[IllegalArgumentException] {
+      EmbeddingStreams.srpCandidateStream(df, maxHamming = 1, bands = 5)
+    }
+  }
+}
