@@ -35,20 +35,22 @@ object Srp {
 
   /** floor(x·2^15) component quantization (array<double> →
     * array<long>) — the fixed-point front door every exact-arithmetic
-    * embedding path shares. */
+    * embedding path shares. [[sketch]] fuses this step natively; this
+    * Column form remains for paths that need the quantized array
+    * itself. */
   def quantize(e: Column): Column =
     transform(e, x => floor(x * 32768.0).cast("long"))
 
-  /** The `Bits`-bit sketch over a quantized vector: bit b set iff
-    * Σᵢ eq[i]·sign(b,i) > 0. Exact long sums; ties (Σ = 0) are bit 0
-    * in both engines by the same strict inequality. */
-  def sketch(eq: Column): Column =
-    (0 until Bits).map { b =>
-      val proj = aggregate(
-        zip_with(eq, typedlit(signs(b).toSeq), (x, s) => x * s),
-        lit(0L), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  /** The `Bits`-bit sketch over an `array<double>` vector: bit b set
+    * iff Σᵢ floor(eᵢ·2^15)·sign(b,i) > 0. Exact long sums; ties
+    * (Σ = 0) are bit 0 in both engines by the same strict inequality.
+    * Backed by the fused codegen node [[graft.plans.SrpSketch]] — the
+    * 32-fold zip_with/aggregate composition it replaces dominated the
+    * corpus pass (32 array allocations + interpreted folds per row). */
+  def sketch(e: Column): Column = {
+    import org.apache.spark.sql.graft.CatalystBridge
+    CatalystBridge.column(graft.plans.SrpSketch(CatalystBridge.expr(e)))
+  }
 
   /** Scala-side twin of [[sketch]] for state-store code paths —
     * bit-identical by sharing [[signs]] and the same strict-positive

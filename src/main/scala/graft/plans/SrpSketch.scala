@@ -1,0 +1,85 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+
+/** Native codegen'd SRP sketch over an `array<double>` embedding: the
+  * fused form of `Srp.sketch(Srp.quantize(e))` — floor(x·2^15)
+  * quantization and all [[graft.operators.Srp.Bits]] exact-long sign
+  * projections in ONE while-loop pass, no intermediate arrays.
+  *
+  * The Column-composed form built one zip_with product array and one
+  * interpreted aggregate fold PER BIT PER ROW (32 array allocations +
+  * 32 lambda folds each row) — it dominated q161's corpus pass at
+  * sf1x. This node quantizes once into a stack array and runs the
+  * 32×64 multiply-add grid in generated code; results are
+  * bit-identical (same floor, same exact-long sums, same strict
+  * `> 0` bit rule — the sign matrix is the SAME
+  * [[graft.operators.Srp.signs]] object).
+  *
+  * Null semantics match the composed form: null array → null, any
+  * null ELEMENT → null. Vectors shorter than `Srp.Dims` project over
+  * the available prefix (min-length, the DotProduct stance); longer
+  * vectors ignore the tail beyond the sign matrix.
+  */
+case class SrpSketch(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"srp_sketch requires array<double>, got $dt")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "srp_sketch"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any): Any =
+    SrpSketch.sketch(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val boxed = ctx.freshName("sk")
+      s"""
+         |java.lang.Long $boxed = graft.plans.SrpSketch.sketch($a);
+         |if ($boxed == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $boxed.longValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SrpSketch = copy(child = newChild)
+}
+
+object SrpSketch {
+  /** Boxed so a null element can surface as SQL NULL; the hot path
+    * allocates one Long plus one dims-long scratch array per row. */
+  def sketch(a: ArrayData): java.lang.Long = {
+    import graft.operators.Srp
+    val dims = math.min(a.numElements(), Srp.Dims)
+    val eq = new Array[Long](dims)
+    var i = 0
+    while (i < dims) {
+      if (a.isNullAt(i)) return null
+      eq(i) = math.floor(a.getDouble(i) * 32768.0).toLong
+      i += 1
+    }
+    var sk = 0L
+    var b = 0
+    while (b < Srp.Bits) {
+      val row = Srp.signs(b)
+      var acc = 0L
+      var j = 0
+      while (j < dims) { acc += eq(j) * row(j); j += 1 }
+      if (acc > 0) sk |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(sk)
+  }
+}

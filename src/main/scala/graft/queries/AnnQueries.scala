@@ -486,8 +486,7 @@ object AnnQueries {
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("e"))
         .withColumn("nrm", Similarity.norm(col("e")))
-        .withColumn("sketch", graft.operators.Srp.sketch(
-          graft.operators.Srp.quantize(col("e"))))
+        .withColumn("sketch", graft.operators.Srp.sketch(col("e")))
       val q = v.select(col("vec_id").as("qid"), col("e").as("qe"),
         col("nrm").as("qn"), col("sketch").as("qs"))
         .filter(col("qid") < 8)

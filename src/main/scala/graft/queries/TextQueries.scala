@@ -3101,6 +3101,84 @@ object TextQueries {
         .orderBy("source", "bucket")
     },
 
+    // T145 — length-distribution SHAPE census: per source, Pearson
+    // moment skewness and excess kurtosis of doc token counts — the
+    // two numbers that catch what mean/stddev (q63) and histograms
+    // (q99) summarize away: a scrape that truncates at a size cap
+    // shows negative skew, a feed contaminated with concatenated
+    // pages shows kurtosis blowing up, both BEFORE the mean moves.
+    // NEW determinism pattern — DECIMAL-128 exact higher moments:
+    // Σn³/Σn⁴ of integer lengths overflow a LONG once docs pass ~55 k
+    // tokens (1e5⁴ = 1e20), so the engine accumulates decimal(38,0)
+    // sums (Spark's 128-bit decimal; scale 0 ⇒ pure integer
+    // arithmetic, loss only past 1e38) and DuckDB mirrors with native
+    // HUGEINT — the moments are EXACT INTEGERS in both engines at any
+    // layout, and the only doubles are one shared final expression
+    // (v·sqrt(v) for the 1.5 power — never libm pow). Zero-variance
+    // sources gate on v <= 0 → NULL identically (v is the same IEEE
+    // double both sides). Shape: one scan, one (source)-keyed
+    // aggregate, (sources)-bounded output.
+    QueryDef("q165_shape_census",
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> x <> '')) AS HUGEINT) AS n
+        |  FROM documents
+        |), mo AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    sum(n) AS s1, sum(n * n) AS s2,
+        |    sum(n * n * n) AS s3, sum(n * n * n * n) AS s4
+        |  FROM d GROUP BY source
+        |), ex AS (
+        |  SELECT source, n_docs,
+        |    CAST(s1 AS DOUBLE) / n_docs AS m1,
+        |    CAST(s2 AS DOUBLE) / n_docs AS m2,
+        |    CAST(s3 AS DOUBLE) / n_docs AS m3,
+        |    CAST(s4 AS DOUBLE) / n_docs AS m4
+        |  FROM mo
+        |), v AS (
+        |  SELECT source, n_docs, m1, m2, m3, m4, m2 - m1 * m1 AS var_p
+        |  FROM ex
+        |)
+        |SELECT source, n_docs, round(m1, 6) AS mean_len,
+        |  round(CASE WHEN var_p <= 0 THEN NULL
+        |    ELSE (m3 - 3.0 * m1 * m2 + 2.0 * m1 * m1 * m1)
+        |      / (var_p * sqrt(var_p)) END, 6) AS skewness,
+        |  round(CASE WHEN var_p <= 0 THEN NULL
+        |    ELSE (m4 - 4.0 * m1 * m3 + 6.0 * (m1 * m1) * m2
+        |          - 3.0 * (m1 * m1 * m1 * m1)) / (var_p * var_p) - 3.0
+        |    END, 6) AS kurtosis
+        |FROM v ORDER BY source""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val n = size(gf.tokens(col("text"))).cast(DecimalType(19, 0))
+      val d = Tables.documents(s, dir)
+        .select(col("source"), n.as("n"))
+        .withColumn("n2", col("n") * col("n"))
+        .withColumn("n3", col("n2") * col("n"))
+        .withColumn("n4", col("n3") * col("n"))
+      val mo = d.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("s1"),
+          sum("n2").as("s2"), sum("n3").as("s3"), sum("n4").as("s4"))
+      val ex = mo.select(col("source"), col("n_docs"),
+        (col("s1").cast("double") / col("n_docs")).as("m1"),
+        (col("s2").cast("double") / col("n_docs")).as("m2"),
+        (col("s3").cast("double") / col("n_docs")).as("m3"),
+        (col("s4").cast("double") / col("n_docs")).as("m4"))
+      val v = ex.withColumn("var_p", col("m2") - col("m1") * col("m1"))
+      v.select(col("source"), col("n_docs"),
+          round(col("m1"), 6).as("mean_len"),
+          round(when(col("var_p") <= 0, lit(null))
+            .otherwise((col("m3") - lit(3.0) * col("m1") * col("m2")
+                + lit(2.0) * col("m1") * col("m1") * col("m1"))
+              / (col("var_p") * sqrt(col("var_p")))), 6).as("skewness"),
+          round(when(col("var_p") <= 0, lit(null))
+            .otherwise((col("m4") - lit(4.0) * col("m1") * col("m3")
+                + lit(6.0) * (col("m1") * col("m1")) * col("m2")
+                - lit(3.0) * (col("m1") * col("m1") * col("m1") * col("m1")))
+              / (col("var_p") * col("var_p")) - lit(3.0)), 6).as("kurtosis"))
+        .orderBy("source")
+    },
+
     // Clean-corpus savings audit: what the q50 cleanup actually buys,
     // per source — docs and bytes kept vs dropped. The per-source view
     // is what decides whether a feed is worth its ingest cost.

@@ -57,8 +57,8 @@ object EmbeddingStreams {
     val mask = (1L << bandBits) - 1
     vecs
       .select(col("vec_id").cast("long").as("vec_id"),
-        Srp.sketch(Srp.quantize(
-          transform(col("embedding"), x => x.cast("double")))).as("sk"))
+        Srp.sketch(
+          transform(col("embedding"), x => x.cast("double"))).as("sk"))
       .select(col("vec_id"), col("sk"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .select(col("band"), col("vec_id"), col("sk"),
@@ -97,8 +97,8 @@ object EmbeddingStreams {
   def batchCandidates(vecs: DataFrame, maxHamming: Int)(
       implicit spark: SparkSession): DataFrame = {
     val sk = vecs.select(col("vec_id").cast("long").as("vec_id"),
-      Srp.sketch(Srp.quantize(
-        transform(col("embedding"), x => x.cast("double")))).as("sk"))
+      Srp.sketch(
+        transform(col("embedding"), x => x.cast("double"))).as("sk"))
     val a = sk.select(col("vec_id").as("vec_a"), col("sk").as("ska"))
     val b = sk.select(col("vec_id").as("vec_b"), col("sk").as("skb"))
     a.join(b, col("vec_a") < col("vec_b"))
