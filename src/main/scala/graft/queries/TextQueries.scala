@@ -394,12 +394,20 @@ object TextQueries {
     // Jaccard. Jaccard misses SUB-DOCUMENT inclusion (a doc quoted
     // whole inside a 10× larger one scores J ≈ 0.1 but containment
     // 1.0) — the shape quote-chains, boilerplate wrappers and
-    // scrape-of-scrape corpora actually take. Candidates are q28's
-    // band buckets (never all-pairs; the dup-heavy production path
-    // collapses to distinct content first — q125/q156's measured
-    // lesson); per-pair work is two exact integer set sizes, and
-    // every emitted double is an int/int division — deterministic at
-    // any layout with no rounding bet.
+    // scrape-of-scrape corpora actually take. The census is
+    // ORDER-FREE by design (mutual / one_way / below on max and
+    // min of the two directions): which id side contains which is an
+    // artifact of id assignment; how much one-way inclusion exists is
+    // the curation signal — and order-freedom is what lets the
+    // dup-heavy production path collapse to DISTINCT CONTENT
+    // (identical texts ⇒ identical shingle sets ⇒ identical (ca, cb)
+    // up to swap) and expand counts arithmetically (C(n,2) within a
+    // content group at containment 1.0, nA·nB across) — the
+    // q125/q156 measured lesson; the naive raw-pair stream grew to
+    // 165 s at sf10x where this shape tracks distinct content.
+    // Per-rep-pair work is two exact integer set sizes; every emitted
+    // double is an int/int division — deterministic at any layout
+    // with no rounding bet.
     QueryDef("q159_containment",
       s"""$lshPairsSql, sizes AS (
          |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
@@ -418,35 +426,49 @@ object TextQueries {
          |  JOIN sizes sb ON sb.doc_id = i.doc_b
          |)
          |SELECT CASE WHEN ca >= 0.8 AND cb >= 0.8 THEN 'mutual'
-         |            WHEN ca >= 0.8 THEN 'a_in_b'
-         |            WHEN cb >= 0.8 THEN 'b_in_a'
+         |            WHEN ca >= 0.8 OR cb >= 0.8 THEN 'one_way'
          |            ELSE 'below' END AS relation,
          |  count(*) AS n_pairs,
          |  round(min(CASE WHEN ca >= cb THEN ca ELSE cb END), 6) AS min_maxc,
          |  round(max(CASE WHEN ca >= cb THEN ca ELSE cb END), 6) AS max_maxc
          |FROM cont GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-      val pairs = lshPairs(s, dir)
-      val sets = graft.operators.MinHashLsh
-        .shingles(Tables.documents(s, dir))
+      import graft.operators.MinHashLsh
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), trim(col("text")).as("txt"))
+      val groups = graft.CacheRegistry.persistTracked(
+        docs.groupBy("txt")
+          .agg(count(lit(1)).as("n"), min("doc_id").as("doc_id")),
+        graft.CacheRegistry.DataSized) // ≤ one row per distinct text
+      val reps = groups.select(col("doc_id"), col("txt").as("text"))
+      val repPairs = lshPairsFrom(reps)
+      val sets = MinHashLsh.shingles(reps)
         .groupBy("doc_id").agg(collect_set(col("tok")).as("sh"))
+        .join(groups.select(col("doc_id"), col("n")), "doc_id")
       val ca = size(array_intersect(col("sa"), col("sb"))).cast("double") /
         size(col("sa"))
       val cb = size(array_intersect(col("sa"), col("sb"))).cast("double") /
         size(col("sb"))
-      pairs
-        .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sa")),
-          "doc_a")
-        .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sb")),
-          "doc_b")
-        .select(ca.as("ca"), cb.as("cb"))
+      val cross = repPairs
+        .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sa"),
+          col("n").as("na")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sb"),
+          col("n").as("nb")), "doc_b")
+        .select(ca.as("ca"), cb.as("cb"), (col("na") * col("nb")).as("cnt"))
+      // Identical-content pairs: containment 1.0 both ways, C(n,2)
+      // raw pairs — gated on the group actually having a shingle
+      // signature (< 3 tokens ⇒ no signature ⇒ no raw candidates).
+      val within = groups
+        .filter(col("n") >= 2 && size(gf.tokens(col("txt"))) >= 3)
+        .select(lit(1.0).as("ca"), lit(1.0).as("cb"),
+          expr("(n * (n - 1)) div 2").as("cnt"))
+      cross.union(within)
         .select(
           when(col("ca") >= 0.8 && col("cb") >= 0.8, "mutual")
-            .when(col("ca") >= 0.8, "a_in_b")
-            .when(col("cb") >= 0.8, "b_in_a")
+            .when(col("ca") >= 0.8 || col("cb") >= 0.8, "one_way")
             .otherwise("below").as("relation"),
-          greatest(col("ca"), col("cb")).as("maxc"))
+          greatest(col("ca"), col("cb")).as("maxc"), col("cnt"))
         .groupBy("relation")
-        .agg(count(lit(1)).as("n_pairs"),
+        .agg(sum("cnt").as("n_pairs"),
           round(min("maxc"), 6).as("min_maxc"),
           round(max("maxc"), 6).as("max_maxc"))
         .orderBy("relation")
