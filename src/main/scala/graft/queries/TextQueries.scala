@@ -914,19 +914,53 @@ object TextQueries {
          |  round(max(cos), 6) AS max_cos
          |FROM pl GROUP BY label_lo, label_hi
          |ORDER BY label_lo, label_hi""".stripMargin) { (s, dir) =>
-      val lab = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
-      embPairs(s, dir)
-        .join(lab.select(col("vec_id").as("vec_a"), col("label").as("la")),
-          "vec_a")
-        .join(lab.select(col("vec_id").as("vec_b"), col("label").as("lb")),
-          "vec_b")
+      // Distinct-content collapse over the SHARED IVF index (the
+      // q125/q159 principle carried to embeddings): byte-identical
+      // vectors get the SAME bucket (argmax over the pinned centroid
+      // chain is content-determined) and the SAME cosine against any
+      // partner, so the pair census runs over distinct
+      // (embedding, label) groups only — cross-group counts expand as
+      // nA·nB, identical-content pairs as C(n,2) at the group's
+      // self-cosine — and the dup-heavy raw pair stream (11.1 M pairs
+      // at sf10x, 26×/decade at the oracle's pinned nlist) never
+      // materializes. avg_cos stays exact: every raw pair of a
+      // content pair shares one rounded cosine, so the weighted
+      // micro-long sum equals the per-pair sum.
+      import graft.operators.Similarity
+      val emb = Tables.embeddings(s, dir)
+      val groups = graft.CacheRegistry.persistTracked(
+        emb.groupBy(col("embedding"), col("label"))
+          .agg(count(lit(1)).as("n"), min("vec_id").as("vec_id")),
+        graft.CacheRegistry.DataSized) // ≤ one row per distinct vector
+      val idx = Similarity.indexFor(emb, Similarity.indexName("ivf", dir))
+      val reps = s.table(idx.assignedTable)
+        .join(groups.select(col("vec_id"), col("label"), col("n")),
+          "vec_id")
+      val a = reps.select(col("vec_id").as("va"), col("e").as("ea"),
+        col("nrm").as("nra"), col("bucket"), col("label").as("la"),
+        col("n").as("cna"))
+      val b = reps.select(col("vec_id").as("vb"), col("e").as("eb"),
+        col("nrm").as("nrb"), col("bucket"), col("label").as("lb"),
+        col("n").as("cnb"))
+      val cosAB = Similarity.dot(col("ea"), col("eb")) /
+        (col("nra") * col("nrb"))
+      val cross = a.join(b, Seq("bucket"))
+        .filter(col("va") < col("vb") && cosAB >= 0.42)
         .select(least(col("la"), col("lb")).as("label_lo"),
           greatest(col("la"), col("lb")).as("label_hi"),
-          round(col("cos"), 6).as("cos"))
+          round(cosAB, 6).as("cos"), (col("cna") * col("cnb")).as("cnt"))
+      val selfCos = Similarity.dot(col("e"), col("e")) /
+        (col("nrm") * col("nrm"))
+      val within = reps.filter(col("n") >= 2 && selfCos >= 0.42)
+        .select(col("label").as("label_lo"), col("label").as("label_hi"),
+          round(selfCos, 6).as("cos"),
+          expr("(n * (n - 1)) div 2").as("cnt"))
+      cross.union(within)
         .groupBy("label_lo", "label_hi")
-        .agg(count(lit(1)).as("n_pairs"),
-          round(sum(round(col("cos") * 1000000.0, 0).cast("long"))
-            .cast("double") / count(lit(1)) / 1000000.0, 6).as("avg_cos"),
+        .agg(sum("cnt").as("n_pairs"),
+          round(sum(round(col("cos") * 1000000.0, 0).cast("long")
+              * col("cnt"))
+            .cast("double") / sum("cnt") / 1000000.0, 6).as("avg_cos"),
           round(max("cos"), 6).as("max_cos"))
         .orderBy("label_lo", "label_hi")
     },
@@ -3663,6 +3697,63 @@ object TextQueries {
             x => x.getField("doc_id").cast("string")), ","))
             .as("order_md5"))
         .orderBy("bucket")
+    },
+
+    // T146 — training-shard BALANCE census: per hash shard of the
+    // T107 seeded shuffle (the same md5 draw and 2^57 range cut as
+    // q137, so this censuses the shards a T114 writer would actually
+    // emit), docs, tokens, distinct sources, and the source-mix
+    // Shannon entropy — the "is every shard a representative
+    // mini-corpus" check a data-parallel training run needs: token
+    // balance bounds stragglers, low entropy flags source clumping
+    // that turns shard order back into curriculum. Shape: one scan →
+    // (shard, source) aggregate (bounded: shards × sources) → per-
+    // shard rollup; the entropy sum is the q92 bounded-cardinality
+    // fold (≤ sources rows per shard) with one ln per bounded row.
+    QueryDef("q166_shard_balance",
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> x <> '')) AS n_tok,
+        |    CAST(concat('0x', substr(md5(concat('42|',
+        |      CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS eh
+        |  FROM documents
+        |), s AS (
+        |  SELECT CAST(eh // 144115188075855872 AS INT) AS shard, source,
+        |    count(*) AS c, CAST(sum(n_tok) AS BIGINT) AS toks
+        |  FROM h GROUP BY 1, 2
+        |), t AS (
+        |  SELECT shard, CAST(sum(c) AS DOUBLE) AS n,
+        |    CAST(sum(c) AS BIGINT) AS n_docs,
+        |    CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_sources
+        |  FROM s GROUP BY shard
+        |)
+        |SELECT t.shard, t.n_docs, t.n_tokens, t.n_sources,
+        |  round(-sum((s.c / t.n) * ln(s.c / t.n)), 6) AS source_entropy
+        |FROM s JOIN t USING (shard)
+        |GROUP BY t.shard, t.n_docs, t.n_tokens, t.n_sources
+        |ORDER BY t.shard""".stripMargin) { (s, dir) =>
+      val h = Tables.documents(s, dir)
+        .repartition(col("doc_id")) // fan out the single-file scan
+        .select(col("source"), size(gf.tokens(col("text"))).as("n_tok"),
+          gf.stableHashSeeded(lit("42"), col("doc_id").cast("string"))
+            .as("eh"))
+      val sh = h
+        .groupBy(expr("CAST(eh div 144115188075855872 AS INT)").as("shard"),
+          col("source"))
+        .agg(count(lit(1)).as("c"), sum("n_tok").cast("long").as("toks"))
+      val t = sh.groupBy("shard")
+        .agg(sum("c").cast("double").as("n"),
+          sum("c").cast("long").as("n_docs"),
+          sum("toks").cast("long").as("n_tokens"),
+          count(lit(1)).as("n_sources"))
+      val p = col("c") / col("n")
+      sh.join(t, "shard")
+        .groupBy(col("shard"), col("n_docs"), col("n_tokens"),
+          col("n_sources"))
+        .agg(round(-sum(p * log(p)), 6).as("source_entropy"))
+        .orderBy("shard")
     },
 
     // T108 — overlapping-stride chunk census (RAG window prep):
