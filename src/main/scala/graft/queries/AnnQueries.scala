@@ -454,11 +454,11 @@ object AnnQueries {
             col("cos64").as("cos_full"))
       }.reduce(_ union _)
       val fullTop = ranked.filter(col("dim") === 64)
-        .select(col("qid"), col("vec_id").as("fv"))
+        .select(col("qid").as("fqid"), col("vec_id").as("fv"))
       ranked
-        .join(fullTop, ranked("qid") === fullTop("qid") &&
+        .join(fullTop, col("qid") === col("fqid") &&
           col("vec_id") === col("fv"), "left")
-        .drop(fullTop("qid"))
+        .drop("fqid")
         .groupBy("dim")
         .agg(count(col("fv")).as("n_overlap"),
           round(count(col("fv")).cast("double") / 40.0, 6).as("recall_at_5"),

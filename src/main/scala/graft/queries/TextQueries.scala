@@ -1104,6 +1104,83 @@ object TextQueries {
         .orderBy("split", "lang")
     },
 
+    // T147 — cross-split LEAKAGE census: near-dup candidate pairs
+    // spanning the train/val/test boundary — the eval-integrity
+    // number (a val doc near-duplicating a train doc inflates every
+    // metric computed on it; Lee et al. 2022's dedup-before-split
+    // lesson). Composes T2's banding with T17's hash split: census
+    // of candidate pairs by SORTED split pair — the off-diagonal
+    // rows ARE the leakage. Born with the distinct-content collapse
+    // (the q125/q159/q162 production shape): banding runs over
+    // distinct texts with per-split member counts carried alongside;
+    // cross-content pairs expand as the 3×3 count product of the two
+    // groups' split vectors, identical-content pairs as the C(n,2) /
+    // nᵢ·nⱼ split-multinomial of ONE group — a million exact dups
+    // split 80/10/10 are one arithmetic row, never 10¹²-pair
+    // buckets. All counts exact integers at any layout.
+    QueryDef("q167_split_leakage",
+      s"""$lshPairsSql, sp AS (
+         |  SELECT doc_id, CASE WHEN b < 80 THEN 'train'
+         |    WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |     CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+         |       AS BIGINT) % 100 AS b FROM documents)
+         |), px AS (
+         |  SELECT CASE WHEN sa.split <= sb.split THEN sa.split
+         |              ELSE sb.split END AS split_lo,
+         |    CASE WHEN sa.split <= sb.split THEN sb.split
+         |         ELSE sa.split END AS split_hi
+         |  FROM pairs p
+         |  JOIN sp sa ON sa.doc_id = p.doc_a
+         |  JOIN sp sb ON sb.doc_id = p.doc_b
+         |)
+         |SELECT split_lo, split_hi, count(*) AS n_pairs
+         |FROM px GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val splits = Seq("test", "train", "val")
+      val docs = graft.operators.Sampling
+        .hashSplit(Tables.documents(s, dir), "doc_id")
+        .select(col("doc_id"), trim(col("text")).as("txt"), col("split"))
+      val aggCols = splits.map(x =>
+        sum(when(col("split") === x, 1L).otherwise(0L)).as(s"n_$x")) :+
+        min("doc_id").as("doc_id")
+      val groups = graft.CacheRegistry.persistTracked(
+        docs.groupBy("txt").agg(aggCols.head, aggCols.tail: _*),
+        graft.CacheRegistry.DataSized) // ≤ one row per distinct text
+      val repPairs = lshPairsFrom(
+        groups.select(col("doc_id"), col("txt").as("text")))
+      val a = groups.select((col("doc_id").as("doc_a") +:
+        splits.map(x => col(s"n_$x").as(s"a_$x"))): _*)
+      val b = groups.select((col("doc_id").as("doc_b") +:
+        splits.map(x => col(s"n_$x").as(s"b_$x"))): _*)
+      val crossCombos = for (x <- splits; y <- splits) yield {
+        val (lo, hi) = if (x <= y) (x, y) else (y, x)
+        struct(lit(lo).as("split_lo"), lit(hi).as("split_hi"),
+          (col(s"a_$x") * col(s"b_$y")).as("cnt"))
+      }
+      val cross = repPairs.join(a, "doc_a").join(b, "doc_b")
+        .select(explode(array(crossCombos: _*)).as("c"))
+        .select(col("c.split_lo"), col("c.split_hi"), col("c.cnt"))
+      // Identical-content pairs: the group's own split multinomial —
+      // gated on a shingle signature existing (< 3 tokens ⇒ no
+      // candidates), exactly as the raw stream would gate them.
+      val sameCombos =
+        splits.map(x => struct(lit(x).as("split_lo"), lit(x).as("split_hi"),
+          expr(s"(n_$x * (n_$x - 1)) div 2").as("cnt"))) ++
+        (for (i <- splits.indices; j <- i + 1 until splits.size) yield
+          struct(lit(splits(i)).as("split_lo"),
+            lit(splits(j)).as("split_hi"),
+            (col(s"n_${splits(i)}") * col(s"n_${splits(j)}")).as("cnt")))
+      val within = groups
+        .filter(size(gf.tokens(col("txt"))) >= 3)
+        .select(explode(array(sameCombos: _*)).as("c"))
+        .select(col("c.split_lo"), col("c.split_hi"), col("c.cnt"))
+      cross.union(within)
+        .filter(col("cnt") > 0)
+        .groupBy("split_lo", "split_hi")
+        .agg(sum("cnt").as("n_pairs"))
+        .orderBy("split_lo", "split_hi")
+    },
+
     // Document fingerprint: md5 over whitespace-normalized text.
     QueryDef("q36_fingerprint",
       """SELECT doc_id,

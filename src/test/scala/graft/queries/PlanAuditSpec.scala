@@ -278,7 +278,11 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
     // q147 consumes all three embeddings columns on both sides: vec_id
     // is identity/rank tiebreak, embedding the measure, label the
     // exclusion predicate.
-    "q147_hard_negatives" -> Set("embeddings"))
+    "q147_hard_negatives" -> Set("embeddings"),
+    // q162's distinct-content collapse consumes all three columns:
+    // (embedding, label) is the group key, vec_id the representative
+    // pick (and the shared IVF index reads the same three).
+    "q162_label_noise" -> Set("embeddings"))
 
   test("suite-wide: every parquet scan is column-pruned unless allow-listed") {
     // ReadSchema minimality, mechanically: a scan whose requiredSchema
