@@ -91,6 +91,73 @@ object EmbeddingStreams {
       }
   }
 
+  /** Bounded-state variant of [[srpCandidateStream]]: each
+    * (band, key) bucket keeps only the `windowSize` MOST RECENT
+    * arrivals (FIFO eviction) — the linkage-WINDOW semantics a 100 TB
+    * ingest actually wants (link against the recent past, not the
+    * whole corpus history), with state pinned at
+    * buckets × windowSize × 12 bytes FOREVER. CONSERVATIVE in the
+    * candidate direction: every emitted pair is a true
+    * within-`maxHamming` pair (no false candidates); pairs whose
+    * earlier member was evicted before the later member arrived are
+    * not emitted — the documented trade, mirrored on
+    * `passageDedupStreamBloom`'s saturation direction. With
+    * windowSize ≥ arrivals it emits EXACTLY [[srpCandidateStream]]'s
+    * pairs (spec-pinned). */
+  def srpCandidateStreamWindowed(vecs: DataFrame, windowSize: Int,
+      maxHamming: Int = 3, bands: Int = 4)(
+      implicit spark: SparkSession): Dataset[SrpCand] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(windowSize > 0, s"windowSize must be positive: $windowSize")
+    require(bands > 0 && Srp.Bits % bands == 0,
+      s"bands must divide ${Srp.Bits}: $bands")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"pigeonhole completeness needs maxHamming < bands: " +
+        s"$maxHamming vs $bands")
+    val bandBits = Srp.Bits / bands
+    val mask = (1L << bandBits) - 1
+    vecs
+      .select(col("vec_id").cast("long").as("vec_id"),
+        Srp.sketch(
+          transform(col("embedding"), x => x.cast("double"))).as("sk"))
+      .select(col("vec_id"), col("sk"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("band"), col("vec_id"), col("sk"),
+        expr(s"shiftrightunsigned(sk, band * $bandBits)")
+          .bitwiseAND(mask).as("bkey"))
+      .as[(Int, Long, Long, Long)]
+      .groupByKey { case (band, _, _, bkey) => (band, bkey) }
+      .flatMapGroupsWithState[BandState, SrpCand](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          val st = state.getOption.getOrElse(BandState(Nil, Nil))
+          var ids = scala.collection.immutable.Queue[Long](st.ids: _*)
+          var sks = scala.collection.immutable.Queue[Long](
+            st.sketches: _*)
+          var changed = false
+          val out = Seq.newBuilder[SrpCand]
+          rows.foreach { case (band, vecId, sk, _) =>
+            val it1 = ids.iterator
+            val it2 = sks.iterator
+            while (it1.hasNext) {
+              val pid = it1.next(); val psk = it2.next()
+              val h = java.lang.Long.bitCount(sk ^ psk)
+              if (h <= maxHamming) out += SrpCand(pid, vecId, h, band)
+            }
+            ids = ids.enqueue(vecId)
+            sks = sks.enqueue(sk)
+            while (ids.size > windowSize) {
+              ids = ids.dequeue._2
+              sks = sks.dequeue._2
+            }
+            changed = true
+          }
+          if (changed) state.update(BandState(ids.toSeq, sks.toSeq))
+          out.result().iterator
+      }
+  }
+
   /** Batch reference for the spec: ALL ordered pairs (a before b in
     * `order`) within `maxHamming` sketch bits — what the pigeonhole
     * guarantees the stream emits (after (vec_a, vec_b) dedup). */

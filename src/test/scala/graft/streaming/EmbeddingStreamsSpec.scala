@@ -87,6 +87,45 @@ class EmbeddingStreamsSpec extends SparkSpec {
         s"${cross.length} vs ${within.length}")
   }
 
+  test("windowed variant: generous window == unbounded; window 1 only links adjacent arrivals in-bucket, never fabricates") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    def run(name: String, window: Int): Map[(Long, Long), Int] = {
+      val mem = MemoryStream[(Long, Seq[Float])]
+      val q = EmbeddingStreams.srpCandidateStreamWindowed(
+          mem.toDF().toDF("vec_id", "embedding"), windowSize = window,
+          maxHamming = MaxHamming)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      mem.addData(batch1)
+      q.processAllAvailable()
+      mem.addData(batch2)
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name).select($"vec_a", $"vec_b", $"hamming")
+        .distinct().as[(Long, Long, Int)].collect()
+        .map { case (a, b, h) => ((math.min(a, b), math.max(a, b)), h) }
+        .toMap
+    }
+    val unbounded = run("srpwin_big", window = 1000)
+    val ref = EmbeddingStreams.batchCandidates(
+        (batch1 ++ batch2).toDF("vec_id", "embedding"), MaxHamming)
+      .as[(Long, Long, Int)].collect()
+      .map { case (a, b, h) => ((math.min(a, b), math.max(a, b)), h) }
+      .toMap
+    assert(unbounded === ref,
+      "a window larger than the stream must equal the unbounded gate")
+
+    // A tight window may only MISS pairs (evicted earlier member),
+    // never invent one or change a hamming distance.
+    val tight = run("srpwin_1", window = 1)
+    tight.foreach { case (k, h) =>
+      assert(ref.contains(k) && ref(k) === h,
+        s"windowed gate fabricated or altered pair $k")
+    }
+    assert(tight.size <= ref.size)
+  }
+
   test("guards: bands must divide bits, pigeonhole bound enforced") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
