@@ -183,6 +183,45 @@ object EventQueries {
         .orderBy("event_type", "bucket")
     },
 
+    // T148 — weekday-profile χ² census: per event_type, Pearson's
+    // goodness-of-fit statistic of the day-of-week activity profile
+    // against uniform — the seasonality-shape monitor the drift
+    // quartet (PSI q132 / CUSUM q143 / ACF q145 / OLS q151) was
+    // missing: a weekday-skewed feed that suddenly flattens (bot
+    // traffic) or spikes one day (replay) moves χ² long before the
+    // volume trend does. Exactness is ALGEBRAIC: against the uniform
+    // expectation E = n/7, χ² = Σ₇(oᵢ−E)²/E collapses to
+    // 7·Σoᵢ²/n − n (zero cells contribute 0 to Σo², so missing
+    // weekdays are handled by the identity, not by outer joins) —
+    // both moments are EXACT INTEGERS (decimal-128/HUGEINT, the q165
+    // pattern: daily counts square past a long at ~3e9/cell) and the
+    // only double math is the one shared final expression. One scan,
+    // one (type, dow) aggregate (≤ types × 7 cells), χ² df = 6.
+    QueryDef("q168_weekday_chi2",
+      """WITH c AS (
+        |  SELECT event_type, dayofweek(ts) AS dow,
+        |    CAST(count(*) AS HUGEINT) AS o
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, CAST(sum(o) AS BIGINT) AS n_events,
+        |  round(7.0 * CAST(sum(o * o) AS DOUBLE) / CAST(sum(o) AS DOUBLE)
+        |    - CAST(sum(o) AS DOUBLE), 6) AS chi2_uniform
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val c = Tables.events(s, dir)
+        .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"))
+        .agg(count(lit(1)).cast(DecimalType(19, 0)).as("o"))
+      c.groupBy("event_type")
+        .agg(sum("o").cast("long").as("n_events"),
+          sum(col("o") * col("o")).as("ss"))
+        .select(col("event_type"), col("n_events"),
+          round(lit(7.0) * col("ss").cast("double")
+              / col("n_events").cast("double")
+            - col("n_events").cast("double"), 6).as("chi2_uniform"))
+        .orderBy("event_type")
+    },
+
     // Interval join (batch twin of the streaming viewToClick): each
     // click paired with same-user views in the preceding 30 minutes.
     // Scale note: per-user equi-key + time band; never a full theta
