@@ -2867,8 +2867,10 @@ object TextQueries {
         |  FROM c12 JOIN c1 ON split_part(c12.bigram, ' ', 1) = c1.w1
         |)
         |SELECT d.doc_id, CAST(sum(d.k) AS BIGINT) AS n_bigrams,
-        |  round(-sum(d.k * ln(lm.p)) / sum(d.k), 6) AS avg_nll,
-        |  round(exp(-sum(d.k * ln(lm.p)) / sum(d.k)), 4) AS ppl
+        |  round(-CAST(sum(CAST(round(d.k * ln(lm.p) * 1000000.0, 0) AS BIGINT))
+        |      AS DOUBLE) / 1000000.0 / sum(d.k), 6) AS avg_nll,
+        |  round(exp(-CAST(sum(CAST(round(d.k * ln(lm.p) * 1000000.0, 0) AS BIGINT))
+        |      AS DOUBLE) / 1000000.0 / sum(d.k)), 4) AS ppl
         |FROM d JOIN lm ON d.bigram = lm.bigram
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
       // Bigrams via the native width-2 shingle pass (the q86 note),
@@ -2893,12 +2895,21 @@ object TextQueries {
         .withColumn("w1", split_part(col("bigram"), lit(" "), lit(1)))
         .join(c1, "w1")
         .select(col("bigram"), (col("cnt") / col("c1")).as("p"))
-      val wnll = sum(col("k").cast("double") * log(col("p")))
+      // Micro-long NLL terms (the q130 discipline, found live on
+      // q154's cousin: DuckDB's own parallel fold over raw k·ln(p)
+      // doubles flipped rounded outputs run-to-run at sf0.001): each
+      // term quantizes ONCE to round(k·ln(p)·1e6) as an exact long,
+      // so the per-doc sum is order-free in both engines and the only
+      // doubles are the shared final expression.
+      val tq = round(col("k").cast("double") * log(col("p"))
+        * 1000000.0, 0).cast("long")
+      val nllE = -sum(tq).cast("double") / 1000000.0 /
+        sum(col("k").cast("double"))
       d.join(lm, "bigram")
         .groupBy("doc_id")
         .agg(sum("k").as("n_bigrams"),
-          round(-wnll / sum(col("k").cast("double")), 6).as("avg_nll"),
-          round(exp(-wnll / sum(col("k").cast("double"))), 4).as("ppl"))
+          round(nllE, 6).as("avg_nll"),
+          round(exp(nllE), 4).as("ppl"))
         .orderBy("doc_id")
     },
 
@@ -4172,19 +4183,27 @@ object TextQueries {
          |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
          |  CAST(sum(CASE WHEN NOT scored THEN k ELSE 0 END) AS BIGINT)
          |    AS n_oov,
-         |  round(-sum(CASE WHEN scored THEN k * ln(p) END)
+         |  round(-CAST(sum(CASE WHEN scored THEN
+         |      CAST(round(k * ln(p) * 1000000.0, 0) AS BIGINT) END)
+         |      AS DOUBLE) / 1000000.0
          |    / sum(CASE WHEN scored THEN k END), 6) AS avg_nll,
-         |  round(exp(-sum(CASE WHEN scored THEN k * ln(p) END)
+         |  round(exp(-CAST(sum(CASE WHEN scored THEN
+         |      CAST(round(k * ln(p) * 1000000.0, 0) AS BIGINT) END)
+         |      AS DOUBLE) / 1000000.0
          |    / sum(CASE WHEN scored THEN k END)), 4) AS ppl
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val (sc, scored, p) = knScored(s, dir)
-      val wnll = sum(when(scored, col("k").cast("double") * log(p)))
+      // Micro-long NLL terms — see q88's note (the q130 discipline;
+      // the raw k·ln(p) double sum was a live fold-order coin).
+      val tq = when(scored, round(col("k").cast("double") * log(p)
+        * 1000000.0, 0).cast("long"))
       val wk = sum(when(scored, col("k")))
+      val nllE = -sum(tq).cast("double") / 1000000.0 / wk
       sc.groupBy("doc_id")
         .agg(sum("k").as("n_bigrams"),
           sum(when(!scored, col("k")).otherwise(0L)).as("n_oov"),
-          round(-wnll / wk, 6).as("avg_nll"),
-          round(exp(-wnll / wk), 4).as("ppl"))
+          round(nllE, 6).as("avg_nll"),
+          round(exp(nllE), 4).as("ppl"))
         .orderBy("doc_id")
     },
 
@@ -4205,7 +4224,9 @@ object TextQueries {
       s"""WITH $knCtesSql, perdoc AS (
          |  SELECT doc_id,
          |    CAST(sum(k) AS BIGINT) AS n_bigrams,
-         |    -sum(CASE WHEN scored THEN k * ln(p) END)
+         |    -CAST(sum(CASE WHEN scored THEN
+         |        CAST(round(k * ln(p) * 1000000.0, 0) AS BIGINT) END)
+         |        AS DOUBLE) / 1000000.0
          |      / sum(CASE WHEN scored THEN k END) AS nll
          |  FROM sc GROUP BY doc_id
          |  HAVING sum(CASE WHEN scored THEN k END) IS NOT NULL
@@ -4226,10 +4247,17 @@ object TextQueries {
          |FROM pd JOIN cuts c ON pd.lang = c.lang
          |GROUP BY 1, 2 ORDER BY pd.lang, bucket""".stripMargin) { (s, dir) =>
       val (sc, scored, p) = knScored(s, dir)
-      val wnll = sum(when(scored, col("k").cast("double") * log(p)))
+      // Micro-long NLL terms (see q88/q142): the raw-double per-doc
+      // sum was a LIVE coin here — DuckDB's own parallel fold order
+      // flipped 2–4 census rows run-to-run at sf0.001, amplified by
+      // the tercile cut downstream. Exact long term sums are
+      // order-free in both engines; cuts now operate on exact values.
+      val tq = when(scored, round(col("k").cast("double") * log(p)
+        * 1000000.0, 0).cast("long"))
       val wk = sum(when(scored, col("k")))
       val perdoc = sc.groupBy("doc_id")
-        .agg(sum("k").as("n_bigrams"), (-wnll / wk).as("nll"),
+        .agg(sum("k").as("n_bigrams"),
+          (-sum(tq).cast("double") / 1000000.0 / wk).as("nll"),
           wk.as("_wk"))
         .filter(col("_wk").isNotNull)
         .drop("_wk")
