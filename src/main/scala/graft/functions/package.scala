@@ -101,6 +101,19 @@ package object functions {
   def parseJsonList(c: Column): Column =
     from_json(c, ArrayType(StringType))
 
+  /** The TRUE-SHAPE parse of the `job_highlights` payload (SURVEY
+    * §1.2): every record in the reference's raw feed carries a JSON
+    * OBJECT — section name → bullet list, e.g. `{"Qualifications":
+    * [...], "Responsibilities": [...]}` (`data/raw_jobs.json`; the
+    * reference's declared ARRAY parse at `spark_etl_script.py:126`
+    * therefore NULLs the column for every well-formed record). This
+    * variant recovers the data: `map<string, array<string>>`.
+    * Opt-in via [[graft.star.JobStarBuilder.build]]'s
+    * `highlightsFixedParse` flag; the bit-compat default keeps the
+    * reference's NULLing array parse. */
+  def parseJsonMap(c: Column): Column =
+    from_json(c, MapType(StringType, ArrayType(StringType)))
+
   // ---------------------------------------------------------------------
   // Stable hashing — md5-derived 60-bit non-negative longs. MD5 is
   // bit-identical across engines (and to the DuckDB oracle), unlike

@@ -20,10 +20,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * `> 0` bit rule — the sign matrix is the SAME
   * [[graft.operators.Srp.signs]] object).
   *
-  * Null semantics match the composed form: null array → null, any
-  * null ELEMENT → null. Vectors shorter than `Srp.Dims` project over
-  * the available prefix (min-length, the DotProduct stance); longer
-  * vectors ignore the tail beyond the sign matrix.
+  * Null semantics: null array → null, any null ELEMENT anywhere in
+  * the array → null (the whole array is scanned, including any tail
+  * beyond the sign matrix — a poisoned vector never yields a
+  * sketch). Vectors shorter than `Srp.Dims` project over the
+  * available prefix (min-length, the DotProduct stance); longer
+  * vectors' VALUES beyond the sign matrix are ignored.
   */
 case class SrpSketch(child: Expression) extends UnaryExpression {
 
@@ -62,11 +64,16 @@ object SrpSketch {
     * allocates one Long plus one dims-long scratch array per row. */
   def sketch(a: ArrayData): java.lang.Long = {
     import graft.operators.Srp
-    val dims = math.min(a.numElements(), Srp.Dims)
-    val eq = new Array[Long](dims)
+    val n = a.numElements()
     var i = 0
-    while (i < dims) {
+    while (i < n) { // null scan covers the WHOLE array (see scaladoc)
       if (a.isNullAt(i)) return null
+      i += 1
+    }
+    val dims = math.min(n, Srp.Dims)
+    val eq = new Array[Long](dims)
+    i = 0
+    while (i < dims) {
       eq(i) = math.floor(a.getDouble(i) * 32768.0).toLong
       i += 1
     }

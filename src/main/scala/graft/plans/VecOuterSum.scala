@@ -201,6 +201,9 @@ object VecOuterSum {
       k = 0
       while (k < d) {
         val v = if (isDouble) arr.getDouble(k) else arr.getFloat(k).toDouble
+        // floor(NaN).toLong == 0 would pass the range check silently;
+        // a poisoned vector must fail as loudly as an out-of-range one.
+        require(!v.isNaN, s"vec_outer_sum: NaN component at index $k")
         val q = math.floor(v * Scale).toLong
         require(math.abs(q) < MaxAbsQ,
           s"vec_outer_sum: component $v out of the quantizable range " +

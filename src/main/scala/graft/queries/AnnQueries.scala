@@ -385,6 +385,11 @@ object AnnQueries {
     // ((Σxy − Σx·Σy/n)/(n−1)/2^30) — bit-identical at any layout /
     // merge order (the round-9 lesson: round(6) over raw-double
     // moments is a per-run coin, and it landed badly once).
+    // Signed zero (the round-10 lesson): DuckDB's round keeps the
+    // sign of a tiny negative (−0.0), Spark's BigDecimal round drops
+    // it (+0.0) — one deterministic bit-mismatched cell. IEEE
+    // round-to-nearest gives (−0.0) + 0.0 = +0.0, so BOTH engines
+    // add 0.0 after the round to canonicalize the zero.
     QueryDef("q130_embedding_cov",
       """WITH v AS (
         |  SELECT vec_id, list_transform(embedding,
@@ -402,7 +407,7 @@ object AnnQueries {
         |SELECT i, j,
         |  round((CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
         |      / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) / 1073741824.0,
-        |    6) AS cov
+        |    6) + 0.0 AS cov
         |FROM m ORDER BY i, j""".stripMargin) { (s, dir) =>
       Tables.embeddings(s, dir)
         .agg(graft.operators.Embeddings.covStatsCol(col("embedding")).as("st"))
@@ -410,7 +415,7 @@ object AnnQueries {
           posexplode(col("st.cov")).as(Seq("idx", "c")))
         .select(expr("idx div dim").cast("int").as("i"),
           pmod(col("idx"), col("dim")).as("j"),
-          round(col("c"), 6).as("cov"))
+          (round(col("c"), 6) + lit(0.0)).as("cov"))
         .filter(col("i") <= col("j"))
         .orderBy("i", "j")
     },

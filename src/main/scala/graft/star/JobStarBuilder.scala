@@ -50,7 +50,13 @@ final case class JobStar(
   *
   * The `job_highlights` array keeps the reference's declared semantics:
   * an ARRAY parse of an object-shaped payload → NULL for well-formed
-  * records (SURVEY §1.2 quirk, bit-compat mode).
+  * records (SURVEY §1.2 quirk, bit-compat mode). The opt-in
+  * `highlightsFixedParse` flag instead parses the payload's TRUE
+  * shape — `map<string, array<string>>` (section → bullets) via
+  * [[graft.functions.parseJsonMap]] — as `job_highlights_map`. The
+  * parse runs AFTER the surrogate-key distinct (Spark cannot
+  * DISTINCT a map column; distinct over the raw JSON string is
+  * equivalent because the parse is deterministic).
   */
 object JobStarBuilder {
 
@@ -61,7 +67,8 @@ object JobStarBuilder {
   def build(
       landing: DataFrame,
       now: Column,
-      strategy: SkStrategy.Value = SkStrategy.Auto): JobStar = {
+      strategy: SkStrategy.Value = SkStrategy.Auto,
+      highlightsFixedParse: Boolean = false): JobStar = {
 
     val raw0 = landing
       .withColumn("job_natural_key",
@@ -98,17 +105,31 @@ object JobStarBuilder {
 
     val dimDate = StarSchemaBuilder.buildDateDim(raw, col("job_posted_at_utc"))
 
-    val dimJobDetails = StarSchemaBuilder.withSurrogateKey(
+    // Bit-compat mode parses through the reference's declared array
+    // schema (NULL on the object payload); fixed mode carries the raw
+    // JSON string through the distinct (maps can't be DISTINCTed) and
+    // parses the true map shape after SK assignment.
+    val highlightsCol =
+      if (highlightsFixedParse) col("job_highlights")
+      else gf.parseJsonList(col("job_highlights")).as("job_highlights_array")
+    val dimJobDetails0 = StarSchemaBuilder.withSurrogateKey(
       raw.select(
           col("job_natural_key"),
           trim(col("job_title")).as("job_title"),
           col("job_description"),
-          gf.parseJsonList(col("job_highlights")).as("job_highlights_array"),
+          highlightsCol,
           col("job_is_remote").cast("boolean").as("job_is_remote"),
           col("job_posted_at"),
           col("job_posted_at_utc"))
         .filter(col("job_natural_key").isNotNull).distinct(),
       Seq("job_natural_key"), "job_sk", strategy)
+    val dimJobDetails =
+      if (highlightsFixedParse)
+        dimJobDetails0
+          .withColumn("job_highlights_map",
+            gf.parseJsonMap(col("job_highlights")))
+          .drop("job_highlights")
+      else dimJobDetails0
 
     // Skills: the reference's bracket-string parser → explode →
     // normalize → non-empty filter (spark_etl_script.py:132-139).

@@ -43,9 +43,19 @@ object EmbeddingStreams {
     * The sketch is computed with [[Srp.sketch]] on the same
     * floor(x·2^15) quantization as q161 — bit-identical to the batch
     * sketch at any partitioning, so stream and batch candidates can
-    * be diffed exactly (spec-pinned). */
+    * be diffed exactly (spec-pinned).
+    *
+    * Arrival order WITHIN a micro-batch: after the groupByKey shuffle
+    * Spark only guarantees rows are grouped by key, not that the
+    * group's iterator reflects source order — so "admitted before" is
+    * defined by `orderCol`, a monotonic ingest sequence (default
+    * `vec_id`, the id the ingest assigns in arrival order). Rows of
+    * one bucket-group are sorted by it before admission, making the
+    * (vec_a, vec_b) orientation deterministic at any source
+    * partitioning. */
   def srpCandidateStream(vecs: DataFrame, maxHamming: Int = 3,
-      bands: Int = 4)(implicit spark: SparkSession): Dataset[SrpCand] = {
+      bands: Int = 4, orderCol: String = "vec_id")(
+      implicit spark: SparkSession): Dataset[SrpCand] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     require(bands > 0 && Srp.Bits % bands == 0,
@@ -57,15 +67,16 @@ object EmbeddingStreams {
     val mask = (1L << bandBits) - 1
     vecs
       .select(col("vec_id").cast("long").as("vec_id"),
+        col(orderCol).cast("long").as("seq"),
         Srp.sketch(
           transform(col("embedding"), x => x.cast("double"))).as("sk"))
-      .select(col("vec_id"), col("sk"),
+      .select(col("vec_id"), col("seq"), col("sk"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .select(col("band"), col("vec_id"), col("sk"),
         expr(s"shiftrightunsigned(sk, band * $bandBits)")
-          .bitwiseAND(mask).as("bkey"))
-      .as[(Int, Long, Long, Long)]
-      .groupByKey { case (band, _, _, bkey) => (band, bkey) }
+          .bitwiseAND(mask).as("bkey"), col("seq"))
+      .as[(Int, Long, Long, Long, Long)]
+      .groupByKey { case (band, _, _, bkey, _) => (band, bkey) }
       .flatMapGroupsWithState[BandState, SrpCand](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (key, rows, state) =>
@@ -75,7 +86,9 @@ object EmbeddingStreams {
             st.sketches: _*)
           val before = ids.size
           val out = Seq.newBuilder[SrpCand]
-          rows.foreach { case (band, vecId, sk, _) =>
+          // A bucket-group is band-bounded; buffer + sort by the
+          // ingest sequence so admission order is deterministic.
+          rows.toSeq.sortBy(_._5).foreach { case (band, vecId, sk, _, _) =>
             var i = 0
             while (i < ids.size) {
               val h = java.lang.Long.bitCount(sk ^ sks(i))
@@ -103,9 +116,11 @@ object EmbeddingStreams {
     * not emitted — the documented trade, mirrored on
     * `passageDedupStreamBloom`'s saturation direction. With
     * windowSize ≥ arrivals it emits EXACTLY [[srpCandidateStream]]'s
-    * pairs (spec-pinned). */
+    * pairs (spec-pinned). Arrival order within a micro-batch — and
+    * therefore which element a full window evicts — is defined by
+    * `orderCol` exactly as in [[srpCandidateStream]]. */
   def srpCandidateStreamWindowed(vecs: DataFrame, windowSize: Int,
-      maxHamming: Int = 3, bands: Int = 4)(
+      maxHamming: Int = 3, bands: Int = 4, orderCol: String = "vec_id")(
       implicit spark: SparkSession): Dataset[SrpCand] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
@@ -119,15 +134,16 @@ object EmbeddingStreams {
     val mask = (1L << bandBits) - 1
     vecs
       .select(col("vec_id").cast("long").as("vec_id"),
+        col(orderCol).cast("long").as("seq"),
         Srp.sketch(
           transform(col("embedding"), x => x.cast("double"))).as("sk"))
-      .select(col("vec_id"), col("sk"),
+      .select(col("vec_id"), col("seq"), col("sk"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .select(col("band"), col("vec_id"), col("sk"),
         expr(s"shiftrightunsigned(sk, band * $bandBits)")
-          .bitwiseAND(mask).as("bkey"))
-      .as[(Int, Long, Long, Long)]
-      .groupByKey { case (band, _, _, bkey) => (band, bkey) }
+          .bitwiseAND(mask).as("bkey"), col("seq"))
+      .as[(Int, Long, Long, Long, Long)]
+      .groupByKey { case (band, _, _, bkey, _) => (band, bkey) }
       .flatMapGroupsWithState[BandState, SrpCand](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (_, rows, state) =>
@@ -137,7 +153,7 @@ object EmbeddingStreams {
             st.sketches: _*)
           var changed = false
           val out = Seq.newBuilder[SrpCand]
-          rows.foreach { case (band, vecId, sk, _) =>
+          rows.toSeq.sortBy(_._5).foreach { case (band, vecId, sk, _, _) =>
             val it1 = ids.iterator
             val it2 = sks.iterator
             while (it1.hasNext) {

@@ -75,4 +75,36 @@ class JobStarBuilderSpec extends SparkSpec {
       star.fact.count() shouldBe 60
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("highlightsFixedParse recovers the object payload as map<string,array<string>>") {
+    // Reference evidence (SURVEY §1.2): every record in
+    // data/raw_jobs.json carries an OBJECT payload — section name →
+    // bullet list — which the reference's declared ARRAY parse NULLs.
+    val now = lit("2026-01-01 00:00:00").cast("timestamp")
+    val withObj = landing(3).withColumn("job_highlights",
+      concat(
+        lit("""{"Qualifications":["sql","spark"],"Responsibilities":["etl for """),
+        col("job_title"), lit("\"]}")))
+    // bit-compat default: the declared array parse NULLs the payload
+    val compat = JobStarBuilder.build(withObj, now)
+    compat.dimJobDetails.filter(col("job_highlights_array").isNotNull)
+      .count() shouldBe 0
+    // fixed variant: the true map shape round-trips, per record
+    val fixed = JobStarBuilder.build(withObj, now,
+      highlightsFixedParse = true)
+    fixed.dimJobDetails.columns should contain("job_highlights_map")
+    fixed.dimJobDetails.columns should not contain "job_highlights"
+    val dim = fixed.dimJobDetails
+    dim.filter(col("job_highlights_map").isNull).count() shouldBe 0
+    val row = dim.filter(col("job_title") === "title 1")
+      .select(map_keys(col("job_highlights_map")),
+        col("job_highlights_map").getItem("Qualifications"),
+        element_at(col("job_highlights_map").getItem("Responsibilities"),
+          1))
+      .head()
+    row.getSeq[String](0).sorted shouldBe Seq("Qualifications",
+      "Responsibilities")
+    row.getSeq[String](1) shouldBe Seq("sql", "spark")
+    row.getString(2) shouldBe "etl for title 1"
+  }
 }

@@ -8,12 +8,35 @@ runs the matching oracle SQL from oracle_sql.json in DuckDB over the
 same sfDir parquet tables, and compares: row count, column names,
 dtype families, and values (exact, after sorting columns by name and
 rows by all columns — a superset of whatever the driver hashes).
+
+Float columns are compared BIT-STRICTLY (round-10 lesson: a round(9)
++ string compare hid a -0.0 vs +0.0 mismatch the driver's hash saw):
+each float64 is mapped to its IEEE-754 total-order bit key (16 hex
+digits — monotone in value, signed-zero-sensitive, NaN-by-payload),
+which serves as both the row-sort key and the equality value.
 """
 import json
 import sys
 
 import duckdb
+import numpy as np
 import pandas as pd
+
+
+def float_bits_key(s: pd.Series) -> pd.Series:
+    """IEEE-754 total-order key: -NaN < -inf < … < -0.0 < +0.0 < … < +NaN.
+
+    Fixed-width hex so lexicographic string order == numeric order, and
+    equality is exact bit equality (distinguishes -0.0 from +0.0 and
+    NaN payloads). Nulls become NaN first (pandas float64 cannot carry
+    null and NaN distinctly, and neither does the driver's view).
+    """
+    v = s.to_numpy(dtype="float64", na_value=np.nan).view(np.uint64)
+    key = np.where((v >> np.uint64(63)) == 0,
+                   v | np.uint64(1 << 63), ~v)
+    vals = v.view(np.float64)
+    return pd.Series([f"{k:016x} {x!r}" for k, x in zip(key, vals)],
+                     index=s.index)
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -25,7 +48,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_float_dtype(s):
-            out[c] = s.round(9)
+            out[c] = float_bits_key(s)
         elif pd.api.types.is_datetime64_any_dtype(s):
             s2 = s
             try:
