@@ -181,6 +181,61 @@ object TextQueries {
     graft.operators.MinHashLsh.candidatePairs(
       docs, NumHashes, Bands, RowsPerBand)
 
+  /** Session-materialized distinct-text groups `(txt, n, doc_id,
+    * n_train, n_val, n_test)` — the ONE corpus scan + groupBy every
+    * distinct-content-collapsed near-dup query (q125/q156/q159/q167)
+    * was re-deriving per query. Warehouse-table backed like
+    * [[windowsFor]] (disk, not executor memory), so suite neighbors
+    * cannot evict it mid-query — the round-10 in-suite profile: q167
+    * ran 5.3× its standalone time re-computing its own persisted
+    * groups under cache pressure. Bucketed by `doc_id` (the rep key)
+    * so every rep-pair meta join is bucket-local. The hash-split
+    * member counts ride along because the split is a deterministic
+    * function of `doc_id` ([[graft.operators.Sampling.hashSplit]]) —
+    * three integers per distinct text, costless for the consumers
+    * that ignore them, and exactly q167's census input. */
+  private def textGroupsFor(s: SparkSession, dir: String): DataFrame = {
+    val tbl = graft.operators.Similarity.indexName("graft_tgroups", dir)
+    if (!s.catalog.tableExists(tbl)) {
+      s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      val df = graft.operators.Sampling
+        .hashSplit(Tables.documents(s, dir), "doc_id")
+        .select(col("doc_id"), trim(col("text")).as("txt"), col("split"))
+        .groupBy("txt")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("doc_id"),
+          sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+      graft.sources.FileIO.writeBucketedTable(df, tbl, "doc_id", 16)
+    }
+    s.table(tbl)
+  }
+
+  /** Session-materialized LSH candidate pairs over the distinct-text
+    * REPRESENTATIVES of [[textGroupsFor]] — the banding self-join is
+    * the expensive half of every collapsed near-dup query, and all
+    * four consumers band the IDENTICAL frame (same reps, same pinned
+    * (16, 4, 4) parameters), so it runs once per (session, corpus)
+    * and lands on disk bucketed by `doc_a`. */
+  private def repPairsFor(s: SparkSession, dir: String): DataFrame = {
+    val tbl = graft.operators.Similarity.indexName("graft_reppairs", dir)
+    if (!s.catalog.tableExists(tbl)) {
+      s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      val df = lshPairsFrom(
+        textGroupsFor(s, dir).select(col("doc_id"), col("txt").as("text")))
+      graft.sources.FileIO.writeBucketedTable(df, tbl, "doc_a", 16)
+    }
+    s.table(tbl)
+  }
+
   /** IVF-bucketed embedding near-dup candidate pairs with exact cosine
     * ≥ [[EmbDupThreshold]] — shared by q47 (pair listing) and q66
     * (semantic-dedup clustering). Buckets come from the trained
@@ -350,14 +405,8 @@ object TextQueries {
       // naive pair stream grows with replicas² (measured: 5.0 s sf1x
       // → 117 s sf10x, a 110× pair volume for 10× data) while this
       // shape tracks distinct content.
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), trim(col("text")).as("txt"))
-      val groups = graft.CacheRegistry.persistTracked(
-        docs.groupBy("txt")
-          .agg(count(lit(1)).as("n"), min("doc_id").as("doc_id")),
-        graft.CacheRegistry.DataSized) // ≤ one row per distinct text
-      val repPairs = lshPairsFrom(
-        groups.select(col("doc_id"), col("txt").as("text")))
+      val groups = textGroupsFor(s, dir) // shared disk-backed groups
+      val repPairs = repPairsFor(s, dir) // shared banding result
       val meta = groups.select(col("doc_id"),
         substring(col("txt"), 1, 80).as("pfx"), col("n"))
       val cross = repPairs
@@ -433,14 +482,9 @@ object TextQueries {
          |  round(max(CASE WHEN ca >= cb THEN ca ELSE cb END), 6) AS max_maxc
          |FROM cont GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       import graft.operators.MinHashLsh
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), trim(col("text")).as("txt"))
-      val groups = graft.CacheRegistry.persistTracked(
-        docs.groupBy("txt")
-          .agg(count(lit(1)).as("n"), min("doc_id").as("doc_id")),
-        graft.CacheRegistry.DataSized) // ≤ one row per distinct text
+      val groups = textGroupsFor(s, dir) // shared disk-backed groups
       val reps = groups.select(col("doc_id"), col("txt").as("text"))
-      val repPairs = lshPairsFrom(reps)
+      val repPairs = repPairsFor(s, dir) // shared banding result
       val sets = MinHashLsh.shingles(reps)
         .groupBy("doc_id").agg(collect_set(col("tok")).as("sh"))
         .join(groups.select(col("doc_id"), col("n")), "doc_id")
@@ -945,13 +989,13 @@ object TextQueries {
       val cosAB = Similarity.dot(col("ea"), col("eb")) /
         (col("nra") * col("nrb"))
       val cross = a.join(b, Seq("bucket"))
-        .filter(col("va") < col("vb") && cosAB >= 0.42)
+        .filter(col("va") < col("vb") && cosAB >= EmbDupThreshold)
         .select(least(col("la"), col("lb")).as("label_lo"),
           greatest(col("la"), col("lb")).as("label_hi"),
           round(cosAB, 6).as("cos"), (col("cna") * col("cnb")).as("cnt"))
       val selfCos = Similarity.dot(col("e"), col("e")) /
         (col("nrm") * col("nrm"))
-      val within = reps.filter(col("n") >= 2 && selfCos >= 0.42)
+      val within = reps.filter(col("n") >= 2 && selfCos >= EmbDupThreshold)
         .select(col("label").as("label_lo"), col("label").as("label_hi"),
           round(selfCos, 6).as("cos"),
           expr("(n * (n - 1)) div 2").as("cnt"))
@@ -1137,17 +1181,10 @@ object TextQueries {
          |SELECT split_lo, split_hi, count(*) AS n_pairs
          |FROM px GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
       val splits = Seq("test", "train", "val")
-      val docs = graft.operators.Sampling
-        .hashSplit(Tables.documents(s, dir), "doc_id")
-        .select(col("doc_id"), trim(col("text")).as("txt"), col("split"))
-      val aggCols = splits.map(x =>
-        sum(when(col("split") === x, 1L).otherwise(0L)).as(s"n_$x")) :+
-        min("doc_id").as("doc_id")
-      val groups = graft.CacheRegistry.persistTracked(
-        docs.groupBy("txt").agg(aggCols.head, aggCols.tail: _*),
-        graft.CacheRegistry.DataSized) // ≤ one row per distinct text
-      val repPairs = lshPairsFrom(
-        groups.select(col("doc_id"), col("txt").as("text")))
+      // Shared disk-backed groups carry the per-split member counts
+      // (split = f(doc_id), computed once for the whole family).
+      val groups = textGroupsFor(s, dir)
+      val repPairs = repPairsFor(s, dir) // shared banding result
       val a = groups.select((col("doc_id").as("doc_a") +:
         splits.map(x => col(s"n_$x").as(s"a_$x"))): _*)
       val b = groups.select((col("doc_id").as("doc_b") +:
@@ -4378,14 +4415,8 @@ object TextQueries {
       // gate mirrors the oracle (no 3-shingles ⇒ no signature ⇒ no
       // candidates).
       import org.apache.spark.sql.graft.CatalystBridge
-      val groups = graft.CacheRegistry.persistTracked(
-        Tables.documents(s, dir)
-          .select(col("doc_id"), trim(col("text")).as("txt"))
-          .groupBy("txt")
-          .agg(count(lit(1)).as("n"), min("doc_id").as("doc_id")),
-        graft.CacheRegistry.DataSized) // ≤ one row per distinct text
-      val repPairs = lshPairsFrom(
-        groups.select(col("doc_id"), col("txt").as("text")))
+      val groups = textGroupsFor(s, dir) // shared disk-backed groups
+      val repPairs = repPairsFor(s, dir) // shared banding result
       val t = groups.select(col("doc_id"),
         sort_array(CatalystBridge.column(graft.plans.ShingleTokens(
           CatalystBridge.expr(col("txt")), 1))).as("toks"),
