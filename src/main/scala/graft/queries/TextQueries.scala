@@ -236,6 +236,46 @@ object TextQueries {
     s.table(tbl)
   }
 
+  /** Session-materialized per-doc bigram counts `(doc_id, half, w1,
+    * w2, k)` — the ONE corpus tokenize + bigram count every bigram-LM
+    * consumer (q86 top-25 LM, q88 perplexity, q142 Kneser–Ney, q154
+    * CCNet buckets) was re-deriving per query. `half = doc_id % 2` is
+    * the q142 train/held-out cut, free for consumers that sum across
+    * it ((doc_id, bigram) is unique per row because half is a
+    * function of doc_id). Bucketed by `w1` (16): the train-bigram
+    * total (groupBy w1,w2), the left-context counts (groupBy w1), the
+    * LM probability join (w1) and the held-out scoring join (w1,w2)
+    * all run SHUFFLE-FREE off the scan — HashPartitioning(w1)
+    * satisfies every ClusteredDistribution whose keys include w1, so
+    * the only shuffles left in the whole KN chain are the w2-keyed
+    * continuation steps (the n1r count and its join back, broadcast
+    * at toy scale) and the final per-doc rollup. */
+  private def bigramCountsFor(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.CatalystBridge
+    val tbl = graft.operators.Similarity.indexName("graft_bigrams", dir)
+    if (!s.catalog.tableExists(tbl)) {
+      s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      val df = Tables.documents(s, dir)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), (col("doc_id") % 2).as("half"),
+          explode(CatalystBridge.column(graft.plans.ShingleTokens(
+            CatalystBridge.expr(trim(col("text"))), 2, dedupe = false)))
+            .as("bigram"))
+        .groupBy("doc_id", "half", "bigram")
+        .agg(count(lit(1)).as("k"))
+        .select(col("doc_id"), col("half"),
+          split_part(col("bigram"), lit(" "), lit(1)).as("w1"),
+          split_part(col("bigram"), lit(" "), lit(2)).as("w2"),
+          col("k"))
+      graft.sources.FileIO.writeBucketedTable(df, tbl, "w1", 16)
+    }
+    s.table(tbl)
+  }
+
   /** IVF-bucketed embedding near-dup candidate pairs with exact cosine
     * ≥ [[EmbDupThreshold]] — shared by q47 (pair listing) and q66
     * (semantic-dedup clustering). Buckets come from the trained
@@ -2727,23 +2767,17 @@ object TextQueries {
         |SELECT c12.bigram, c12.cnt, round(c12.cnt / c1.c1, 6) AS cond_p
         |FROM c12 JOIN c1 ON split_part(c12.bigram, ' ', 1) = c1.w1
         |ORDER BY cnt DESC, bigram LIMIT 25""".stripMargin) { (s, dir) =>
-      // Bigrams ARE width-2 shingles: the native ShingleTokens pass
-      // (space-joined, occurrence order, duplicates kept) replaces the
-      // interpreted zip_with(slice, slice) lambda (PERF.md log #3).
-      val bg = Tables.documents(s, dir)
-        .repartition(col("doc_id"))
-        .select(explode(org.apache.spark.sql.graft.CatalystBridge.column(
-          graft.plans.ShingleTokens(
-            org.apache.spark.sql.graft.CatalystBridge.expr(trim(col("text"))),
-            2, dedupe = false))).as("bigram"))
-      val c12 = bg.groupBy("bigram").agg(count(lit(1)).as("cnt"))
-      val c1 = c12
-        .groupBy(split_part(col("bigram"), lit(" "), lit(1)).as("w1"))
-        .agg(sum("cnt").cast("double").as("c1"))
-      c12.withColumn("w1", split_part(col("bigram"), lit(" "), lit(1)))
-        .join(c1, "w1")
-        .select(col("bigram"), col("cnt"),
-          round(col("cnt") / col("c1"), 6).as("cond_p"))
+      // Bigram counts from the shared w1-bucketed table
+      // ([[bigramCountsFor]]): summing k across docs/halves equals
+      // counting raw bigram instances, and both LM aggregates plus
+      // the probability join run shuffle-free off the scan; the only
+      // remaining exchange is the 25-row TakeOrdered.
+      val d = bigramCountsFor(s, dir)
+      val c12 = d.groupBy("w1", "w2").agg(sum("k").as("cnt"))
+      val c1 = c12.groupBy("w1").agg(sum("cnt").cast("double").as("c1"))
+      c12.join(c1, "w1")
+        .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"),
+          col("cnt"), round(col("cnt") / col("c1"), 6).as("cond_p"))
         .orderBy(desc("cnt"), asc("bigram"))
         .limit(25)
     },
@@ -2910,28 +2944,16 @@ object TextQueries {
         |      AS DOUBLE) / 1000000.0 / sum(d.k)), 4) AS ppl
         |FROM d JOIN lm ON d.bigram = lm.bigram
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
-      // Bigrams via the native width-2 shingle pass (the q86 note),
-      // immediately collapsed to (doc_id, bigram, k) and persisted so
-      // the shingle CPU runs exactly once for all three consumers
-      // (tracked for CacheRegistry.drain() by embedded callers).
-      val d = graft.CacheRegistry.persistTracked(Tables.documents(s, dir)
-        .repartition(col("doc_id"))
-        .select(col("doc_id"),
-          explode(org.apache.spark.sql.graft.CatalystBridge.column(
-            graft.plans.ShingleTokens(
-              org.apache.spark.sql.graft.CatalystBridge.expr(trim(col("text"))),
-              2, dedupe = false))).as("bigram"))
-        .groupBy("doc_id", "bigram")
-        .agg(count(lit(1)).as("k")),
-        graft.CacheRegistry.DataSized) // ≤ distinct bigrams per doc
-      val c12 = d.groupBy("bigram").agg(sum("k").as("cnt"))
-      val c1 = c12
-        .groupBy(split_part(col("bigram"), lit(" "), lit(1)).as("w1"))
-        .agg(sum("cnt").cast("double").as("c1"))
-      val lm = c12
-        .withColumn("w1", split_part(col("bigram"), lit(" "), lit(1)))
-        .join(c1, "w1")
-        .select(col("bigram"), (col("cnt") / col("c1")).as("p"))
+      // Bigram counts from the shared w1-bucketed table
+      // ([[bigramCountsFor]] — (doc_id, bigram) is unique per row, so
+      // no cross-half re-aggregation is needed): the LM aggregates
+      // (w1,w2 / w1) and both scoring joins run shuffle-free off the
+      // scan; only the final per-doc rollup shuffles.
+      val d = bigramCountsFor(s, dir)
+      val c12 = d.groupBy("w1", "w2").agg(sum("k").as("cnt"))
+      val c1 = c12.groupBy("w1").agg(sum("cnt").cast("double").as("c1"))
+      val lm = c12.join(c1, "w1")
+        .select(col("w1"), col("w2"), (col("cnt") / col("c1")).as("p"))
       // Micro-long NLL terms (the q130 discipline, found live on
       // q154's cousin: DuckDB's own parallel fold over raw k·ln(p)
       // doubles flipped rounded outputs run-to-run at sf0.001): each
@@ -2942,7 +2964,7 @@ object TextQueries {
         * 1000000.0, 0).cast("long")
       val nllE = -sum(tq).cast("double") / 1000000.0 /
         sum(col("k").cast("double"))
-      d.join(lm, "bigram")
+      d.join(lm, Seq("w1", "w2"))
         .groupBy("doc_id")
         .agg(sum("k").as("n_bigrams"),
           round(nllE, 6).as("avg_nll"),
@@ -4662,23 +4684,14 @@ object TextQueries {
       |)""".stripMargin
 
   /** Engine twin of [[knCtesSql]]: the scored held-out frame plus the
-    * `scored` predicate and KN probability columns. Both model frames
-    * persist tracked (two consumers each). */
+    * `scored` predicate and KN probability columns. The bigram counts
+    * come from the shared w1-bucketed table ([[bigramCountsFor]]), so
+    * the model aggregates and the (w1,w2)/(w1) scoring joins are
+    * shuffle-free; the train-bigram frame persists tracked (four
+    * consumers). */
   private def knScored(s: SparkSession, dir: String)
       : (DataFrame, Column, Column) = {
-    import org.apache.spark.sql.graft.CatalystBridge
-    val d = graft.CacheRegistry.persistTracked(Tables.documents(s, dir)
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), (col("doc_id") % 2).as("half"),
-        explode(CatalystBridge.column(graft.plans.ShingleTokens(
-          CatalystBridge.expr(trim(col("text"))), 2, dedupe = false)))
-          .as("bigram"))
-      .groupBy("doc_id", "half", "bigram")
-      .agg(count(lit(1)).as("k"))
-      .select(col("doc_id"), col("half"), col("k"),
-        split_part(col("bigram"), lit(" "), lit(1)).as("w1"),
-        split_part(col("bigram"), lit(" "), lit(2)).as("w2")),
-      graft.CacheRegistry.DataSized) // distinct bigrams per doc
+    val d = bigramCountsFor(s, dir)
     val bgt = graft.CacheRegistry.persistTracked(
       d.filter(col("half") === 0)
         .groupBy("w1", "w2").agg(sum("k").as("c12")),

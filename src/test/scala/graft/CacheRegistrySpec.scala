@@ -31,9 +31,10 @@ class CacheRegistrySpec extends SparkSpec {
   test("a graft query's internal persists are reclaimable by an embedded caller") {
     CacheRegistry.drain()
     spark.catalog.clearCache()
-    // q88 persists its counted-bigram frame internally; manual drain
+    // q142 persists its train-bigram frame internally (q88's persist
+    // moved into the shared disk-backed bigram table); manual drain
     // remains available for multi-query composition.
-    val out = SparkEntry.allDefs.find(_.name == "q88_bigram_perplexity").get
+    val out = SparkEntry.allDefs.find(_.name == "q142_kneser_ney").get
       .build(spark, "/root/testdata/sf0.001")
     out.write.format("noop").mode("overwrite").save()
     CacheRegistry.trackedCount should be >= 1
@@ -46,7 +47,7 @@ class CacheRegistrySpec extends SparkSpec {
     // Round-7 verdict #2: materialize a query through the public map
     // and the internal frames must reclaim themselves — no drain()
     // call anywhere. The listener is async, so poll briefly.
-    for (q <- Seq("q30_jaccard_pairs", "q88_bigram_perplexity")) {
+    for (q <- Seq("q30_jaccard_pairs", "q142_kneser_ney")) {
       CacheRegistry.drain(blocking = true)
       spark.catalog.clearCache()
       val out = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
@@ -67,7 +68,9 @@ class CacheRegistrySpec extends SparkSpec {
     // query's plan references.
     CacheRegistry.drain(blocking = true)
     spark.catalog.clearCache()
-    val qa = SparkEntry.queries("q88_bigram_perplexity")(
+    // q142 persists its train-bigram frame (q88 stopped persisting
+    // when the bigram counts moved to the shared disk-backed table).
+    val qa = SparkEntry.queries("q142_kneser_ney")(
       spark, "/root/testdata/sf0.001")
     val framesA = CacheRegistry.trackedCount
     framesA should be >= 1

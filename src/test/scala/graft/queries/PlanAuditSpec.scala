@@ -304,6 +304,10 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
           // the shared rolling-hash window table (q77/q78/q105): its
           // 3-column schema IS the window index — doc, position, hash
           table.startsWith("graft_wins6_") ||
+          // the shared bigram-count table (q86/q88/q142/q154): its
+          // 5-column schema IS the LM index — doc, train/held-out
+          // half, left/right word, count
+          table.startsWith("graft_bigrams_") ||
           fullWidthOk.get(d.name).exists(_.contains(table))
         if (tableWidth >= 3 && readWidth >= tableWidth && !tableOk)
           Some(s"${d.name}[$table $readWidth/$tableWidth]")
@@ -356,27 +360,33 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
     }
   }
 
-  test("q88: one shingle pass — every consumer reads the persisted counted-bigram frame") {
-    // The (doc_id, bigram, k) aggregate is the only consumer of the
-    // width-2 shingle explode, and it is persisted: the LM build and
-    // the final scoring join must all read InMemoryTableScan, never
-    // re-run the per-row shingle CPU (the round-6 finding: the
-    // heaviest map work in the suite ran once per consumer). Exchange
-    // reuse can NOT cover it — the explode sits above the repartition
-    // exchange, and the LM branch grows an inferred
-    // isnotnull(split_part(bigram)) filter that breaks canonical
-    // subtree equality — so the cache is load-bearing, not belt and
-    // braces.
+  test("q88: no shingle pass in the plan, >= 2 bucketed-table scans, and no non-doc_id exchange") {
+    // The width-2 shingle explode lives in the ONE-TIME build of the
+    // shared w1-bucketed bigram table (bigramCountsFor) — never in a
+    // consumer's plan. Both the LM branch and the scoring branch scan
+    // that table, and HashPartitioning(w1, 16) from the bucketed scan
+    // satisfies the (w1,w2) aggregate, the (w1) aggregate, and both
+    // scoring joins — so the ONLY shuffles a consumer may plan are the
+    // final per-doc rollup and its contract sort (both keyed doc_id).
     import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val p = physical("q88_bigram_perplexity")
     val shingleGenerates = p.collect {
       case g: GenerateExec if g.boundGenerator.toString.contains("shingle_tokens") => g
     }
-    val cacheScans = p.collect { case s: InMemoryTableScanExec => s }
+    val bucketScans = p.collect {
+      case s: FileSourceScanExec
+          if s.tableIdentifier.exists(_.table.startsWith("graft_bigrams")) => s
+    }
+    val offKeyExchanges = p.collect {
+      case e: ShuffleExchangeExec
+          if !e.outputPartitioning.toString.contains("doc_id") => e
+    }
     spark.catalog.clearCache()
     withClue(s"plan:\n$p\n") {
-      shingleGenerates shouldBe empty // all shingle work lives inside the cache
-      cacheScans.size should be >= 2 // LM build + scoring join both ride it
+      shingleGenerates shouldBe empty // shingle CPU lives in the table build
+      bucketScans.size should be >= 2 // LM build + scoring join both ride it
+      offKeyExchanges shouldBe empty // model aggs + scoring joins shuffle-free
     }
   }
 
