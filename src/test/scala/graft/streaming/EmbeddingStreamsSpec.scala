@@ -73,6 +73,36 @@ class EmbeddingStreamsSpec extends SparkSpec {
     }
   }
 
+  test("arrival order is the ingest id, not physical row order: reversed multi-partition input keeps orientation deterministic") {
+    // After the groupByKey shuffle Spark guarantees nothing about row
+    // order inside a bucket group — the state function's orderCol sort
+    // must pin the (vec_a, vec_b) orientation to the ingest id even
+    // when the physical input arrives reversed across 7 partitions
+    // (the round-10 advice scenario: two same-bucket vectors in one
+    // micro-batch).
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val src = mem.toDF().toDF("vec_id", "embedding").repartition(7)
+    val q = EmbeddingStreams.srpCandidateStream(src, maxHamming = MaxHamming)
+      .writeStream.format("memory").queryName("srporder")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData((batch1 ++ batch2).reverse) // ONE batch, reversed
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("srporder")
+      .select($"vec_a", $"vec_b").distinct().as[(Long, Long)].collect()
+    assert(got.nonEmpty, "degenerate test: no qualifying pairs")
+    got.foreach { case (a, b) =>
+      assert(a < b, s"orientation ($a, $b) not in ingest-id order")
+    }
+    val ref = EmbeddingStreams.batchCandidates(
+        (batch1 ++ batch2).toDF("vec_id", "embedding"), MaxHamming)
+      .as[(Long, Long, Int)].collect()
+      .map { case (a, b, _) => (math.min(a, b), math.max(a, b)) }.toSet
+    assert(got.toSet === ref)
+  }
+
   test("cross-family pairs stay out; within-family pairs are found") {
     implicit val s = spark
     val all = (batch1 ++ batch2).toDF("vec_id", "embedding")
