@@ -1258,6 +1258,127 @@ object TextQueries {
         .orderBy("split_lo", "split_hi")
     },
 
+    // T149 — quality-filter SURVIVAL CURVE: for a grid of stopword-
+    // ratio cuts (0‰..300‰ in 25‰ steps, q32's gate family), how many
+    // docs and how many TOKENS survive, and what share of the corpus'
+    // token mass that is — the operating characteristic a 100 TB
+    // filtering run needs BEFORE it commits to a threshold (re-running
+    // the filter per candidate cut is a corpus pass each; this is ONE
+    // pass for every cut at once). Exactness: the cut is evaluated in
+    // integers (1000·n_stop < t‰·n_tokens — no float boundary), and
+    // each gated doc contributes to a single histogram bucket j_min =
+    // the first grid index it survives at; the curve is the suffix-
+    // cumulative of a 13-bucket histogram, so the corpus never fans
+    // out grid-wide. The q32 30-token gate applies at every cut.
+    QueryDef("q169_filter_sweep",
+      """WITH d AS (
+        |  SELECT len(list_filter(string_split_regex(trim(text), '\s+'),
+        |           x -> x <> '')) AS n_tokens,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |           x -> x IN ('the', 'a'))) AS n_stop
+        |  FROM documents
+        |), tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tt FROM d),
+        |g AS (SELECT unnest(generate_series(0, 12)) AS j)
+        |SELECT 25 * g.j AS t_permille,
+        |  CAST(count(*) FILTER (WHERE d.n_tokens >= 30
+        |    AND 1000 * d.n_stop < 25 * g.j * d.n_tokens) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(sum(d.n_tokens) FILTER (WHERE d.n_tokens >= 30
+        |    AND 1000 * d.n_stop < 25 * g.j * d.n_tokens), 0) AS BIGINT)
+        |    AS n_tokens,
+        |  round(CAST(coalesce(sum(d.n_tokens) FILTER (WHERE d.n_tokens >= 30
+        |    AND 1000 * d.n_stop < 25 * g.j * d.n_tokens), 0) AS DOUBLE)
+        |    / tot.tt, 6) AS token_share
+        |FROM g CROSS JOIN d CROSS JOIN tot
+        |GROUP BY g.j, tot.tt ORDER BY t_permille""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.graft.CatalystBridge
+      val prof = CatalystBridge.column(graft.plans.TokenProfile(
+        CatalystBridge.expr(col("text")), Seq("the", "a")))
+      val perDoc = graft.CacheRegistry.persistTracked(
+        Tables.documents(s, dir)
+          .repartition(col("doc_id"))
+          .select(prof.as("p"))
+          .select(col("p.n_tokens").as("n_tokens"),
+            col("p.n_stop").as("n_stop")),
+        graft.CacheRegistry.DataSized) // two ints per doc
+      val tot = perDoc.agg(sum("n_tokens").cast("double").as("tt"))
+      // First surviving grid index: strict 1000·n_stop < 25·j·n_tokens
+      // ⇔ j > 40·n_stop/n_tokens ⇔ j_min = (1000·n_stop) DIV
+      // (25·n_tokens) + 1 — exact integer arithmetic in both engines.
+      val hist = perDoc.filter(col("n_tokens") >= 30)
+        .groupBy(expr("CAST((1000 * CAST(n_stop AS BIGINT)) DIV " +
+          "(25 * CAST(n_tokens AS BIGINT)) + 1 AS INT)").as("j_min"))
+        .agg(count(lit(1)).as("nd"), sum("n_tokens").as("nt"))
+      val surv = hist.filter(col("j_min") <= 12)
+        .select(explode(sequence(col("j_min"), lit(12))).as("j"),
+          col("nd"), col("nt"))
+        .groupBy("j")
+        .agg(sum("nd").as("nd"), sum("nt").as("nt"))
+      s.range(0, 13).select(col("id").cast("int").as("j"))
+        .join(surv, Seq("j"), "left")
+        .crossJoin(broadcast(tot)) // 1-row lazy total
+        .select((col("j") * 25).cast("long").as("t_permille"),
+          coalesce(col("nd"), lit(0L)).as("n_docs"),
+          coalesce(col("nt"), lit(0L)).as("n_tokens"),
+          round(coalesce(col("nt"), lit(0L)).cast("double") / col("tt"), 6)
+            .as("token_share"))
+        .orderBy("t_permille")
+    },
+
+    // T150 — cross-source n-gram NOVELTY census: per source, its
+    // distinct 3-shingle types, the types found in NO other source,
+    // and the novelty fraction — the "what does this feed add that
+    // the rest of the corpus doesn't already have" number that prices
+    // a source for the data-mixing decision (T29's caps and T126's
+    // DSIR weights tune HOW MUCH of a source to take; this measures
+    // whether its content is additive at all). Shape: one shingle
+    // pass → distinct (source, type) pairs → per-type source-set
+    // (sources-bounded: ≤ 20 entries) → explode back to a
+    // (sources × 2)-bounded census; the corpus-sized frames are all
+    // type-keyed aggregates with map-side combine, never joins.
+    QueryDef("q170_source_novelty",
+      """WITH p AS (
+        |  SELECT DISTINCT source, tok FROM (
+        |    SELECT source, unnest(list_transform(
+        |      generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tok
+        |    FROM (SELECT source,
+        |            list_filter(string_split_regex(trim(text), '\s+'),
+        |              x -> x <> '') AS t
+        |          FROM documents)
+        |  )
+        |), spread AS (
+        |  SELECT tok, count(*) AS n_src FROM p GROUP BY tok
+        |)
+        |SELECT p.source, CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(count(*) FILTER (WHERE s.n_src = 1) AS BIGINT) AS n_unique,
+        |  round(CAST(count(*) FILTER (WHERE s.n_src = 1) AS DOUBLE)
+        |    / count(*), 6) AS novelty
+        |FROM p JOIN spread s ON p.tok = s.tok
+        |GROUP BY p.source ORDER BY p.source""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.graft.CatalystBridge
+      val pairs = Tables.documents(s, dir)
+        .repartition(col("doc_id"))
+        .select(col("source"),
+          explode(CatalystBridge.column(graft.plans.ShingleTokens(
+            CatalystBridge.expr(trim(col("text"))), 3))).as("tok"))
+        .distinct()
+      // Per-type source set (bounded by the source vocabulary), then
+      // straight back out to the per-source census — no type-keyed
+      // join, and only size(srcs) is consumed, so collect_set's merge
+      // order can't surface.
+      pairs.groupBy("tok")
+        .agg(collect_set(col("source")).as("srcs"))
+        .select(explode(col("srcs")).as("source"),
+          (size(col("srcs")) === 1).as("uniq"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_types"),
+          sum(when(col("uniq"), 1L).otherwise(0L)).as("n_unique"))
+        .select(col("source"), col("n_types"), col("n_unique"),
+          round(col("n_unique").cast("double") / col("n_types"), 6)
+            .as("novelty"))
+        .orderBy("source")
+    },
+
     // Document fingerprint: md5 over whitespace-normalized text.
     QueryDef("q36_fingerprint",
       """SELECT doc_id,

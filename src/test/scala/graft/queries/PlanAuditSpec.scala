@@ -112,6 +112,10 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
     // q46/q68 lazy-totals pattern; every multi-row join in the plan is
     // an equi-join (probe terms broadcast, dl on doc_id).
     "q126_bm25_topk",
+    // q169: the survival curve attaches the LAZY 1-row corpus-token
+    // total to the 13-row grid (the q46/q68 lazy-totals pattern); the
+    // grid↔histogram join is an equi-join on the bucket index.
+    "q169_filter_sweep",
     // q133: the same q126 lazy-totals cross products, once per scorer
     // (BM25 reuses N + avgdl, TF·IDF reuses N); the fuse join itself
     // is a full-outer EQUI-join on (term, doc_id) over
