@@ -137,6 +137,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "vec_outer_sum(array<float|double>) - one-pass vector moments: struct(n, dim, mean, cov)"),
       (args: Seq[Expression]) => VecOuterSum(args.head)))
 
+    ext.injectFunction((
+      new FunctionIdentifier("quant_sweep"),
+      info("quant_sweep",
+        "quant_sweep(array<float|double>) - 2/4/6/8-bit uniform-grid error sweep: struct(n, s2..s8 micro-long err2 sums, m2..m8 max abs err)"),
+      (args: Seq[Expression]) => QuantSweep(args.head)))
+
     // parse_relative_time: native node composition mirroring
     // graft.functions.parseRelativeTime (reference semantics: substring
     // match on hour/day, first digit run, yesterday -> NULL). Seconds

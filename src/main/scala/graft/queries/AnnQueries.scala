@@ -62,6 +62,30 @@ object AnnQueries {
 
   /** q161's oracle: [[graft.operators.Srp]]'s sign literals, exact
     * BIGINT projections, xor + bit_count Hamming banding. */
+  /** q171's oracle: one UNION ALL branch per bit width over a shared
+    * component CTE — reconstruction expression textually identical in
+    * operation order to the engine's Column form, so the doubles are
+    * bit-equal before the micro-long quantization. */
+  private lazy val quantSweepSql: String = {
+    def errSql(l: String) =
+      s"(x - ((least(greatest(floor((x + 1.0) / 2.0 * $l), 0.0), " +
+        s"$l - 1.0) + 0.5) * 2.0 / $l - 1.0))"
+    val branches = Seq(2, 4, 6, 8).map { b =>
+      val e = errSql((1 << b).toDouble.toString)
+      s"""SELECT CAST($b AS BIGINT) AS bit_width,
+         |  CAST(count(*) AS BIGINT) AS n_components,
+         |  round(CAST(sum(CAST(floor($e * $e * 1000000000.0 + 0.5) AS BIGINT))
+         |      AS DOUBLE) / count(*) / 1000000000.0, 6) AS mse,
+         |  round(max(abs($e)), 6) AS max_abs_err
+         |FROM c""".stripMargin
+    }
+    s"""WITH c AS (
+       |  SELECT CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+       |)
+       |${branches.mkString("\nUNION ALL\n")}
+       |ORDER BY bit_width""".stripMargin
+  }
+
   private lazy val srpSql: String = {
     import graft.operators.Srp
     val bits = (0 until Srp.Bits).map { b =>
@@ -250,6 +274,45 @@ object AnnQueries {
           round(aggregate(col("ae"), lit(0.0), (a, x) => a + x * x)
             / size(col("ae")), 12).as("mse"))
         .orderBy("vec_id")
+    },
+
+    // T151 — quantization-WIDTH sweep: corpus MSE + max abs error of a
+    // fixed-grid [-1, 1) uniform quantizer at 2/4/6/8 bits, ALL widths
+    // from ONE corpus pass — the q169 survival-curve idea applied to
+    // the vector path (re-encoding 100 TB of embeddings per candidate
+    // width is a corpus pass each; the width decision against an
+    // error budget should cost one). Complements q82 (which profiles
+    // ONE int8 scheme per vector): this prices the width itself.
+    // Determinism: the reconstruction is the IDENTICAL double
+    // expression in both engines (same operation order), each
+    // component's squared error quantizes ONCE to floor(err²·1e9+0.5)
+    // exact longs (the q83 micro-long idiom — no raw-double sum
+    // crosses a merge; floor(+0.5) because both engines compute it
+    // identically and cheaply where a BigDecimal round would cost one
+    // allocation per component), and max(|err|) is order-free. Scale
+    // shape: the 4-width grid arithmetic is ONE fused codegen pass
+    // per row (plans/QuantSweep — the composed 4-fold form measured
+    // 49 s at sf10x vs 1.9 s for DuckDB's flat scan; higher-order
+    // functions never enter whole-stage codegen), one 1-row global
+    // aggregate, 4-row output.
+    QueryDef("q171_quant_sweep", quantSweepSql) { (s, dir) =>
+      import org.apache.spark.sql.graft.CatalystBridge
+      val widths = graft.plans.QuantSweep.Bits.toSeq
+      val perRow = Tables.embeddings(s, dir)
+        .select(CatalystBridge.column(graft.plans.QuantSweep(
+          CatalystBridge.expr(col("embedding")))).as("q"))
+      val tot = perRow.agg(sum("q.n").as("n"),
+        widths.flatMap(b =>
+          Seq(sum(s"q.s$b").as(s"s$b"), max(s"q.m$b").as(s"m$b"))): _*)
+      tot.select(explode(array(widths.map { b =>
+          struct(lit(b).cast("long").as("bit_width"),
+            col("n").as("n_components"),
+            round(col(s"s$b").cast("double") / col("n") / 1e9, 6).as("mse"),
+            round(col(s"m$b"), 6).as("max_abs_err"))
+        }: _*)).as("r"))
+        .select(col("r.bit_width"), col("r.n_components"), col("r.mse"),
+          col("r.max_abs_err"))
+        .orderBy("bit_width")
     },
 
     // Per-label centroid cohesion — the embedding-space QA a pipeline
