@@ -315,6 +315,79 @@ object AnnQueries {
         .orderBy("bit_width")
     },
 
+    // T152 — embedding-norm OUTLIER census per label: q113's robust
+    // MAD rule carried to the vector path — per label, the median
+    // vector L2 norm, its MAD, and the count beyond 3·1.4826·MAD.
+    // Degenerate (near-zero) and corrupt (blown-up) vectors are the
+    // embedding-QA failures a robust location/scale pair catches that
+    // a mean/stddev pair lets one giant vector hide; per-LABEL because
+    // a class whose norms collapse is a training-signal loss invisible
+    // in the global census. Norms are per-row sequential folds
+    // (bit-equal across engines — the q47 nrm contract); medians are
+    // value selections, so no cross-row double sum exists anywhere.
+    // Scale shape: q113's exactly — histogram-refinement quantile
+    // selection above the stats threshold (no per-key sort), path
+    // pinned ONCE from the clean scan stats, medians broadcast.
+    QueryDef("q172_vector_outliers",
+      """WITH v AS (
+        |  SELECT label, sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |), med AS (
+        |  SELECT label, median(nrm) AS med FROM v GROUP BY 1
+        |), mad AS (
+        |  SELECT v.label, median(abs(v.nrm - m.med)) AS mad
+        |  FROM v JOIN med m USING (label) GROUP BY 1
+        |)
+        |SELECT v.label, CAST(count(*) AS BIGINT) AS n,
+        |  round(m.med, 6) AS med, round(a.mad, 6) AS mad,
+        |  CAST(sum(CASE WHEN abs(v.nrm - m.med) > 3 * 1.4826 * a.mad
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS outlier_cnt
+        |FROM v JOIN med m USING (label) JOIN mad a USING (label)
+        |GROUP BY v.label, m.med, a.mad
+        |ORDER BY label""".stripMargin) { (s, dir) =>
+      import graft.operators.{RobustStats, Similarity}
+      // Persisted: the quantile chain scans this frame ~4× (median,
+      // deviation, MAD, census) and each rescan would re-run the
+      // 64-element norm fold per row — (label, nrm) is two scalars
+      // per vector, the cheapest thing in the query to keep.
+      val vPlain = Tables.embeddings(s, dir)
+        .select(col("label"), Similarity.norm(
+          transform(col("embedding"), x => x.cast("double"))).as("nrm"))
+      val v = graft.CacheRegistry.persistTracked(vPlain,
+        graft.CacheRegistry.DataSized)
+      // Path decision from the PLAIN projection's stats (the q113
+      // stance): an un-materialized InMemoryRelation reports its
+      // child-plan estimate, which would misroute the choice.
+      val useHistogram = RobustStats.decideHistogram(vPlain)
+      // med/mad persist too (Bounded: ≤ one row per label): the final
+      // census references each twice and mad's plan inlines med's —
+      // without the persists Catalyst duplicates the whole quantile
+      // subtree per reference (~4× med, measured 10 s at sf10x for a
+      // 200 k-row input; with them the windows execute once).
+      val med = graft.CacheRegistry.persistTracked(
+        RobustStats.medianByKey(v, "label", "nrm", "med",
+          histogram = useHistogram),
+        graft.CacheRegistry.Bounded)
+      val dev = v.join(broadcast(med), "label")
+        .withColumn("_d", abs(col("nrm") - col("med")))
+      val mad = graft.CacheRegistry.persistTracked(
+        RobustStats.medianByKey(
+          dev.select(col("label"), col("_d")), "label", "_d", "mad",
+          histogram = useHistogram),
+        graft.CacheRegistry.Bounded)
+      v.join(broadcast(med), "label").join(broadcast(mad), "label")
+        .groupBy("label", "med", "mad")
+        .agg(count(lit(1)).as("n"),
+          sum(when(abs(col("nrm") - col("med")) >
+            lit(3.0) * lit(1.4826) * col("mad"), 1L).otherwise(0L))
+            .as("outlier_cnt"))
+        .select(col("label"), col("n"),
+          round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+          col("outlier_cnt"))
+        .orderBy("label")
+    },
+
     // Per-label centroid cohesion — the embedding-space QA a pipeline
     // runs after clustering/semantic-dedup: positionwise label
     // centroids (rounded to 6 decimals in BOTH engines so every
