@@ -394,6 +394,29 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
     }
   }
 
+  test("collapsed near-dup family reads the SHARED disk-backed frames, never re-derives them") {
+    // Round-11: q125/q156/q159/q167 each re-derived the distinct-text
+    // groups and the LSH banding per query, and suite cache pressure
+    // evicted the per-query persists mid-query (q167 ran 5.3× its
+    // standalone time re-computing its own groups). Both frames are
+    // session-materialized warehouse tables now — every consumer's
+    // plan must SCAN them (the banding lives only in the one-time
+    // repPairs build).
+    Seq("q125_fuzzy_dedup", "q156_lsh_precision", "q159_containment",
+        "q167_split_leakage").foreach { q =>
+      val p = physical(q)
+      def scansOf(prefix: String) = p.collect {
+        case s: FileSourceScanExec
+            if s.tableIdentifier.exists(_.table.startsWith(prefix)) => s
+      }
+      spark.catalog.clearCache()
+      withClue(s"$q: ") {
+        scansOf("graft_tgroups") should not be empty
+        scansOf("graft_reppairs") should not be empty
+      }
+    }
+  }
+
   test("q30: contract sort is steered buckets + in-partition sort — one execution, no output-sized cache") {
     // Round-7 verdict #1: the pair output (2.48 B rows at sf10x) must
     // be materialized exactly once. The contract ORDER BY therefore
