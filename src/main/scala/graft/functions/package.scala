@@ -114,6 +114,19 @@ package object functions {
   def parseJsonMap(c: Column): Column =
     from_json(c, MapType(StringType, ArrayType(StringType)))
 
+  /** Signed-zero-safe rounding for FLOAT OUTPUT columns — the suite-wide
+    * fix for the class of bug that kept q130 red for two rounds
+    * (rounds 9-10): DuckDB's `round` keeps the sign of a tiny negative
+    * (−1e-9 → −0.0) while Spark's BigDecimal-based round drops it
+    * (→ +0.0), and the driver's correctness gate hashes IEEE-754 BITS,
+    * so one signable rounded cell is a deterministic, data-dependent
+    * mismatch. IEEE round-to-nearest gives (−0.0) + 0.0 = +0.0, so
+    * adding 0.0 after the round canonicalizes the zero in BOTH engines.
+    * Every rounded double output column in the engine must use this
+    * helper, and the paired oracle SQL must spell the same
+    * `round(..., k) + 0.0` textually (see VERDICT r11 item 1). */
+  def roundz(c: Column, scale: Int): Column = round(c, scale) + lit(0.0)
+
   // ---------------------------------------------------------------------
   // Stable hashing — md5-derived 60-bit non-negative longs. MD5 is
   // bit-identical across engines (and to the DuckDB oracle), unlike

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.{functions => gf}
 import org.apache.spark.sql.graft.CatalystBridge
 
 /** Product quantization for embedding columns (Jégou–Douze–Schmid,
@@ -188,7 +189,7 @@ object Pq {
       .join(broadcast(qt), lit(true))
       .filter(col(idCol) =!= col("qid"))
       .select(col("qid"), col(idCol),
-        round(adcCol(col(codeCol), col("tbl"), cb), 6).as("adc"))
+        gf.roundz(adcCol(col(codeCol), col("tbl"), cb), 6).as("adc"))
       // rank stays IntegerType and the bound an Int literal so
       // TopKRewriteRule's RankLimit pattern fires (bounded per-key heap,
       // not a full per-qid sort)
@@ -249,7 +250,7 @@ object Pq {
     codes.join(broadcast(probes), Seq("bucket"))
       .filter(col(idCol) =!= col("qid"))
       .select(col("qid"), col(idCol),
-        round(adcCol(col("pq_code"), col("tbl"), cb), 6).as("adc"))
+        gf.roundz(adcCol(col("pq_code"), col("tbl"), cb), 6).as("adc"))
       .withColumn("rank", row_number().over(rw))
       .filter(col("rank") <= lit(k))
   }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.{functions => gf}
 
 /** Exact per-key order statistics WITHOUT a per-key sort — the scale
   * path for grouped quantiles when the key cardinality is far below
@@ -368,9 +369,9 @@ object RobustStats {
       transform(col("_ms"), m => (m - mbar) * (m - mbar)),
       lit(0.0), (acc, x) => acc + x) / (replicates - 1))
     withMs.select(col(keyCol), col("n_rows"),
-      round(point, 6).as("point_mean"),
-      round(se, 6).as("boot_se"),
-      round(point - lit(1.96) * se, 6).as("ci_lo"),
-      round(point + lit(1.96) * se, 6).as("ci_hi"))
+      gf.roundz(point, 6).as("point_mean"),
+      gf.roundz(se, 6).as("boot_se"),
+      gf.roundz(point - lit(1.96) * se, 6).as("ci_lo"),
+      gf.roundz(point + lit(1.96) * se, 6).as("ci_hi"))
   }
 }

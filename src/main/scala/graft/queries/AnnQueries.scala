@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.{functions => gf}
 import graft.operators.{Multimodal, Similarity}
 
 /** ANN + multimodal scoring-surface entries. The IVF query replicates
@@ -51,10 +52,10 @@ object AnnQueries {
        |)
        |SELECT u.dim,
        |  CAST(count(f.vec_id) AS BIGINT) AS n_overlap,
-       |  round(CAST(count(f.vec_id) AS DOUBLE) / 40.0, 6) AS recall_at_5,
+       |  round(CAST(count(f.vec_id) AS DOUBLE) / 40.0, 6) + 0.0 AS recall_at_5,
        |  round(CAST(sum(CASE WHEN u.r = 1
        |      THEN CAST(round(u.cos_full * 1000000.0, 0) AS BIGINT) END)
-       |    AS DOUBLE) / 8.0 / 1000000.0, 6) AS avg_top1_full_cos
+       |    AS DOUBLE) / 8.0 / 1000000.0, 6) + 0.0 AS avg_top1_full_cos
        |FROM ranked u LEFT JOIN rank$full f
        |  ON u.qid = f.qid AND u.vec_id = f.vec_id
        |GROUP BY u.dim ORDER BY u.dim""".stripMargin
@@ -75,8 +76,8 @@ object AnnQueries {
       s"""SELECT CAST($b AS BIGINT) AS bit_width,
          |  CAST(count(*) AS BIGINT) AS n_components,
          |  round(CAST(sum(CAST(floor($e * $e * 1000000000.0 + 0.5) AS BIGINT))
-         |      AS DOUBLE) / count(*) / 1000000000.0, 6) AS mse,
-         |  round(max(abs($e)), 6) AS max_abs_err
+         |      AS DOUBLE) / count(*) / 1000000000.0, 6) + 0.0 AS mse,
+         |  round(max(abs($e)), 6) + 0.0 AS max_abs_err
          |FROM c""".stripMargin
     }
     s"""WITH c AS (
@@ -105,14 +106,14 @@ object AnnQueries {
        |  SELECT vec_id, e, nrm, CAST($bits AS BIGINT) AS sketch FROM n
        |), pairs AS (
        |  SELECT CAST(bit_count(xor(q.sketch, c.sketch)) // 4 AS INTEGER) AS band,
-       |    round(${cos("q.e", "c.e", "q.nrm", "c.nrm")}, 6) AS cos
+       |    round(${cos("q.e", "c.e", "q.nrm", "c.nrm")}, 6) + 0.0 AS cos
        |  FROM sk q JOIN sk c ON q.vec_id < 8 AND c.vec_id <> q.vec_id
        |)
        |SELECT band, count(*) AS n_pairs,
        |  round(CAST(sum(CAST(round(cos * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
-       |    / count(*) / 1000000.0, 6) AS avg_cos,
-       |  round(min(cos), 6) AS min_cos,
-       |  round(max(cos), 6) AS max_cos
+       |    / count(*) / 1000000.0, 6) + 0.0 AS avg_cos,
+       |  round(min(cos), 6) + 0.0 AS min_cos,
+       |  round(max(cos), 6) + 0.0 AS max_cos
        |FROM pairs GROUP BY band ORDER BY band""".stripMargin
   }
 
@@ -147,7 +148,7 @@ object AnnQueries {
          |), m$t AS (
          |  SELECT cent_id, i,
          |    round(CAST(sum(CAST(floor(x * 32768.0) AS BIGINT)) AS DOUBLE)
-         |      / count(*) / 32768.0, 6) AS x FROM (
+         |      / count(*) / 32768.0, 6) + 0.0 AS x FROM (
          |    SELECT cent_id, unnest(range(1, len(e) + 1)) AS i,
          |      unnest(e) AS x FROM a$t
          |  ) GROUP BY cent_id, i
@@ -172,7 +173,7 @@ object AnnQueries {
          |  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
          |), scored AS (
          |  SELECT q.vec_id AS qid, c.vec_id,
-         |    round(${cos("q.e", "c.e", "q.nrm", "c.nrm")}, 6) AS cos
+         |    round(${cos("q.e", "c.e", "q.nrm", "c.nrm")}, 6) + 0.0 AS cos
          |  FROM n q JOIN n c ON q.vec_id < 8 AND c.vec_id <> q.vec_id
          |), ranked AS (
          |  SELECT qid, vec_id, cos,
@@ -211,7 +212,7 @@ object AnnQueries {
          |  ) WHERE prank <= 2
          |), ranked AS (
          |  SELECT p.qid, a.vec_id,
-         |    round(${cos("p.qe", "a.e", "p.qn", "a.nrm")}, 6) AS cos,
+         |    round(${cos("p.qe", "a.e", "p.qn", "a.nrm")}, 6) + 0.0 AS cos,
          |    row_number() OVER (PARTITION BY p.qid ORDER BY
          |      ${cos("p.qe", "a.e", "p.qn", "a.nrm")} DESC, a.vec_id) AS rank
          |  FROM assigned a JOIN probes p ON a.bucket = p.bucket
@@ -222,7 +223,7 @@ object AnnQueries {
       val emb = Tables.embeddings(s, dir)
       // Probe the session-persisted index (train + assign run once per
       // corpus, not once per query — the 100 TB shape).
-      val idx = Similarity.indexFor(emb, Similarity.indexName("ivf", dir))
+      val idx = Similarity.indexFor(emb, Similarity.indexName(s, "ivf", dir))
       Similarity.ivfTopK(idx, emb.filter(col("vec_id") < 8), k = 5)
         .orderBy("qid", "rank")
     },
@@ -254,9 +255,9 @@ object AnnQueries {
         |      i -> abs(e[i] - qv[i] * scale)) AS ae
         |  FROM q
         |)
-        |SELECT vec_id, round(scale, 9) AS scale,
-        |  round(list_max(ae), 9) AS max_abs_err,
-        |  round(list_sum(list_transform(ae, x -> x * x)) / len(ae), 12) AS mse
+        |SELECT vec_id, round(scale, 9) + 0.0 AS scale,
+        |  round(list_max(ae), 9) + 0.0 AS max_abs_err,
+        |  round(list_sum(list_transform(ae, x -> x * x)) / len(ae), 12) + 0.0 AS mse
         |FROM err ORDER BY vec_id""".stripMargin) { (s, dir) =>
       Tables.embeddings(s, dir)
         .select(col("vec_id"),
@@ -269,9 +270,9 @@ object AnnQueries {
         .withColumn("ae", zip_with(col("e"), col("qv"),
           (x, q) => abs(x - q * col("scale"))))
         .select(col("vec_id"),
-          round(col("scale"), 9).as("scale"),
-          round(array_max(col("ae")), 9).as("max_abs_err"),
-          round(aggregate(col("ae"), lit(0.0), (a, x) => a + x * x)
+          gf.roundz(col("scale"), 9).as("scale"),
+          gf.roundz(array_max(col("ae")), 9).as("max_abs_err"),
+          gf.roundz(aggregate(col("ae"), lit(0.0), (a, x) => a + x * x)
             / size(col("ae")), 12).as("mse"))
         .orderBy("vec_id")
     },
@@ -307,8 +308,8 @@ object AnnQueries {
       tot.select(explode(array(widths.map { b =>
           struct(lit(b).cast("long").as("bit_width"),
             col("n").as("n_components"),
-            round(col(s"s$b").cast("double") / col("n") / 1e9, 6).as("mse"),
-            round(col(s"m$b"), 6).as("max_abs_err"))
+            gf.roundz(col(s"s$b").cast("double") / col("n") / 1e9, 6).as("mse"),
+            gf.roundz(col(s"m$b"), 6).as("max_abs_err"))
         }: _*)).as("r"))
         .select(col("r.bit_width"), col("r.n_components"), col("r.mse"),
           col("r.max_abs_err"))
@@ -340,7 +341,7 @@ object AnnQueries {
         |  FROM v JOIN med m USING (label) GROUP BY 1
         |)
         |SELECT v.label, CAST(count(*) AS BIGINT) AS n,
-        |  round(m.med, 6) AS med, round(a.mad, 6) AS mad,
+        |  round(m.med, 6) + 0.0 AS med, round(a.mad, 6) + 0.0 AS mad,
         |  CAST(sum(CASE WHEN abs(v.nrm - m.med) > 3 * 1.4826 * a.mad
         |                THEN 1 ELSE 0 END) AS BIGINT) AS outlier_cnt
         |FROM v JOIN med m USING (label) JOIN mad a USING (label)
@@ -383,7 +384,7 @@ object AnnQueries {
             lit(3.0) * lit(1.4826) * col("mad"), 1L).otherwise(0L))
             .as("outlier_cnt"))
         .select(col("label"), col("n"),
-          round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+          gf.roundz(col("med"), 6).as("med"), gf.roundz(col("mad"), 6).as("mad"),
           col("outlier_cnt"))
         .orderBy("label")
     },
@@ -409,7 +410,7 @@ object AnnQueries {
         |), cm AS (
         |  SELECT label, i,
         |    round(CAST(sum(CAST(floor(e[i] * 32768.0) AS BIGINT)) AS DOUBLE)
-        |      / count(*) / 32768.0, 6) AS x
+        |      / count(*) / 32768.0, 6) + 0.0 AS x
         |  FROM v, unnest(generate_series(1, len(e))) AS g(i)
         |  GROUP BY label, i
         |), cent0 AS (
@@ -427,7 +428,7 @@ object AnnQueries {
         |  FROM v JOIN cent c ON v.label = c.label
         |)
         |SELECT label, count(*) AS n_vecs,
-        |  round(CAST(sum(micro) AS DOUBLE) / count(*) / 1000000.0, 6) AS avg_cos,
+        |  round(CAST(sum(micro) AS DOUBLE) / count(*) / 1000000.0, 6) + 0.0 AS avg_cos,
         |  CAST(min(micro) AS DOUBLE) / 1000000.0 AS min_cos
         |FROM scored GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
       val v = Tables.embeddings(s, dir)
@@ -436,7 +437,7 @@ object AnnQueries {
       val cent = v
         .select(col("label"), posexplode(col("e")).as(Seq("i", "x")))
         .groupBy("label", "i")
-        .agg(round(sum(floor(col("x") * lit(32768.0)).cast("long"))
+        .agg(gf.roundz(sum(floor(col("x") * lit(32768.0)).cast("long"))
           .cast("double") / count(lit(1)) / 32768.0, 6).as("x"))
         .groupBy("label")
         .agg(collect_list(struct(col("i"), col("x"))).as("pairs"))
@@ -450,7 +451,7 @@ object AnnQueries {
             * 1000000.0, 0).cast("long").as("micro"))
         .groupBy("label")
         .agg(count(lit(1)).as("n_vecs"),
-          round(sum("micro").cast("double") / count(lit(1)) / 1000000.0, 6)
+          gf.roundz(sum("micro").cast("double") / count(lit(1)) / 1000000.0, 6)
             .as("avg_cos"),
           (min("micro").cast("double") / 1000000.0).as("min_cos"))
         .orderBy("label")
@@ -477,14 +478,14 @@ object AnnQueries {
         |  FROM v, unnest(generate_series(1, len(e))) AS g(i)
         |), m AS (
         |  SELECT pos, count(*) AS n, sum(xq) AS sx, sum(xq * xq) AS sxx,
-        |    round(min(x), 6) AS vmin, round(max(x), 6) AS vmax
+        |    round(min(x), 6) + 0.0 AS vmin, round(max(x), 6) + 0.0 AS vmax
         |  FROM x GROUP BY pos
         |)
         |SELECT pos, n,
-        |  round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 32768.0, 6) AS mean,
+        |  round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 32768.0, 6) + 0.0 AS mean,
         |  round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
         |      * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
-        |    / CAST(n - 1 AS DOUBLE)) / 32768.0, 6) AS std,
+        |    / CAST(n - 1 AS DOUBLE)) / 32768.0, 6) + 0.0 AS std,
         |  vmin, vmax
         |FROM m ORDER BY pos""".stripMargin) { (s, dir) =>
       Tables.embeddings(s, dir)
@@ -495,11 +496,11 @@ object AnnQueries {
         .agg(count(lit(1)).as("n"),
           sum("xq").as("sx"),
           sum(col("xq") * col("xq")).as("sxx"),
-          round(min("x"), 6).as("vmin"),
-          round(max("x"), 6).as("vmax"))
+          gf.roundz(min("x"), 6).as("vmin"),
+          gf.roundz(max("x"), 6).as("vmax"))
         .select(col("pos"), col("n"),
-          round(col("sx").cast("double") / col("n") / 32768.0, 6).as("mean"),
-          round(sqrt((col("sxx").cast("double") - col("sx").cast("double")
+          gf.roundz(col("sx").cast("double") / col("n") / 32768.0, 6).as("mean"),
+          gf.roundz(sqrt((col("sxx").cast("double") - col("sx").cast("double")
               * col("sx").cast("double") / col("n"))
             / (col("n") - 1)) / 32768.0, 6).as("std"),
           col("vmin"), col("vmax"))
@@ -551,7 +552,7 @@ object AnnQueries {
           posexplode(col("st.cov")).as(Seq("idx", "c")))
         .select(expr("idx div dim").cast("int").as("i"),
           pmod(col("idx"), col("dim")).as("j"),
-          (round(col("c"), 6) + lit(0.0)).as("cov"))
+          gf.roundz(col("c"), 6).as("cov"))
         .filter(col("i") <= col("j"))
         .orderBy("i", "j")
     },
@@ -602,8 +603,8 @@ object AnnQueries {
         .drop("fqid")
         .groupBy("dim")
         .agg(count(col("fv")).as("n_overlap"),
-          round(count(col("fv")).cast("double") / 40.0, 6).as("recall_at_5"),
-          round(sum(when(col("r") === 1,
+          gf.roundz(count(col("fv")).cast("double") / 40.0, 6).as("recall_at_5"),
+          gf.roundz(sum(when(col("r") === 1,
               round(col("cos_full") * 1000000.0, 0).cast("long")))
             .cast("double") / 8.0 / 1000000.0, 6).as("avg_top1_full_cos"))
         .orderBy("dim")
@@ -636,13 +637,13 @@ object AnnQueries {
         .select(
           (bit_count(col("qs").bitwiseXOR(col("sketch"))) / lit(4))
             .cast("int").as("band"),
-          round(cosc, 6).as("cos"))
+          gf.roundz(cosc, 6).as("cos"))
         .groupBy("band")
         .agg(count(lit(1)).as("n_pairs"),
-          round(sum(round(col("cos") * 1000000.0, 0).cast("long"))
+          gf.roundz(sum(round(col("cos") * 1000000.0, 0).cast("long"))
             .cast("double") / count(lit(1)) / 1000000.0, 6).as("avg_cos"),
-          round(min("cos"), 6).as("min_cos"),
-          round(max("cos"), 6).as("max_cos"))
+          gf.roundz(min("cos"), 6).as("min_cos"),
+          gf.roundz(max("cos"), 6).as("max_cos"))
         .orderBy("band")
     },
 
@@ -665,7 +666,7 @@ object AnnQueries {
         |), cm AS (
         |  SELECT label, i,
         |    round(CAST(sum(CAST(floor(e[i] * 32768.0) AS BIGINT)) AS DOUBLE)
-        |      / count(*) / 32768.0, 6) AS x
+        |      / count(*) / 32768.0, 6) + 0.0 AS x
         |  FROM v, unnest(generate_series(1, len(e))) AS g(i)
         |  GROUP BY label, i
         |), cent AS (
@@ -674,7 +675,7 @@ object AnnQueries {
         |)
         |SELECT a.label AS label_a, b.label AS label_b,
         |  round(list_sum(list_transform(generate_series(1, len(a.ce)),
-        |      i -> a.ce[i] * b.ce[i])) / (a.cn * b.cn), 6) AS cos
+        |      i -> a.ce[i] * b.ce[i])) / (a.cn * b.cn), 6) + 0.0 AS cos
         |FROM cent a JOIN cent b ON a.label < b.label
         |ORDER BY label_a, label_b""".stripMargin) { (s, dir) =>
       val v = Tables.embeddings(s, dir)
@@ -683,7 +684,7 @@ object AnnQueries {
       val cent = v
         .select(col("label"), posexplode(col("e")).as(Seq("i", "x")))
         .groupBy("label", "i")
-        .agg(round(sum(floor(col("x") * lit(32768.0)).cast("long"))
+        .agg(gf.roundz(sum(floor(col("x") * lit(32768.0)).cast("long"))
           .cast("double") / count(lit(1)) / 32768.0, 6).as("x"))
         .groupBy("label")
         .agg(collect_list(struct(col("i"), col("x"))).as("pairs"))
@@ -696,7 +697,7 @@ object AnnQueries {
         col("cn").as("nb"))
       a.join(broadcast(b), col("label_a") < col("label_b"))
         .select(col("label_a"), col("label_b"),
-          round(Similarity.dot(col("ca"), col("cb"))
+          gf.roundz(Similarity.dot(col("ca"), col("cb"))
             / (col("na") * col("nb")), 6).as("cos"))
         .orderBy("label_a", "label_b")
     },
@@ -751,7 +752,7 @@ object AnnQueries {
          |  ) WHERE prank <= 2
          |), ranked AS (
          |  SELECT p.qid, a.vec_id,
-         |    round(${cos("p.qe", "a.e", "p.qn", "a.nrm")}, 6) AS cos,
+         |    round(${cos("p.qe", "a.e", "p.qn", "a.nrm")}, 6) + 0.0 AS cos,
          |    row_number() OVER (PARTITION BY p.qid ORDER BY
          |      round(${cos("p.qe", "a.e", "p.qn", "a.nrm")}, 6) DESC, a.vec_id) AS rank
          |  FROM assigned a JOIN probes p ON a.bucket = p.bucket
@@ -796,9 +797,9 @@ object AnnQueries {
         |  FROM v GROUP BY label
         |)
         |SELECT c.label, n.n_a, n.n_b,
-        |  round(sqrt(sum((ca - cb) * (ca - cb))), 6) AS l2_shift,
+        |  round(sqrt(sum((ca - cb) * (ca - cb))), 6) + 0.0 AS l2_shift,
         |  round(sum(ca * cb)
-        |    / (sqrt(sum(ca * ca)) * sqrt(sum(cb * cb))), 6) AS cos_sim
+        |    / (sqrt(sum(ca * ca)) * sqrt(sum(cb * cb))), 6) + 0.0 AS cos_sim
         |FROM c JOIN n ON c.label = n.label
         |GROUP BY c.label, n.n_a, n.n_b ORDER BY c.label""".stripMargin) {
       (s, dir) =>
@@ -817,9 +818,9 @@ object AnnQueries {
       c.join(n, "label")
         .groupBy("label", "n_a", "n_b")
         .agg(
-          round(sqrt(sum((col("ca") - col("cb")) * (col("ca") - col("cb")))), 6)
+          gf.roundz(sqrt(sum((col("ca") - col("cb")) * (col("ca") - col("cb")))), 6)
             .as("l2_shift"),
-          round(sum(col("ca") * col("cb"))
+          gf.roundz(sum(col("ca") * col("cb"))
             / (sqrt(sum(col("ca") * col("ca")))
               * sqrt(sum(col("cb") * col("cb")))), 6).as("cos_sim"))
         .orderBy("label")
@@ -849,7 +850,7 @@ object AnnQueries {
          |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
          |), scored AS (
          |  SELECT q.vec_id AS qid, c.vec_id,
-         |    round(${cos("q.e", "c.e", "q.nrm", "c.nrm")}, 6) AS cos
+         |    round(${cos("q.e", "c.e", "q.nrm", "c.nrm")}, 6) + 0.0 AS cos
          |  FROM n q JOIN n c ON q.vec_id < 8 AND c.label <> q.label
          |), ranked AS (
          |  SELECT qid, vec_id, cos,
@@ -883,7 +884,7 @@ object AnnQueries {
          |), ${kmeansCtes(k = 8, iters = 3)}
          |SELECT cl AS cluster, CAST(count(*) AS BIGINT) AS size,
          |  round(CAST(sum(CAST(floor(d2 * 1048576.0) AS BIGINT)) AS DOUBLE)
-         |    / 1048576.0, 6) AS inertia
+         |    / 1048576.0, 6) + 0.0 AS inertia
          |FROM ${kmeansAssignSql("c3")} GROUP BY cl
          |ORDER BY cluster""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
@@ -892,7 +893,7 @@ object AnnQueries {
       graft.operators.Embeddings.kmeansAssign(emb, model)
         .groupBy(col("cluster").cast("long").as("cluster"))
         .agg(count(lit(1)).as("size"),
-          round(sum(floor(col("d2") * graft.operators.Embeddings.KMeansScale))
+          gf.roundz(sum(floor(col("d2") * graft.operators.Embeddings.KMeansScale))
             .cast("double") / graft.operators.Embeddings.KMeansScale, 6)
             .as("inertia"))
         .orderBy("cluster")
@@ -914,7 +915,7 @@ object AnnQueries {
          |  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
          |), exact_scored AS (
          |  SELECT q.vec_id AS qid, c.vec_id,
-         |    round(${cos("q.e", "c.e", "q.nrm", "c.nrm")}, 6) AS cos
+         |    round(${cos("q.e", "c.e", "q.nrm", "c.nrm")}, 6) + 0.0 AS cos
          |  FROM n q JOIN n c ON q.vec_id < 8 AND c.vec_id <> q.vec_id
          |), truth AS (
          |  SELECT qid, vec_id AS tid FROM (
@@ -946,7 +947,7 @@ object AnnQueries {
          |  ) WHERE arank <= 5
          |)
          |SELECT a.qid,
-         |  round(($dcgDotSql) / $IdealDcg5, 6) AS ndcg_at_5
+         |  round(($dcgDotSql) / $IdealDcg5, 6) + 0.0 AS ndcg_at_5
          |FROM approx a LEFT JOIN truth t
          |  ON a.qid = t.qid AND a.vec_id = t.tid
          |GROUP BY a.qid ORDER BY a.qid""".stripMargin) { (s, dir) =>
@@ -954,7 +955,7 @@ object AnnQueries {
       val queries = emb.filter(col("vec_id") < 8)
       val truth = Similarity.bruteForceTopK(emb, queries, k = 5)
         .select(col("qid"), col("vec_id").as("tid"))
-      val idx = Similarity.indexFor(emb, Similarity.indexName("ivf", dir))
+      val idx = Similarity.indexFor(emb, Similarity.indexName(s, "ivf", dir))
       val approx = Similarity.ivfTopK(idx, queries, k = 5)
         .select(col("qid"), col("vec_id"), col("rank").as("arank"))
       // Hits per rank as ORDER-FREE integer maxes, then ONE fixed-order
@@ -974,7 +975,7 @@ object AnnQueries {
         .groupBy("qid")
         .agg(hitAggs.head, hitAggs.tail: _*)
         .select(col("qid"),
-          round(dcg / IdealDcg5, 6).as("ndcg_at_5"))
+          gf.roundz(dcg / IdealDcg5, 6).as("ndcg_at_5"))
         .orderBy("qid")
     },
 
@@ -999,7 +1000,7 @@ object AnnQueries {
          |  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
          |), exact_scored AS (
          |  SELECT q.vec_id AS qid, c.vec_id,
-         |    round(${cos("q.e", "c.e", "q.nrm", "c.nrm")}, 6) AS cos
+         |    round(${cos("q.e", "c.e", "q.nrm", "c.nrm")}, 6) + 0.0 AS cos
          |  FROM n q JOIN n c ON q.vec_id < 8 AND c.vec_id <> q.vec_id
          |), truth AS (
          |  SELECT qid, vec_id AS tid, trank FROM (
@@ -1031,9 +1032,9 @@ object AnnQueries {
          |  ) WHERE arank <= 5
          |)
          |SELECT a.qid, CAST(count(t.tid) AS BIGINT) AS hits,
-         |  round(CAST(count(t.tid) AS DOUBLE) / 5, 6) AS recall_at_5,
+         |  round(CAST(count(t.tid) AS DOUBLE) / 5, 6) + 0.0 AS recall_at_5,
          |  round(coalesce(CAST(1 AS DOUBLE)
-         |    / min(CASE WHEN t.trank = 1 THEN a.arank END), 0.0), 6) AS mrr
+         |    / min(CASE WHEN t.trank = 1 THEN a.arank END), 0.0), 6) + 0.0 AS mrr
          |FROM approx a LEFT JOIN truth t
          |  ON a.qid = t.qid AND a.vec_id = t.tid
          |GROUP BY a.qid ORDER BY a.qid""".stripMargin) { (s, dir) =>
@@ -1041,7 +1042,7 @@ object AnnQueries {
       val queries = emb.filter(col("vec_id") < 8)
       val truth = Similarity.bruteForceTopK(emb, queries, k = 5)
         .select(col("qid"), col("vec_id").as("tid"), col("rank").as("trank"))
-      val idx = Similarity.indexFor(emb, Similarity.indexName("ivf", dir))
+      val idx = Similarity.indexFor(emb, Similarity.indexName(s, "ivf", dir))
       val approx = Similarity.ivfTopK(idx, queries, k = 5)
         .select(col("qid"), col("vec_id"), col("rank").as("arank"))
       approx.join(truth,
@@ -1050,8 +1051,8 @@ object AnnQueries {
         .select(approx("qid"), col("tid"), col("trank"), col("arank"))
         .groupBy("qid")
         .agg(count(col("tid")).as("hits"),
-          round(count(col("tid")).cast("double") / 5, 6).as("recall_at_5"),
-          round(coalesce(lit(1.0)
+          gf.roundz(count(col("tid")).cast("double") / 5, 6).as("recall_at_5"),
+          gf.roundz(coalesce(lit(1.0)
             / min(when(col("trank") === 1, col("arank"))), lit(0.0)), 6)
             .as("mrr"))
         .orderBy("qid")
@@ -1085,8 +1086,8 @@ object AnnQueries {
          |    sqrt(${d2Sql("a.ce", "b.ce")}) AS d_ij
          |  FROM c3 a JOIN c3 b ON a.cl <> b.cl
          |)
-         |SELECT s.cl AS cluster, s.size, round(s.s_i, 6) AS mean_dist,
-         |  round(max((s.s_i + t.s_i) / cd.d_ij), 6) AS db_score
+         |SELECT s.cl AS cluster, s.size, round(s.s_i, 6) + 0.0 AS mean_dist,
+         |  round(max((s.s_i + t.s_i) / cd.d_ij), 6) + 0.0 AS db_score
          |FROM s JOIN cd ON s.cl = cd.ca JOIN s t ON cd.cb = t.cl
          |GROUP BY s.cl, s.size, s.s_i
          |ORDER BY cluster""".stripMargin) { (s, dir) =>
@@ -1120,10 +1121,10 @@ object AnnQueries {
         .join(t, "cb")
         .groupBy(col("cluster").cast("long").as("cluster"),
           col("size"), col("s_i"))
-        .agg(round(max((col("s_i") + col("s_j")) / col("d_ij")), 6)
+        .agg(gf.roundz(max((col("s_i") + col("s_j")) / col("d_ij")), 6)
           .as("db_score"))
         .select(col("cluster"), col("size"),
-          round(col("s_i"), 6).as("mean_dist"), col("db_score"))
+          gf.roundz(col("s_i"), 6).as("mean_dist"), col("db_score"))
         .orderBy("cluster")
     }
   )

@@ -25,11 +25,11 @@ object CoreQueries {
     // grouped COUNT over the star — superset query ids 8,11,12).
     QueryDef("q01_pricing_summary",
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_quantity), 2) + 0.0 AS sum_qty,
+        |  round(sum(l_extendedprice), 2) + 0.0 AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) + 0.0 AS sum_disc_price,
         |  count(*) AS cnt,
-        |  round(round(sum(l_quantity), 2) / count(*), 4) AS avg_qty
+        |  round(round(sum(l_quantity), 2) / count(*), 4) + 0.0 AS avg_qty
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
@@ -37,11 +37,11 @@ object CoreQueries {
         .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          gf.roundz(sum("l_quantity"), 2).as("sum_qty"),
+          gf.roundz(sum("l_extendedprice"), 2).as("sum_base_price"),
+          gf.roundz(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
           count(lit(1)).as("cnt"),
-          round(round(sum("l_quantity"), 2) / count(lit(1)), 4).as("avg_qty"))
+          gf.roundz(round(sum("l_quantity"), 2) / count(lit(1)), 4).as("avg_qty"))
         .orderBy("l_returnflag", "l_linestatus")
     },
 
@@ -122,7 +122,7 @@ object CoreQueries {
     // (superset tables rows 2/5).
     QueryDef("q09_star_flatten",
       """SELECT n_name, count(*) AS cnt,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) + 0.0 AS revenue
         |FROM lineitem l
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
@@ -135,7 +135,7 @@ object CoreQueries {
         .groupBy("n_name")
         .agg(
           count(lit(1)).as("cnt"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          gf.roundz(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy("n_name")
     },
 
@@ -394,7 +394,7 @@ object CoreQueries {
         |  CAST(epoch(CAST(o_orderdate AS TIMESTAMP))
         |       - epoch(CAST(lag(o_orderdate) OVER w AS TIMESTAMP)) AS BIGINT) AS secs_since_prev,
         |  rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS status_rank,
-        |  round(sum(o_totalprice) OVER (w ROWS UNBOUNDED PRECEDING), 2) AS running_spend
+        |  round(sum(o_totalprice) OVER (w ROWS UNBOUNDED PRECEDING), 2) + 0.0 AS running_spend
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderdate, o_orderkey LIMIT 5000""".stripMargin) { (s, dir) =>
@@ -406,7 +406,7 @@ object CoreQueries {
           (unix_timestamp(col("o_orderdate")) -
             unix_timestamp(lag("o_orderdate", 1).over(w))).as("secs_since_prev"),
           rank().over(rankW).cast("long").as("status_rank"),
-          round(sum("o_totalprice")
+          gf.roundz(sum("o_totalprice")
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
             .as("running_spend"))
         .orderBy("o_custkey", "o_orderdate", "o_orderkey").limit(5000)
@@ -509,20 +509,20 @@ object CoreQueries {
     // leak into the hash.
     QueryDef("q111_bivar_stats",
       """SELECT l_returnflag, count(*) AS n,
-        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
-        |  round(stddev_samp(l_extendedprice), 4) AS sd_price,
-        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
-        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept
+        |  round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) + 0.0 AS covar_qp,
+        |  round(stddev_samp(l_extendedprice), 4) + 0.0 AS sd_price,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) + 0.0 AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) + 0.0 AS intercept
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
-          round(corr("l_quantity", "l_extendedprice"), 6).as("corr_qty_price"),
-          round(covar_samp("l_quantity", "l_extendedprice"), 4).as("covar_qp"),
-          round(stddev_samp("l_extendedprice"), 4).as("sd_price"),
-          round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
-          round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4)
+          gf.roundz(corr("l_quantity", "l_extendedprice"), 6).as("corr_qty_price"),
+          gf.roundz(covar_samp("l_quantity", "l_extendedprice"), 4).as("covar_qp"),
+          gf.roundz(stddev_samp("l_extendedprice"), 4).as("sd_price"),
+          gf.roundz(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
+          gf.roundz(expr("regr_intercept(l_extendedprice, l_quantity)"), 4)
             .as("intercept"))
         .orderBy("l_returnflag")
     },
@@ -593,7 +593,7 @@ object CoreQueries {
         |    part_total.total FROM unref_part, part_total
         |)
         |SELECT check_name, CAST(violations AS BIGINT) AS violations,
-        |  total, round(violations * 1.0 / total, 6) AS rate
+        |  total, round(violations * 1.0 / total, 6) + 0.0 AS rate
         |FROM checks ORDER BY check_name""".stripMargin) { (s, dir) =>
       // Single-frame rows (one aggregate carries both columns) select
       // directly; only the referential rows genuinely cross two 1-row
@@ -653,7 +653,7 @@ object CoreQueries {
         .reduce(_ union _)
       checks
         .select(col("check_name"), col("violations"), col("total"),
-          round(col("violations") * lit(1.0) / col("total"), 6).as("rate"))
+          gf.roundz(col("violations") * lit(1.0) / col("total"), 6).as("rate"))
         .orderBy("check_name")
     }
   )

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.{functions => gf}
 
 /** Event-stream analytics in batch form — tumbling/sliding windows,
   * sessionization, daily funnels over the `events` table. The same
@@ -26,11 +27,11 @@ object EventQueries {
     // both engines).
     QueryDef("q37_tumbling_window",
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
-        |  count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |  count(*) AS cnt, round(sum(value), 2) + 0.0 AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       Tables.events(s, dir)
         .groupBy(window(col("ts"), "1 hour"))
-        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+        .agg(count(lit(1)).as("cnt"), gf.roundz(sum("value"), 2).as("sum_value"))
         .select(col("window.start").as("window_start"), col("cnt"), col("sum_value"))
         .orderBy("window_start")
     },
@@ -38,7 +39,7 @@ object EventQueries {
     // Sliding window: 1-hour windows sliding every 30 minutes — each
     // event lands in exactly two windows.
     QueryDef("q38_sliding_window",
-      """SELECT window_start, count(*) AS cnt, round(sum(value), 2) AS sum_value
+      """SELECT window_start, count(*) AS cnt, round(sum(value), 2) + 0.0 AS sum_value
         |FROM (
         |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, value FROM events
         |  UNION ALL
@@ -46,7 +47,7 @@ object EventQueries {
         |) GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       Tables.events(s, dir)
         .groupBy(window(col("ts"), "1 hour", "30 minutes"))
-        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+        .agg(count(lit(1)).as("cnt"), gf.roundz(sum("value"), 2).as("sum_value"))
         .select(col("window.start").as("window_start"), col("cnt"), col("sum_value"))
         .orderBy("window_start")
     },
@@ -205,7 +206,7 @@ object EventQueries {
         |)
         |SELECT event_type, CAST(sum(o) AS BIGINT) AS n_events,
         |  round(7.0 * CAST(sum(o * o) AS DOUBLE) / CAST(sum(o) AS DOUBLE)
-        |    - CAST(sum(o) AS DOUBLE), 6) AS chi2_uniform
+        |    - CAST(sum(o) AS DOUBLE), 6) + 0.0 AS chi2_uniform
         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin) {
       (s, dir) =>
       import org.apache.spark.sql.types.DecimalType
@@ -216,7 +217,7 @@ object EventQueries {
         .agg(sum("o").cast("long").as("n_events"),
           sum(col("o") * col("o")).as("ss"))
         .select(col("event_type"), col("n_events"),
-          round(lit(7.0) * col("ss").cast("double")
+          gf.roundz(lit(7.0) * col("ss").cast("double")
               / col("n_events").cast("double")
             - col("n_events").cast("double"), 6).as("chi2_uniform"))
         .orderBy("event_type")
@@ -312,14 +313,14 @@ object EventQueries {
     // summation order can't leak into the hash.
     QueryDef("q80_salted_agg",
       """SELECT user_id, count(*) AS cnt,
-        |  round(sum(value), 6) AS sum_value, max(value) AS max_value
+        |  round(sum(value), 6) + 0.0 AS sum_value, max(value) AS max_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
       import graft.operators.Skew
       Skew.saltedAggregate(Tables.events(s, dir), col("user_id"), "user_id",
           salts = 8,
           Seq(Skew.count2p, Skew.sum2p("value"), Skew.max2p("value")))
         .select(col("user_id"), col("cnt"),
-          round(col("sum_value"), 6).as("sum_value"), col("max_value"))
+          gf.roundz(col("sum_value"), 6).as("sum_value"), col("max_value"))
         .orderBy("user_id")
     },
 
@@ -336,7 +337,7 @@ object EventQueries {
     QueryDef("q110_rolling_window",
       """SELECT user_id, event_id,
         |  count(*) OVER w AS cnt_1h,
-        |  round(sum(value) OVER w, 2) AS sum_1h
+        |  round(sum(value) OVER w, 2) + 0.0 AS sum_1h
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
@@ -347,7 +348,7 @@ object EventQueries {
         .withColumn("_tus", unix_micros(col("ts")))
         .select(col("user_id"), col("event_id"), col("_tus"),
           count(lit(1)).over(w).as("cnt_1h"),
-          round(sum("value").over(w), 2).as("sum_1h"))
+          gf.roundz(sum("value").over(w), 2).as("sum_1h"))
         .orderBy("user_id", "_tus", "event_id")
         .drop("_tus")
     },
@@ -373,7 +374,7 @@ object EventQueries {
         |  FROM events e JOIN med m USING (event_type) GROUP BY 1
         |)
         |SELECT e.event_type, count(*) AS n,
-        |  round(m.med, 6) AS med, round(a.mad, 6) AS mad,
+        |  round(m.med, 6) + 0.0 AS med, round(a.mad, 6) + 0.0 AS mad,
         |  CAST(sum(CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * a.mad
         |                THEN 1 ELSE 0 END) AS BIGINT) AS outlier_cnt
         |FROM events e
@@ -409,7 +410,7 @@ object EventQueries {
             lit(3.0) * lit(1.4826) * col("mad"), 1L).otherwise(0L))
             .as("outlier_cnt"))
         .select(col("event_type"), col("n"),
-          round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+          gf.roundz(col("med"), 6).as("med"), gf.roundz(col("mad"), 6).as("mad"),
           col("outlier_cnt"))
         .orderBy("event_type")
     },
@@ -430,7 +431,7 @@ object EventQueries {
         |  FROM events GROUP BY event_type
         |)
         |SELECT e.event_type, count(*) AS n,
-        |  round(q.q1, 6) AS q1, round(q.q3, 6) AS q3,
+        |  round(q.q1, 6) + 0.0 AS q1, round(q.q3, 6) + 0.0 AS q3,
         |  CAST(sum(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
         |                  OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
         |           THEN 1 ELSE 0 END) AS BIGINT) AS fence_outliers
@@ -450,7 +451,7 @@ object EventQueries {
             col("value") > col("q3") + lit(1.5) * iqr, 1L).otherwise(0L))
             .as("fence_outliers"))
         .select(col("event_type"), col("n"),
-          round(col("q1"), 6).as("q1"), round(col("q3"), 6).as("q3"),
+          gf.roundz(col("q1"), 6).as("q1"), gf.roundz(col("q3"), 6).as("q3"),
           col("fence_outliers"))
         .orderBy("event_type")
     },
@@ -469,7 +470,7 @@ object EventQueries {
         |  round(last_value(CASE WHEN event_type = 'error' THEN NULL
         |                        ELSE value END IGNORE NULLS)
         |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) + 0.0
         |    AS filled,
         |  CAST(event_type = 'error' AS BIGINT) AS was_gap
         |FROM events
@@ -479,7 +480,7 @@ object EventQueries {
       Tables.events(s, dir)
         .withColumn("_tus", unix_micros(col("ts")))
         .select(col("user_id"), col("event_id"), col("_tus"),
-          round(last(
+          gf.roundz(last(
             when(col("event_type") === "error", lit(null)).otherwise(col("value")),
             ignoreNulls = true).over(w), 2).as("filled"),
           (col("event_type") === "error").cast("long").as("was_gap"))
@@ -552,7 +553,7 @@ object EventQueries {
         |)
         |SELECT c.cohort_day, c.offset_days, c.active_users,
         |  s.cohort_users,
-        |  round(c.active_users * 1.0 / s.cohort_users, 6) AS retention
+        |  round(c.active_users * 1.0 / s.cohort_users, 6) + 0.0 AS retention
         |FROM cells c JOIN sizes s USING (cohort_day)
         |ORDER BY cohort_day, offset_days""".stripMargin) { (s, dir) =>
       val ev = Tables.events(s, dir)
@@ -572,7 +573,7 @@ object EventQueries {
       cells.join(broadcast(sizes), "cohort_day")
         .select(col("cohort_day"), col("offset_days"), col("active_users"),
           col("cohort_users"),
-          round(col("active_users") * lit(1.0) / col("cohort_users"), 6)
+          gf.roundz(col("active_users") * lit(1.0) / col("cohort_users"), 6)
             .as("retention"))
         .orderBy("cohort_day", "offset_days")
     },
@@ -595,7 +596,7 @@ object EventQueries {
         s"CASE WHEN lag(value, $k) OVER w IS NULL THEN 0.0 ELSE ${EwmaWeight(k)} END"
       }.mkString(" + ")
       s"""SELECT user_id, event_id,
-         |  round(($terms) / ($dens), 6) AS ewma
+         |  round(($terms) / ($dens), 6) + 0.0 AS ewma
          |FROM events
          |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
          |ORDER BY user_id, event_id""".stripMargin
@@ -611,7 +612,7 @@ object EventQueries {
       Tables.events(s, dir)
         .withColumn("_tus", unix_micros(col("ts")))
         .select(col("user_id"), col("event_id"),
-          round(num / den, 6).as("ewma"))
+          gf.roundz(num / den, 6).as("ewma"))
         .orderBy("user_id", "event_id")
     },
 
@@ -701,9 +702,9 @@ object EventQueries {
         |  UNION ALL SELECT 4, 'purchase', count(*) FROM p
         |)
         |SELECT CAST(step_no AS BIGINT) AS step_no, step, users,
-        |  round(users * 1.0 / max(users) OVER (), 6) AS frac_of_entry,
+        |  round(users * 1.0 / max(users) OVER (), 6) + 0.0 AS frac_of_entry,
         |  round(users * 1.0 /
-        |    coalesce(lag(users) OVER (ORDER BY step_no), users), 6)
+        |    coalesce(lag(users) OVER (ORDER BY step_no), users), 6) + 0.0
         |    AS step_conversion
         |FROM counts ORDER BY step_no""".stripMargin) { (s, dir) =>
       val ev = Tables.events(s, dir)
@@ -729,9 +730,9 @@ object EventQueries {
       val wOrd = Window.orderBy("step_no")
       counts
         .select(col("step_no"), col("step"), col("users"),
-          round(col("users") * lit(1.0) / max("users").over(wAll), 6)
+          gf.roundz(col("users") * lit(1.0) / max("users").over(wAll), 6)
             .as("frac_of_entry"),
-          round(col("users") * lit(1.0) /
+          gf.roundz(col("users") * lit(1.0) /
             coalesce(lag(col("users"), 1).over(wOrd), col("users")), 6)
             .as("step_conversion"))
         .orderBy("step_no")
@@ -756,7 +757,7 @@ object EventQueries {
         |  SELECT src, dst, count(*) AS cnt FROM tr
         |  WHERE dst IS NOT NULL GROUP BY src, dst
         |), tot AS (SELECT src, sum(cnt) AS t FROM pairs GROUP BY src)
-        |SELECT p.src, p.dst, p.cnt, round(p.cnt * 1.0 / t.t, 6) AS prob
+        |SELECT p.src, p.dst, p.cnt, round(p.cnt * 1.0 / t.t, 6) + 0.0 AS prob
         |FROM pairs p JOIN tot t USING (src)
         |ORDER BY src, dst""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy("user_id").orderBy("_tus", "event_id")
@@ -769,7 +770,7 @@ object EventQueries {
       val tot = pairs.groupBy("src").agg(sum("cnt").as("t"))
       pairs.join(tot, "src")
         .select(col("src"), col("dst"), col("cnt"),
-          round(col("cnt") * lit(1.0) / col("t"), 6).as("prob"))
+          gf.roundz(col("cnt") * lit(1.0) / col("t"), 6).as("prob"))
         .orderBy("src", "dst")
     },
 
@@ -830,7 +831,7 @@ object EventQueries {
         |)
         |SELECT event_type, CAST(nref AS BIGINT) AS n_ref,
         |  CAST(ncur AS BIGINT) AS n_cur,
-        |  round(sum((qf - pf) * ln(qf / pf)), 6) AS psi
+        |  round(sum((qf - pf) * ln(qf / pf)), 6) + 0.0 AS psi
         |FROM pq GROUP BY event_type, nref, ncur
         |ORDER BY event_type""".stripMargin) { (s, dir) =>
       val e = Tables.events(s, dir)
@@ -873,7 +874,7 @@ object EventQueries {
           ((coalesce(col("ccur"), lit(0L)) + 0.5) / (col("ncur") + 5.0))
             .as("qf"))
       pq.groupBy("event_type", "nref", "ncur")
-        .agg(round(sum((col("qf") - col("pf")) * log(col("qf") / col("pf"))),
+        .agg(gf.roundz(sum((col("qf") - col("pf")) * log(col("qf") / col("pf"))),
           6).as("psi"))
         .select(col("event_type"), col("nref").as("n_ref"),
           col("ncur").as("n_cur"), col("psi"))
@@ -915,14 +916,14 @@ object EventQueries {
         |  WHERE rn = 1
         |)
         |SELECT p.event_type, p.change_day, p.n_days,
-        |  round(p.max_dev, 4) AS max_dev,
+        |  round(p.max_dev, 4) + 0.0 AS max_dev,
         |  round(CAST(sum(CASE WHEN c.day <= p.change_day THEN c.c END)
         |      AS DOUBLE)
-        |    / count(CASE WHEN c.day <= p.change_day THEN 1 END), 4)
+        |    / count(CASE WHEN c.day <= p.change_day THEN 1 END), 4) + 0.0
         |    AS pre_mean,
         |  round(CAST(sum(CASE WHEN c.day > p.change_day THEN c.c END)
         |      AS DOUBLE)
-        |    / count(CASE WHEN c.day > p.change_day THEN 1 END), 4)
+        |    / count(CASE WHEN c.day > p.change_day THEN 1 END), 4) + 0.0
         |    AS post_mean
         |FROM pick p JOIN cells c ON p.event_type = c.event_type
         |GROUP BY p.event_type, p.change_day, p.n_days, p.max_dev
@@ -949,16 +950,16 @@ object EventQueries {
       pick.join(cells, "event_type")
         .groupBy("event_type", "change_day", "n_days", "max_dev")
         .agg(
-          round(sum(when(col("day") <= col("change_day"), col("c")))
+          gf.roundz(sum(when(col("day") <= col("change_day"), col("c")))
             .cast("double")
             / count(when(col("day") <= col("change_day"), lit(1))), 4)
             .as("pre_mean"),
-          round(sum(when(col("day") > col("change_day"), col("c")))
+          gf.roundz(sum(when(col("day") > col("change_day"), col("c")))
             .cast("double")
             / count(when(col("day") > col("change_day"), lit(1))), 4)
             .as("post_mean"))
         .select(col("event_type"), col("change_day"), col("n_days"),
-          round(col("max_dev"), 4).as("max_dev"),
+          gf.roundz(col("max_dev"), 4).as("max_dev"),
           col("pre_mean"), col("post_mean"))
         .orderBy("event_type")
     },
@@ -1008,7 +1009,7 @@ object EventQueries {
         |        * (CAST(s.sx AS DOUBLE) / s.n_days))
         |    / (CAST(s.sxx AS DOUBLE)
         |      - s.n_days * (CAST(s.sx AS DOUBLE) / s.n_days)
-        |        * (CAST(s.sx AS DOUBLE) / s.n_days)), 6) AS acf
+        |        * (CAST(s.sx AS DOUBLE) / s.n_days)), 6) + 0.0 AS acf
         |FROM pairs p JOIN stats s ON p.event_type = s.event_type
         |ORDER BY p.event_type, p.lag""".stripMargin) { (s, dir) =>
       val cells = graft.CacheRegistry.persistTracked(
@@ -1034,7 +1035,7 @@ object EventQueries {
       val m = col("sx").cast("double") / col("n_days")
       pairs.join(stats, "event_type")
         .select(col("event_type"), col("lag"), col("n_pairs"),
-          round((col("sp").cast("double") - m * col("s1") - m * col("s2")
+          gf.roundz((col("sp").cast("double") - m * col("s1") - m * col("s2")
               + col("n_pairs") * m * m)
             / (col("sxx").cast("double") - col("n_days") * m * m), 6)
             .as("acf"))
@@ -1081,10 +1082,10 @@ object EventQueries {
         |  FROM d
         |)
         |SELECT event_type, n AS n_days,
-        |  round(slope, 6) AS slope,
-        |  round((CAST(sy AS DOUBLE) - slope * sx) / n, 6) AS intercept,
+        |  round(slope, 6) + 0.0 AS slope,
+        |  round((CAST(sy AS DOUBLE) - slope * sx) / n, 6) + 0.0 AS intercept,
         |  round(num * num
-        |    / (den * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+        |    / (den * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) + 0.0
         |    AS r2
         |FROM t ORDER BY event_type""".stripMargin) { (s, dir) =>
       // Persisted like q145's identical frame: `cells` feeds BOTH the
@@ -1113,10 +1114,10 @@ object EventQueries {
           - col("sx").cast("double") * col("sx"))
       val t = d.withColumn("slope", col("num") / col("den"))
       t.select(col("event_type"), col("n").as("n_days"),
-          round(col("slope"), 6).as("slope"),
-          round((col("sy").cast("double") - col("slope") * col("sx"))
+          gf.roundz(col("slope"), 6).as("slope"),
+          gf.roundz((col("sy").cast("double") - col("slope") * col("sx"))
             / col("n"), 6).as("intercept"),
-          round(col("num") * col("num")
+          gf.roundz(col("num") * col("num")
             / (col("den") * (col("n").cast("double") * col("syy")
               - col("sy").cast("double") * col("sy"))), 6).as("r2"))
         .orderBy("event_type")

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.{functions => gf}
 
 /** Retrieval / index-build / model-inference queries over the
   * `documents` corpus — the serving-side counterpart of the corpus
@@ -90,7 +91,7 @@ object RetrievalQueries {
         |  SELECT tf.term, tf.doc_id,
         |    round(ln((n - df + 0.5) / (df + 0.5) + 1.0)
         |      * (tf * ($K1 + 1.0))
-        |      / (tf + $K1 * (1.0 - $B + $B * dl / avgdl)), 6) AS score
+        |      / (tf + $K1 * (1.0 - $B + $B * dl / avgdl)), 6) + 0.0 AS score
         |  FROM tf
         |  JOIN qterms USING (term)
         |  JOIN dl USING (doc_id)
@@ -120,7 +121,7 @@ object RetrievalQueries {
         .crossJoin(broadcast(n))
         .crossJoin(broadcast(avgdl))
         .withColumn("score",
-          round(idf * (col("tf") * (K1 + 1.0))
+          gf.roundz(idf * (col("tf") * (K1 + 1.0))
             / (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))), 6))
         .select("term", "doc_id", "score")
       graft.plans.TopKPerKey(scored, Seq("term"),
@@ -198,7 +199,7 @@ object RetrievalQueries {
         |  FROM scored
         |)
         |SELECT source, decile, count(*) AS n_docs,
-        |  round(avg(score), 6) AS avg_score, round(avg(dl), 6) AS avg_dl
+        |  round(avg(score), 6) + 0.0 AS avg_score, round(avg(dl), 6) + 0.0 AS avg_dl
         |FROM bucketed GROUP BY 1, 2
         |ORDER BY source, decile""".stripMargin) { (s, dir) =>
       // ONE byte scan per row (native TokenProfile) — the composed
@@ -222,8 +223,8 @@ object RetrievalQueries {
         .withColumn("decile", least(floor(col("score") * 10), lit(9)).cast("int"))
         .groupBy("source", "decile")
         .agg(count(lit(1)).as("n_docs"),
-          round(avg("score"), 6).as("avg_score"),
-          round(avg("dl"), 6).as("avg_dl"))
+          gf.roundz(avg("score"), 6).as("avg_score"),
+          gf.roundz(avg("dl"), 6).as("avg_dl"))
         .orderBy("source", "decile")
     },
 
@@ -251,7 +252,7 @@ object RetrievalQueries {
         |  FROM keyed
         |)
         |SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
-        |  round(skey, 9) AS skey
+        |  round(skey, 9) + 0.0 AS skey
         |FROM ranked WHERE rk <= 5
         |ORDER BY source, skey DESC, doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
@@ -260,7 +261,7 @@ object RetrievalQueries {
       graft.operators.Sampling
         .weightedSample(docs, "source", "doc_id", "n_chars", 5)
         .select(col("source"), col("doc_id"), col("n_chars"),
-          round(col("__skey"), 9).as("skey"))
+          gf.roundz(col("__skey"), 9).as("skey"))
         .orderBy(asc("source"), desc("skey"), asc("doc_id"))
     },
 
@@ -293,12 +294,12 @@ object RetrievalQueries {
         |  SELECT tf.term, tf.doc_id,
         |    round(ln((n - df + 0.5) / (df + 0.5) + 1.0)
         |      * (tf * ($K1 + 1.0))
-        |      / (tf + $K1 * (1.0 - $B + $B * dl / avgdl)), 6) AS score
+        |      / (tf + $K1 * (1.0 - $B + $B * dl / avgdl)), 6) + 0.0 AS score
         |  FROM tf JOIN qterms USING (term) JOIN dl USING (doc_id)
         |  CROSS JOIN stats
         |), tfidf AS (
         |  SELECT tf.term, tf.doc_id,
-        |    round(tf * ln(n / df), 6) AS score
+        |    round(tf * ln(n / df), 6) + 0.0 AS score
         |  FROM tf JOIN qterms USING (term) CROSS JOIN stats
         |), ra AS (
         |  SELECT term, doc_id,
@@ -314,7 +315,7 @@ object RetrievalQueries {
         |  SELECT coalesce(ra.term, rb.term) AS term,
         |    coalesce(ra.doc_id, rb.doc_id) AS doc_id,
         |    round(coalesce(1.0 / ($RrfK + ra.rk), 0.0)
-        |      + coalesce(1.0 / ($RrfK + rb.rk), 0.0), 6) AS rrf
+        |      + coalesce(1.0 / ($RrfK + rb.rk), 0.0), 6) + 0.0 AS rrf
         |  FROM (SELECT * FROM ra WHERE rk <= $RankDepth) ra
         |  FULL JOIN (SELECT * FROM rb WHERE rk <= $RankDepth) rb
         |    ON ra.term = rb.term AND ra.doc_id = rb.doc_id
@@ -341,13 +342,13 @@ object RetrievalQueries {
         .crossJoin(broadcast(n))
         .crossJoin(broadcast(avgdl))
         .withColumn("score",
-          round(idf * (col("tf") * (K1 + 1.0))
+          gf.roundz(idf * (col("tf") * (K1 + 1.0))
             / (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))), 6))
         .select("term", "doc_id", "score")
       val tfidf = tf
         .join(broadcast(qterms), "term")
         .crossJoin(broadcast(n))
-        .withColumn("score", round(col("tf") * log(col("n") / col("df")), 6))
+        .withColumn("score", gf.roundz(col("tf") * log(col("n") / col("df")), 6))
         .select("term", "doc_id", "score")
       // Bounded-heap top-RankDepth per term FIRST, then ranks via a
       // window over the ≤ RankDepth-row frames.
@@ -364,7 +365,7 @@ object RetrievalQueries {
         .join(rb.withColumnRenamed("rk", "rb"),
           Seq("term", "doc_id"), "full_outer")
         .select(col("term"), col("doc_id"),
-          round(coalesce(lit(1.0) / (lit(RrfK) + col("ra")), lit(0.0))
+          gf.roundz(coalesce(lit(1.0) / (lit(RrfK) + col("ra")), lit(0.0))
             + coalesce(lit(1.0) / (lit(RrfK) + col("rb")), lit(0.0)), 6)
             .as("rrf"))
       graft.plans.TopKPerKey(fused, Seq("term"),

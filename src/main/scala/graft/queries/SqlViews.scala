@@ -39,7 +39,7 @@ object SqlViews {
         |  LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
         |)
         |SELECT n_name, c_mktsegment, count(*) AS cnt,
-        |       round(sum(o_totalprice), 2) AS total_price
+        |       round(sum(o_totalprice), 2) + 0.0 AS total_price
         |FROM order_analytics
         |GROUP BY n_name, c_mktsegment
         |ORDER BY n_name, c_mktsegment""".stripMargin,
@@ -52,7 +52,7 @@ object SqlViews {
         |  LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
         |)
         |SELECT n_name, c_mktsegment, count(*) AS cnt,
-        |       round(sum(o_totalprice), 2) AS total_price
+        |       round(sum(o_totalprice), 2) + 0.0 AS total_price
         |FROM order_analytics
         |GROUP BY n_name, c_mktsegment
         |ORDER BY n_name, c_mktsegment""".stripMargin),
@@ -62,7 +62,7 @@ object SqlViews {
     sqlQuery("q45_sql_topk_having",
       engineSql = """
         |SELECT p_brand, count(*) AS cnt,
-        |       round(avg(p_retailprice), 2) AS avg_price
+        |       round(avg(p_retailprice), 2) + 0.0 AS avg_price
         |FROM part
         |GROUP BY p_brand
         |HAVING count(*) >= 5
@@ -70,7 +70,7 @@ object SqlViews {
         |LIMIT 15""".stripMargin,
       oracleSql = """
         |SELECT p_brand, count(*) AS cnt,
-        |       round(avg(p_retailprice), 2) AS avg_price
+        |       round(avg(p_retailprice), 2) + 0.0 AS avg_price
         |FROM part
         |GROUP BY p_brand
         |HAVING count(*) >= 5

@@ -139,6 +139,33 @@ object TextQueries {
   private def lshPairs(s: SparkSession, dir: String): DataFrame =
     lshPairsFrom(Tables.documents(s, dir))
 
+  /** Force-build every session-materialized warehouse table this
+    * module memoizes (plus the shared IVF index), returning
+    * (family, build-seconds) rows. Bench calls this BEFORE its timed
+    * loop so per-query medians are warehouse-warmth-independent —
+    * without it the first consumer of each family pays the build
+    * inside its timing, and a cold-warehouse median is not comparable
+    * to a warm one (VERDICT r11 item 3: q28 read 0.57 s warm vs
+    * 3.42 s cold at the same HEAD). Build cost stays visible in the
+    * bench JSON's `prebuild` object instead of hiding in some
+    * arbitrary first consumer. */
+  def prebuildSharedTables(s: SparkSession, dir: String): Seq[(String, Double)] = {
+    def timed(name: String)(f: => Any): (String, Double) = {
+      val t0 = System.nanoTime()
+      f
+      (name, (System.nanoTime() - t0) / 1e9)
+    }
+    Seq(
+      timed("graft_wins6") { windowsFor(s, dir) },
+      timed("graft_tgroups") { textGroupsFor(s, dir) },
+      timed("graft_reppairs") { repPairsFor(s, dir) },
+      timed("graft_bigrams") { bigramCountsFor(s, dir) },
+      timed("ivf_index") {
+        graft.operators.Similarity.indexFor(Tables.embeddings(s, dir),
+          graft.operators.Similarity.indexName(s, "ivf", dir))
+      })
+  }
+
   /** Session-materialized rolling-hash window frame (doc_id, i, wh),
     * L = 6 — the ONE (scan + tokenize + hash + explode) pass shared by
     * q77 (shared-window census), q78 (heavy hitters) and q105 (span
@@ -152,8 +179,10 @@ object TextQueries {
     * cannot diverge. */
   private def windowsFor(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graft.CatalystBridge
-    val tbl = graft.operators.Similarity.indexName("graft_wins6", dir)
+    val tbl = graft.operators.Similarity.indexName(s, "graft_wins6", dir)
     if (!s.catalog.tableExists(tbl)) {
+      graft.operators.Similarity.dropStaleGenerations(
+        s, graft.operators.Similarity.indexName("graft_wins6", dir), tbl)
       s.sql(s"DROP TABLE IF EXISTS `$tbl`")
       val loc = new org.apache.hadoop.fs.Path(
         s.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
@@ -195,8 +224,10 @@ object TextQueries {
     * three integers per distinct text, costless for the consumers
     * that ignore them, and exactly q167's census input. */
   private def textGroupsFor(s: SparkSession, dir: String): DataFrame = {
-    val tbl = graft.operators.Similarity.indexName("graft_tgroups", dir)
+    val tbl = graft.operators.Similarity.indexName(s, "graft_tgroups", dir)
     if (!s.catalog.tableExists(tbl)) {
+      graft.operators.Similarity.dropStaleGenerations(
+        s, graft.operators.Similarity.indexName("graft_tgroups", dir), tbl)
       s.sql(s"DROP TABLE IF EXISTS `$tbl`")
       val loc = new org.apache.hadoop.fs.Path(
         s.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
@@ -222,8 +253,10 @@ object TextQueries {
     * (16, 4, 4) parameters), so it runs once per (session, corpus)
     * and lands on disk bucketed by `doc_a`. */
   private def repPairsFor(s: SparkSession, dir: String): DataFrame = {
-    val tbl = graft.operators.Similarity.indexName("graft_reppairs", dir)
+    val tbl = graft.operators.Similarity.indexName(s, "graft_reppairs", dir)
     if (!s.catalog.tableExists(tbl)) {
+      graft.operators.Similarity.dropStaleGenerations(
+        s, graft.operators.Similarity.indexName("graft_reppairs", dir), tbl)
       s.sql(s"DROP TABLE IF EXISTS `$tbl`")
       val loc = new org.apache.hadoop.fs.Path(
         s.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
@@ -252,8 +285,10 @@ object TextQueries {
     * at toy scale) and the final per-doc rollup. */
   private def bigramCountsFor(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graft.CatalystBridge
-    val tbl = graft.operators.Similarity.indexName("graft_bigrams", dir)
+    val tbl = graft.operators.Similarity.indexName(s, "graft_bigrams", dir)
     if (!s.catalog.tableExists(tbl)) {
+      graft.operators.Similarity.dropStaleGenerations(
+        s, graft.operators.Similarity.indexName("graft_bigrams", dir), tbl)
       s.sql(s"DROP TABLE IF EXISTS `$tbl`")
       val loc = new org.apache.hadoop.fs.Path(
         s.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
@@ -289,7 +324,7 @@ object TextQueries {
     // the training chain and the full-corpus assignment pass run once
     // per corpus, and the bucket column is the table's bucketing key.
     val idx = Similarity.indexFor(Tables.embeddings(s, dir),
-      Similarity.indexName("ivf", dir))
+      Similarity.indexName(s, "ivf", dir))
     val assigned = s.table(idx.assignedTable)
     val a = assigned.as("a")
     val b = assigned.select(col("vec_id").as("b_vec_id"), col("e").as("b_e"),
@@ -323,7 +358,7 @@ object TextQueries {
       |), epairs AS (
       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
       |    round(list_sum(list_transform(generate_series(1, len(a.e)),
-      |      i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 6) AS cos
+      |      i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 6) + 0.0 AS cos
       |  FROM assigned a JOIN assigned b
       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
       |  WHERE list_sum(list_transform(generate_series(1, len(a.e)),
@@ -384,9 +419,9 @@ object TextQueries {
       .select(col("lang"), size(gf.tokens(col("text"))).cast("double").as("n"))
       .groupBy("lang")
       .agg(
-        round(expr(s"approx_percentile(n, 0.5D, $accuracy)"), 4).as("p50"),
-        round(expr(s"approx_percentile(n, 0.9D, $accuracy)"), 4).as("p90"),
-        round(expr(s"approx_percentile(n, 0.99D, $accuracy)"), 4).as("p99"),
+        gf.roundz(expr(s"approx_percentile(n, 0.5D, $accuracy)"), 4).as("p50"),
+        gf.roundz(expr(s"approx_percentile(n, 0.9D, $accuracy)"), 4).as("p90"),
+        gf.roundz(expr(s"approx_percentile(n, 0.99D, $accuracy)"), 4).as("p99"),
         count(lit(1)).as("n_docs"))
       .orderBy("lang")
 
@@ -518,8 +553,8 @@ object TextQueries {
          |            WHEN ca >= 0.8 OR cb >= 0.8 THEN 'one_way'
          |            ELSE 'below' END AS relation,
          |  count(*) AS n_pairs,
-         |  round(min(CASE WHEN ca >= cb THEN ca ELSE cb END), 6) AS min_maxc,
-         |  round(max(CASE WHEN ca >= cb THEN ca ELSE cb END), 6) AS max_maxc
+         |  round(min(CASE WHEN ca >= cb THEN ca ELSE cb END), 6) + 0.0 AS min_maxc,
+         |  round(max(CASE WHEN ca >= cb THEN ca ELSE cb END), 6) + 0.0 AS max_maxc
          |FROM cont GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       import graft.operators.MinHashLsh
       val groups = textGroupsFor(s, dir) // shared disk-backed groups
@@ -553,8 +588,8 @@ object TextQueries {
           greatest(col("ca"), col("cb")).as("maxc"), col("cnt"))
         .groupBy("relation")
         .agg(sum("cnt").as("n_pairs"),
-          round(min("maxc"), 6).as("min_maxc"),
-          round(max("maxc"), 6).as("max_maxc"))
+          gf.roundz(min("maxc"), 6).as("min_maxc"),
+          gf.roundz(max("maxc"), 6).as("max_maxc"))
         .orderBy("relation")
     },
 
@@ -581,7 +616,7 @@ object TextQueries {
         |)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-        |        / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+        |        / len(list_distinct(list_concat(a.toks, b.toks))), 4) + 0.0 AS jaccard
         |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
         |      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
@@ -737,7 +772,7 @@ object TextQueries {
       // executed the output-sized child.
       val pairs = crossPairs.union(withinPairs)
         .select(col("doc_a"), col("doc_b"),
-          round(col("jaccard"), 4).as("jaccard"))
+          gf.roundz(col("jaccard"), 4).as("jaccard"))
       val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
       // doc_a weight model, BOTH pair families (the sf10x lesson: the
       // within-group term alone under-predicted 2.48 B pairs as 25 M,
@@ -790,7 +825,7 @@ object TextQueries {
         |  FROM n q JOIN n c ON q.vec_id < 16 AND c.vec_id <> q.vec_id
         |)
         |SELECT qid AS vec_id, count(*) FILTER (WHERE cos >= 0.7) AS neighbor_cnt,
-        |  round(max(cos), 6) AS max_cos
+        |  round(max(cos), 6) + 0.0 AS max_cos
         |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       import graft.operators.Similarity
       val v = Tables.embeddings(s, dir)
@@ -805,7 +840,7 @@ object TextQueries {
         .groupBy("qid")
         .agg(
           count(when(col("cos") >= 0.7, 1)).as("neighbor_cnt"),
-          round(max(col("cos")), 6).as("max_cos"))
+          gf.roundz(max(col("cos")), 6).as("max_cos"))
         .select(col("qid").as("vec_id"), col("neighbor_cnt"), col("max_cos"))
         .orderBy("vec_id")
     },
@@ -813,7 +848,7 @@ object TextQueries {
     // Text quality scoring: token counts, stopword ratio, bucket.
     QueryDef("q32_text_quality",
       """SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
-        |  round(CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS DOUBLE) / len(t), 4) AS stopword_ratio,
+        |  round(CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS DOUBLE) / len(t), 4) + 0.0 AS stopword_ratio,
         |  CASE WHEN len(t) >= 30
         |        AND CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS DOUBLE) / len(t) < 0.15
         |       THEN 'good' ELSE 'low' END AS quality
@@ -835,7 +870,7 @@ object TextQueries {
         .select(
           col("doc_id"),
           nTokens.as("n_tokens"),
-          round(ratio, 4).as("stopword_ratio"),
+          gf.roundz(ratio, 4).as("stopword_ratio"),
           when(nTokens >= 30 && ratio < 0.15, "good").otherwise("low").as("quality"))
         .orderBy("doc_id")
     },
@@ -843,14 +878,14 @@ object TextQueries {
     // Language-ID heuristic (marker-token voting) + corpus stats by lang.
     QueryDef("q33_lang_stats",
       """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS total_chars,
-        |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
+        |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) + 0.0 AS avg_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       Tables.documents(s, dir)
         .groupBy("lang")
         .agg(
           count(lit(1)).as("cnt"),
           sum("n_chars").as("total_chars"),
-          round(sum("n_chars").cast("double") / count(lit(1)), 4).as("avg_chars"))
+          gf.roundz(sum("n_chars").cast("double") / count(lit(1)), 4).as("avg_chars"))
         .orderBy("lang")
     },
 
@@ -912,7 +947,7 @@ object TextQueries {
         |), n AS (SELECT count(*) AS n FROM documents),
         |scored AS (
         |  SELECT tf.doc_id, tf.term,
-        |    round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+        |    round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) + 0.0 AS tfidf
         |  FROM tf JOIN df USING (term) CROSS JOIN n
         |), ranked AS (
         |  SELECT doc_id, term, tfidf,
@@ -944,7 +979,7 @@ object TextQueries {
       tf.join(df, "term")
         .crossJoin(broadcast(n))
         .withColumn("tfidf",
-          round(col("tf") * log(col("n_docs") / col("df")), 6))
+          gf.roundz(col("tf") * log(col("n_docs") / col("df")), 6))
         .groupBy("doc_id")
         .agg(min(struct((-col("tfidf")).as("ntf"), col("term").as("term")))
           .as("b"))
@@ -964,7 +999,7 @@ object TextQueries {
         |SELECT vec_a, vec_b, cos FROM epairs
         |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
       embPairs(s, dir)
-        .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+        .select(col("vec_a"), col("vec_b"), gf.roundz(col("cos"), 6).as("cos"))
         .orderBy("vec_a", "vec_b")
     },
 
@@ -994,8 +1029,8 @@ object TextQueries {
          |)
          |SELECT label_lo, label_hi, count(*) AS n_pairs,
          |  round(CAST(sum(CAST(round(cos * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
-         |    / count(*) / 1000000.0, 6) AS avg_cos,
-         |  round(max(cos), 6) AS max_cos
+         |    / count(*) / 1000000.0, 6) + 0.0 AS avg_cos,
+         |  round(max(cos), 6) + 0.0 AS max_cos
          |FROM pl GROUP BY label_lo, label_hi
          |ORDER BY label_lo, label_hi""".stripMargin) { (s, dir) =>
       // Distinct-content collapse over the SHARED IVF index (the
@@ -1016,7 +1051,7 @@ object TextQueries {
         emb.groupBy(col("embedding"), col("label"))
           .agg(count(lit(1)).as("n"), min("vec_id").as("vec_id")),
         graft.CacheRegistry.DataSized) // ≤ one row per distinct vector
-      val idx = Similarity.indexFor(emb, Similarity.indexName("ivf", dir))
+      val idx = Similarity.indexFor(emb, Similarity.indexName(s, "ivf", dir))
       val reps = s.table(idx.assignedTable)
         .join(groups.select(col("vec_id"), col("label"), col("n")),
           "vec_id")
@@ -1032,20 +1067,20 @@ object TextQueries {
         .filter(col("va") < col("vb") && cosAB >= EmbDupThreshold)
         .select(least(col("la"), col("lb")).as("label_lo"),
           greatest(col("la"), col("lb")).as("label_hi"),
-          round(cosAB, 6).as("cos"), (col("cna") * col("cnb")).as("cnt"))
+          gf.roundz(cosAB, 6).as("cos"), (col("cna") * col("cnb")).as("cnt"))
       val selfCos = Similarity.dot(col("e"), col("e")) /
         (col("nrm") * col("nrm"))
       val within = reps.filter(col("n") >= 2 && selfCos >= EmbDupThreshold)
         .select(col("label").as("label_lo"), col("label").as("label_hi"),
-          round(selfCos, 6).as("cos"),
+          gf.roundz(selfCos, 6).as("cos"),
           expr("(n * (n - 1)) div 2").as("cnt"))
       cross.union(within)
         .groupBy("label_lo", "label_hi")
         .agg(sum("cnt").as("n_pairs"),
-          round(sum(round(col("cos") * 1000000.0, 0).cast("long")
+          gf.roundz(sum(round(col("cos") * 1000000.0, 0).cast("long")
               * col("cnt"))
             .cast("double") / sum("cnt") / 1000000.0, 6).as("avg_cos"),
-          round(max("cos"), 6).as("max_cos"))
+          gf.roundz(max("cos"), 6).as("max_cos"))
         .orderBy("label_lo", "label_hi")
     },
 
@@ -1287,7 +1322,7 @@ object TextQueries {
         |    AS n_tokens,
         |  round(CAST(coalesce(sum(d.n_tokens) FILTER (WHERE d.n_tokens >= 30
         |    AND 1000 * d.n_stop < 25 * g.j * d.n_tokens), 0) AS DOUBLE)
-        |    / tot.tt, 6) AS token_share
+        |    / tot.tt, 6) + 0.0 AS token_share
         |FROM g CROSS JOIN d CROSS JOIN tot
         |GROUP BY g.j, tot.tt ORDER BY t_permille""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.graft.CatalystBridge
@@ -1319,7 +1354,7 @@ object TextQueries {
         .select((col("j") * 25).cast("long").as("t_permille"),
           coalesce(col("nd"), lit(0L)).as("n_docs"),
           coalesce(col("nt"), lit(0L)).as("n_tokens"),
-          round(coalesce(col("nt"), lit(0L)).cast("double") / col("tt"), 6)
+          gf.roundz(coalesce(col("nt"), lit(0L)).cast("double") / col("tt"), 6)
             .as("token_share"))
         .orderBy("t_permille")
     },
@@ -1352,7 +1387,7 @@ object TextQueries {
         |SELECT p.source, CAST(count(*) AS BIGINT) AS n_types,
         |  CAST(count(*) FILTER (WHERE s.n_src = 1) AS BIGINT) AS n_unique,
         |  round(CAST(count(*) FILTER (WHERE s.n_src = 1) AS DOUBLE)
-        |    / count(*), 6) AS novelty
+        |    / count(*), 6) + 0.0 AS novelty
         |FROM p JOIN spread s ON p.tok = s.tok
         |GROUP BY p.source ORDER BY p.source""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.graft.CatalystBridge
@@ -1374,7 +1409,7 @@ object TextQueries {
         .agg(count(lit(1)).as("n_types"),
           sum(when(col("uniq"), 1L).otherwise(0L)).as("n_unique"))
         .select(col("source"), col("n_types"), col("n_unique"),
-          round(col("n_unique").cast("double") / col("n_types"), 6)
+          gf.roundz(col("n_unique").cast("double") / col("n_types"), 6)
             .as("novelty"))
         .orderBy("source")
     },
@@ -1489,10 +1524,10 @@ object TextQueries {
         |SELECT doc_id,
         |  round(1.0 - CAST(len(list_distinct(list_transform(
         |      generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1]))) AS DOUBLE)
-        |    / (len(t)-1), 6) AS dup2_frac,
+        |    / (len(t)-1), 6) + 0.0 AS dup2_frac,
         |  round(1.0 - CAST(len(list_distinct(list_transform(
         |      generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS DOUBLE)
-        |    / (len(t)-2), 6) AS dup3_frac,
+        |    / (len(t)-2), 6) + 0.0 AS dup3_frac,
         |  (round(1.0 - CAST(len(list_distinct(list_transform(
         |      generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1]))) AS DOUBLE)
         |    / (len(t)-1), 6) < 0.1) AS keep
@@ -1505,7 +1540,7 @@ object TextQueries {
         graft.plans.NgramDupStats(
           org.apache.spark.sql.graft.CatalystBridge.expr(trim(col("text")))))
       def dupFrac(d: Column, denom: Column): Column =
-        round(lit(1.0) - d.cast("double") / denom, 6)
+        gf.roundz(lit(1.0) - d.cast("double") / denom, 6)
       Tables.documents(s, dir)
         .repartition(col("doc_id")) // fan out the single-file scan
         .select(col("doc_id"), stats.as("st"))
@@ -1533,7 +1568,7 @@ object TextQueries {
         |  SELECT term FROM df ORDER BY df DESC, term LIMIT 10
         |)
         |SELECT t.doc_id,
-        |  round(1.0 - CAST(count(v.term) AS DOUBLE) / count(*), 6) AS oov_rate
+        |  round(1.0 - CAST(count(v.term) AS DOUBLE) / count(*), 6) + 0.0 AS oov_rate
         |FROM toks t LEFT JOIN vocab v USING (term)
         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val toks = Tables.documents(s, dir)
@@ -1545,7 +1580,7 @@ object TextQueries {
         .select(col("term"), lit(1).as("in_vocab"))
       toks.join(broadcast(vocab), Seq("term"), "left")
         .groupBy("doc_id")
-        .agg(round(lit(1.0) -
+        .agg(gf.roundz(lit(1.0) -
           count(col("in_vocab")).cast("double") / count(lit(1)), 6).as("oov_rate"))
         .orderBy("doc_id")
     },
@@ -1598,9 +1633,9 @@ object TextQueries {
     // R-7 definition.
     QueryDef("q63_length_profile",
       """SELECT lang,
-        |  round(quantile_cont(n, 0.5), 4) AS p50,
-        |  round(quantile_cont(n, 0.9), 4) AS p90,
-        |  round(quantile_cont(n, 0.99), 4) AS p99,
+        |  round(quantile_cont(n, 0.5), 4) + 0.0 AS p50,
+        |  round(quantile_cont(n, 0.9), 4) + 0.0 AS p90,
+        |  round(quantile_cont(n, 0.99), 4) + 0.0 AS p99,
         |  count(*) AS n_docs
         |FROM (SELECT lang,
         |        CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
@@ -1612,9 +1647,9 @@ object TextQueries {
         .select(col("lang"), size(gf.tokens(col("text"))).cast("double").as("n"))
         .groupBy("lang")
         .agg(
-          round(expr("percentile(n, 0.5D)"), 4).as("p50"),
-          round(expr("percentile(n, 0.9D)"), 4).as("p90"),
-          round(expr("percentile(n, 0.99D)"), 4).as("p99"),
+          gf.roundz(expr("percentile(n, 0.5D)"), 4).as("p50"),
+          gf.roundz(expr("percentile(n, 0.9D)"), 4).as("p90"),
+          gf.roundz(expr("percentile(n, 0.99D)"), 4).as("p99"),
           count(lit(1)).as("n_docs"))
         .orderBy("lang")
     },
@@ -1915,10 +1950,10 @@ object TextQueries {
         |  FROM q
         |)
         |SELECT q.source, q.n_tokens,
-        |  round(CAST(q.n_tokens AS DOUBLE) / t.tot, 6) AS share_a100,
-        |  round(CAST(q.q5 AS DOUBLE) / t.tot5, 6) AS share_a050,
-        |  round(CAST(q.q25 AS DOUBLE) / t.tot25, 6) AS share_a025,
-        |  round(CAST(q.q5 AS DOUBLE) / t.tot5 * t.tot / q.n_tokens, 6)
+        |  round(CAST(q.n_tokens AS DOUBLE) / t.tot, 6) + 0.0 AS share_a100,
+        |  round(CAST(q.q5 AS DOUBLE) / t.tot5, 6) + 0.0 AS share_a050,
+        |  round(CAST(q.q25 AS DOUBLE) / t.tot25, 6) + 0.0 AS share_a025,
+        |  round(CAST(q.q5 AS DOUBLE) / t.tot5 * t.tot / q.n_tokens, 6) + 0.0
         |    AS epochs_a050
         |FROM q, t ORDER BY q.source""".stripMargin) { (s, dir) =>
       val toks = Tables.documents(s, dir)
@@ -1934,11 +1969,11 @@ object TextQueries {
         sum("q25").as("tot25"))
       toks.crossJoin(broadcast(tot))
         .select(col("source"), col("n_tokens"),
-          round(col("n_tokens").cast("double") / col("tot"), 6)
+          gf.roundz(col("n_tokens").cast("double") / col("tot"), 6)
             .as("share_a100"),
-          round(col("q5").cast("double") / col("tot5"), 6).as("share_a050"),
-          round(col("q25").cast("double") / col("tot25"), 6).as("share_a025"),
-          round(col("q5").cast("double") / col("tot5") * col("tot")
+          gf.roundz(col("q5").cast("double") / col("tot5"), 6).as("share_a050"),
+          gf.roundz(col("q25").cast("double") / col("tot25"), 6).as("share_a025"),
+          gf.roundz(col("q5").cast("double") / col("tot5") * col("tot")
             / col("n_tokens"), 6).as("epochs_a050"))
         .orderBy("source")
     },
@@ -1979,7 +2014,7 @@ object TextQueries {
         |)
         |SELECT source, n_docs, sum_d2,
         |  round(1.0 - 6.0 * sum_d2 / (CAST(n_docs AS DOUBLE)
-        |    * (CAST(n_docs AS DOUBLE) * n_docs - 1.0)), 6) AS rho
+        |    * (CAST(n_docs AS DOUBLE) * n_docs - 1.0)), 6) + 0.0 AS rho
         |FROM agg ORDER BY source""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.{Window => W}
       val toks = gf.tokens(col("text"))
@@ -1996,7 +2031,7 @@ object TextQueries {
           sum((col("r_len") - col("r_dis")).cast("long")
             * (col("r_len") - col("r_dis")).cast("long")).as("sum_d2"))
         .select(col("source"), col("n_docs"), col("sum_d2"),
-          round(lit(1.0) - lit(6.0) * col("sum_d2")
+          gf.roundz(lit(1.0) - lit(6.0) * col("sum_d2")
             / (col("n_docs").cast("double")
                * (col("n_docs").cast("double") * col("n_docs") - 1.0)), 6)
             .as("rho"))
@@ -2021,7 +2056,7 @@ object TextQueries {
         |  SELECT CAST(sum(freq) AS DOUBLE) AS n FROM freqs
         |)
         |SELECT t.doc_id, count(*) AS n_toks,
-        |  round(avg(ln(f.freq / total.n)), 6) AS avg_logprob
+        |  round(avg(ln(f.freq / total.n)), 6) + 0.0 AS avg_logprob
         |FROM toks t JOIN freqs f ON t.tok = f.tok CROSS JOIN total
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
       val toks = Tables.documents(s, dir)
@@ -2033,7 +2068,7 @@ object TextQueries {
         .crossJoin(broadcast(total))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_toks"),
-          round(avg(log(col("freq") / col("n"))), 6).as("avg_logprob"))
+          gf.roundz(avg(log(col("freq") / col("n"))), 6).as("avg_logprob"))
         .orderBy("doc_id")
     },
 
@@ -2135,7 +2170,7 @@ object TextQueries {
         |)
         |SELECT st.source, CAST(src.src_n AS BIGINT) AS n_tokens,
         |  round(sum((st.cnt / src.src_n)
-        |    * ln((st.cnt / src.src_n) / (gt.tok_n / tot.n))), 6) AS kl_vs_global
+        |    * ln((st.cnt / src.src_n) / (gt.tok_n / tot.n))), 6) + 0.0 AS kl_vs_global
         |FROM st JOIN src USING (source) JOIN gt USING (tok) CROSS JOIN tot
         |GROUP BY st.source, src.src_n ORDER BY st.source""".stripMargin) { (s, dir) =>
       val st = Tables.documents(s, dir)
@@ -2150,7 +2185,7 @@ object TextQueries {
         .join(gt, "tok")
         .crossJoin(broadcast(tot))
         .groupBy(col("source"), col("src_n"))
-        .agg(round(sum(p * log(p / (col("tok_n") / col("n")))), 6)
+        .agg(gf.roundz(sum(p * log(p / (col("tok_n") / col("n")))), 6)
           .as("kl_vs_global"))
         .select(col("source"), col("src_n").cast("long").as("n_tokens"),
           col("kl_vs_global"))
@@ -2180,7 +2215,7 @@ object TextQueries {
         |  SELECT g FROM freq ORDER BY cnt DESC, g LIMIT 50
         |)
         |SELECT s.doc_id,
-        |  round(CAST(count(t.g) AS DOUBLE) / count(*), 6) AS boiler_frac,
+        |  round(CAST(count(t.g) AS DOUBLE) / count(*), 6) + 0.0 AS boiler_frac,
         |  (CAST(count(t.g) AS DOUBLE) / count(*) < 0.05) AS keep
         |FROM sh s LEFT JOIN top t USING (g)
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
@@ -2197,7 +2232,7 @@ object TextQueries {
       val frac = count(col("hit")).cast("double") / count(lit(1))
       sh.join(broadcast(top), Seq("g"), "left")
         .groupBy("doc_id")
-        .agg(round(frac, 6).as("boiler_frac"), (frac < 0.05).as("keep"))
+        .agg(gf.roundz(frac, 6).as("boiler_frac"), (frac < 0.05).as("keep"))
         .orderBy("doc_id")
     },
 
@@ -2221,7 +2256,7 @@ object TextQueries {
         |)
         |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared,
         |  round(CAST(count(*) AS DOUBLE)
-        |    / (CAST(sa.n AS DOUBLE) + sb.n - count(*)), 6) AS jaccard
+        |    / (CAST(sa.n AS DOUBLE) + sb.n - count(*)), 6) + 0.0 AS jaccard
         |FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
         |JOIN sz sa ON sa.source = a.source
         |JOIN sz sb ON sb.source = b.source
@@ -2239,7 +2274,7 @@ object TextQueries {
         .join(broadcast(sz.toDF("src_a", "na")), "src_a")
         .join(broadcast(sz.toDF("src_b", "nb")), "src_b")
         .select(col("src_a"), col("src_b"), col("n_shared"),
-          round(col("n_shared").cast("double")
+          gf.roundz(col("n_shared").cast("double")
             / (col("na").cast("double") + col("nb") - col("n_shared")), 6)
             .as("jaccard"))
         .orderBy("src_a", "src_b")
@@ -2383,7 +2418,7 @@ object TextQueries {
         |)
         |SELECT source, count(*) AS n_ranks,
         |  round((count(*) * sum(x*y) - sum(x) * sum(y))
-        |    / (count(*) * sum(x*x) - sum(x) * sum(x)), 6) AS zipf_slope
+        |    / (count(*) * sum(x*x) - sum(x) * sum(x)), 6) + 0.0 AS zipf_slope
         |FROM pts GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val tf = Tables.documents(s, dir)
@@ -2399,7 +2434,7 @@ object TextQueries {
       val n = count(lit(1))
       pts.groupBy("source").agg(
         n.as("n_ranks"),
-        round((n * sum(col("x") * col("y")) - sum(col("x")) * sum(col("y")))
+        gf.roundz((n * sum(col("x") * col("y")) - sum(col("x")) * sum(col("y")))
           / (n * sum(col("x") * col("x")) - sum(col("x")) * sum(col("x"))), 6)
           .as("zipf_slope"))
         .orderBy("source")
@@ -2449,7 +2484,7 @@ object TextQueries {
          |  FROM wins w JOIN rep r ON w.wh = r.wh GROUP BY w.doc_id
          |)
          |SELECT p.doc_id, p.n_windows, coalesce(s.n_shared, 0) AS n_shared,
-         |  round(CAST(coalesce(s.n_shared, 0) AS DOUBLE) / p.n_windows, 6) AS shared_frac
+         |  round(CAST(coalesce(s.n_shared, 0) AS DOUBLE) / p.n_windows, 6) + 0.0 AS shared_frac
          |FROM per_doc p LEFT JOIN shared s ON p.doc_id = s.doc_id
          |ORDER BY p.doc_id""".stripMargin
     }) { (s, dir) =>
@@ -2463,7 +2498,7 @@ object TextQueries {
       perDoc.join(shared, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_windows"),
           coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-          round(coalesce(col("n_shared"), lit(0L)).cast("double")
+          gf.roundz(coalesce(col("n_shared"), lit(0L)).cast("double")
             / col("n_windows"), 6).as("shared_frac"))
         .orderBy("doc_id")
     },
@@ -2569,7 +2604,7 @@ object TextQueries {
          |SELECT b.doc_id,
          |  coalesce(p.n_spans, 0) AS n_spans,
          |  coalesce(p.dup_tokens, 0) AS dup_tokens,
-         |  round(CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / b.n_tokens, 6)
+         |  round(CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / b.n_tokens, 6) + 0.0
          |    AS dup_frac
          |FROM base b LEFT JOIN perdoc p ON b.doc_id = p.doc_id
          |ORDER BY b.doc_id""".stripMargin
@@ -2605,7 +2640,7 @@ object TextQueries {
         .select(col("doc_id"),
           coalesce(col("n_spans"), lit(0L)).as("n_spans"),
           coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
-          round(coalesce(col("dup_tokens"), lit(0L)).cast("double")
+          gf.roundz(coalesce(col("dup_tokens"), lit(0L)).cast("double")
             / col("n_tokens"), 6).as("dup_frac"))
         .orderBy("doc_id")
     },
@@ -2681,7 +2716,7 @@ object TextQueries {
         |)
         |SELECT t.doc_id, count(*) AS n_toks,
         |  round(avg(ln(((f.c_t + 1) / (totals.n_t + totals.v))
-        |           / ((f.c_g + 1) / (totals.n_g + totals.v)))), 6) AS dsir_logweight
+        |           / ((f.c_g + 1) / (totals.n_g + totals.v)))), 6) + 0.0 AS dsir_logweight
         |FROM toks t JOIN freqs f ON t.tok = f.tok CROSS JOIN totals
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
       val toks = Tables.documents(s, dir)
@@ -2699,7 +2734,7 @@ object TextQueries {
         .crossJoin(broadcast(totals))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_toks"),
-          round(avg(log(
+          gf.roundz(avg(log(
             ((col("c_t") + 1) / (col("n_t") + col("v"))) /
               ((col("c_g") + 1) / (col("n_g") + col("v"))))), 6)
             .as("dsir_logweight"))
@@ -2797,7 +2832,7 @@ object TextQueries {
         |)
         |SELECT s.source, coalesce(a.n_docs, 0) AS n_docs,
         |  coalesce(a.tokens, 0) AS tokens,
-        |  round(CAST(coalesce(a.tokens, 0) AS DOUBLE) / 300, 6)
+        |  round(CAST(coalesce(a.tokens, 0) AS DOUBLE) / 300, 6) + 0.0
         |    AS utilization
         |FROM (SELECT DISTINCT source FROM documents) s
         |LEFT JOIN agg a ON s.source = a.source
@@ -2815,7 +2850,7 @@ object TextQueries {
         .select(col("source"),
           coalesce(col("n_docs"), lit(0L)).as("n_docs"),
           coalesce(col("tokens"), lit(0L)).as("tokens"),
-          round(coalesce(col("tokens"), lit(0L)).cast("double") / 300, 6)
+          gf.roundz(coalesce(col("tokens"), lit(0L)).cast("double") / 300, 6)
             .as("utilization"))
         .orderBy("source")
     },
@@ -2838,7 +2873,7 @@ object TextQueries {
         |  SELECT lang, quantile_cont(n, 0.05) AS lo, quantile_cont(n, 0.95) AS hi
         |  FROM n GROUP BY lang
         |)
-        |SELECT n.lang, round(b.lo, 4) AS lo, round(b.hi, 4) AS hi,
+        |SELECT n.lang, round(b.lo, 4) + 0.0 AS lo, round(b.hi, 4) + 0.0 AS hi,
         |  CAST(sum(CASE WHEN n.n BETWEEN b.lo AND b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  CAST(sum(CASE WHEN n.n BETWEEN b.lo AND b.hi THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
         |FROM n JOIN b ON n.lang = b.lang
@@ -2855,8 +2890,8 @@ object TextQueries {
         .groupBy("lang", "lo", "hi")
         .agg(sum("k").as("n_kept"),
           (count(lit(1)) - sum(col("k"))).as("n_dropped"))
-        .select(col("lang"), round(col("lo"), 4).as("lo"),
-          round(col("hi"), 4).as("hi"), col("n_kept"), col("n_dropped"))
+        .select(col("lang"), gf.roundz(col("lo"), 4).as("lo"),
+          gf.roundz(col("hi"), 4).as("hi"), col("n_kept"), col("n_dropped"))
         .orderBy("lang")
     },
 
@@ -2885,7 +2920,7 @@ object TextQueries {
         |    CAST(sum(cnt) AS DOUBLE) AS c1
         |  FROM c12 GROUP BY 1
         |)
-        |SELECT c12.bigram, c12.cnt, round(c12.cnt / c1.c1, 6) AS cond_p
+        |SELECT c12.bigram, c12.cnt, round(c12.cnt / c1.c1, 6) + 0.0 AS cond_p
         |FROM c12 JOIN c1 ON split_part(c12.bigram, ' ', 1) = c1.w1
         |ORDER BY cnt DESC, bigram LIMIT 25""".stripMargin) { (s, dir) =>
       // Bigram counts from the shared w1-bucketed table
@@ -2898,7 +2933,7 @@ object TextQueries {
       val c1 = c12.groupBy("w1").agg(sum("cnt").cast("double").as("c1"))
       c12.join(c1, "w1")
         .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"),
-          col("cnt"), round(col("cnt") / col("c1"), 6).as("cond_p"))
+          col("cnt"), gf.roundz(col("cnt") / col("c1"), 6).as("cond_p"))
         .orderBy(desc("cnt"), asc("bigram"))
         .limit(25)
     },
@@ -2946,7 +2981,7 @@ object TextQueries {
          |)
          |SELECT c.doc_new, c.doc_old,
          |  round(CAST(coalesce(i.i, 0) AS DOUBLE)
-         |        / (sa.n + sb.n - coalesce(i.i, 0)), 4) AS jaccard
+         |        / (sa.n + sb.n - coalesce(i.i, 0)), 4) + 0.0 AS jaccard
          |FROM cand c
          |LEFT JOIN inter i ON i.doc_new = c.doc_new AND i.doc_old = c.doc_old
          |JOIN sizes sa ON sa.doc_id = c.doc_new
@@ -3010,7 +3045,7 @@ object TextQueries {
       graft.CacheRegistry.persistTracked(
           cand.join(a, "doc_new").join(b, "doc_old")
             .select(col("doc_new"), col("doc_old"),
-              round(inter.cast("double") / (col("na") + col("nb") - inter), 4)
+              gf.roundz(inter.cast("double") / (col("na") + col("nb") - inter), 4)
                 .as("jaccard")),
           graft.CacheRegistry.OutputSized, // pair frame — can dwarf the input
           org.apache.spark.storage.StorageLevel.DISK_ONLY)
@@ -3060,9 +3095,9 @@ object TextQueries {
         |)
         |SELECT d.doc_id, CAST(sum(d.k) AS BIGINT) AS n_bigrams,
         |  round(-CAST(sum(CAST(round(d.k * ln(lm.p) * 1000000.0, 0) AS BIGINT))
-        |      AS DOUBLE) / 1000000.0 / sum(d.k), 6) AS avg_nll,
+        |      AS DOUBLE) / 1000000.0 / sum(d.k), 6) + 0.0 AS avg_nll,
         |  round(exp(-CAST(sum(CAST(round(d.k * ln(lm.p) * 1000000.0, 0) AS BIGINT))
-        |      AS DOUBLE) / 1000000.0 / sum(d.k)), 4) AS ppl
+        |      AS DOUBLE) / 1000000.0 / sum(d.k)), 4) + 0.0 AS ppl
         |FROM d JOIN lm ON d.bigram = lm.bigram
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
       // Bigram counts from the shared w1-bucketed table
@@ -3088,8 +3123,8 @@ object TextQueries {
       d.join(lm, Seq("w1", "w2"))
         .groupBy("doc_id")
         .agg(sum("k").as("n_bigrams"),
-          round(nllE, 6).as("avg_nll"),
-          round(exp(nllE), 4).as("ppl"))
+          gf.roundz(nllE, 6).as("avg_nll"),
+          gf.roundz(exp(nllE), 4).as("ppl"))
         .orderBy("doc_id")
     },
 
@@ -3200,7 +3235,7 @@ object TextQueries {
         |)
         |SELECT source, count(*) AS n_trigrams,
         |  count(DISTINCT tok) AS n_distinct,
-        |  round(CAST(count(DISTINCT tok) AS DOUBLE) / count(*), 6) AS diversity
+        |  round(CAST(count(DISTINCT tok) AS DOUBLE) / count(*), 6) + 0.0 AS diversity
         |FROM tg GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
       val tg = Tables.documents(s, dir)
         .repartition(col("doc_id"))
@@ -3212,7 +3247,7 @@ object TextQueries {
       tg.groupBy("source")
         .agg(count(lit(1)).as("n_trigrams"),
           countDistinct(col("tok")).as("n_distinct"),
-          round(countDistinct(col("tok")).cast("double") / count(lit(1)), 6)
+          gf.roundz(countDistinct(col("tok")).cast("double") / count(lit(1)), 6)
             .as("diversity"))
         .orderBy("source")
     },
@@ -3235,7 +3270,7 @@ object TextQueries {
         |  FROM c GROUP BY doc_id
         |)
         |SELECT c.doc_id, CAST(n.n AS BIGINT) AS n_tokens, n.n_distinct,
-        |  round(-sum((c.c / n.n) * ln(c.c / n.n)), 6) AS entropy
+        |  round(-sum((c.c / n.n) * ln(c.c / n.n)), 6) + 0.0 AS entropy
         |FROM c JOIN n ON c.doc_id = n.doc_id
         |GROUP BY c.doc_id, n.n, n.n_distinct ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
       val c = Tables.documents(s, dir)
@@ -3247,7 +3282,7 @@ object TextQueries {
       val p = col("c") / col("n")
       c.join(n, "doc_id")
         .groupBy(col("doc_id"), col("n"), col("n_distinct"))
-        .agg(round(-sum(p * log(p)), 6).as("entropy"))
+        .agg(gf.roundz(-sum(p * log(p)), 6).as("entropy"))
         .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
           col("n_distinct"), col("entropy"))
         .orderBy("doc_id")
@@ -3267,7 +3302,7 @@ object TextQueries {
         |  CAST(sum(CASE WHEN h.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_dup_docs,
         |  round(CAST(sum(CASE WHEN h.cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
-        |        / count(*), 6) AS dup_rate
+        |        / count(*), 6) + 0.0 AS dup_rate
         |FROM documents d JOIN h ON md5(d.text) = h.h
         |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
@@ -3278,7 +3313,7 @@ object TextQueries {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(isDup).as("n_dup_docs"),
-          round(sum(isDup).cast("double") / count(lit(1)), 6).as("dup_rate"))
+          gf.roundz(sum(isDup).cast("double") / count(lit(1)), 6).as("dup_rate"))
         .orderBy("source")
     },
 
@@ -3317,7 +3352,7 @@ object TextQueries {
         |)
         |SELECT t.doc_id, t.n_sh,
         |  CAST(coalesce(sh2.n_shared, 0) AS BIGINT) AS n_shared,
-        |  round(CAST(coalesce(sh2.n_shared, 0) AS DOUBLE) / t.n_sh, 6) AS overlap,
+        |  round(CAST(coalesce(sh2.n_shared, 0) AS DOUBLE) / t.n_sh, 6) + 0.0 AS overlap,
         |  CAST(CASE WHEN CAST(coalesce(sh2.n_shared, 0) AS DOUBLE) / t.n_sh
         |       >= 0.01 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
         |FROM tot t LEFT JOIN shared sh2 ON t.doc_id = sh2.doc_id
@@ -3340,7 +3375,7 @@ object TextQueries {
       tot.join(shared, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_sh"),
           nShared.as("n_shared"),
-          round(overlap, 6).as("overlap"),
+          gf.roundz(overlap, 6).as("overlap"),
           when(overlap >= 0.01, 1L).otherwise(0L).as("contaminated"))
         .orderBy("doc_id")
     },
@@ -3361,17 +3396,17 @@ object TextQueries {
         |)
         |SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
         |  count(*) AS n_types,
-        |  round(CAST(count(*) AS DOUBLE) / sum(cnt), 6) AS ttr,
+        |  round(CAST(count(*) AS DOUBLE) / sum(cnt), 6) + 0.0 AS ttr,
         |  round(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-        |        / count(*), 6) AS hapax_frac
+        |        / count(*), 6) + 0.0 AS hapax_frac
         |FROM c GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
       val c = tokensBySource(s, dir)
         .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
       c.groupBy("source")
         .agg(sum("cnt").as("n_tokens"),
           count(lit(1)).as("n_types"),
-          round(count(lit(1)).cast("double") / sum("cnt"), 6).as("ttr"),
-          round(sum(when(col("cnt") === 1, 1L).otherwise(0L)).cast("double")
+          gf.roundz(count(lit(1)).cast("double") / sum("cnt"), 6).as("ttr"),
+          gf.roundz(sum(when(col("cnt") === 1, 1L).otherwise(0L)).cast("double")
             / count(lit(1)), 6).as("hapax_frac"))
         .orderBy("source")
     },
@@ -3464,14 +3499,14 @@ object TextQueries {
         |  SELECT source, n_docs, m1, m2, m3, m4, m2 - m1 * m1 AS var_p
         |  FROM ex
         |)
-        |SELECT source, n_docs, round(m1, 6) AS mean_len,
+        |SELECT source, n_docs, round(m1, 6) + 0.0 AS mean_len,
         |  round(CASE WHEN var_p <= 0 THEN NULL
         |    ELSE (m3 - 3.0 * m1 * m2 + 2.0 * m1 * m1 * m1)
-        |      / (var_p * sqrt(var_p)) END, 6) AS skewness,
+        |      / (var_p * sqrt(var_p)) END, 6) + 0.0 AS skewness,
         |  round(CASE WHEN var_p <= 0 THEN NULL
         |    ELSE (m4 - 4.0 * m1 * m3 + 6.0 * (m1 * m1) * m2
         |          - 3.0 * (m1 * m1 * m1 * m1)) / (var_p * var_p) - 3.0
-        |    END, 6) AS kurtosis
+        |    END, 6) + 0.0 AS kurtosis
         |FROM v ORDER BY source""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.types.DecimalType
       val n = size(gf.tokens(col("text"))).cast(DecimalType(19, 0))
@@ -3490,12 +3525,12 @@ object TextQueries {
         (col("s4").cast("double") / col("n_docs")).as("m4"))
       val v = ex.withColumn("var_p", col("m2") - col("m1") * col("m1"))
       v.select(col("source"), col("n_docs"),
-          round(col("m1"), 6).as("mean_len"),
-          round(when(col("var_p") <= 0, lit(null))
+          gf.roundz(col("m1"), 6).as("mean_len"),
+          gf.roundz(when(col("var_p") <= 0, lit(null))
             .otherwise((col("m3") - lit(3.0) * col("m1") * col("m2")
                 + lit(2.0) * col("m1") * col("m1") * col("m1"))
               / (col("var_p") * sqrt(col("var_p")))), 6).as("skewness"),
-          round(when(col("var_p") <= 0, lit(null))
+          gf.roundz(when(col("var_p") <= 0, lit(null))
             .otherwise((col("m4") - lit(4.0) * col("m1") * col("m3")
                 + lit(6.0) * (col("m1") * col("m1")) * col("m2")
                 - lit(3.0) * (col("m1") * col("m1") * col("m1") * col("m1")))
@@ -3619,7 +3654,7 @@ object TextQueries {
            |  SELECT m.dst, sum(m.p * r.rank) AS c
            |  FROM norm m JOIN r${k - 1} r ON r.token = m.src GROUP BY m.dst
            |), r$k AS (
-           |  SELECT n.token, round(0.15 + 0.85 * coalesce(c.c, 0), 9) AS rank
+           |  SELECT n.token, round(0.15 + 0.85 * coalesce(c.c, 0), 9) + 0.0 AS rank
            |  FROM nodes n LEFT JOIN c$k c ON c.dst = n.token
            |)"""
       s"""WITH docs AS (
@@ -3645,7 +3680,7 @@ object TextQueries {
          |${contribCte(1)},
          |${contribCte(2)},
          |${contribCte(3)}
-         |SELECT token, round(rank, 6) AS rank FROM r3
+         |SELECT token, round(rank, 6) + 0.0 AS rank FROM r3
          |ORDER BY rank DESC, token LIMIT 25""".stripMargin
     }) { (s, dir) =>
       import org.apache.spark.sql.graft.CatalystBridge
@@ -3676,10 +3711,10 @@ object TextQueries {
         r = nodes
           .join(contrib.withColumnRenamed("dst", "token"), Seq("token"), "left")
           .select(col("token"),
-            round(lit(0.15) + lit(0.85) * coalesce(col("c"), lit(0.0)), 9)
+            gf.roundz(lit(0.15) + lit(0.85) * coalesce(col("c"), lit(0.0)), 9)
               .as("rank"))
       }
-      r.select(col("token"), round(col("rank"), 6).as("rank"))
+      r.select(col("token"), gf.roundz(col("rank"), 6).as("rank"))
         .orderBy(desc("rank"), asc("token")).limit(25)
     },
 
@@ -3844,7 +3879,7 @@ object TextQueries {
         |SELECT source, count(*) AS n_chunks,
         |  CAST(count(DISTINCT ch) AS BIGINT) AS n_distinct,
         |  CAST(sum(clen) AS BIGINT) AS n_tokens,
-        |  round(avg(clen), 4) AS avg_len
+        |  round(avg(clen), 4) + 0.0 AS avg_len
         |FROM chunks GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy("doc_id").orderBy("pos")
       Tables.documents(s, dir)
@@ -3865,7 +3900,7 @@ object TextQueries {
         .agg(count(lit(1)).as("n_chunks"),
           countDistinct("ch").as("n_distinct"),
           sum("clen").as("n_tokens"),
-          round(avg("clen"), 4).as("avg_len"))
+          gf.roundz(avg("clen"), 4).as("avg_len"))
         .orderBy("source")
     },
 
@@ -3998,7 +4033,7 @@ object TextQueries {
         |  FROM s GROUP BY shard
         |)
         |SELECT t.shard, t.n_docs, t.n_tokens, t.n_sources,
-        |  round(-sum((s.c / t.n) * ln(s.c / t.n)), 6) AS source_entropy
+        |  round(-sum((s.c / t.n) * ln(s.c / t.n)), 6) + 0.0 AS source_entropy
         |FROM s JOIN t USING (shard)
         |GROUP BY t.shard, t.n_docs, t.n_tokens, t.n_sources
         |ORDER BY t.shard""".stripMargin) { (s, dir) =>
@@ -4020,7 +4055,7 @@ object TextQueries {
       sh.join(t, "shard")
         .groupBy(col("shard"), col("n_docs"), col("n_tokens"),
           col("n_sources"))
-        .agg(round(-sum(p * log(p)), 6).as("source_entropy"))
+        .agg(gf.roundz(-sum(p * log(p)), 6).as("source_entropy"))
         .orderBy("shard")
     },
 
@@ -4074,7 +4109,7 @@ object TextQueries {
         |)
         |SELECT d.source, CAST(sum(d.n_chunks) AS BIGINT) AS n_chunks,
         |  CAST(sum(d.clen) AS BIGINT) AS emitted_tokens,
-        |  round(sum(d.clen) * 1.0 / max(b.base_tokens), 4) AS dup_factor,
+        |  round(sum(d.clen) * 1.0 / max(b.base_tokens), 4) + 0.0 AS dup_factor,
         |  CAST(sum(d.doc_res) AS BIGINT) AS content_sum
         |FROM per_doc d JOIN base b ON d.source = b.source
         |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, dir) =>
@@ -4105,7 +4140,7 @@ object TextQueries {
         .groupBy("source")
         .agg(sum("n_chunks").as("n_chunks"),
           sum("clen").as("emitted_tokens"),
-          round(sum(col("clen")) / sum(col("n")), 4).as("dup_factor"),
+          gf.roundz(sum(col("clen")) / sum(col("n")), 4).as("dup_factor"),
           sum("doc_res").as("content_sum"))
         .orderBy("source")
     },
@@ -4222,7 +4257,7 @@ object TextQueries {
         |SELECT source, CAST(n_pos AS BIGINT) AS n_pos,
         |  CAST(n_neg AS BIGINT) AS n_neg,
         |  round(CAST(ranksum2 - n_pos * (n_pos + 1) AS DOUBLE)
-        |    / CAST(2 * n_pos * n_neg AS DOUBLE), 6) AS auc
+        |    / CAST(2 * n_pos * n_neg AS DOUBLE), 6) + 0.0 AS auc
         |FROM agg WHERE n_pos > 0 AND n_neg > 0
         |ORDER BY source""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.graft.CatalystBridge
@@ -4248,7 +4283,7 @@ object TextQueries {
             .as("ranksum2"))
         .filter(col("n_pos") > 0 && col("n_neg") > 0)
         .select(col("source"), col("n_pos"), col("n_neg"),
-          round((col("ranksum2") - col("n_pos") * (col("n_pos") + 1))
+          gf.roundz((col("ranksum2") - col("n_pos") * (col("n_pos") + 1))
             .cast("double")
             / (col("n_pos") * col("n_neg") * 2).cast("double"), 6)
             .as("auc"))
@@ -4291,7 +4326,7 @@ object TextQueries {
         |nt AS (SELECT CAST(sum(cnt) AS DOUBLE) AS nt FROM uni)
         |SELECT c12.w1, c12.w2, c12.n_pair,
         |  round(ln(c12.n_pair * nt.nt * nt.nt
-        |    / (nb.nb * ua.cnt * ub.cnt)), 6) AS pmi
+        |    / (nb.nb * ua.cnt * ub.cnt)), 6) + 0.0 AS pmi
         |FROM c12
         |JOIN uni ua ON c12.w1 = ua.tok
         |JOIN uni ub ON c12.w2 = ub.tok
@@ -4332,7 +4367,7 @@ object TextQueries {
       c12.join(ua, "w1").join(ub, "w2")
         .crossJoin(broadcast(nb)).crossJoin(broadcast(nt))
         .select(col("w1"), col("w2"), col("n_pair"),
-          round(log(col("n_pair").cast("double") * col("nt") * col("nt")
+          gf.roundz(log(col("n_pair").cast("double") * col("nt") * col("nt")
             / (col("nb") * col("ca").cast("double") * col("cb").cast("double"))), 6)
             .as("pmi"))
         .orderBy(desc("pmi"), col("w1"), col("w2"))
@@ -4366,11 +4401,11 @@ object TextQueries {
          |  round(-CAST(sum(CASE WHEN scored THEN
          |      CAST(round(k * ln(p) * 1000000.0, 0) AS BIGINT) END)
          |      AS DOUBLE) / 1000000.0
-         |    / sum(CASE WHEN scored THEN k END), 6) AS avg_nll,
+         |    / sum(CASE WHEN scored THEN k END), 6) + 0.0 AS avg_nll,
          |  round(exp(-CAST(sum(CASE WHEN scored THEN
          |      CAST(round(k * ln(p) * 1000000.0, 0) AS BIGINT) END)
          |      AS DOUBLE) / 1000000.0
-         |    / sum(CASE WHEN scored THEN k END)), 4) AS ppl
+         |    / sum(CASE WHEN scored THEN k END)), 4) + 0.0 AS ppl
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val (sc, scored, p) = knScored(s, dir)
       // Micro-long NLL terms — see q88's note (the q130 discipline;
@@ -4382,8 +4417,8 @@ object TextQueries {
       sc.groupBy("doc_id")
         .agg(sum("k").as("n_bigrams"),
           sum(when(!scored, col("k")).otherwise(0L)).as("n_oov"),
-          round(nllE, 6).as("avg_nll"),
-          round(exp(nllE), 4).as("ppl"))
+          gf.roundz(nllE, 6).as("avg_nll"),
+          gf.roundz(exp(nllE), 4).as("ppl"))
         .orderBy("doc_id")
     },
 
@@ -4423,7 +4458,7 @@ object TextQueries {
          |       WHEN pd.nll <= c.t2 THEN 'middle' ELSE 'tail' END AS bucket,
          |  CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(pd.n_bigrams) AS BIGINT) AS n_bigrams,
-         |  round(min(pd.nll), 6) AS min_nll, round(max(pd.nll), 6) AS max_nll
+         |  round(min(pd.nll), 6) + 0.0 AS min_nll, round(max(pd.nll), 6) + 0.0 AS max_nll
          |FROM pd JOIN cuts c ON pd.lang = c.lang
          |GROUP BY 1, 2 ORDER BY pd.lang, bucket""".stripMargin) { (s, dir) =>
       val (sc, scored, p) = knScored(s, dir)
@@ -4461,8 +4496,8 @@ object TextQueries {
           col("n_bigrams"), col("nll"))
         .groupBy("lang", "bucket")
         .agg(count(lit(1)).as("n_docs"), sum("n_bigrams").as("n_bigrams"),
-          round(min("nll"), 6).as("min_nll"),
-          round(max("nll"), 6).as("max_nll"))
+          gf.roundz(min("nll"), 6).as("min_nll"),
+          gf.roundz(max("nll"), 6).as("max_nll"))
         .orderBy("lang", "bucket")
     },
 
@@ -4492,7 +4527,7 @@ object TextQueries {
         |  FROM cells GROUP BY lang
         |)
         |SELECT c.lang, c.predicted_lang, c.n_docs,
-        |  round(CAST(c.n_docs AS DOUBLE) / t.t, 6) AS row_frac
+        |  round(CAST(c.n_docs AS DOUBLE) / t.t, 6) + 0.0 AS row_frac
         |FROM cells c JOIN tot t USING (lang)
         |ORDER BY c.lang, c.predicted_lang""".stripMargin) { (s, dir) =>
       val padded = concat(lit(" "), lower(col("text")), lit(" "))
@@ -4508,7 +4543,7 @@ object TextQueries {
       val tot = cells.groupBy("lang").agg(sum("n_docs").as("t"))
       cells.join(tot, "lang")
         .select(col("lang"), col("predicted_lang"), col("n_docs"),
-          round(col("n_docs").cast("double") / col("t"), 6).as("row_frac"))
+          gf.roundz(col("n_docs").cast("double") / col("t"), 6).as("row_frac"))
         .orderBy("lang", "predicted_lang")
     },
 
@@ -4545,7 +4580,7 @@ object TextQueries {
          |  FROM jac GROUP BY 1
          |)
          |SELECT band, n_pairs,
-         |  round(CAST(n_pairs AS DOUBLE) / sum(n_pairs) OVER (), 6)
+         |  round(CAST(n_pairs AS DOUBLE) / sum(n_pairs) OVER (), 6) + 0.0
          |    AS frac
          |FROM cells ORDER BY band""".stripMargin) { (s, dir) =>
       // Distinct-content collapse (the q125/q30 principle — the naive
@@ -4584,7 +4619,7 @@ object TextQueries {
       val cells = cross.union(within)
         .groupBy("band").agg(sum("cnt").as("n_pairs"))
       cells
-        .withColumn("frac", round(col("n_pairs").cast("double")
+        .withColumn("frac", gf.roundz(col("n_pairs").cast("double")
           / sum("n_pairs").over(Window.partitionBy()), 6))
         .orderBy("band")
     },
@@ -4663,10 +4698,10 @@ object TextQueries {
         |  FROM v
         |)
         |SELECT source, na AS n_a, nb AS n_b,
-        |  round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
-        |  round((ma - mb) / sqrt(sea + seb), 6) AS t_stat,
+        |  round(ma, 6) + 0.0 AS mean_a, round(mb, 6) + 0.0 AS mean_b,
+        |  round((ma - mb) / sqrt(sea + seb), 6) + 0.0 AS t_stat,
         |  round((sea + seb) * (sea + seb)
-        |    / (sea * sea / (na - 1) + seb * seb / (nb - 1)), 6) AS dof
+        |    / (sea * sea / (na - 1) + seb * seb / (nb - 1)), 6) + 0.0 AS dof
         |FROM se ORDER BY source""".stripMargin) { (s, dir) =>
       val even = col("pb") === 0
       val h = Tables.documents(s, dir)
@@ -4694,11 +4729,11 @@ object TextQueries {
       val se = v.withColumn("sea", col("va") / col("na"))
         .withColumn("seb", col("vb") / col("nb"))
       se.select(col("source"), col("na").as("n_a"), col("nb").as("n_b"),
-          round(col("ma"), 6).as("mean_a"),
-          round(col("mb"), 6).as("mean_b"),
-          round((col("ma") - col("mb"))
+          gf.roundz(col("ma"), 6).as("mean_a"),
+          gf.roundz(col("mb"), 6).as("mean_b"),
+          gf.roundz((col("ma") - col("mb"))
             / sqrt(col("sea") + col("seb")), 6).as("t_stat"),
-          round((col("sea") + col("seb")) * (col("sea") + col("seb"))
+          gf.roundz((col("sea") + col("seb")) * (col("sea") + col("seb"))
             / (col("sea") * col("sea") / (col("na") - 1)
               + col("seb") * col("seb") / (col("nb") - 1)), 6).as("dof"))
         .orderBy("source")
@@ -4732,10 +4767,10 @@ object TextQueries {
         |  FROM documents d JOIN qs q USING (source)
         |  GROUP BY d.source, q.plo, q.phi
         |)
-        |SELECT source, n, round(CAST(sx AS DOUBLE) / n, 6) AS raw_mean,
-        |  round((CAST(smid AS DOUBLE) + nlo * plo + nhi * phi) / n, 6)
+        |SELECT source, n, round(CAST(sx AS DOUBLE) / n, 6) + 0.0 AS raw_mean,
+        |  round((CAST(smid AS DOUBLE) + nlo * plo + nhi * phi) / n, 6) + 0.0
         |    AS win_mean,
-        |  round(plo, 6) AS p_lo, round(phi, 6) AS p_hi,
+        |  round(plo, 6) + 0.0 AS p_lo, round(phi, 6) + 0.0 AS p_hi,
         |  nlo + nhi AS n_clamped
         |FROM agg ORDER BY source""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir).select(col("source"), col("n_chars"))
@@ -4751,10 +4786,10 @@ object TextQueries {
           count(when(col("n_chars") < col("plo"), lit(1))).as("nlo"),
           count(when(col("n_chars") > col("phi"), lit(1))).as("nhi"))
         .select(col("source"), col("n"),
-          round(col("sx").cast("double") / col("n"), 6).as("raw_mean"),
-          round((col("smid").cast("double") + col("nlo") * col("plo")
+          gf.roundz(col("sx").cast("double") / col("n"), 6).as("raw_mean"),
+          gf.roundz((col("smid").cast("double") + col("nlo") * col("plo")
             + col("nhi") * col("phi")) / col("n"), 6).as("win_mean"),
-          round(col("plo"), 6).as("p_lo"), round(col("phi"), 6).as("p_hi"),
+          gf.roundz(col("plo"), 6).as("p_lo"), gf.roundz(col("phi"), 6).as("p_hi"),
           (col("nlo") + col("nhi")).as("n_clamped"))
         .orderBy("source")
     }
@@ -4874,10 +4909,10 @@ object TextQueries {
        |  FROM lists
        |)
        |SELECT b.source, b.n AS n_rows,
-       |  round(CAST(b.sx AS DOUBLE) / b.n, 6) AS point_mean,
-       |  round(s.se, 6) AS boot_se,
-       |  round(CAST(b.sx AS DOUBLE) / b.n - 1.96 * s.se, 6) AS ci_lo,
-       |  round(CAST(b.sx AS DOUBLE) / b.n + 1.96 * s.se, 6) AS ci_hi
+       |  round(CAST(b.sx AS DOUBLE) / b.n, 6) + 0.0 AS point_mean,
+       |  round(s.se, 6) + 0.0 AS boot_se,
+       |  round(CAST(b.sx AS DOUBLE) / b.n - 1.96 * s.se, 6) + 0.0 AS ci_lo,
+       |  round(CAST(b.sx AS DOUBLE) / b.n + 1.96 * s.se, 6) + 0.0 AS ci_hi
        |FROM base b JOIN spread s ON b.source = s.source
        |ORDER BY b.source""".stripMargin
   }

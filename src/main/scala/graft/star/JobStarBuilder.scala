@@ -54,9 +54,12 @@ final case class JobStar(
   * `highlightsFixedParse` flag instead parses the payload's TRUE
   * shape — `map<string, array<string>>` (section → bullets) via
   * [[graft.functions.parseJsonMap]] — as `job_highlights_map`. The
-  * parse runs AFTER the surrogate-key distinct (Spark cannot
-  * DISTINCT a map column; distinct over the raw JSON string is
-  * equivalent because the parse is deterministic).
+  * parse runs AFTER surrogate-key assignment (Spark cannot DISTINCT
+  * a map column), and fixed mode dedupes by NATURAL KEY with a
+  * deterministic min tiebreak rather than by whole row: distinct
+  * over the raw JSON string would be strictly finer than distinct
+  * over the parsed map (key order / whitespace variants would mint
+  * extra job_sks and fan out the fact join on job_natural_key).
   */
 object JobStarBuilder {
 
@@ -106,23 +109,37 @@ object JobStarBuilder {
     val dimDate = StarSchemaBuilder.buildDateDim(raw, col("job_posted_at_utc"))
 
     // Bit-compat mode parses through the reference's declared array
-    // schema (NULL on the object payload); fixed mode carries the raw
-    // JSON string through the distinct (maps can't be DISTINCTed) and
-    // parses the true map shape after SK assignment.
-    val highlightsCol =
-      if (highlightsFixedParse) col("job_highlights")
-      else gf.parseJsonList(col("job_highlights")).as("job_highlights_array")
+    // schema (NULL on the object payload) and keeps the reference's
+    // whole-row DISTINCT. Fixed mode carries the raw JSON string
+    // (maps can't be DISTINCTed) but must NOT distinct over it: two
+    // records with the same job_natural_key whose highlight payloads
+    // differ only in JSON key order / whitespace would survive as two
+    // dim rows with different job_sks, and the fact's equi-join on
+    // job_natural_key would then fan out every matching fact row
+    // (ADVICE r11). Fixed mode therefore dedupes BY NATURAL KEY —
+    // one dim row per key, representative chosen by a deterministic
+    // lexicographic-min tiebreak over the remaining columns — which
+    // also makes the dim's declared unique key actually unique.
+    val jobCols = raw.select(
+        col("job_natural_key"),
+        trim(col("job_title")).as("job_title"),
+        col("job_description"),
+        (if (highlightsFixedParse) col("job_highlights")
+         else gf.parseJsonList(col("job_highlights"))
+           .as("job_highlights_array")),
+        col("job_is_remote").cast("boolean").as("job_is_remote"),
+        col("job_posted_at"),
+        col("job_posted_at_utc"))
+      .filter(col("job_natural_key").isNotNull)
+    val jobRows =
+      if (highlightsFixedParse) {
+        val rest = jobCols.columns.filter(_ != "job_natural_key")
+        jobCols.groupBy("job_natural_key")
+          .agg(min(struct(rest.map(col): _*)).as("r"))
+          .select(col("job_natural_key") +: rest.map(c => col(s"r.$c")): _*)
+      } else jobCols.distinct()
     val dimJobDetails0 = StarSchemaBuilder.withSurrogateKey(
-      raw.select(
-          col("job_natural_key"),
-          trim(col("job_title")).as("job_title"),
-          col("job_description"),
-          highlightsCol,
-          col("job_is_remote").cast("boolean").as("job_is_remote"),
-          col("job_posted_at"),
-          col("job_posted_at_utc"))
-        .filter(col("job_natural_key").isNotNull).distinct(),
-      Seq("job_natural_key"), "job_sk", strategy)
+      jobRows, Seq("job_natural_key"), "job_sk", strategy)
     val dimJobDetails =
       if (highlightsFixedParse)
         dimJobDetails0

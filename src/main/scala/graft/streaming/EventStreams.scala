@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.{functions => gf}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming surface (SURVEY §2.12): the engine's
@@ -59,7 +60,7 @@ object EventStreams {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour"))
-      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("cnt"), gf.roundz(sum("value"), 2).as("sum_value"))
       .select(col("window.start").as("window_start"), col("cnt"), col("sum_value"))
 
   /** Sliding 1-hour/30-minute windows (batch twin: q38). */
@@ -67,7 +68,7 @@ object EventStreams {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour", "30 minutes"))
-      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("cnt"), gf.roundz(sum("value"), 2).as("sum_value"))
       .select(col("window.start").as("window_start"), col("cnt"), col("sum_value"))
 
   /** Built-in session windows: gap-based, watermark-bounded state. */

@@ -107,4 +107,29 @@ class JobStarBuilderSpec extends SparkSpec {
     row.getSeq[String](1) shouldBe Seq("sql", "spark")
     row.getString(2) shouldBe "etl for title 1"
   }
+
+  test("highlightsFixedParse: payload variants of one natural key do not fan out") {
+    // Two landing records per job with the SAME natural key whose
+    // highlight payloads differ only in JSON key order/whitespace.
+    // A raw-string distinct would mint two job_sks per key and the
+    // fact join on job_natural_key would double every fact row
+    // (ADVICE r11); natural-key dedupe keeps exactly one dim row.
+    val now = lit("2026-01-01 00:00:00").cast("timestamp")
+    val base = landing(2)
+    val v1 = base.withColumn("job_highlights",
+      lit("""{"Qualifications":["sql"],"Responsibilities":["etl"]}"""))
+    val v2 = base.withColumn("job_highlights",
+      lit("""{ "Responsibilities":["etl"], "Qualifications":["sql"] }"""))
+    val doubled = v1.unionAll(v2)
+    val star = JobStarBuilder.build(doubled, now,
+      highlightsFixedParse = true)
+    val nKeys = doubled.select("job_title", "employer_name",
+        "job_publisher", "job_location", "job_posted_at_datetime_utc")
+      .distinct().count()
+    star.dimJobDetails.count() shouldBe nKeys
+    star.dimJobDetails.select("job_natural_key").distinct()
+      .count() shouldBe nKeys
+    // Fact carries one row per LANDING record (120), not 240 fanned.
+    star.fact.count() shouldBe doubled.count()
+  }
 }

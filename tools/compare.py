@@ -74,6 +74,20 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # Optional third arg / env: DuckDB thread count. The repeated-compare
+    # sweep runs this script 3x against ONE fixed engine dump to roll the
+    # oracle's own fold-order dice; pinning a DIFFERENT thread count per
+    # pass (e.g. 1 / 7 / 32) makes those passes roll genuinely different
+    # oracle partitionings instead of re-rolling the same layout
+    # (VERDICT r11 item 5).
+    threads = None
+    if len(sys.argv) > 3:
+        threads = int(sys.argv[3])
+    elif "COMPARE_DUCKDB_THREADS" in __import__("os").environ:
+        threads = int(__import__("os").environ["COMPARE_DUCKDB_THREADS"])
+    if threads:
+        con.execute(f"PRAGMA threads={threads}")
+        print(f"[compare] duckdb threads={threads}")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
