@@ -31,6 +31,12 @@ import org.apache.spark.sql.types._
   * BigDecimal `round` would cost a BigDecimal per component here).
   *
   * Null semantics: null array → null, any null element → null.
+  * Empty array: (n=0, sums=0, max-errors=0.0) — the max-error 0.0 is
+  * a SENTINEL that diverges from the composed Column form (whose
+  * `array_max` over an empty transform is NULL); this is the one
+  * documented parity carve-out (ADVICE r11), pinned with the empty
+  * row in QuantSweepSpec's fuzz corpus. It can only affect a global max
+  * when every vector in the aggregate is empty.
   * Output struct: (n, s2, s4, s6, s8, m2, m4, m6, m8).
   */
 case class QuantSweep(child: Expression) extends UnaryExpression {

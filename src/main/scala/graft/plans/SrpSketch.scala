@@ -25,7 +25,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * beyond the sign matrix — a poisoned vector never yields a
   * sketch). Vectors shorter than `Srp.Dims` project over the
   * available prefix (min-length, the DotProduct stance); longer
-  * vectors' VALUES beyond the sign matrix are ignored.
+  * vectors' VALUES beyond the sign matrix are ignored. The q161
+  * oracle mirrors the whole-array rule with an explicit NULL-sketch
+  * CASE (AnnQueries.srpSql), so a tail-only null yields a NULL
+  * band in BOTH engines (ADVICE r11 closed; pinned by the
+  * "tail-only null" SrpSpec case).
   */
 case class SrpSketch(child: Expression) extends UnaryExpression {
 

@@ -62,11 +62,19 @@ object AnnQueries {
   }
 
   /** q161's oracle: [[graft.operators.Srp]]'s sign literals, exact
-    * BIGINT projections, xor + bit_count Hamming banding. */
+    * BIGINT projections, xor + bit_count Hamming banding. The sketch
+    * mirrors [[graft.plans.SrpSketch]]'s WHOLE-ARRAY null rule (a
+    * null anywhere in the vector — even in the tail beyond
+    * `Srp.Dims` that the sign matrix ignores — yields a NULL sketch,
+    * hence a NULL band in both engines; ADVICE r11). */
   /** q171's oracle: one UNION ALL branch per bit width over a shared
     * component CTE — reconstruction expression textually identical in
     * operation order to the engine's Column form, so the doubles are
-    * bit-equal before the micro-long quantization. */
+    * bit-equal before the micro-long quantization. The component CTE
+    * drops WHOLE vectors containing any NULL element, mirroring the
+    * engine's [[graft.plans.QuantSweep]] whole-vector null
+    * propagation (a bare unnest would emit a NULL component row that
+    * count(*) includes while sum skips — ADVICE r11). */
   private lazy val quantSweepSql: String = {
     def errSql(l: String) =
       s"(x - ((least(greatest(floor((x + 1.0) / 2.0 * $l), 0.0), " +
@@ -82,6 +90,7 @@ object AnnQueries {
     }
     s"""WITH c AS (
        |  SELECT CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+       |  WHERE len(list_filter(embedding, x -> x IS NULL)) = 0
        |)
        |${branches.mkString("\nUNION ALL\n")}
        |ORDER BY bit_width""".stripMargin
@@ -103,7 +112,9 @@ object AnnQueries {
        |    list_transform(e, x -> CAST(floor(x * 32768.0) AS BIGINT)) AS eq
        |  FROM v
        |), sk AS (
-       |  SELECT vec_id, e, nrm, CAST($bits AS BIGINT) AS sketch FROM n
+       |  SELECT vec_id, e, nrm,
+       |    CASE WHEN len(list_filter(e, x -> x IS NULL)) > 0 THEN NULL
+       |         ELSE CAST($bits AS BIGINT) END AS sketch FROM n
        |), pairs AS (
        |  SELECT CAST(bit_count(xor(q.sketch, c.sketch)) // 4 AS INTEGER) AS band,
        |    round(${cos("q.e", "c.e", "q.nrm", "c.nrm")}, 6) + 0.0 AS cos

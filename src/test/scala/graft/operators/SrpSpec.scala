@@ -42,6 +42,18 @@ class SrpSpec extends SparkSpec {
       .select(col("sk").isNull).as[Boolean].head()
     assert(withNull, "null element must null the sketch")
 
+    // Tail-ONLY null: vector longer than the sign matrix, null only in
+    // the ignored tail — the whole-array null scan must still refuse a
+    // sketch (ADVICE r11: the q161 oracle mirrors this with its
+    // NULL-sketch CASE, so the rule is load-bearing for parity).
+    val tailNull = Seq((0L,
+        (Seq.fill[java.lang.Double](Srp.Dims)(1.0) :+
+          null.asInstanceOf[java.lang.Double])))
+      .toDF("id", "e")
+      .select(Srp.sketch(col("e")).as("sk"))
+      .select(col("sk").isNull).as[Boolean].head()
+    assert(tailNull, "tail-only null must null the sketch")
+
     val short = Seq((0L, Seq(0.5, -0.25, 0.75))).toDF("id", "e")
       .select(Srp.sketch(col("e"))).as[Long].head()
     val eq = Seq(0.5, -0.25, 0.75)
