@@ -40,6 +40,79 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Duplicated-span islands over a rolling-hash window frame
+    * `(doc_id, i, wh)` (i = 1-based window start, width-`width`
+    * windows — the q105/windowsFor shape): spans `(doc_id, s, e)` of
+    * 1-based token positions covered by windows whose hash occurs in
+    * ≥ 2 distinct docs. Islands merge windows whose starts are ≤
+    * `width` apart, which is EXACTLY the union of covered positions
+    * (two kept windows with start gap ≤ width cover contiguously), so
+    * `e - s + 1` sums to q105's `dup_tokens` per doc. Scale: one
+    * wh-keyed census (map-side combinable; bucket-local off the
+    * shared table), one equi-join, one per-doc window over only the
+    * DUPLICATED window starts. */
+  def duplicatedSpans(wins: DataFrame, width: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rep = wins.groupBy("wh")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("wh")
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    wins.join(rep, "wh").select("doc_id", "i")
+      .withColumn("brk",
+        when(lag("i", 1).over(w).isNull ||
+          col("i") - lag("i", 1).over(w) > width, 1L).otherwise(0L))
+      .withColumn("g", sum("brk").over(w))
+      .groupBy("doc_id", "g")
+      .agg(min("i").as("s"), (max("i") + (width - 1)).as("e"))
+      .select("doc_id", "s", "e")
+  }
+
+  /** ExactSubstr POST-PROCESS — the cleaned-corpus EMITTER (Lee et
+    * al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better", §4: after finding duplicated substrings, REMOVE them
+    * and keep the rest of each document). q105 counts what this
+    * removes; this emits the rewritten corpus: every token covered by
+    * a cross-doc duplicated `width`-token window is dropped, the
+    * survivors are rejoined with single spaces in position order.
+    * Docs shorter than `width` tokens have no windows and pass
+    * through (whitespace-normalized); docs whose every token is
+    * covered emit an empty string.
+    *
+    * Returns `(idCol, textCol)` — same shape in, same shape out, so
+    * it composes with [[exact]]/[[qualityFilter]]/[[cleanCorpus]].
+    *
+    * Scale: the window frame and span census are q105's (banded
+    * census + equi-join, no pair explosion); the rebuild is the q134
+    * idiom — token posexplode, a doc_id-equi anti join against the
+    * per-doc span list (spans per doc are few), and ONE per-doc
+    * collect of the kept tokens (O(doc) state, like any per-doc
+    * aggregate). Nothing here is quadratic in corpus size. */
+  def removeDuplicatedSpans(docs: DataFrame, width: Int = 6,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.graft.CatalystBridge
+    val toks = docs.select(col(idCol), gf.tokens(col(textCol)).as("toks"))
+    val wins = docs.select(col(idCol),
+        posexplode(CatalystBridge.column(graft.plans.RollingHashWindows(
+          CatalystBridge.expr(trim(col(textCol))), width)))
+          .as(Seq("p", "wh")))
+      .select(col(idCol).as("doc_id"), (col("p").cast("long") + 1L).as("i"),
+        col("wh"))
+    val spans = duplicatedSpans(wins, width)
+    val tok = toks.select(col(idCol), posexplode(col("toks")).as(Seq("p0", "tok")))
+      .select(col(idCol), (col("p0").cast("long") + 1L).as("p"), col("tok"))
+    val kept = tok.join(spans,
+      tok(idCol) === spans("doc_id") &&
+        col("p").between(col("s"), col("e")), "left_anti")
+    val rebuilt = kept.groupBy(idCol)
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("p"), col("tok")))),
+        x => x.getField("tok")), " ").as(textCol))
+    // Keep every input doc: fully-removed (or token-free) docs emit "".
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
+
   /** Connected components over a near-dup pair list — the alternating
     * large-star / small-star algorithm (Kiveris et al., "Connected
     * Components in MapReduce and Beyond", SoCC'14). Deterministic,

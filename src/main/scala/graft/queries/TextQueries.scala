@@ -2645,6 +2645,103 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // T63's EMITTER — the ExactSubstr POST-PROCESS (Lee et al. 2021
+    // §4): q105 counts the removable duplicated-span tokens; this
+    // query EMITS the cleaned corpus (md5-witnessed, q134's stance —
+    // the full rewritten text never ships as an output column). Spans
+    // are q105's islands exactly (break at start-gap > 6 ≡ the union
+    // of covered positions), so removed_tokens here EQUALS q105's
+    // dup_tokens per doc — a cross-query invariant the oracle checks
+    // for free. Rebuild = token posexplode + doc_id-equi ANTI join
+    // against the per-doc span list (spans per doc are few; no pair
+    // explosion) + ONE per-doc kept-token collect — the q134 idiom,
+    // O(doc) state. Docs with < 6 tokens pass through whitespace-
+    // normalized; fully-covered docs emit md5(''). The reusable
+    // cleaned-TEXT transform is [[graft.operators.Dedup
+    // .removeDuplicatedSpans]]; this query rides the shared
+    // windowsFor table instead of re-hashing the corpus.
+    QueryDef("q173_remove_dup_spans", {
+      val B = graft.plans.RollingHashWindows.Base
+      val mask = 0xffffffffL
+      val b2 = (B * B) & mask
+      val b3 = (b2 * B) & mask
+      val b4 = (b3 * B) & mask
+      val b5 = (b4 * B) & mask
+      s"""WITH toksall AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+         |  FROM documents
+         |), toks AS (
+         |  SELECT doc_id, t FROM toksall WHERE len(t) >= 6
+         |), th AS (
+         |  SELECT doc_id,
+         |    list_transform(t, x ->
+         |      CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % 4294967296) AS h
+         |  FROM toks
+         |), wins AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         |    CAST((CAST(h[i] AS HUGEINT) * $b5 + CAST(h[i+1] AS HUGEINT) * $b4
+         |          + CAST(h[i+2] AS HUGEINT) * $b3 + CAST(h[i+3] AS HUGEINT) * $b2
+         |          + CAST(h[i+4] AS HUGEINT) * $B + h[i+5]) % 4294967296 AS BIGINT) AS wh
+         |  FROM th, unnest(generate_series(1, len(h) - 5)) AS g(i)
+         |), rep AS (
+         |  SELECT wh FROM wins GROUP BY wh HAVING count(DISTINCT doc_id) >= 2
+         |), dup AS (
+         |  SELECT w.doc_id, w.i FROM wins w JOIN rep r ON w.wh = r.wh
+         |), brk AS (
+         |  SELECT doc_id, i,
+         |    CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+         |         OR i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > 6
+         |    THEN 1 ELSE 0 END AS b
+         |  FROM dup
+         |), grp AS (
+         |  SELECT doc_id, i, sum(b) OVER (PARTITION BY doc_id ORDER BY i) AS g
+         |  FROM brk
+         |), spans AS (
+         |  SELECT doc_id, min(i) AS s, max(i) + 5 AS e
+         |  FROM grp GROUP BY doc_id, g
+         |), tok AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS p, t[i] AS tok
+         |  FROM toksall, unnest(generate_series(1, len(t))) AS g(i)
+         |), kept AS (
+         |  SELECT k.doc_id, k.p, k.tok FROM tok k
+         |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+         |    WHERE sp.doc_id = k.doc_id AND k.p BETWEEN sp.s AND sp.e)
+         |)
+         |SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+         |  CAST(len(d.t) - count(k.p) AS BIGINT) AS removed_tokens,
+         |  md5(coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '')) AS cleaned_md5
+         |FROM toksall d LEFT JOIN kept k ON d.doc_id = k.doc_id
+         |GROUP BY d.doc_id, len(d.t)
+         |ORDER BY d.doc_id""".stripMargin
+    }) { (s, dir) =>
+      val L = 6
+      val toks = Tables.documents(s, dir)
+        .fanOutScan(col("doc_id"))
+        .select(col("doc_id"), gf.tokens(col("text")).as("toks"))
+      val spans = graft.operators.Dedup
+        .duplicatedSpans(windowsFor(s, dir), L)
+      val tok = toks
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0").cast("long") + 1L).as("p"),
+          col("tok"))
+      val kept = tok.join(spans,
+        tok("doc_id") === spans("doc_id") &&
+          col("p").between(col("s"), col("e")), "left_anti")
+      val rebuilt = kept.groupBy("doc_id")
+        .agg(count(lit(1)).as("kept"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("p"), col("tok")))),
+            x => x.getField("tok")), " ")).as("cleaned_md5"))
+      toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          (col("n_tokens") - coalesce(col("kept"), lit(0L)))
+            .as("removed_tokens"),
+          coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"))
+        .orderBy("doc_id")
+    },
+
     // Per-source top-5 tokens via the Misra-Gries sketch + exact
     // rescore: the sketch pass ships ≤k counters per partition instead
     // of one row per DISTINCT token (the 100 TB shape — billions of

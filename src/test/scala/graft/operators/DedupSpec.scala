@@ -114,4 +114,41 @@ class DedupSpec extends SparkSpec {
     Dedup.cleanCorpus(docs, pairs)
       .select("doc_id").as[Long].collect().sorted shouldBe Array(1L, 5L)
   }
+
+  test("removeDuplicatedSpans is identity when no cross-doc span repeats") {
+    // Distinct content per doc (no shared 6-token window): reassembly
+    // must equal the whitespace-normalized original, every token kept.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "  one   two three four five six seven eight  "),
+      (3L, "tiny doc"), // < 6 tokens: no windows, passes through
+      (4L, "")) // token-free: empty out
+      .toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(docs)
+      .orderBy("doc_id").as[(Long, String)].collect()
+    out shouldBe Array(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "tiny doc"),
+      (4L, ""))
+  }
+
+  test("removeDuplicatedSpans removes the shared run and keeps the rest") {
+    // Docs 1 and 2 share an 8-token run -> three duplicated 6-windows
+    // per doc, one island covering exactly those 8 positions. The
+    // unique prefix/suffix tokens survive in order; doc 3 is a full
+    // duplicate of the run alone and empties out.
+    val run = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val docs = Seq(
+      (1L, s"pre1 pre2 $run post1"),
+      (2L, s"$run tail1 tail2"),
+      (3L, run))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(docs)
+      .orderBy("doc_id").as[(Long, String)].collect()
+    out shouldBe Array(
+      (1L, "pre1 pre2 post1"),
+      (2L, "tail1 tail2"),
+      (3L, ""))
+  }
 }
