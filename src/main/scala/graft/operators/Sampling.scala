@@ -130,6 +130,51 @@ object Sampling {
     df.filter(bucket < round(rateCol * 10000).cast("long"))
   }
 
+  /** TEMPERATURE-scaled source sampling (α-sampling: Conneau &
+    * Lample 2019 §3.1, XLM; Raffel et al. 2020 mT5's language
+    * balancing — public knowledge): flatten a skewed source mix by
+    * sampling source s with probability ∝ p_s^α (α < 1 boosts small
+    * sources, α = 1 is natural, α = 0 is uniform), to a total budget
+    * of `budget` documents in expectation. Unlike [[weightedMix]],
+    * the rates are computed FROM the corpus (one bounded groupBy —
+    * #sources rows collected, never data), then applied with the
+    * [[hashSplit]] determinism story: accept iff
+    * stableHash(id) < floor(r_s·2^60) — a row's fate depends only on
+    * its own id and its source's aggregate count, independent of
+    * engine, layout, or unrelated rows. r_s = min(1, B·q_s/n_s)
+    * caps oversampling at 1 (no replication — matching the
+    * without-replacement reading; a source whose quota exceeds its
+    * size is taken whole).
+    *
+    * q175 pins the α = 0.5 cross-engine contract (sqrt is
+    * IEEE-correctly-rounded in every engine; the per-source
+    * sqrt(p_s) quantizes to floor(·1e9) exact longs before the
+    * bounded normalization sum, so the rates are bit-identical at
+    * any fold order). Other α values are deterministic within the
+    * engine (math.pow on the driver) but not oracle-gated. */
+  def temperatureSample(df: DataFrame, groupCol: String, idCol: String,
+      alpha: Double, budget: Long): DataFrame = {
+    require(alpha >= 0, s"alpha must be >= 0: $alpha")
+    require(budget > 0, s"budget must be positive: $budget")
+    // Bounded collect: one row per SOURCE (the mix's arity), never data.
+    val counts = df.groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(count(lit(1)).as("__n")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val total = counts.map(_._2).sum.toDouble
+    val z = counts.map { case (g, n) =>
+      (g, math.floor(math.pow(n / total, alpha) * 1e9)) }
+    val zTot = z.map(_._2).sum
+    val rates = z.map { case (g, zs) =>
+      val n = counts.find(_._1 == g).get._2.toDouble
+      (g, math.min(1.0, budget.toDouble * zs / zTot / n))
+    }.toMap
+    val thr = rates.foldLeft(lit(0L)) { case (acc, (g, r)) =>
+      when(col(groupCol).cast("string") === g,
+        lit(math.floor(r * (1L << 60).toDouble).toLong)).otherwise(acc)
+    }
+    df.filter(gf.stableHash(col(idCol).cast("string")) < thr)
+  }
+
   /** Deterministic seeded EPOCH SHUFFLE: the corpus in a pseudo-random
     * total order keyed by `stableHashSeeded(seed, id)` — "shuffle the
     * dataset between training epochs" as a reproducible sort, not an

@@ -3928,6 +3928,93 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // T154 — TEMPERATURE-scaled source sampling plan (α-sampling:
+    // Conneau & Lample 2019 §3.1 / mT5's language balancing — public
+    // knowledge): quota ∝ p_s^α flattens a skewed mix; this census is
+    // the plan AND its deterministic realization — per source, the
+    // α = 0.5 quota share, the hash-rule sample count toward a
+    // B = N/2 budget, achieved fraction, and the oversample factor
+    // q_s/p_s (> 1 = boosted). Cross-engine exactness: α is pinned at
+    // 0.5 because sqrt is IEEE-correctly-rounded everywhere (pow is
+    // not); each sqrt(p_s) quantizes ONCE to floor(·1e9) exact longs
+    // BEFORE the (sources)-bounded normalization sum, every later
+    // double op (one ((B·z)/Z)/n chain, one ·2^60 floor) is spelled
+    // in the same order in both engines, and membership is the q58
+    // stable-hash threshold — a doc's fate depends only on its id and
+    // its source's aggregate. The reusable corpus transform is
+    // [[graft.operators.Sampling.temperatureSample]] (any α, same
+    // hash rule). Scale: one source-keyed count, bounded-frame rate
+    // arithmetic broadcast back, one filter — no sort, no sample
+    // pass, no driver data.
+    QueryDef("q175_temperature_mix",
+      """WITH src AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY source
+        |), tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nn FROM src
+        |), zq AS (
+        |  SELECT source, n, nn,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE))
+        |      * 1000000000.0) AS BIGINT) AS z
+        |  FROM src, tot
+        |), zz AS (
+        |  SELECT CAST(sum(z) AS BIGINT) AS zt FROM zq
+        |), rt AS (
+        |  SELECT source, n, nn, z, zt, nn // 2 AS b,
+        |    CAST(floor(least(1.0, CAST(nn // 2 AS DOUBLE) * CAST(z AS DOUBLE)
+        |        / CAST(zt AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * 1152921504606846976.0) AS BIGINT) AS thr
+        |  FROM zq, zz
+        |), smp AS (
+        |  SELECT d.source, CAST(count(*) AS BIGINT) AS ns
+        |  FROM documents d JOIN rt ON d.source = rt.source
+        |  WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+        |          AS BIGINT) < rt.thr
+        |  GROUP BY d.source
+        |)
+        |SELECT rt.source, rt.n AS n_docs,
+        |  round(CAST(rt.z AS DOUBLE) / CAST(rt.zt AS DOUBLE), 6) + 0.0
+        |    AS quota_frac,
+        |  CAST(coalesce(smp.ns, 0) AS BIGINT) AS n_sampled,
+        |  round(CAST(coalesce(smp.ns, 0) AS DOUBLE) / CAST(rt.b AS DOUBLE), 6)
+        |    + 0.0 AS achieved_frac,
+        |  round((CAST(rt.z AS DOUBLE) / CAST(rt.zt AS DOUBLE))
+        |    / (CAST(rt.n AS DOUBLE) / CAST(rt.nn AS DOUBLE)), 4) + 0.0
+        |    AS oversample
+        |FROM rt LEFT JOIN smp ON rt.source = smp.source
+        |ORDER BY rt.source""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val src = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      val tot = src.agg(sum("n").cast("long").as("nn"))
+      val zq = src.crossJoin(broadcast(tot))
+        .withColumn("z",
+          floor(sqrt(col("n").cast("double") / col("nn").cast("double"))
+            * lit(1000000000.0)).cast("long"))
+      val zz = zq.agg(sum("z").cast("long").as("zt"))
+      val rt = zq.crossJoin(broadcast(zz))
+        .withColumn("b", expr("nn div 2"))
+        .withColumn("thr",
+          floor(least(lit(1.0),
+            col("b").cast("double") * col("z").cast("double")
+              / col("zt").cast("double") / col("n").cast("double"))
+            * lit(1152921504606846976.0)).cast("long"))
+      val sampled = docs
+        .join(broadcast(rt.select("source", "thr")), "source")
+        .filter(gf.stableHash(col("doc_id").cast("string")) < col("thr"))
+        .groupBy("source").agg(count(lit(1)).as("ns"))
+      rt.join(sampled, Seq("source"), "left")
+        .select(col("source"), col("n").as("n_docs"),
+          gf.roundz(col("z").cast("double") / col("zt").cast("double"), 6)
+            .as("quota_frac"),
+          coalesce(col("ns"), lit(0L)).as("n_sampled"),
+          gf.roundz(coalesce(col("ns"), lit(0L)).cast("double")
+            / col("b").cast("double"), 6).as("achieved_frac"),
+          gf.roundz((col("z").cast("double") / col("zt").cast("double"))
+            / (col("n").cast("double") / col("nn").cast("double")), 4)
+            .as("oversample"))
+        .orderBy("source")
+    },
+
     // T104 — content-defined chunking census (token-level twin of the
     // byte-level FastCDC expression in plans/CdcChunks): chunk
     // boundaries close AFTER any token whose stable hash ≡ 0 (mod 16)
@@ -4719,6 +4806,116 @@ object TextQueries {
         .withColumn("frac", gf.roundz(col("n_pairs").cast("double")
           / sum("n_pairs").over(Window.partitionBy()), 6))
         .orderBy("band")
+    },
+
+    // T155 — near-dup THRESHOLD SURVIVAL curve: at each Jaccard cut
+    // θ ∈ {0.5..0.9}, how many candidate pairs fire, how many
+    // representatives the greedy doc_b-side drop removes, and what
+    // fraction of rep tokens survives — the operating characteristic
+    // a dedup run needs BEFORE committing to a threshold (T149's
+    // survival-curve idea applied to the near-dup knob; re-running
+    // the dedup per candidate θ would cost a banding pass each).
+    // Semantics: exact dedup first (reps of distinct trim(text)),
+    // then per rep the MAX candidate Jaccard decides its fate at
+    // every θ at once — one verify pass, a (reps)-bounded max
+    // aggregate, and a 5-row grid explode over bounded frames.
+    // Rides the SAME shared tables as q156 (textGroupsFor +
+    // repPairsFor): zero extra corpus passes. Threshold compares are
+    // exact-int-ratio doubles vs identical literals — no boundary
+    // coin. Greedy drop = [[graft.operators.Dedup
+    // .dropPairDuplicates]] at each θ, by construction.
+    QueryDef("q176_dedup_survival",
+      s"""$lshPairsSql, grp AS (
+         |  SELECT trim(text) AS txt, min(doc_id) AS doc_id
+         |  FROM documents GROUP BY trim(text)
+         |), t AS (
+         |  SELECT doc_id,
+         |    list_sort(list_distinct(list_filter(
+         |      string_split_regex(txt, '\\s+'), x -> x <> ''))) AS toks,
+         |    CAST(len(list_filter(string_split_regex(txt, '\\s+'),
+         |      x -> x <> '')) AS BIGINT) AS ntok
+         |  FROM grp
+         |), pj AS (
+         |  SELECT p.doc_b,
+         |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         |      / (len(a.toks) + len(b.toks)
+         |         - len(list_intersect(a.toks, b.toks))) AS j
+         |  FROM pairs p
+         |  JOIN t a ON a.doc_id = p.doc_a
+         |  JOIN t b ON b.doc_id = p.doc_b
+         |), th AS (
+         |  SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS theta
+         |), np AS (
+         |  SELECT theta, CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM pj, th WHERE j >= theta GROUP BY theta
+         |), bm AS (
+         |  SELECT doc_b, max(j) AS jmax FROM pj GROUP BY doc_b
+         |), dr AS (
+         |  SELECT theta, CAST(count(*) AS BIGINT) AS n_dropped,
+         |    CAST(sum(t.ntok) AS BIGINT) AS drop_tok
+         |  FROM bm JOIN t ON t.doc_id = bm.doc_b, th
+         |  WHERE bm.jmax >= theta GROUP BY theta
+         |), g AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS g_reps,
+         |    CAST(sum(ntok) AS BIGINT) AS tot_tok FROM t
+         |)
+         |SELECT th.theta,
+         |  CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+         |  CAST(coalesce(dr.n_dropped, 0) AS BIGINT) AS n_dropped,
+         |  CAST(g.g_reps - coalesce(dr.n_dropped, 0) AS BIGINT) AS n_surviving,
+         |  round(CAST(g.tot_tok - coalesce(dr.drop_tok, 0) AS DOUBLE)
+         |    / CAST(g.tot_tok AS DOUBLE), 6) + 0.0 AS surviving_tok_frac
+         |FROM th CROSS JOIN g
+         |LEFT JOIN np ON th.theta = np.theta
+         |LEFT JOIN dr ON th.theta = dr.theta
+         |ORDER BY th.theta""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.graft.CatalystBridge
+      import s.implicits._
+      val groups = textGroupsFor(s, dir) // shared disk-backed groups
+      val repPairs = repPairsFor(s, dir) // shared banding result
+      val t = groups.select(col("doc_id"),
+        sort_array(CatalystBridge.column(graft.plans.ShingleTokens(
+          CatalystBridge.expr(col("txt")), 1))).as("toks"),
+        size(gf.tokens(col("txt"))).cast("long").as("ntok"))
+      val inter = CatalystBridge.column(graft.plans.SortedIntersectSize(
+        CatalystBridge.expr(col("ta")), CatalystBridge.expr(col("tb"))))
+      val pj = repPairs
+        .join(t.select(col("doc_id").as("doc_a"), col("toks").as("ta")),
+          "doc_a")
+        .join(t.select(col("doc_id").as("doc_b"), col("toks").as("tb")),
+          "doc_b")
+        .withColumn("inter", inter)
+        .select(col("doc_b"), (col("inter").cast("double")
+          / (size(col("ta")) + size(col("tb")) - col("inter"))).as("j"))
+      // Literal grid, NOT 0.5 + i*0.1 arithmetic: 0.5 + 0.1 is
+      // 0.6000000000000001 in binary — the parsed literal 0.6 is a
+      // DIFFERENT double, and theta is both an output column and a
+      // comparison boundary shared with the oracle's [0.5, ... 0.9].
+      val thetas = array(Seq(0.5, 0.6, 0.7, 0.8, 0.9).map(lit): _*)
+      val np = pj.select(col("j"), explode(thetas).as("theta"))
+        .filter(col("j") >= col("theta"))
+        .groupBy("theta").agg(count(lit(1)).as("n_pairs"))
+      val dr = pj.groupBy("doc_b").agg(max("j").as("jmax"))
+        .join(t.select(col("doc_id").as("doc_b"), col("ntok")), "doc_b")
+        .select(col("jmax"), col("ntok"), explode(thetas).as("theta"))
+        .filter(col("jmax") >= col("theta"))
+        .groupBy("theta").agg(count(lit(1)).as("n_dropped"),
+          sum("ntok").as("drop_tok"))
+      val g = t.agg(count(lit(1)).as("g_reps"),
+        sum("ntok").as("tot_tok"))
+      Seq(0.5, 0.6, 0.7, 0.8, 0.9).toDF("theta")
+        .crossJoin(broadcast(g))
+        .join(np, Seq("theta"), "left")
+        .join(dr, Seq("theta"), "left")
+        .select(col("theta"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+          (col("g_reps") - coalesce(col("n_dropped"), lit(0L)))
+            .as("n_surviving"),
+          gf.roundz((col("tot_tok") - coalesce(col("drop_tok"), lit(0L)))
+            .cast("double") / col("tot_tok").cast("double"), 6)
+            .as("surviving_tok_frac"))
+        .orderBy("theta")
     },
 
     // T123 — Poisson-bootstrap confidence interval census (Efron 1979

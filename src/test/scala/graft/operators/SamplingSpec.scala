@@ -155,4 +155,38 @@ class SamplingSpec extends SparkSpec {
     other.sorted.toSeq shouldBe ids.toSeq
     other.toSeq should not be got.toSeq
   }
+
+  test("temperatureSample: alpha<1 boosts small sources, caps at whole source") {
+    // Heavy skew: big=900 docs, small=100. At alpha=0.5 the quotas go
+    // as sqrt: q_big = 3/4, q_small = 1/4 — the small source's RATE
+    // (B*q/n) is boosted 2.5x over natural while big is suppressed.
+    val docs = ((1L to 900L).map(i => (i, "big")) ++
+      (1001L to 1100L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val out = Sampling.temperatureSample(docs, "source", "doc_id",
+        alpha = 0.5, budget = 400)
+      .groupBy("source").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect().toMap
+    // Expected takes: big 400*0.75 = 300, small 400*0.25 = 100 -> the
+    // small source's rate hits the min(1, .) cap and is taken WHOLE.
+    out("small") shouldBe 100L
+    // Hash realization of a 1/3 rate over 900 docs: binomial around
+    // 300, sd ~14 — assert a generous band, not the expectation.
+    out("big").toDouble shouldBe 300.0 +- 60.0
+
+    // alpha = 1 is the natural mix: every source rate = B/N.
+    val nat = Sampling.temperatureSample(docs, "source", "doc_id",
+        alpha = 1.0, budget = 500)
+      .groupBy("source").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect().toMap
+    nat("big").toDouble shouldBe 450.0 +- 70.0
+    nat("small").toDouble shouldBe 50.0 +- 25.0
+
+    // Deterministic: identical output under a different layout.
+    val a = Sampling.temperatureSample(docs, "source", "doc_id", 0.5, 400)
+      .select("doc_id").as[Long].collect().sorted
+    val b = Sampling.temperatureSample(docs.repartition(13), "source",
+        "doc_id", 0.5, 400)
+      .select("doc_id").as[Long].collect().sorted
+    a.toSeq shouldBe b.toSeq
+  }
 }

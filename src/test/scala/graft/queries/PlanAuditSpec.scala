@@ -163,7 +163,14 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
     "q154_ppl_buckets",
     // q157: inherits q149's composed shapes verbatim (q41 broadcast
     // query side + q42 broadcast centroid frames).
-    "q157_ndcg")
+    "q157_ndcg",
+    // q175: the q160 1-row lazy-totals broadcast cross (corpus total,
+    // then quota-sum total) attached to the (sources)-bounded rate
+    // frame; the corpus-sized side joins only equi (on source).
+    "q175_temperature_mix",
+    // q176: the 1-row (g_reps, tot_tok) totals broadcast crossed onto
+    // the 5-row literal theta grid — both sides bounded constants.
+    "q176_dedup_survival")
 
   test("suite-wide: nested-loop joins only as broadcast builds of bounded frames") {
     val offenders = SparkEntry.allDefs.flatMap { d =>
