@@ -368,7 +368,11 @@ object Similarity {
   /** 40-bit hex fingerprint of a data directory's RECURSIVE file
     * listing (relative-path:length:mtime rows, sorted — no data
     * read, one driver-side listing). Changes whenever any file under
-    * the corpus directory is added, removed, resized, or rewritten. */
+    * the corpus directory is added, removed, resized, or rewritten.
+    * Cost class: the same O(#files) driver-side listing every
+    * parquet scan's planning already pays — called once per memoized
+    * table lookup, never per row/partition, so it stays planning
+    * cost at 100 TB (object stores serve it as LIST pages). */
   def dirFingerprint(spark: org.apache.spark.sql.SparkSession,
       dir: String): String = {
     val root = new org.apache.hadoop.fs.Path(dir)
