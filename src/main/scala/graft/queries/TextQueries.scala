@@ -4015,6 +4015,92 @@ object TextQueries {
         .orderBy("source")
     },
 
+    // T156 — PADDING-WASTE census for length-sorted batching (the
+    // dynamic-batching planner number: Transformer batches pad every
+    // sequence to the batch max, so unsorted batching burns compute
+    // on pad tokens; sorting by length first packs like with like —
+    // the standard bucketed-batching trick, e.g. fairseq/HF
+    // group_by_length — public knowledge). Per batch size B ∈ {8, 32}:
+    // real tokens, padded totals under length-sorted vs doc_id-order
+    // batching (batch cost = count·max(len), lengths clipped at 512),
+    // waste fractions, and the savings the sort buys. Global batch
+    // NUMBERING reuses StarSchemaBuilder.withSurrogateKey (the W1
+    // machinery — (512−len, doc_id) ascending ≡ len DESC with id
+    // tiebreak), so this is ANOTHER oracle-gated consumer of the
+    // scalable SK path; everything downstream is exact integer
+    // arithmetic over (B × batches)-bounded frames, and both B values
+    // ride ONE numbering per policy (explode, not re-rank).
+    QueryDef("q177_padding_waste",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    least(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> '')) AS BIGINT), 512) AS len
+        |  FROM documents
+        |), rs AS (
+        |  SELECT len, row_number() OVER (ORDER BY len DESC, doc_id) AS rk
+        |  FROM d
+        |), ru AS (
+        |  SELECT len, row_number() OVER (ORDER BY doc_id) AS rk FROM d
+        |), bs AS (
+        |  SELECT unnest([8, 32]) AS b
+        |), ps AS (
+        |  SELECT b, (rk - 1) // b AS g, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(max(len) AS BIGINT) AS m, CAST(sum(len) AS BIGINT) AS s
+        |  FROM rs, bs GROUP BY b, g
+        |), pu AS (
+        |  SELECT b, (rk - 1) // b AS g, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(max(len) AS BIGINT) AS m, CAST(sum(len) AS BIGINT) AS s
+        |  FROM ru, bs GROUP BY b, g
+        |), ts AS (
+        |  SELECT b, CAST(sum(c * m) AS BIGINT) AS padded,
+        |    CAST(sum(s) AS BIGINT) AS rt FROM ps GROUP BY b
+        |), tu AS (
+        |  SELECT b, CAST(sum(c * m) AS BIGINT) AS padded,
+        |    CAST(sum(s) AS BIGINT) AS rt FROM pu GROUP BY b
+        |)
+        |SELECT a.b AS batch_size, a.rt AS real_tokens,
+        |  a.padded AS padded_sorted, u.padded AS padded_unsorted,
+        |  round(CAST(a.padded - a.rt AS DOUBLE)
+        |    / CAST(a.padded AS DOUBLE), 6) + 0.0 AS waste_sorted,
+        |  round(CAST(u.padded - u.rt AS DOUBLE)
+        |    / CAST(u.padded AS DOUBLE), 6) + 0.0 AS waste_unsorted,
+        |  round(CAST(u.padded - a.padded AS DOUBLE)
+        |    / CAST(u.padded AS DOUBLE), 6) + 0.0 AS savings
+        |FROM ts a JOIN tu u ON a.b = u.b
+        |ORDER BY a.b""".stripMargin) { (s, dir) =>
+      import graft.star.{SkStrategy, StarSchemaBuilder}
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          least(size(gf.tokens(col("text"))).cast("long"), lit(512L))
+            .as("len"))
+      def census(orderCols: Seq[String], prep: DataFrame => DataFrame) = {
+        val rk = StarSchemaBuilder
+          .withSurrogateKey(prep(d), orderCols, "rk", SkStrategy.Auto)
+        rk.select(col("len"),
+            explode(array(lit(8L), lit(32L))).as("b"), col("rk"))
+          .withColumn("g", expr("(rk - 1) div b"))
+          .groupBy("b", "g")
+          .agg(count(lit(1)).as("c"), max("len").as("m"),
+            sum("len").as("s"))
+          .groupBy("b")
+          .agg(sum(col("c") * col("m")).as("padded"), sum("s").as("rt"))
+      }
+      val sorted = census(Seq("inv", "doc_id"),
+        _.withColumn("inv", lit(512L) - col("len")))
+      val unsorted = census(Seq("doc_id"), identity)
+      sorted.select(col("b"), col("padded").as("ps"), col("rt"))
+        .join(unsorted.select(col("b"), col("padded").as("pu")), "b")
+        .select(col("b").as("batch_size"), col("rt").as("real_tokens"),
+          col("ps").as("padded_sorted"), col("pu").as("padded_unsorted"),
+          gf.roundz((col("ps") - col("rt")).cast("double")
+            / col("ps").cast("double"), 6).as("waste_sorted"),
+          gf.roundz((col("pu") - col("rt")).cast("double")
+            / col("pu").cast("double"), 6).as("waste_unsorted"),
+          gf.roundz((col("pu") - col("ps")).cast("double")
+            / col("pu").cast("double"), 6).as("savings"))
+        .orderBy("batch_size")
+    },
+
     // T104 — content-defined chunking census (token-level twin of the
     // byte-level FastCDC expression in plans/CdcChunks): chunk
     // boundaries close AFTER any token whose stable hash ≡ 0 (mod 16)
