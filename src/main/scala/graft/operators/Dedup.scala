@@ -52,12 +52,19 @@ object Dedup {
     * shared table), one equi-join, one per-doc window over only the
     * DUPLICATED window starts. */
   def duplicatedSpans(wins: DataFrame, width: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val rep = wins.groupBy("wh")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select("wh")
+    islandSpans(wins.join(rep, "wh").select("doc_id", "i"), width)
+  }
+
+  /** Gaps-and-islands over duplicated window STARTS `(doc_id, i)`:
+    * merge starts ≤ `width` apart into spans `(doc_id, s, e)` of
+    * covered 1-based token positions (e = last start + width − 1). */
+  private def islandSpans(dup: DataFrame, width: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("i")
-    wins.join(rep, "wh").select("doc_id", "i")
+    dup
       .withColumn("brk",
         when(lag("i", 1).over(w).isNull ||
           col("i") - lag("i", 1).over(w) > width, 1L).otherwise(0L))
@@ -65,6 +72,42 @@ object Dedup {
       .groupBy("doc_id", "g")
       .agg(min("i").as("s"), (max("i") + (width - 1)).as("e"))
       .select("doc_id", "s", "e")
+  }
+
+  /** Rolling-hash window frame `(doc_id, i, wh)` for a (id, text)
+    * frame — the windowsFor shape, built inline. */
+  private def windowFrame(docs: DataFrame, width: Int,
+      idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.graft.CatalystBridge
+    docs.select(col(idCol),
+        posexplode(CatalystBridge.column(graft.plans.RollingHashWindows(
+          CatalystBridge.expr(trim(col(textCol))), width)))
+          .as(Seq("p", "wh")))
+      .select(col(idCol).as("doc_id"), (col("p").cast("long") + 1L).as("i"),
+        col("wh"))
+  }
+
+  /** Drop every token of `docs` covered by a span in `spans`
+    * `(doc_id, s, e)` and reassemble the survivors in position order —
+    * the q134 rebuild idiom (posexplode + doc_id-equi anti join + one
+    * per-doc kept-token collect). Every input doc is kept; fully
+    * covered or token-free docs emit an empty string. */
+  private def rebuildWithoutSpans(docs: DataFrame, spans: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val tok = docs
+      .select(col(idCol), posexplode(gf.tokens(col(textCol)))
+        .as(Seq("p0", "tok")))
+      .select(col(idCol), (col("p0").cast("long") + 1L).as("p"), col("tok"))
+    val kept = tok.join(spans,
+      tok(idCol) === spans("doc_id") &&
+        col("p").between(col("s"), col("e")), "left_anti")
+    val rebuilt = kept.groupBy(idCol)
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("p"), col("tok")))),
+        x => x.getField("tok")), " ").as(textCol))
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
   }
 
   /** ExactSubstr POST-PROCESS — the cleaned-corpus EMITTER (Lee et
@@ -89,28 +132,41 @@ object Dedup {
     * aggregate). Nothing here is quadratic in corpus size. */
   def removeDuplicatedSpans(docs: DataFrame, width: Int = 6,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.graft.CatalystBridge
-    val toks = docs.select(col(idCol), gf.tokens(col(textCol)).as("toks"))
-    val wins = docs.select(col(idCol),
-        posexplode(CatalystBridge.column(graft.plans.RollingHashWindows(
-          CatalystBridge.expr(trim(col(textCol))), width)))
-          .as(Seq("p", "wh")))
-      .select(col(idCol).as("doc_id"), (col("p").cast("long") + 1L).as("i"),
-        col("wh"))
-    val spans = duplicatedSpans(wins, width)
-    val tok = toks.select(col(idCol), posexplode(col("toks")).as(Seq("p0", "tok")))
-      .select(col(idCol), (col("p0").cast("long") + 1L).as("p"), col("tok"))
-    val kept = tok.join(spans,
-      tok(idCol) === spans("doc_id") &&
-        col("p").between(col("s"), col("e")), "left_anti")
-    val rebuilt = kept.groupBy(idCol)
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("p"), col("tok")))),
-        x => x.getField("tok")), " ").as(textCol))
-    // Keep every input doc: fully-removed (or token-free) docs emit "".
-    docs.select(col(idCol))
-      .join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+    val spans = duplicatedSpans(windowFrame(docs, width, idCol, textCol),
+      width)
+    rebuildWithoutSpans(docs, spans, idCol, textCol)
+  }
+
+  /** INCREMENTAL [[removeDuplicatedSpans]] — clean a NEW batch against
+    * an already-published corpus plus the batch itself (the q87
+    * incremental-dedup stance applied to spans: continuously-ingested
+    * training data must not re-emit text the corpus already carries,
+    * and the corpus is immutable — only batch docs are rewritten).
+    * A batch token is dropped when a `width`-token window covering it
+    * occurs ANYWHERE in the corpus, or in ≥ 2 distinct batch docs
+    * (the intra-batch rule of the full-corpus variant).
+    *
+    * Returns the cleaned BATCH, same `(idCol, textCol)` shape.
+    *
+    * Scale: the corpus side reduces to DISTINCT window hashes before
+    * the join (set semantics — corpus size enters only through its
+    * distinct-window vocabulary), the batch census is batch-sized,
+    * and the span join + rebuild touch batch rows only — incremental
+    * cost is O(batch + corpus-window vocabulary), never a corpus
+    * rewrite. */
+  def removeDuplicatedSpansIncremental(corpus: DataFrame, batch: DataFrame,
+      width: Int = 6, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val bwins = windowFrame(batch, width, idCol, textCol)
+    val corpusWh = windowFrame(corpus, width, idCol, textCol)
+      .select("wh").distinct()
+    val batchRep = bwins.groupBy("wh")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("wh")
+    val dupWh = corpusWh.union(batchRep).distinct()
+    val spans = islandSpans(
+      bwins.join(dupWh, "wh").select("doc_id", "i"), width)
+    rebuildWithoutSpans(batch, spans, idCol, textCol)
   }
 
   /** Connected components over a near-dup pair list — the alternating

@@ -133,6 +133,26 @@ class DedupSpec extends SparkSpec {
       (4L, ""))
   }
 
+  test("removeDuplicatedSpansIncremental: corpus echoes stripped, corpus untouched") {
+    val run = "c1 c2 c3 c4 c5 c6 c7"
+    val corpus = Seq((1L, s"$run corpus-only tail")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, s"fresh stuff here $run"), // echoes the corpus run -> stripped
+      (11L, "completely novel text with no overlap at all"),
+      (12L, "b1 b2 b3 b4 b5 b6 extra"), // intra-batch pair with 13
+      (13L, "b1 b2 b3 b4 b5 b6 other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpansIncremental(corpus, batch)
+      .orderBy("doc_id").as[(Long, String)].collect()
+    out shouldBe Array(
+      (10L, "fresh stuff here"),
+      (11L, "completely novel text with no overlap at all"),
+      (12L, "extra"),
+      (13L, "other"))
+    // The corpus is never rewritten: only batch ids come back.
+    out.map(_._1).toSet shouldBe Set(10L, 11L, 12L, 13L)
+  }
+
   test("removeDuplicatedSpans removes the shared run and keeps the rest") {
     // Docs 1 and 2 share an 8-token run -> three duplicated 6-windows
     // per doc, one island covering exactly those 8 positions. The
