@@ -404,6 +404,19 @@ object Similarity {
     spark.catalog.listTables().collect().map(_.name)
       .filter(n => n.startsWith(pre) && !n.startsWith(keep))
       .foreach(n => spark.sql(s"DROP TABLE IF EXISTS `$n`"))
+    // Also sweep ORPHANED generations on disk: a fresh session starts
+    // with an empty in-memory catalog, so a previous session's
+    // superseded tables are invisible to listTables but their managed
+    // locations still occupy the warehouse. Managed-location layout is
+    // <warehouse>/<tablename> (the same path the builders pre-clear).
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith(pre) && !n.startsWith(keep))
+        fs.delete(st.getPath, true)
+    }
   }
 
   /** KNN GRAPH: approximate top-k neighbors for EVERY corpus vector —

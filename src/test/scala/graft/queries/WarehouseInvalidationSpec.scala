@@ -56,6 +56,21 @@ class WarehouseInvalidationSpec extends SparkSpec {
     assert(!spark.catalog.tableExists(gen1Tbl))
   }
 
+  test("dropStaleGenerations sweeps orphaned on-disk generations too") {
+    // A previous SESSION's superseded table is invisible to the fresh
+    // in-memory catalog but its managed location still occupies the
+    // warehouse — the sweep must delete it from disk as well.
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphan = new org.apache.hadoop.fs.Path(wh,
+      "graft_orphantest_x_f0123456789")
+    fs.mkdirs(orphan)
+    Similarity.dropStaleGenerations(spark, "graft_orphantest_x",
+      "graft_orphantest_x_fabcdefabcd")
+    assert(!fs.exists(orphan), "orphaned generation dir must be swept")
+  }
+
   test("IVF index rebuilds when embeddings are regenerated in place") {
     val dir = Files.createTempDirectory("graft-ivf-inval").toString
     def writeEmb(seed: Int, n: Int): Unit =
