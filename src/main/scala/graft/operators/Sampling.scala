@@ -130,49 +130,97 @@ object Sampling {
     df.filter(bucket < round(rateCol * 10000).cast("long"))
   }
 
+  /** Per-group acceptance-THRESHOLD frame for [[temperatureSample]] —
+    * exposed so census queries (q175) can oracle-gate the operator's
+    * arithmetic directly instead of re-deriving it inline. One row per
+    * distinct `groupCol` value (a NULL group is a group like any
+    * other), columns `(groupCol, n, nn, z, zt, b, thr)`:
+    * n = group count, nn = corpus count, z = floor(p^α·1e9) as an
+    * EXACT long (quantized BEFORE the bounded normalization sum so the
+    * rates are bit-identical at any fold order), zt = Σz,
+    * b = budgetOf(nn) (the document budget — a literal, or derived
+    * from the corpus count, e.g. `shiftright(_, 1)` for B = N/2),
+    * thr = floor(min(1, b·z/zt/n)·2^60) — the [[hashSplit]]-style
+    * acceptance threshold (min(1, ·) caps oversampling: a source
+    * whose quota exceeds its size is taken whole, never replicated).
+    *
+    * α handling (the q175/T139 cross-engine stance): α = 0.5 → `sqrt`
+    * and α = 0.25 → `sqrt∘sqrt` (sqrt is IEEE-correctly-rounded in
+    * every engine; `pow(x, 0.5)` is only 1-ulp-accurate, and a 1-ulp
+    * wobble crosses the floor(·1e9) quantization boundary); α = 1 →
+    * p itself; any other α → `pow` — deterministic within the engine,
+    * documented NOT cross-engine-exact.
+    *
+    * Scale: one group-keyed count (map-side combinable) + two
+    * 1-row/bounded-frame lazy-total broadcasts — no collect, no sort,
+    * no data-sized state. */
+  def temperatureThresholds(df: DataFrame, groupCol: String,
+      alpha: Double, budgetOf: Column => Column): DataFrame = {
+    require(alpha >= 0, s"alpha must be >= 0: $alpha")
+    val src = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    val tot = src.agg(sum("n").cast("long").as("nn"))
+    val p = col("n").cast("double") / col("nn").cast("double")
+    val pa = alpha match {
+      case 0.5  => sqrt(p)
+      case 0.25 => sqrt(sqrt(p))
+      case 1.0  => p
+      case a    => pow(p, lit(a))
+    }
+    val zq = src.crossJoin(broadcast(tot))
+      .withColumn("z", floor(pa * lit(1000000000.0)).cast("long"))
+    val zz = zq.agg(sum("z").cast("long").as("zt"))
+    zq.crossJoin(broadcast(zz))
+      .withColumn("b", budgetOf(col("nn")).cast("long"))
+      .withColumn("thr",
+        floor(least(lit(1.0),
+          col("b").cast("double") * col("z").cast("double")
+            / col("zt").cast("double") / col("n").cast("double"))
+          * lit(1152921504606846976.0)).cast("long"))
+  }
+
+  /** Apply a precomputed [[temperatureThresholds]] frame: accept iff
+    * stableHash(id) < thr of the row's group. The group match is
+    * NULL-SAFE (`<=>`), so a NULL group — which the census counted
+    * into `nn` — participates with its own threshold instead of
+    * silently losing its budget to a non-matching equality. Output
+    * keeps the input's columns. */
+  def temperatureSampleWith(df: DataFrame, groupCol: String,
+      idCol: String, thresholds: DataFrame): DataFrame = {
+    val thr = thresholds.select(col(groupCol).as("__g"),
+      col("thr").as("__thr"))
+    df.join(broadcast(thr), df(groupCol) <=> col("__g"))
+      .filter(gf.stableHash(col(idCol).cast("string")) < col("__thr"))
+      .select(df.columns.map(df(_)): _*)
+  }
+
   /** TEMPERATURE-scaled source sampling (α-sampling: Conneau &
     * Lample 2019 §3.1, XLM; Raffel et al. 2020 mT5's language
     * balancing — public knowledge): flatten a skewed source mix by
     * sampling source s with probability ∝ p_s^α (α < 1 boosts small
     * sources, α = 1 is natural, α = 0 is uniform), to a total budget
     * of `budget` documents in expectation. Unlike [[weightedMix]],
-    * the rates are computed FROM the corpus (one bounded groupBy —
-    * #sources rows collected, never data), then applied with the
-    * [[hashSplit]] determinism story: accept iff
-    * stableHash(id) < floor(r_s·2^60) — a row's fate depends only on
-    * its own id and its source's aggregate count, independent of
-    * engine, layout, or unrelated rows. r_s = min(1, B·q_s/n_s)
-    * caps oversampling at 1 (no replication — matching the
-    * without-replacement reading; a source whose quota exceeds its
-    * size is taken whole).
+    * the rates are computed FROM the corpus
+    * ([[temperatureThresholds]] — a bounded group-keyed aggregate,
+    * never collected), then applied with the [[hashSplit]]
+    * determinism story: accept iff stableHash(id) < floor(r_s·2^60)
+    * — a row's fate depends only on its own id and its source's
+    * aggregate count, independent of engine, layout, or unrelated
+    * rows. r_s = min(1, B·q_s/n_s) caps oversampling at 1 (no
+    * replication — matching the without-replacement reading; a
+    * source whose quota exceeds its size is taken whole).
     *
-    * q175 pins the α = 0.5 cross-engine contract (sqrt is
-    * IEEE-correctly-rounded in every engine; the per-source
-    * sqrt(p_s) quantizes to floor(·1e9) exact longs before the
-    * bounded normalization sum, so the rates are bit-identical at
-    * any fold order). Other α values are deterministic within the
-    * engine (math.pow on the driver) but not oracle-gated. */
+    * q175 pins the α = 0.5 cross-engine contract BY CALLING
+    * [[temperatureThresholds]]/[[temperatureSampleWith]] (sqrt is
+    * IEEE-correctly-rounded in every engine; the per-source sqrt(p_s)
+    * quantizes to floor(·1e9) exact longs before the bounded
+    * normalization sum, so the rates are bit-identical at any fold
+    * order). α ∉ {0.25, 0.5, 1} is deterministic within the engine
+    * (`pow`) but not oracle-gated. */
   def temperatureSample(df: DataFrame, groupCol: String, idCol: String,
       alpha: Double, budget: Long): DataFrame = {
-    require(alpha >= 0, s"alpha must be >= 0: $alpha")
     require(budget > 0, s"budget must be positive: $budget")
-    // Bounded collect: one row per SOURCE (the mix's arity), never data.
-    val counts = df.groupBy(col(groupCol).cast("string").as("__g"))
-      .agg(count(lit(1)).as("__n")).collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-    val total = counts.map(_._2).sum.toDouble
-    val z = counts.map { case (g, n) =>
-      (g, math.floor(math.pow(n / total, alpha) * 1e9)) }
-    val zTot = z.map(_._2).sum
-    val rates = z.map { case (g, zs) =>
-      val n = counts.find(_._1 == g).get._2.toDouble
-      (g, math.min(1.0, budget.toDouble * zs / zTot / n))
-    }.toMap
-    val thr = rates.foldLeft(lit(0L)) { case (acc, (g, r)) =>
-      when(col(groupCol).cast("string") === g,
-        lit(math.floor(r * (1L << 60).toDouble).toLong)).otherwise(acc)
-    }
-    df.filter(gf.stableHash(col(idCol).cast("string")) < thr)
+    temperatureSampleWith(df, groupCol, idCol,
+      temperatureThresholds(df, groupCol, alpha, _ => lit(budget)))
   }
 
   /** Deterministic seeded EPOCH SHUFFLE: the corpus in a pseudo-random

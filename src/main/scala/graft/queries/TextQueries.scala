@@ -3983,24 +3983,17 @@ object TextQueries {
         |    AS oversample
         |FROM rt LEFT JOIN smp ON rt.source = smp.source
         |ORDER BY rt.source""".stripMargin) { (s, dir) =>
+      // The quota arithmetic AND the hash-rule membership both come
+      // from the OPERATOR ([[graft.operators.Sampling
+      // .temperatureThresholds]]/[[temperatureSampleWith]]) so this
+      // oracle gates the reusable transform directly, not an inline
+      // re-implementation (VERDICT r12 item 3). B = N/2 via
+      // shiftright(nn, 1) ≡ the oracle's `nn // 2` (nn ≥ 0).
       val docs = Tables.documents(s, dir)
-      val src = docs.groupBy("source").agg(count(lit(1)).as("n"))
-      val tot = src.agg(sum("n").cast("long").as("nn"))
-      val zq = src.crossJoin(broadcast(tot))
-        .withColumn("z",
-          floor(sqrt(col("n").cast("double") / col("nn").cast("double"))
-            * lit(1000000000.0)).cast("long"))
-      val zz = zq.agg(sum("z").cast("long").as("zt"))
-      val rt = zq.crossJoin(broadcast(zz))
-        .withColumn("b", expr("nn div 2"))
-        .withColumn("thr",
-          floor(least(lit(1.0),
-            col("b").cast("double") * col("z").cast("double")
-              / col("zt").cast("double") / col("n").cast("double"))
-            * lit(1152921504606846976.0)).cast("long"))
-      val sampled = docs
-        .join(broadcast(rt.select("source", "thr")), "source")
-        .filter(gf.stableHash(col("doc_id").cast("string")) < col("thr"))
+      val rt = graft.operators.Sampling.temperatureThresholds(
+        docs, "source", alpha = 0.5, budgetOf = nn => shiftright(nn, 1))
+      val sampled = graft.operators.Sampling
+        .temperatureSampleWith(docs, "source", "doc_id", rt)
         .groupBy("source").agg(count(lit(1)).as("ns"))
       rt.join(sampled, Seq("source"), "left")
         .select(col("source"), col("n").as("n_docs"),

@@ -189,4 +189,62 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     a.toSeq shouldBe b.toSeq
   }
+
+  test("temperatureThresholds: α=0.5 quantizes CORRECTLY-ROUNDED sqrt, not pow") {
+    // The cross-engine contract (q175 / VERDICT r12 item 3): z must be
+    // floor(sqrt(p)·1e9) with IEEE-correctly-rounded sqrt — Math.pow's
+    // 1-ulp wobble can cross the floor boundary. Pin every z against a
+    // driver-side Math.sqrt reference over a skew whose p values are
+    // NOT exact binary fractions.
+    val docs = ((1L to 777L).map(i => (i, "a")) ++
+      (1001L to 1223L).map(i => (i, "b")) ++
+      (2001L to 2003L).map(i => (i, "c"))).toDF("doc_id", "source")
+    val rows = Sampling.temperatureThresholds(docs, "source", 0.5,
+        _ => lit(500L))
+      .select("source", "n", "nn", "z", "b", "thr")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val nn = 777L + 223L + 3L
+    for ((g, n) <- Seq(("a", 777L), ("b", 223L), ("c", 3L))) {
+      val (_, gotN, gotNn, gotZ, gotB, _) = rows(g)
+      gotN shouldBe n
+      gotNn shouldBe nn
+      gotB shouldBe 500L
+      gotZ shouldBe math.floor(
+        math.sqrt(n.toDouble / nn.toDouble) * 1e9).toLong
+    }
+    // α=0.25 is sqrt∘sqrt (T139's stance), same reference.
+    val z25 = Sampling.temperatureThresholds(docs, "source", 0.25,
+        _ => lit(500L))
+      .select("source", "z").as[(String, Long)].collect().toMap
+    for ((g, n) <- Seq(("a", 777L), ("b", 223L), ("c", 3L)))
+      z25(g) shouldBe math.floor(
+        math.sqrt(math.sqrt(n.toDouble / nn.toDouble)) * 1e9).toLong
+  }
+
+  test("temperatureSample: a NULL group participates with its own quota") {
+    // ADVICE r12: nulls used to be counted into the census total but
+    // never matched by the non-null-safe threshold chain — budget
+    // allocated to them silently vanished. The null-safe join keeps
+    // them a group like any other.
+    val docs = ((1L to 600L).map(i => (i, "big")) ++
+      (1001L to 1100L).map(i => (i, null: String)))
+      .toDF("doc_id", "source")
+    val out = Sampling.temperatureSample(docs, "source", "doc_id",
+        alpha = 0.5, budget = 200)
+      .groupBy("source").agg(count(lit(1)).as("c"))
+      .as[(Option[String], Long)].collect().toMap
+    // α=0.5 quotas over (600, 100): z_big=√(6/7), z_null=√(1/7) →
+    // q_null ≈ 0.2887, rate_null = min(1, 200·q/100) ≈ 0.577 — the
+    // null group must surface with a binomial-band count, not zero.
+    val nullTaken = out(None)
+    nullTaken.toDouble shouldBe 57.7 +- 25.0
+    // Membership is deterministic and layout-independent, nulls included.
+    val a = Sampling.temperatureSample(docs, "source", "doc_id", 0.5, 200)
+      .select("doc_id").as[Long].collect().sorted
+    val b = Sampling.temperatureSample(docs.repartition(7), "source",
+        "doc_id", 0.5, 200)
+      .select("doc_id").as[Long].collect().sorted
+    a.toSeq shouldBe b.toSeq
+  }
 }
