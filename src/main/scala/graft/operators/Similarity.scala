@@ -331,6 +331,21 @@ object Similarity {
     }
   }
 
+  /** The ONE way to build/reuse the SHARED session IVF index (stem
+    * "ivf") that the embedding query families (q42/q47/q66/q149/q162)
+    * and Bench's prebuild all amortize. [[indexFor]]'s memoization
+    * keys on NAME only (stem + corpus fingerprint), NOT on build
+    * parameters — so the shared stem's parameters are pinned HERE,
+    * once; a consumer building the "ivf" stem with different
+    * parameters directly would silently poison every other consumer
+    * with a mismatched index (ADVICE r12). The parameter values are
+    * the ones the oracle CTEs replicate (`AnnQueries.centroidCtes`:
+    * nCent = 16, trainN = 128, iters = 2). */
+  def sharedIvfIndex(corpus: DataFrame, dir: String): IvfIndex =
+    indexFor(corpus,
+      indexName(corpus.sparkSession, "ivf", dir),
+      nCentroids = 16, trainN = 128, iters = 2, numBuckets = 16)
+
   /** Approximate top-k probing a PERSISTED index — no training, no
     * assignment pass; the corpus side is the bucketed table. Same
     * output contract as the inline [[ivfTopK]]. */
@@ -372,7 +387,19 @@ object Similarity {
     * Cost class: the same O(#files) driver-side listing every
     * parquet scan's planning already pays — called once per memoized
     * table lookup, never per row/partition, so it stays planning
-    * cost at 100 TB (object stores serve it as LIST pages). */
+    * cost at 100 TB (object stores serve it as LIST pages).
+    *
+    * GRANULARITY CAVEAT (deliberate trade): the fingerprint reads NO
+    * file content, so a corpus regenerated in place with identical
+    * file names AND identical byte lengths within the filesystem's
+    * mtime resolution (1 s on many filesystems, coarser on some
+    * object stores) fingerprints the same and would be served the
+    * stale generation. Parquet writers practically never reproduce
+    * byte-identical lengths for different data (footer/dictionary
+    * encoding shift), and Spark/DuckDB's own file-listing caches make
+    * the same assumption — but a pipeline that rewrites corpora
+    * sub-second with length-stable files must mix a content etag into
+    * the listing row instead of relying on (length, mtime). */
   def dirFingerprint(spark: org.apache.spark.sql.SparkSession,
       dir: String): String = {
     val root = new org.apache.hadoop.fs.Path(dir)
@@ -396,7 +423,19 @@ object Similarity {
     * fingerprint. Called from build paths only (a build means the
     * current generation's table was absent, so siblings are garbage
     * from a regenerated corpus). Dropping a managed table also
-    * removes its warehouse files. */
+    * removes its warehouse files.
+    *
+    * SINGLE-WRITER CONTRACT (deliberate): the GC — both the catalog
+    * drops and the on-disk orphan sweep below — assumes the warehouse
+    * directory belongs to ONE session at a time (the in-memory-catalog
+    * deployment this library targets: each job/session owns its
+    * warehouse). In a SHARED warehouse with concurrent sessions, a
+    * session building generation N+1 would delete generation N's
+    * managed files out from under a session still reading them — a
+    * shared-catalog deployment must either give each session its own
+    * `spark.sql.warehouse.dir`, or replace this sweep with
+    * catalog-native GC (drop via the shared catalog only, no raw
+    * filesystem deletes, plus a retention grace window). */
   def dropStaleGenerations(spark: org.apache.spark.sql.SparkSession,
       stem: String, current: String): Unit = {
     val pre = stem.toLowerCase + "_f"
@@ -425,23 +464,51 @@ object Similarity {
     * clustering. Same IVF index semantics (hash-seeded Lloyd
     * centroids, argmax assignment, nprobe probes, exact cosine inside
     * probed buckets), but the query side IS the corpus, so the
-    * [[searchBuckets]] broadcasts are structurally wrong here:
+    * [[searchBuckets]] broadcasts are structurally wrong here.
     *
-    *   - probe selection (top-`nprobe` centroids per vector over the
-    *     N × nlist score product) and the final per-vector top-k both
-    *     run on [[graft.plans.TopKPerKey]]'s bounded heap — one
-    *     clustered shuffle each, no windowed full sort of the
-    *     candidate volume, spill fallback past the task byte budget;
+    * DISTINCT-CONTENT COLLAPSE (the q162 contract generalized to
+    * top-k): real corpora are duplicate-heavy, and every per-vector
+    * quantity here — bucket (argmax over the pinned centroid chain),
+    * probe set, and the 6-dp cosine against any partner — is a pure
+    * function of the vector's CONTENT. So the expensive stages run
+    * over one representative per distinct embedding:
+    *
+    *   - group once on the raw embedding bytes → sorted member-id
+    *     list per content group (gid = min id, the representative);
+    *   - probe selection (top-`nprobe` centroids per GROUP over the
+    *     R × nlist score product, R = distinct contents) and the
+    *     per-group candidate top-(k+1) both run on
+    *     [[graft.plans.TopKPerKey]]'s bounded heap — one clustered
+    *     shuffle each, no windowed full sort, spill fallback past the
+    *     task byte budget;
     *   - candidate generation is a SHUFFLE equi-join on bucket id
-    *     (corpus-sized sides; nothing broadcast), so per-bucket work
-    *     is bounded by bucket membership — nlist ≈ [[sqrtNlist]] keeps
-    *     that at ~√N, candidates at ~nprobe·√N per vector.
+    *     over GROUP representatives (R-sized sides; nothing
+    *     broadcast), so with duplication factor d the scored
+    *     candidate volume shrinks d² vs the raw join — per-bucket
+    *     work stays bounded by distinct-content membership, and
+    *     nlist ≈ [[sqrtNlist]] keeps that at ~√R;
+    *   - each candidate GROUP contributes only its k+1 smallest
+    *     member ids (`head`): within a group all members share one
+    *     cosine and order consecutively by id, so any member beyond
+    *     its group's first k+1 is preceded by k+1 same-cosine
+    *     smaller ids and can never enter a top-(k+1);
+    *   - EXPANSION is arithmetic: every member of a query group
+    *     inherits the group's top-(k+1) list minus (at most) itself —
+    *     one equi-join on gid producing ≤ N·(k+1) rows, then the
+    *     cheap re-rank.
+    *
+    * Bit-parity with the raw-row semantics (q114's oracle pins probe
+    * ties, candidate sets, and rank tie-breaks): buckets/probes/
+    * cosines are content-determined, and the head-truncation argument
+    * above is exact, so the expanded top-k is row-for-row the raw
+    * top-k. Centroid TRAINING stays on the raw corpus — its
+    * hash-seeded sample is id-keyed, which the oracle replicates.
     *
     * The rank column is re-derived by a row_number over the ALREADY
-    * k-bounded rows (≤ N·k rows, partitions of ≤ k) — the cheap sort,
-    * not the one TopKPerKey avoided. Output: (qid, idCol, cos, rank),
-    * ties broken (cos desc, id asc) on the 6-decimal-rounded cosine in
-    * both engines. */
+    * (k+1)-bounded rows (partitions of ≤ k+1) — the cheap sort, not
+    * the one TopKPerKey avoided. Output: (qid, idCol, cos, rank),
+    * ties broken (cos desc, id asc) on the 6-decimal-rounded cosine
+    * in both engines. */
   def knnJoin(
       corpus: DataFrame, k: Int,
       nCentroids: Int = 16, nprobe: Int = 2,
@@ -449,22 +516,42 @@ object Similarity {
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     import graft.plans.TopKPerKey
     val cent = trainCentroids(corpus, nCentroids, trainN, iters, idCol, embCol)
-    val c = prep(corpus, idCol, embCol)
-    val assigned = assignToCentroids(c, cent, idCol)
-    val scored = c.join(broadcast(cent), lit(true))
-      .select(col(idCol).as("qid"), col("e").as("qe"), col("nrm").as("qn"),
+    // One content group per distinct embedding; ≤ corpus rows, usually
+    // far fewer. Persisted: referenced by reps, heads and members (an
+    // un-persisted subtree would re-run the groupBy per reference).
+    val groups = graft.CacheRegistry.persistTracked(
+      corpus.select(col(idCol), col(embCol))
+        .groupBy(col(embCol))
+        .agg(sort_array(collect_list(col(idCol))).as("__ids"))
+        .select(col(embCol), col("__ids"),
+          element_at(col("__ids"), 1).as("__gid"),
+          slice(col("__ids"), 1, k + 1).as("__head")),
+      graft.CacheRegistry.DataSized)
+    val reps = prep(groups.select(col("__gid").as(idCol), col(embCol)),
+      idCol, embCol)
+    val assigned = assignToCentroids(reps, cent, idCol)
+      .join(groups.select(col("__gid"), col("__head")),
+        col(idCol) === col("__gid"))
+    val scored = reps.join(broadcast(cent), lit(true))
+      .select(col(idCol).as("qgid"), col("e").as("qe"), col("nrm").as("qn"),
         col("cent_id").as("bucket"),
         (dot(col("e"), col("ce")) / (col("nrm") * col("cn"))).as("qsim"))
-    val probes = TopKPerKey(scored, Seq("qid"),
+    val probes = TopKPerKey(scored, Seq("qgid"),
       Seq(TopKPerKey.desc("qsim"), TopKPerKey.asc("bucket")), nprobe)
       .drop("qsim")
     val cos = dot(col("qe"), col("e")) / (col("qn") * col("nrm"))
     val cand = assigned.join(probes, Seq("bucket"))
-      .filter(col(idCol) =!= col("qid"))
-      .select(col("qid"), col(idCol), gf.roundz(cos, 6).as("cos"))
-    val top = TopKPerKey(cand, Seq("qid"),
-      Seq(TopKPerKey.desc("cos"), TopKPerKey.asc(idCol)), k)
-    val rw = Window.partitionBy("qid").orderBy(desc("cos"), asc(idCol))
-    top.withColumn("rank", row_number().over(rw).cast("long"))
+      .select(col("qgid"), gf.roundz(cos, 6).as("cos"),
+        explode(col("__head")).as("__cand"))
+    val gtop = TopKPerKey(cand, Seq("qgid"),
+      Seq(TopKPerKey.desc("cos"), TopKPerKey.asc("__cand")), k + 1)
+    val members = groups.select(col("__gid").as("qgid"),
+      explode(col("__ids")).as("qid"))
+    val rw = Window.partitionBy("qid").orderBy(desc("cos"), asc("__cand"))
+    members.join(gtop, Seq("qgid"))
+      .filter(col("__cand") =!= col("qid"))
+      .withColumn("rank", row_number().over(rw).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("__cand").as(idCol), col("cos"), col("rank"))
   }
 }

@@ -234,7 +234,7 @@ object AnnQueries {
       val emb = Tables.embeddings(s, dir)
       // Probe the session-persisted index (train + assign run once per
       // corpus, not once per query — the 100 TB shape).
-      val idx = Similarity.indexFor(emb, Similarity.indexName(s, "ivf", dir))
+      val idx = Similarity.sharedIvfIndex(emb, dir)
       Similarity.ivfTopK(idx, emb.filter(col("vec_id") < 8), k = 5)
         .orderBy("qid", "rank")
     },
@@ -966,7 +966,7 @@ object AnnQueries {
       val queries = emb.filter(col("vec_id") < 8)
       val truth = Similarity.bruteForceTopK(emb, queries, k = 5)
         .select(col("qid"), col("vec_id").as("tid"))
-      val idx = Similarity.indexFor(emb, Similarity.indexName(s, "ivf", dir))
+      val idx = Similarity.sharedIvfIndex(emb, dir)
       val approx = Similarity.ivfTopK(idx, queries, k = 5)
         .select(col("qid"), col("vec_id"), col("rank").as("arank"))
       // Hits per rank as ORDER-FREE integer maxes, then ONE fixed-order
@@ -1053,7 +1053,7 @@ object AnnQueries {
       val queries = emb.filter(col("vec_id") < 8)
       val truth = Similarity.bruteForceTopK(emb, queries, k = 5)
         .select(col("qid"), col("vec_id").as("tid"), col("rank").as("trank"))
-      val idx = Similarity.indexFor(emb, Similarity.indexName(s, "ivf", dir))
+      val idx = Similarity.sharedIvfIndex(emb, dir)
       val approx = Similarity.ivfTopK(idx, queries, k = 5)
         .select(col("qid"), col("vec_id"), col("rank").as("arank"))
       approx.join(truth,

@@ -161,8 +161,8 @@ object TextQueries {
       timed("graft_reppairs") { repPairsFor(s, dir) },
       timed("graft_bigrams") { bigramCountsFor(s, dir) },
       timed("ivf_index") {
-        graft.operators.Similarity.indexFor(Tables.embeddings(s, dir),
-          graft.operators.Similarity.indexName(s, "ivf", dir))
+        graft.operators.Similarity.sharedIvfIndex(
+          Tables.embeddings(s, dir), dir)
       })
   }
 
@@ -323,20 +323,55 @@ object TextQueries {
     // Shared session-persisted IVF index (same name/params as q42):
     // the training chain and the full-corpus assignment pass run once
     // per corpus, and the bucket column is the table's bucketing key.
-    val idx = Similarity.indexFor(Tables.embeddings(s, dir),
-      Similarity.indexName(s, "ivf", dir))
-    val assigned = s.table(idx.assignedTable)
-    val a = assigned.as("a")
-    val b = assigned.select(col("vec_id").as("b_vec_id"), col("e").as("b_e"),
-      col("nrm").as("b_nrm"), col("bucket"))
-    val cos = Similarity.dot(col("e"), col("b_e")) / (col("nrm") * col("b_nrm"))
-    import s.implicits._
-    a.join(b, Seq("bucket"))
-      .filter(col("vec_id") < col("b_vec_id"))
-      .select(col("vec_id").as("vec_a"), col("b_vec_id").as("vec_b"),
-        cos.as("cos"))
-      .as[(Long, Long, Double)].filter(_._3 >= EmbDupThreshold) // pushdown barrier
-      .toDF("vec_a", "vec_b", "cos")
+    val idx = Similarity.sharedIvfIndex(Tables.embeddings(s, dir), dir)
+    // DISTINCT-CONTENT COLLAPSE (the q162/q125 contract on the raw
+    // pair listing): bucket and pairwise cosine are pure functions of
+    // vector CONTENT, so the quadratic stage — in-bucket cosine
+    // scoring — runs over one representative per distinct embedding
+    // (gid = min member id), and surviving GROUP pairs expand to
+    // member-id pairs arithmetically afterwards. With duplication
+    // factor d the scored candidate volume shrinks d²; the expansion
+    // join only materializes rows the raw join would also have
+    // emitted (the output itself). Raw-parity: a raw pair (x, y) is
+    // in-bucket iff its groups share a bucket (content-determined
+    // assignment), its cosine equals the group pair's, and the
+    // x < y orientation maps to least/greatest over cross-group
+    // member pairs plus the x < y upper triangle within a group.
+    val emb = Tables.embeddings(s, dir)
+    val groups = graft.CacheRegistry.persistTracked(
+      emb.groupBy(col("embedding"))
+        .agg(sort_array(collect_list(col("vec_id"))).as("__ids"))
+        .select(element_at(col("__ids"), 1).as("gid"), col("__ids")),
+      graft.CacheRegistry.DataSized) // ≤ one row per distinct vector
+    val reps = s.table(idx.assignedTable)
+      .join(groups.withColumnRenamed("gid", "vec_id"), "vec_id")
+    val a = reps.select(col("vec_id").as("ga"), col("e").as("ea"),
+      col("nrm").as("nra"), col("bucket"), col("__ids").as("ids_a"))
+    val b = reps.select(col("vec_id").as("gb"), col("e").as("eb"),
+      col("nrm").as("nrb"), col("bucket"), col("__ids").as("ids_b"))
+    val cosAB = Similarity.dot(col("ea"), col("eb")) /
+      (col("nra") * col("nrb"))
+    // Cross-group: every member pair of a surviving group pair, once,
+    // oriented (least, greatest) — ids interleave across groups.
+    val cross = a.join(b, Seq("bucket"))
+      .filter(col("ga") < col("gb") && cosAB >= EmbDupThreshold)
+      .select(col("ids_a"), col("ids_b"), cosAB.as("cos"))
+      .select(explode(col("ids_a")).as("va"), col("ids_b"), col("cos"))
+      .select(col("va"), explode(col("ids_b")).as("vb"), col("cos"))
+      .select(least(col("va"), col("vb")).as("vec_a"),
+        greatest(col("va"), col("vb")).as("vec_b"), col("cos"))
+    // Within-group: the x < y upper triangle of each dup group whose
+    // self-cosine survives the threshold (≈ 1, but spelled exactly —
+    // sqrt(d)² ≠ d in floats, so never assume 1.0).
+    val selfCos = Similarity.dot(col("e"), col("e")) /
+      (col("nrm") * col("nrm"))
+    val within = reps.filter(size(col("__ids")) >= 2 &&
+        selfCos >= EmbDupThreshold)
+      .select(col("__ids"), selfCos.as("cos"))
+      .select(explode(col("__ids")).as("vec_a"), col("__ids"), col("cos"))
+      .select(col("vec_a"), explode(col("__ids")).as("vec_b"), col("cos"))
+      .filter(col("vec_a") < col("vec_b"))
+    cross.union(within)
   }
 
   /** Oracle twin of [[embPairs]]: WITH chain ending in
@@ -1051,7 +1086,7 @@ object TextQueries {
         emb.groupBy(col("embedding"), col("label"))
           .agg(count(lit(1)).as("n"), min("vec_id").as("vec_id")),
         graft.CacheRegistry.DataSized) // ≤ one row per distinct vector
-      val idx = Similarity.indexFor(emb, Similarity.indexName(s, "ivf", dir))
+      val idx = Similarity.sharedIvfIndex(emb, dir)
       val reps = s.table(idx.assignedTable)
         .join(groups.select(col("vec_id"), col("label"), col("n")),
           "vec_id")
@@ -5165,6 +5200,250 @@ object TextQueries {
           gf.roundz(col("plo"), 6).as("p_lo"), gf.roundz(col("phi"), 6).as("p_hi"),
           (col("nlo") + col("nhi")).as("n_clamped"))
         .orderBy("source")
+    },
+
+    // T158 — INCREMENTAL span dedup, oracle-gated through the
+    // PUBLISHED-VOCABULARY path (the r12-verdict steady-state shape):
+    // corpus = even doc_ids (immutable, already published), batch =
+    // odd doc_ids (the new increment). The engine derives the corpus
+    // window VOCABULARY from the shared `windowsFor` warehouse table
+    // (one filtered scan of materialized integers — the corpus TEXT
+    // is never re-read, re-tokenized, or re-hashed per increment) and
+    // feeds it to `Dedup.removeDuplicatedSpansIncrementalWith`; the
+    // census is q173's md5-witnessed shape over the cleaned batch.
+    // A batch token is dropped when a covering 6-window occurs
+    // anywhere in the corpus vocabulary or in ≥ 2 distinct batch docs.
+    QueryDef("q178_incremental_span_dedup", {
+      val B = graft.plans.RollingHashWindows.Base
+      val mask = 0xffffffffL
+      val b2 = (B * B) & mask
+      val b3 = (b2 * B) & mask
+      val b4 = (b3 * B) & mask
+      val b5 = (b4 * B) & mask
+      s"""WITH ball AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+         |  FROM documents WHERE doc_id % 2 = 1
+         |), call AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+         |  FROM documents WHERE doc_id % 2 = 0
+         |), cth AS (
+         |  SELECT doc_id,
+         |    list_transform(t, x ->
+         |      CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % 4294967296) AS h
+         |  FROM call WHERE len(t) >= 6
+         |), cvocab AS (
+         |  SELECT DISTINCT
+         |    CAST((CAST(h[i] AS HUGEINT) * $b5 + CAST(h[i+1] AS HUGEINT) * $b4
+         |          + CAST(h[i+2] AS HUGEINT) * $b3 + CAST(h[i+3] AS HUGEINT) * $b2
+         |          + CAST(h[i+4] AS HUGEINT) * $B + h[i+5]) % 4294967296 AS BIGINT) AS wh
+         |  FROM cth, unnest(generate_series(1, len(h) - 5)) AS g(i)
+         |), bth AS (
+         |  SELECT doc_id,
+         |    list_transform(t, x ->
+         |      CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % 4294967296) AS h
+         |  FROM ball WHERE len(t) >= 6
+         |), bwins AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         |    CAST((CAST(h[i] AS HUGEINT) * $b5 + CAST(h[i+1] AS HUGEINT) * $b4
+         |          + CAST(h[i+2] AS HUGEINT) * $b3 + CAST(h[i+3] AS HUGEINT) * $b2
+         |          + CAST(h[i+4] AS HUGEINT) * $B + h[i+5]) % 4294967296 AS BIGINT) AS wh
+         |  FROM bth, unnest(generate_series(1, len(h) - 5)) AS g(i)
+         |), brep AS (
+         |  SELECT wh FROM bwins GROUP BY wh HAVING count(DISTINCT doc_id) >= 2
+         |), dupwh AS (
+         |  SELECT wh FROM cvocab UNION SELECT wh FROM brep
+         |), dup AS (
+         |  SELECT w.doc_id, w.i FROM bwins w JOIN dupwh r ON w.wh = r.wh
+         |), brk AS (
+         |  SELECT doc_id, i,
+         |    CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+         |         OR i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > 6
+         |    THEN 1 ELSE 0 END AS b
+         |  FROM dup
+         |), grp AS (
+         |  SELECT doc_id, i, sum(b) OVER (PARTITION BY doc_id ORDER BY i) AS g
+         |  FROM brk
+         |), spans AS (
+         |  SELECT doc_id, min(i) AS s, max(i) + 5 AS e
+         |  FROM grp GROUP BY doc_id, g
+         |), tok AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS p, t[i] AS tok
+         |  FROM ball, unnest(generate_series(1, len(t))) AS g(i)
+         |), kept AS (
+         |  SELECT k.doc_id, k.p, k.tok FROM tok k
+         |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+         |    WHERE sp.doc_id = k.doc_id AND k.p BETWEEN sp.s AND sp.e)
+         |)
+         |SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+         |  CAST(len(d.t) - count(k.p) AS BIGINT) AS removed_tokens,
+         |  md5(coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '')) AS cleaned_md5
+         |FROM ball d LEFT JOIN kept k ON d.doc_id = k.doc_id
+         |GROUP BY d.doc_id, len(d.t)
+         |ORDER BY d.doc_id""".stripMargin
+    }) { (s, dir) =>
+      val batch = Tables.documents(s, dir).filter(col("doc_id") % 2 === 1)
+      // The published vocabulary: ONE filtered scan of the shared
+      // materialized window table — integers only, no corpus text.
+      val vocab = windowsFor(s, dir).filter(col("doc_id") % 2 === 0)
+        .select("wh").distinct()
+      val cleaned = graft.operators.Dedup
+        .removeDuplicatedSpansIncrementalWith(vocab, batch, width = 6)
+        .select(col("doc_id"), col("text").as("__ct"))
+      batch.fanOutScan(col("doc_id"))
+        .select(col("doc_id"),
+          size(gf.tokens(col("text"))).cast("long").as("n_tokens"))
+        .join(cleaned, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("n_tokens") - size(gf.tokens(col("__ct"))).cast("long"))
+            .as("removed_tokens"),
+          md5(col("__ct")).as("cleaned_md5"))
+        .orderBy("doc_id")
+    },
+
+    // T159 — VOCABULARY COVERAGE CURVE (tokenizer sizing): for each
+    // candidate vocab size V ∈ {1k, 2k, 4k, 8k}, the corpus token
+    // mass covered by the top-V types and the OOV remainder — the
+    // design table a BPE/unigram vocab budget is picked from (Zipf's
+    // law makes the head cover most mass; the marginal V buys less
+    // and less — quantify it BEFORE training a tokenizer, the
+    // T149/T155 survival-curve stance on the vocab knob). Exactness:
+    // type ranking is pinned (count desc, token asc) in both engines;
+    // masses are exact long sums; the only doubles are two final
+    // exact-int divisions. Scale: one tokenize → type-keyed count
+    // (map-side combinable); the rank stage touches only the TOP-8000
+    // types via a bounded per-partition heap (TakeOrderedAndProject),
+    // never a full vocab sort; the grid rides an explode over those
+    // 8000 rows; totals are a 1-row lazy broadcast (the q46/q68
+    // pattern).
+    QueryDef("q179_vocab_coverage",
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> x <> '')) AS tok
+        |  FROM documents
+        |), tc AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY tok
+        |), tot AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS types FROM tc
+        |), rk AS (
+        |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS r FROM tc
+        |), rk8 AS (
+        |  SELECT cnt, r FROM rk WHERE r <= 8000
+        |), grid AS (
+        |  SELECT unnest([1000, 2000, 4000, 8000]) AS v
+        |), cum AS (
+        |  SELECT g.v,
+        |    CAST(sum(CASE WHEN k.r <= g.v THEN k.cnt ELSE 0 END) AS BIGINT) AS mass,
+        |    CAST(sum(CASE WHEN k.r <= g.v THEN 1 ELSE 0 END) AS BIGINT) AS kt
+        |  FROM grid g, rk8 k GROUP BY g.v
+        |)
+        |SELECT CAST(c.v AS BIGINT) AS vocab_size, c.kt AS n_types,
+        |  t.types AS total_types, t.n AS total_tokens,
+        |  round(CAST(c.mass AS DOUBLE) / t.n, 6) + 0.0 AS coverage,
+        |  round(1.0 - CAST(c.mass AS DOUBLE) / t.n, 6) + 0.0 AS oov_rate
+        |FROM cum c, tot t ORDER BY vocab_size""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tc = Tables.documents(s, dir)
+        .fanOutScan(col("doc_id"))
+        .select(explode(gf.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val tot = tc.agg(sum("cnt").cast("long").as("n"),
+        count(lit(1)).cast("long").as("types"))
+      // Bounded global top-k (TakeOrderedAndProject: per-partition
+      // heaps, one 8000-row merge), then the rank window runs over
+      // 8000 rows only.
+      val top = tc.orderBy(desc("cnt"), asc("tok")).limit(8000)
+        .withColumn("r",
+          row_number().over(Window.orderBy(desc("cnt"), asc("tok"))))
+      val cum = top
+        .select(col("cnt"), col("r"),
+          explode(array(lit(1000), lit(2000), lit(4000), lit(8000))).as("v"))
+        .groupBy("v")
+        .agg(sum(when(col("r") <= col("v"), col("cnt")).otherwise(0L))
+            .cast("long").as("mass"),
+          sum(when(col("r") <= col("v"), 1L).otherwise(0L))
+            .cast("long").as("kt"))
+      cum.crossJoin(broadcast(tot))
+        .select(col("v").cast("long").as("vocab_size"), col("kt").as("n_types"),
+          col("types").as("total_types"), col("n").as("total_tokens"),
+          gf.roundz(col("mass").cast("double") / col("n"), 6).as("coverage"),
+          gf.roundz(lit(1.0) - col("mass").cast("double") / col("n"), 6)
+            .as("oov_rate"))
+        .orderBy("vocab_size")
+    },
+
+    // T160 — EVAL-SET CONTAMINATION census (Brown et al. 2020 §4 /
+    // the GPT-3 decontamination standard — public knowledge): for
+    // every held-out eval document (doc_id % 31 = 0, the pinned
+    // split rule), how many of its 6-token windows occur ANYWHERE in
+    // the training remainder — the exact-overlap benchmark-leak gate
+    // run BEFORE reporting eval numbers (T147 catches NEAR-dup
+    // leakage via LSH; this is the exact n-gram collision detector
+    // the published decontaminations actually use). Scale: both
+    // sides ride the SHARED `windowsFor` warehouse table (zero extra
+    // corpus passes); the train side set-reduces to its distinct
+    // window vocabulary and the hit join is wh-keyed — bucket-local
+    // on the shared table's bucketing, never a pair explosion. All
+    // outputs exact integers.
+    QueryDef("q180_eval_contamination", {
+      val B = graft.plans.RollingHashWindows.Base
+      val mask = 0xffffffffL
+      val b2 = (B * B) & mask
+      val b3 = (b2 * B) & mask
+      val b4 = (b3 * B) & mask
+      val b5 = (b4 * B) & mask
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+         |  FROM documents
+         |), th AS (
+         |  SELECT doc_id,
+         |    list_transform(t, x ->
+         |      CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % 4294967296) AS h
+         |  FROM t WHERE len(t) >= 6
+         |), wins AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         |    CAST((CAST(h[i] AS HUGEINT) * $b5 + CAST(h[i+1] AS HUGEINT) * $b4
+         |          + CAST(h[i+2] AS HUGEINT) * $b3 + CAST(h[i+3] AS HUGEINT) * $b2
+         |          + CAST(h[i+4] AS HUGEINT) * $B + h[i+5]) % 4294967296 AS BIGINT) AS wh
+         |  FROM th, unnest(generate_series(1, len(h) - 5)) AS g(i)
+         |), twh AS (
+         |  SELECT DISTINCT wh FROM wins WHERE doc_id % 31 <> 0
+         |), hit AS (
+         |  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM wins e JOIN twh ON e.wh = twh.wh
+         |  WHERE e.doc_id % 31 = 0 GROUP BY e.doc_id
+         |), base AS (
+         |  SELECT doc_id,
+         |    CAST(greatest(len(t) - 5, 0) AS BIGINT) AS n_windows
+         |  FROM t WHERE doc_id % 31 = 0
+         |)
+         |SELECT b.doc_id, b.n_windows,
+         |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_contaminated,
+         |  CAST(CASE WHEN coalesce(h.n_hit, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS contaminated
+         |FROM base b LEFT JOIN hit h ON b.doc_id = h.doc_id
+         |ORDER BY b.doc_id""".stripMargin
+    }) { (s, dir) =>
+      val wins = windowsFor(s, dir)
+      val twh = wins.filter(col("doc_id") % 31 =!= 0).select("wh").distinct()
+      val hit = wins.filter(col("doc_id") % 31 === 0)
+        .join(twh, "wh")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      Tables.documents(s, dir)
+        .filter(col("doc_id") % 31 === 0)
+        .fanOutScan(col("doc_id"))
+        .select(col("doc_id"),
+          greatest(size(gf.tokens(col("text"))) - 5, lit(0)).cast("long")
+            .as("n_windows"))
+        .join(hit, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_windows"),
+          coalesce(col("n_hit"), lit(0L)).as("n_contaminated"),
+          when(coalesce(col("n_hit"), lit(0L)) > 0, 1L).otherwise(0L)
+            .as("contaminated"))
+        .orderBy("doc_id")
     }
   )
 

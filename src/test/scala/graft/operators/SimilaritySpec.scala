@@ -65,6 +65,56 @@ class SimilaritySpec extends SparkSpec {
     p should include("TopKPerKey")
   }
 
+  test("knnJoin: distinct-content collapse is row-identical to raw semantics on a dup-heavy corpus") {
+    // The sf10x pathology: every vector replicated many times. The
+    // collapse must reproduce the RAW per-row semantics exactly —
+    // same (qid, vec_id, cos, rank) rows, including intra-group id
+    // tie-breaks and the head-truncation boundary. Replicas get
+    // INTERLEAVED ids so group member order ≠ insertion order.
+    val base = (0 until 18).map { g =>
+      val cluster = g % 3
+      val arr = Array.fill(8)(0.05f)
+      arr(cluster * 2) = 1.0f + (g / 3) * 0.02f
+      arr(cluster * 2 + 1) = 0.5f
+      arr.toSeq
+    }
+    val dupCorpus = (0 until 18 * 7).map { i =>
+      (i.toLong, base(i % 18)) // id i carries content i mod 18
+    }.toDF("vec_id", "embedding")
+
+    // Raw-semantics reference: the pre-collapse windowed algorithm,
+    // spelled directly over raw rows (fine at test scale).
+    import org.apache.spark.sql.expressions.Window
+    val cent = Similarity.trainCentroids(dupCorpus, nCentroids = 6)
+    val c = dupCorpus.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("nrm", Similarity.norm(col("e")))
+    val assigned = Similarity.assignToCentroids(c, cent)
+    val pw = Window.partitionBy("qid").orderBy(desc("qsim"), asc("bucket"))
+    val probes = c.join(broadcast(cent), lit(true))
+      .select(col("vec_id").as("qid"), col("e").as("qe"),
+        col("nrm").as("qn"), col("cent_id").as("bucket"),
+        (Similarity.dot(col("e"), col("ce")) / (col("nrm") * col("cn")))
+          .as("qsim"))
+      .withColumn("pr", row_number().over(pw)).filter(col("pr") <= 2)
+    val cosE = Similarity.dot(col("qe"), col("e")) / (col("qn") * col("nrm"))
+    val rw = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
+    val raw = assigned.join(probes, Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), graft.functions.roundz(cosE, 6).as("cos"))
+      .withColumn("rank", row_number().over(rw).cast("long"))
+      .filter(col("rank") <= 4)
+      .select("qid", "vec_id", "cos", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+
+    val got = Similarity.knnJoin(dupCorpus, k = 4, nCentroids = 6,
+        nprobe = 2)
+      .select("qid", "vec_id", "cos", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    got shouldBe raw
+    got.size shouldBe 18 * 7 * 4 // every row got its dense top-4
+  }
+
   test("hash-seeded + Lloyd centroids keep recall on skewed, order-adversarial clusters") {
     // Adversarial for the old first-N seeding: ids 0..15 (the would-be
     // centroids) ALL sit in the dominant cluster, and two small

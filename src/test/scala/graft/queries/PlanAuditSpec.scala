@@ -133,6 +133,11 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
     // (types × days)-bounded daily-count frame; the lag pair join
     // itself is an equi-join on (event_type, shifted day).
     "q145_acf_lags",
+    // q179: the 1-row lazy-totals broadcast cross (q46/q68 pattern)
+    // attaching total token/type counts to the 4-row coverage grid;
+    // the grid itself rides an explode over the 8000-row top-k frame,
+    // not a join.
+    "q179_vocab_coverage",
     // q147: the q41 brute-cosine shape — broadcast bounded query side,
     // with the label-differs predicate as the (non-equi) join
     // condition; corpus side streams.
