@@ -318,25 +318,27 @@ object TextQueries {
     * are generated within buckets only, never all-pairs. */
   private val EmbDupThreshold = 0.42
 
-  private def embPairs(s: SparkSession, dir: String): DataFrame = {
+  /** DISTINCT-CONTENT COLLAPSE of the embedding near-dup machinery
+    * (the q162/q125 contract on the raw pair stream), shared by q47
+    * (pair listing) and q66 (clustering): bucket and pairwise cosine
+    * are pure functions of vector CONTENT, so the quadratic stage —
+    * in-bucket cosine scoring — runs over one representative per
+    * distinct embedding (gid = min member id, riding the shared
+    * session IVF index). With duplication factor d the scored
+    * candidate volume shrinks d². Returns
+    * `(groups, gpairs, selfdups)`:
+    *   - groups: (gid, __ids) — every distinct content with its
+    *     SORTED member-id list (persisted: ≤ one row per distinct
+    *     vector, referenced by both the pair and the member side);
+    *   - gpairs: (ga, gb, cos, ids_a, ids_b) — surviving cross-group
+    *     pairs (same bucket, ga < gb, cosine ≥ threshold);
+    *   - selfdups: (gid, __ids, cos) — dup groups (n ≥ 2) whose
+    *     self-cosine survives the threshold (≈ 1, but spelled exactly
+    *     — sqrt(d)² ≠ d in floats, so never assume 1.0). */
+  private def embDupCollapsed(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     import graft.operators.Similarity
-    // Shared session-persisted IVF index (same name/params as q42):
-    // the training chain and the full-corpus assignment pass run once
-    // per corpus, and the bucket column is the table's bucketing key.
     val idx = Similarity.sharedIvfIndex(Tables.embeddings(s, dir), dir)
-    // DISTINCT-CONTENT COLLAPSE (the q162/q125 contract on the raw
-    // pair listing): bucket and pairwise cosine are pure functions of
-    // vector CONTENT, so the quadratic stage — in-bucket cosine
-    // scoring — runs over one representative per distinct embedding
-    // (gid = min member id), and surviving GROUP pairs expand to
-    // member-id pairs arithmetically afterwards. With duplication
-    // factor d the scored candidate volume shrinks d²; the expansion
-    // join only materializes rows the raw join would also have
-    // emitted (the output itself). Raw-parity: a raw pair (x, y) is
-    // in-bucket iff its groups share a bucket (content-determined
-    // assignment), its cosine equals the group pair's, and the
-    // x < y orientation maps to least/greatest over cross-group
-    // member pairs plus the x < y upper triangle within a group.
     val emb = Tables.embeddings(s, dir)
     val groups = graft.CacheRegistry.persistTracked(
       emb.groupBy(col("embedding"))
@@ -351,23 +353,33 @@ object TextQueries {
       col("nrm").as("nrb"), col("bucket"), col("__ids").as("ids_b"))
     val cosAB = Similarity.dot(col("ea"), col("eb")) /
       (col("nra") * col("nrb"))
-    // Cross-group: every member pair of a surviving group pair, once,
-    // oriented (least, greatest) — ids interleave across groups.
-    val cross = a.join(b, Seq("bucket"))
+    val gpairs = a.join(b, Seq("bucket"))
       .filter(col("ga") < col("gb") && cosAB >= EmbDupThreshold)
-      .select(col("ids_a"), col("ids_b"), cosAB.as("cos"))
+      .select(col("ga"), col("gb"), cosAB.as("cos"),
+        col("ids_a"), col("ids_b"))
+    val selfCos = Similarity.dot(col("e"), col("e")) /
+      (col("nrm") * col("nrm"))
+    val selfdups = reps.filter(size(col("__ids")) >= 2 &&
+        selfCos >= EmbDupThreshold)
+      .select(col("vec_id").as("gid"), col("__ids"), selfCos.as("cos"))
+    (groups, gpairs, selfdups)
+  }
+
+  /** Raw-parity pair EXPANSION over [[embDupCollapsed]]: a raw pair
+    * (x, y) is in-bucket iff its groups share a bucket
+    * (content-determined assignment), its cosine equals the group
+    * pair's, and the x < y orientation maps to least/greatest over
+    * cross-group member pairs plus the x < y upper triangle within a
+    * group. The expansion only materializes rows the raw join would
+    * also have emitted (the output itself). */
+  private def embPairs(s: SparkSession, dir: String): DataFrame = {
+    val (_, gpairs, selfdups) = embDupCollapsed(s, dir)
+    val cross = gpairs
       .select(explode(col("ids_a")).as("va"), col("ids_b"), col("cos"))
       .select(col("va"), explode(col("ids_b")).as("vb"), col("cos"))
       .select(least(col("va"), col("vb")).as("vec_a"),
         greatest(col("va"), col("vb")).as("vec_b"), col("cos"))
-    // Within-group: the x < y upper triangle of each dup group whose
-    // self-cosine survives the threshold (≈ 1, but spelled exactly —
-    // sqrt(d)² ≠ d in floats, so never assume 1.0).
-    val selfCos = Similarity.dot(col("e"), col("e")) /
-      (col("nrm") * col("nrm"))
-    val within = reps.filter(size(col("__ids")) >= 2 &&
-        selfCos >= EmbDupThreshold)
-      .select(col("__ids"), selfCos.as("cos"))
+    val within = selfdups
       .select(explode(col("__ids")).as("vec_a"), col("__ids"), col("cos"))
       .select(col("vec_a"), explode(col("__ids")).as("vec_b"), col("cos"))
       .filter(col("vec_a") < col("vec_b"))
@@ -1918,10 +1930,30 @@ object TextQueries {
          |)
          |SELECT id AS vec_id, min(r) AS component_id
          |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin) { (s, dir) =>
-      graft.operators.Dedup
-        .connectedComponents(embPairs(s, dir), aCol = "vec_a", bCol = "vec_b",
-          idCol = "vec_id")
-        .orderBy("vec_id")
+      // CC over GROUP edges, not expanded member pairs (the
+      // embDupCollapsed contract carried through the fixpoint): a dup
+      // group is a clique, so the member-level component structure is
+      // fully determined by the group graph — every member inherits
+      // its group's component, and the member-level component minimum
+      // equals the minimum gid (gid = min member id per group, so
+      // min over the component's members = min over its gids). Dup
+      // groups without a cross pair are their own member-clique
+      // (component = gid). The O(E log V) fixpoint thus runs over
+      // distinct-content edges (d² fewer at duplication factor d);
+      // the member expansion afterwards is one gid equi-join.
+      val (groups, gpairs, selfdups) = embDupCollapsed(s, dir)
+      val comp = graft.operators.Dedup.connectedComponents(
+        gpairs.select(col("ga"), col("gb")),
+        aCol = "ga", bCol = "gb", idCol = "gid")
+      val members = groups.select(col("gid"),
+        explode(col("__ids")).as("vid"))
+      val viaCross = members.join(comp, "gid")
+        .select(col("vid").as("vec_id"), col("component_id"))
+      val viaSelf = members
+        .join(selfdups.select("gid")
+          .join(comp.select("gid"), Seq("gid"), "left_anti"), "gid")
+        .select(col("vid").as("vec_id"), col("gid").as("component_id"))
+      viaCross.union(viaSelf).orderBy("vec_id")
     },
 
     // Weighted corpus mixing: deterministic hash-sampling at per-source
