@@ -331,6 +331,41 @@ object Similarity {
     }
   }
 
+  /** INCREMENTAL index APPEND — the production ingest path (the
+    * standard ANN `add` contract, e.g. FAISS's IndexIVF.add — public
+    * knowledge): assign a NEW batch of vectors under the index's
+    * FROZEN coarse quantizer and append the assignments to the
+    * bucketed table. Centroids are NEVER retrained on append —
+    * retraining would re-bucket already-persisted vectors and
+    * invalidate every prior assignment; the trade (quantizer drifts
+    * from the true corpus distribution as it grows) is the documented
+    * industry contract, with periodic full rebuilds as the
+    * counter-measure. Because assignment is a per-vector function of
+    * content under fixed centroids, the grown index is IDENTICAL to
+    * one whose single assignment pass had included the batch from the
+    * start, and append order cannot matter (`SimilaritySpec` pins
+    * both, plus exact brute-force equality at covering probes).
+    *
+    * Cost: one batch-sized scoring pass against the nlist-row
+    * broadcast centroid table + one bucketed APPEND (new bucket files
+    * only) — O(batch · nlist), never a corpus re-assignment. Bucket
+    * count is read from the table's catalog metadata so the append
+    * can't silently break the bucketed-join contract. Id uniqueness
+    * across appends is the caller's contract, as for any table. */
+  def appendToIndex(index: IvfIndex, batch: DataFrame,
+      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(index.assignedTable))
+    val numBuckets = meta.bucketSpec.map(_.numBuckets).getOrElse(
+      throw new IllegalStateException(
+        s"${index.assignedTable} is not bucketed — not an IVF assigned table"))
+    val assigned = assignToCentroids(prep(batch, idCol, embCol),
+      spark.table(index.centroidTable), idCol)
+    graft.sources.FileIO.writeBucketedTable(assigned, index.assignedTable,
+      "bucket", numBuckets, org.apache.spark.sql.SaveMode.Append)
+  }
+
   /** The ONE way to build/reuse the SHARED session IVF index (stem
     * "ivf") that the embedding query families (q42/q47/q66/q149/q162)
     * and Bench's prebuild all amortize. [[indexFor]]'s memoization

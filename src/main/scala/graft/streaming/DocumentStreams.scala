@@ -477,4 +477,63 @@ object DocumentStreams {
       graft.operators.RobustStats.bootstrapCells(
         rows, keyCol, valCol, idCol, replicates),
       keyCol, replicates)
+
+  /** Streaming SPAN dedup — `removeDuplicatedSpans` at the door (the
+    * T153 emitter in arrival order, micro-batch = T157 increment):
+    * each micro-batch is cleaned against the PUBLISHED window
+    * vocabulary ([[graft.operators.Dedup
+    * .removeDuplicatedSpansIncrementalWith]] — the corpus enters only
+    * through the materialized `vocabTable`, never as text), the
+    * cleaned batch goes to `onBatch` (the caller's sink), and then the
+    * CLEANED batch's own window vocabulary is appended — the
+    * append-on-publish contract, wired as a foreachBatch pipeline.
+    *
+    * Semantics: a batch token is dropped when a covering
+    * `width`-window occurs in anything PUBLISHED so far or in ≥ 2
+    * distinct docs of the same batch; what the vocabulary accumulates
+    * is the PUBLISHED (cleaned) text's windows, so downstream
+    * re-ingest of published text strips as an echo — exactly the
+    * sequential-batch semantics of the batch operator, which
+    * `DocumentStreamsSpec` pins micro-batch-for-batch.
+    *
+    * State & restart story: state IS the vocabulary table (distinct
+    * window hashes — bucketed on wh so the increment's probe join is
+    * bucket-local), not stream state. The append is IDEMPOTENT under
+    * micro-batch replay: only hashes not already in the table are
+    * appended (left-anti), so an at-least-once foreachBatch retry
+    * cannot double-publish vocabulary — and re-cleaning a replayed
+    * batch against the already-published vocabulary only strips text
+    * the failed attempt had already published, the conservative
+    * direction for a dedup gate. */
+  def spanDedupStream(docs: DataFrame, vocabTable: String, width: Int = 6)(
+      onBatch: DataFrame => Unit)(implicit spark: SparkSession)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    require(width > 0, s"width must be positive: $width")
+    docs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val haveVocab = spark.catalog.tableExists(vocabTable)
+        val vocab =
+          if (haveVocab) spark.table(vocabTable)
+          else spark.emptyDataFrame
+            .select(lit(0L).as("wh")).filter(lit(false))
+        // Pin the cleaned batch BEFORE the vocabulary append below —
+        // its plan reads the vocabulary table, and a lazy re-execution
+        // after the append would see the batch's own windows.
+        val cleaned = Dedup
+          .removeDuplicatedSpansIncrementalWith(vocab, batch, width)
+          .localCheckpoint(true)
+        onBatch(cleaned)
+        val fresh = Dedup.windowVocabulary(cleaned, width)
+        val delta = if (haveVocab)
+          fresh.join(spark.table(vocabTable), Seq("wh"), "left_anti")
+        else fresh
+        graft.sources.FileIO.writeBucketedTable(delta, vocabTable,
+          "wh", 16,
+          if (haveVocab) org.apache.spark.sql.SaveMode.Append
+          else org.apache.spark.sql.SaveMode.Overwrite)
+      }
+      .start()
+  }
 }

@@ -115,6 +115,54 @@ class SimilaritySpec extends SparkSpec {
     got.size shouldBe 18 * 7 * 4 // every row got its dense top-4
   }
 
+  test("appendToIndex: frozen-quantizer ingest — grown index ≡ built-from-union, order-free") {
+    // Split the corpus: build on the first 60 vectors, append the rest
+    // in two batches. Under frozen centroids, assignment is a
+    // per-vector content function, so the grown index must return
+    // EXACTLY what brute force returns at covering probes (nprobe =
+    // nlist ⇒ candidates = everything but self), and append order
+    // must not matter.
+    val baseCorpus = corpus.filter($"vec_id" < 60)
+    val batch1 = corpus.filter($"vec_id" >= 60 && $"vec_id" < 75)
+    val batch2 = corpus.filter($"vec_id" >= 75)
+    val idx = Similarity.buildIndex(baseCorpus, "ivf_append_a",
+      nCentroids = 9)
+    Similarity.appendToIndex(idx, batch1)
+    Similarity.appendToIndex(idx, batch2)
+    val queries = corpus.filter($"vec_id".isin(0L, 62L, 89L))
+    val got = Similarity.ivfTopK(idx, queries, k = 4, nprobe = 9,
+        idCol = "vec_id", embCol = "embedding")
+      .select("qid", "vec_id", "cos", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(corpus, queries, k = 4)
+      .select("qid", "vec_id", "cos", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    got shouldBe brute
+    // Order-free: the reverse append order yields identical probes.
+    val idx2 = Similarity.buildIndex(baseCorpus, "ivf_append_b",
+      nCentroids = 9)
+    Similarity.appendToIndex(idx2, batch2)
+    Similarity.appendToIndex(idx2, batch1)
+    val got2 = Similarity.ivfTopK(idx2, queries, k = 4, nprobe = 9,
+        idCol = "vec_id", embCol = "embedding")
+      .select("qid", "vec_id", "cos", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    got2 shouldBe got
+    // The appended rows carry content-determined buckets: recomputing
+    // the assignment under the frozen centroids matches the table.
+    val cent = spark.table(idx.centroidTable)
+    val reassigned = Similarity.assignToCentroids(
+        batch1.union(batch2).select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("e"))
+          .withColumn("nrm", Similarity.norm(col("e"))),
+        cent)
+      .select(col("vec_id"), col("bucket"))
+      .as[(Long, Long)].collect().toMap
+    spark.table(idx.assignedTable).filter($"vec_id" >= 60)
+      .select(col("vec_id"), col("bucket"))
+      .as[(Long, Long)].collect().toMap shouldBe reassigned
+  }
+
   test("hash-seeded + Lloyd centroids keep recall on skewed, order-adversarial clusters") {
     // Adversarial for the old first-N seeding: ids 0..15 (the would-be
     // centroids) ALL sit in the dominant cluster, and two small

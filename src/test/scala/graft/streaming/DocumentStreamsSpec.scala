@@ -404,6 +404,67 @@ class DocumentStreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("spanDedupStream: micro-batch sequence ≡ sequential batch increments, " +
+    "vocabulary append is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s2 = spark
+    import graft.operators.Dedup
+    val vocabTable = "span_vocab_stream_spec"
+    // The warehouse persists across JVMs: clear any prior generation.
+    spark.sql(s"DROP TABLE IF EXISTS `$vocabTable`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), vocabTable)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+
+    val run = "c1 c2 c3 c4 c5 c6 c7"
+    val b1 = Seq(
+      (1L, s"$run first tail"),
+      (2L, "completely novel opening text with many tokens"))
+    val b2 = Seq(
+      (10L, s"fresh stuff here $run"), // echo of PUBLISHED batch-1 text
+      (11L, "b1 b2 b3 b4 b5 b6 extra"), // intra-batch pair with 12
+      (12L, "b1 b2 b3 b4 b5 b6 other"))
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val mem = MemoryStream[(Long, String)]
+    val q = DocumentStreams.spanDedupStream(
+        mem.toDF().toDF("doc_id", "text"), vocabTable) { cleaned =>
+      got ++= cleaned.orderBy("doc_id")
+        .as[(Long, String)](implicitly).collect()
+    }
+    mem.addData(b1)
+    q.processAllAvailable()
+    mem.addData(b2)
+    q.processAllAvailable()
+    q.stop()
+
+    // Sequential batch reference: increment 1 against the empty
+    // vocabulary, publish its cleaned windows, increment 2 against them.
+    val empty = Seq.empty[Long].toDF("wh")
+    val ref1 = Dedup.removeDuplicatedSpansIncrementalWith(
+      empty, b1.toDF("doc_id", "text"))
+    val vocab1 = Dedup.windowVocabulary(ref1)
+    val ref2 = Dedup.removeDuplicatedSpansIncrementalWith(
+      vocab1, b2.toDF("doc_id", "text"))
+    val want = (ref1.orderBy("doc_id").as[(Long, String)].collect() ++
+      ref2.orderBy("doc_id").as[(Long, String)].collect()).toSeq
+    got.toSeq shouldBe want
+    // The batch-2 echo of batch-1's published run was stripped.
+    got.find(_._1 == 10L).get._2 shouldBe "fresh stuff here"
+
+    // Idempotent publish: the table holds the DISTINCT union of the
+    // published batches' vocabularies — re-appending batch 2's
+    // vocabulary adds nothing (the left-anti guard).
+    val before = spark.table(vocabTable).count()
+    val cleaned2 = b2.toDF("doc_id", "text") // replay shape: same rows
+    val fresh = Dedup.windowVocabulary(
+      Dedup.removeDuplicatedSpansIncrementalWith(
+        spark.table(vocabTable), cleaned2))
+    fresh.join(spark.table(vocabTable), Seq("wh"), "left_anti")
+      .count() shouldBe 0L
+    spark.table(vocabTable).select("wh").distinct().count() shouldBe before
+  }
+
   test("passageDedupStreamBloom: a saturated filter drops novel blocks " +
     "but still never admits dups (the documented FP direction)") {
     implicit val sqlCtx = spark.sqlContext
