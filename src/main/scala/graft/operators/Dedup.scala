@@ -335,4 +335,20 @@ object Dedup {
     if (clustered) dropClusterDuplicates(base, nearDupPairs, idCol)
     else dropPairDuplicates(base, nearDupPairs, idCol)
   }
+
+  /** [[cleanCorpus]] (greedy form) with a PRECOMPUTED loser set — one
+    * `idCol` column of every doc that appears as the greater side of
+    * some near-dup pair — instead of the pair list itself. Identical
+    * semantics to `cleanCorpus(docs, pairs)` when
+    * `losers = pairs.select(doc_b).distinct()`; the point is that a
+    * distinct-content-collapsed detector can derive the loser set
+    * GROUP-LEVEL (dup groups lose everything but their min; gb-side
+    * groups lose whole) without ever materializing the expanded raw
+    * pair list — at duplication factor d, that list is d² the size of
+    * the group graph and exists only to be distinct-collapsed right
+    * back into this set. */
+  def cleanCorpusWithLosers(docs: DataFrame, losers: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    exact(qualityFilter(docs, textCol), idCol, textCol)
+      .join(losers.select(col(idCol)), Seq(idCol), "left_anti")
 }

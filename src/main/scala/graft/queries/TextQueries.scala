@@ -135,9 +135,69 @@ object TextQueries {
        |)""".stripMargin
 
   /** Spark-side LSH candidate pairs `(doc_a, doc_b)`, doc_a < doc_b —
-    * the body shared by q28 and q64. */
-  private def lshPairs(s: SparkSession, dir: String): DataFrame =
-    lshPairsFrom(Tables.documents(s, dir))
+    * the raw-pair body shared by q28 and the pair-stream consumers.
+    *
+    * DISTINCT-CONTENT COLLAPSED (the q66/q64 argument on the minhash
+    * side): signatures — and hence band hashes — are pure functions of
+    * the trimmed text, so identical-text docs always share every band
+    * (a dup group is a clique in the raw candidate graph) and a raw
+    * pair between two groups exists iff their representatives share a
+    * band — exactly the materialized [[repPairsFor]] edge set. The
+    * signature/banding pass therefore runs once per DISTINCT text
+    * (the shared table), and the raw list is an arithmetic EXPANSION:
+    * cross-group member products oriented (least, greatest) plus each
+    * dup group's upper triangle — only rows the raw banding join
+    * would also have emitted (the output itself). */
+  private def lshPairs(s: SparkSession, dir: String): DataFrame = {
+    val members = textGroupMembers(s, dir)
+    val mA = members.select(col("gid").as("ga"), col("vid").as("va"))
+    val mB = members.select(col("gid").as("gb"), col("vid").as("vb"))
+    val cross = repPairsFor(s, dir).select("doc_a", "doc_b")
+      .withColumnRenamed("doc_a", "ga").withColumnRenamed("doc_b", "gb")
+      .join(mA, "ga").join(mB, "gb")
+      .select(least(col("va"), col("vb")).as("doc_a"),
+        greatest(col("va"), col("vb")).as("doc_b"))
+    val within = members.filter(col("n") >= 2)
+    val withinPairs = within.select(col("gid"), col("vid").as("doc_a"))
+      .join(within.select(col("gid"), col("vid").as("doc_b")), "gid")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    cross.union(withinPairs)
+  }
+
+  /** (gid, vid, n) member table of the [[textGroupsFor]] distinct-text
+    * groups — every doc mapped to its group's representative id and
+    * group size. One text-keyed equi-join per consumer; the heavy
+    * string shuffles once, downstream frames are skinny ids. */
+  private def textGroupMembers(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id").as("vid"), trim(col("text")).as("txt"))
+      .join(textGroupsFor(s, dir)
+        .select(col("txt"), col("doc_id").as("gid"), col("n")), "txt")
+      .select("gid", "vid", "n")
+
+  /** LOSER side of the greedy right-side near-dup drop
+    * ([[graft.operators.Dedup.dropPairDuplicates]]) over the RAW LSH
+    * candidate graph, computed group-level — shared by q50/q100 so the
+    * raw pair list never materializes just to be distinct-collapsed
+    * into this set. A doc m loses iff some candidate partner has a
+    * smaller id. Partners of m ∈ G are G's other members plus every
+    * banded neighbor group's members, and members of a group H are all
+    * ≥ gid_H, so: (a) if G appears on the gb side of a rep pair
+    * (∃ banded H with gid_H < gid_G ≤ m) EVERY member of G loses;
+    * (b) otherwise exactly the non-gid members of a dup group lose —
+    * the group min is their smaller partner, while the group min
+    * itself survives (every neighbor's members are ≥ gid_H > gid_G).
+    * Output: one `doc_id` column, distinct. */
+  private def lshLoserDocs(s: SparkSession, dir: String): DataFrame = {
+    val members = textGroupMembers(s, dir)
+    val loserG = repPairsFor(s, dir).select(col("doc_b").as("gid")).distinct()
+    members.join(loserG, Seq("gid"), "left_semi")
+      .select(col("vid").as("doc_id"))
+      .union(members.filter(col("n") >= 2 && col("vid") =!= col("gid"))
+        .select(col("vid").as("doc_id")))
+      .distinct()
+  }
 
   /** Force-build every session-materialized warehouse table this
     * module memoizes (plus the shared IVF index), returning
@@ -309,6 +369,33 @@ object TextQueries {
       graft.sources.FileIO.writeBucketedTable(df, tbl, "w1", 16)
     }
     s.table(tbl)
+  }
+
+  /** Member-level connected components of the RAW LSH candidate graph
+    * (q64's output shape), computed over the DISTINCT-TEXT group graph
+    * — the q66 collapse carried to the text side. MinHash signatures
+    * (and hence band hashes) are pure functions of the trimmed text,
+    * so: identical-text docs always share every band (a dup group is a
+    * CLIQUE in the raw graph), and a raw pair between two groups
+    * exists iff their REPRESENTATIVES share a band — exactly the
+    * [[repPairsFor]] edge set, already materialized. The member-level
+    * component structure is therefore fully determined by the group
+    * graph: members inherit their group's component (one equi-join),
+    * dup groups without a banded neighbor are their own clique, and
+    * the member-level component minimum equals the minimum gid (gid =
+    * min member id per group). The O(E log V) fixpoint thus runs over
+    * distinct-content edges — d² fewer at duplication factor d.
+    * Output: (doc_id, component_id) for every doc in ≥ 1 raw pair. */
+  private def textDupComponents(s: SparkSession, dir: String): DataFrame = {
+    val comp = graft.operators.Dedup.connectedComponents(
+      repPairsFor(s, dir), aCol = "doc_a", bCol = "doc_b", idCol = "gid")
+    val members = textGroupMembers(s, dir)
+    val viaCross = members.join(comp, "gid")
+      .select(col("vid").as("doc_id"), col("component_id"))
+    val viaSelf = members.filter(col("n") >= 2)
+      .join(comp.select("gid"), Seq("gid"), "left_anti")
+      .select(col("vid").as("doc_id"), col("gid").as("component_id"))
+    viaCross.union(viaSelf)
   }
 
   /** IVF-bucketed embedding near-dup candidate pairs with exact cosine
@@ -1192,9 +1279,11 @@ object TextQueries {
          |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val pairs = defs.find(_.name == "q28_minhash_lsh").get.build(s, dir)
       // Fan out the quality gate's tokenize (single-file scan trap).
-      graft.operators.Dedup.cleanCorpus(docs.repartition(col("doc_id")), pairs)
+      // Loser set computed GROUP-LEVEL (lshLoserDocs) — the expanded
+      // raw pair list never materializes just to be re-collapsed.
+      graft.operators.Dedup.cleanCorpusWithLosers(
+          docs.repartition(col("doc_id")), lshLoserDocs(s, dir))
         .select("doc_id").orderBy("doc_id")
     },
 
@@ -1724,8 +1813,7 @@ object TextQueries {
          |)
          |SELECT id AS doc_id, min(r) AS component_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      graft.operators.Dedup.connectedComponents(lshPairs(s, dir))
-        .orderBy("doc_id")
+      textDupComponents(s, dir).orderBy("doc_id")
     },
 
     // Near-dup cluster REPRESENTATIVE selection — the dedup mapping
@@ -1767,7 +1855,7 @@ object TextQueries {
          |  CAST(f.doc_id = r.rep_id AS BIGINT) AS is_rep
          |FROM docsu f JOIN rep r ON r.component_id = f.component_id
          |ORDER BY f.doc_id""".stripMargin) { (s, dir) =>
-      val comps = graft.operators.Dedup.connectedComponents(lshPairs(s, dir))
+      val comps = textDupComponents(s, dir)
       // Both the rep branch and the final join read this frame — one
       // materialization (one docs tokenization + one comps join), not
       // two; CC itself is already pinned by its per-round checkpoints.
@@ -3310,16 +3398,39 @@ object TextQueries {
          |JOIN documents da ON da.doc_id = p.doc_a
          |JOIN documents db ON db.doc_id = p.doc_b
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
-      val sa = Tables.documents(s, dir)
-        .select(col("doc_id").as("doc_a"), col("source").as("sa"))
-      val sb = Tables.documents(s, dir)
-        .select(col("doc_id").as("doc_b"), col("source").as("sb"))
-      lshPairs(s, dir)
-        .join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .groupBy(least(col("sa"), col("sb")).as("source_a"),
-          greatest(col("sa"), col("sb")).as("source_b"))
-        .agg(count(lit(1)).as("n_pairs"))
+      // Distinct-content collapse with per-group SOURCE HISTOGRAMS
+      // (the q167 split-census pattern on the source axis): the pair
+      // census never materializes the raw pair list — a cross group
+      // pair contributes ca·cb per source pair, a dup group its
+      // multinomial (ca·cb across sources, C(c,2) within one). All
+      // counts exact integers; frames bounded by groups × sources.
+      val gs = graft.CacheRegistry.persistTracked(
+        Tables.documents(s, dir)
+          .select(trim(col("text")).as("txt"), col("source"))
+          .join(textGroupsFor(s, dir)
+            .select(col("txt"), col("doc_id").as("gid")), "txt")
+          .groupBy("gid", "source").agg(count(lit(1)).as("cnt")),
+        graft.CacheRegistry.DataSized)
+      val a = gs.select(col("gid").as("ga"), col("source").as("sa"),
+        col("cnt").as("ca"))
+      val b = gs.select(col("gid").as("gb"), col("source").as("sb"),
+        col("cnt").as("cb"))
+      val cross = repPairsFor(s, dir).select("doc_a", "doc_b")
+        .withColumnRenamed("doc_a", "ga").withColumnRenamed("doc_b", "gb")
+        .join(a, "ga").join(b, "gb")
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"),
+          (col("ca") * col("cb")).as("np"))
+      val withinCross = a.join(b,
+          col("ga") === col("gb") && col("sa") < col("sb"))
+        .select(col("sa").as("source_a"), col("sb").as("source_b"),
+          (col("ca") * col("cb")).as("np"))
+      val withinSame = gs.filter(col("cnt") >= 2)
+        .select(col("source").as("source_a"), col("source").as("source_b"),
+          expr("(cnt * (cnt - 1)) div 2").as("np"))
+      cross.union(withinCross).union(withinSame)
+        .groupBy("source_a", "source_b")
+        .agg(sum("np").as("n_pairs"))
         .orderBy("source_a", "source_b")
     },
 
@@ -3745,9 +3856,9 @@ object TextQueries {
          |FROM documents d LEFT JOIN survivors s ON d.doc_id = s.doc_id
          |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val pairs = defs.find(_.name == "q28_minhash_lsh").get.build(s, dir)
-      val survivors = graft.operators.Dedup.cleanCorpus(
-        docs.repartition(col("doc_id")), pairs).select(col("doc_id"))
+      val survivors = graft.operators.Dedup.cleanCorpusWithLosers(
+        docs.repartition(col("doc_id")), lshLoserDocs(s, dir))
+        .select(col("doc_id"))
       // NO broadcast hint: the survivor set is corpus-sized (most docs
       // survive a healthy cleanup) — this is a skinny 1-column
       // shuffle join on the id, not a broadcastable dim.
