@@ -5345,6 +5345,61 @@ object TextQueries {
         .orderBy("source")
     },
 
+    // T163 — DUP-CLUSTER SIZE-DISTRIBUTION census: log2-bucketed
+    // histogram of near-dup cluster sizes with doc and token mass per
+    // band — the audit that says whether duplication is a long tail
+    // of pairs or a few giant clusters (decides greedy-vs-CC dedup,
+    // predicts savings variance, and flags boilerplate explosions —
+    // the cluster-size profile SemDeDup/ExactSubstr papers report
+    // before dedup commits; public knowledge). Rides the GROUP-level
+    // CC (textDupComponents — this round's collapse machinery as a
+    // first-class consumer); cluster rollup and histogram are exact
+    // integers; the log2 bucket is the q99/q164 IEEE-identical idiom.
+    QueryDef("q181_cluster_size_census",
+      s"""${lshPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ")}, edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS u, doc_a AS v FROM pairs
+         |), reach AS (
+         |  SELECT u AS id, u AS r FROM edges
+         |  UNION
+         |  SELECT x.id, e.v AS r FROM reach x JOIN edges e ON e.u = x.r
+         |), comp AS (
+         |  SELECT id AS doc_id, min(r) AS component_id
+         |  FROM reach GROUP BY id
+         |), nt AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |      x -> x <> '')) AS BIGINT) AS nt
+         |  FROM documents
+         |), cl AS (
+         |  SELECT c.component_id, CAST(count(*) AS BIGINT) AS sz,
+         |    CAST(sum(nt.nt) AS BIGINT) AS mass
+         |  FROM comp c JOIN nt ON nt.doc_id = c.doc_id
+         |  GROUP BY c.component_id
+         |)
+         |SELECT CAST(floor(log2(sz)) AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sum(sz) AS BIGINT) AS n_docs,
+         |  CAST(min(sz) AS BIGINT) AS min_size,
+         |  CAST(max(sz) AS BIGINT) AS max_size,
+         |  CAST(sum(mass) AS BIGINT) AS token_mass
+         |FROM cl GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .fanOutScan(col("doc_id"))
+        .select(col("doc_id"),
+          size(gf.tokens(col("text"))).cast("long").as("nt"))
+      val cl = textDupComponents(s, dir)
+        .join(toks, "doc_id")
+        .groupBy("component_id")
+        .agg(count(lit(1)).as("sz"), sum("nt").as("mass"))
+      cl.groupBy(floor(log2(col("sz"))).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_clusters"), sum("sz").as("n_docs"),
+          min("sz").as("min_size"), max("sz").as("max_size"),
+          sum("mass").as("token_mass"))
+        .orderBy("bucket")
+    },
+
     // T158 — INCREMENTAL span dedup, oracle-gated through the
     // PUBLISHED-VOCABULARY path (the r12-verdict steady-state shape):
     // corpus = even doc_ids (immutable, already published), batch =

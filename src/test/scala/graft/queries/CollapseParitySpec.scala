@@ -108,6 +108,26 @@ class CollapseParitySpec extends SparkSpec {
     gotReps shouldBe wantReps
   }
 
+  test("q181 cluster-size census ≡ census over CC of the raw pair list") {
+    val got = build("q181_cluster_size_census")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val comps = graft.operators.Dedup.connectedComponents(rawPairs)
+    val toks = docs.select(col("doc_id"),
+      org.apache.spark.sql.functions.size(
+        graft.functions.tokens(col("text"))).cast("long").as("nt"))
+    val want = comps.join(toks, "doc_id")
+      .groupBy("component_id")
+      .agg(count(lit(1)).as("sz"), sum("nt").as("mass"))
+      .groupBy(floor(log2(col("sz"))).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_clusters"), sum("sz").as("n_docs"),
+        min("sz").as("min_size"), max("sz").as("max_size"),
+        sum("mass").as("token_mass"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    got shouldBe want
+    // dup groups of 5 exist → a bucket at floor(log2(5)) = 2 or above
+    want.exists(_._1 >= 2) shouldBe true
+  }
+
   test("q89 source-histogram census ≡ raw pair census") {
     val got = build("q89_dup_matrix")
       .as[(String, String, Long)].collect().toSet
