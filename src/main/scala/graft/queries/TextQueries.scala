@@ -157,7 +157,7 @@ object TextQueries {
       .join(mA, "ga").join(mB, "gb")
       .select(least(col("va"), col("vb")).as("doc_a"),
         greatest(col("va"), col("vb")).as("doc_b"))
-    val within = members.filter(col("n") >= 2)
+    val within = members.filter(col("n") >= 2 && col("sig"))
     val withinPairs = within.select(col("gid"), col("vid").as("doc_a"))
       .join(within.select(col("gid"), col("vid").as("doc_b")), "gid")
       .filter(col("doc_a") < col("doc_b"))
@@ -165,16 +165,27 @@ object TextQueries {
     cross.union(withinPairs)
   }
 
-  /** (gid, vid, n) member table of the [[textGroupsFor]] distinct-text
-    * groups — every doc mapped to its group's representative id and
-    * group size. One text-keyed equi-join per consumer; the heavy
-    * string shuffles once, downstream frames are skinny ids. */
+  /** (gid, vid, n, sig) member table of the [[textGroupsFor]]
+    * distinct-text groups — every doc mapped to its group's
+    * representative id, group size, and whether the group's text
+    * produces a minhash SIGNATURE at all (≥ 3 tokens ⇒ ≥ 1 shingle).
+    * `sig` gates every within-group clique expansion: a doc with < 3
+    * tokens never enters the raw banding join (no shingles → no
+    * signature → no bands), so a duplicated short text is NOT a raw
+    * candidate clique and must not become one under the collapse —
+    * ungated, q28/q64/q89/q102/q181 would emit pairs/components the
+    * raw algorithm (and the DuckDB oracle) never produce. Cross-group
+    * paths need no gate: [[repPairsFor]] only contains groups whose
+    * representative banded, which already requires a signature.
+    * One text-keyed equi-join per consumer; the heavy string shuffles
+    * once, downstream frames are skinny ids. */
   private def textGroupMembers(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id").as("vid"), trim(col("text")).as("txt"))
       .join(textGroupsFor(s, dir)
-        .select(col("txt"), col("doc_id").as("gid"), col("n")), "txt")
-      .select("gid", "vid", "n")
+        .select(col("txt"), col("doc_id").as("gid"), col("n"),
+          (size(gf.tokens(col("txt"))) >= 3).as("sig")), "txt")
+      .select("gid", "vid", "n", "sig")
 
   /** LOSER side of the greedy right-side near-dup drop
     * ([[graft.operators.Dedup.dropPairDuplicates]]) over the RAW LSH
@@ -194,7 +205,8 @@ object TextQueries {
     val loserG = repPairsFor(s, dir).select(col("doc_b").as("gid")).distinct()
     members.join(loserG, Seq("gid"), "left_semi")
       .select(col("vid").as("doc_id"))
-      .union(members.filter(col("n") >= 2 && col("vid") =!= col("gid"))
+      .union(members
+        .filter(col("n") >= 2 && col("sig") && col("vid") =!= col("gid"))
         .select(col("vid").as("doc_id")))
       .distinct()
   }
@@ -392,7 +404,7 @@ object TextQueries {
     val members = textGroupMembers(s, dir)
     val viaCross = members.join(comp, "gid")
       .select(col("vid").as("doc_id"), col("component_id"))
-    val viaSelf = members.filter(col("n") >= 2)
+    val viaSelf = members.filter(col("n") >= 2 && col("sig"))
       .join(comp.select("gid"), Seq("gid"), "left_anti")
       .select(col("vid").as("doc_id"), col("gid").as("component_id"))
     viaCross.union(viaSelf)
@@ -3408,8 +3420,9 @@ object TextQueries {
         Tables.documents(s, dir)
           .select(trim(col("text")).as("txt"), col("source"))
           .join(textGroupsFor(s, dir)
-            .select(col("txt"), col("doc_id").as("gid")), "txt")
-          .groupBy("gid", "source").agg(count(lit(1)).as("cnt")),
+            .select(col("txt"), col("doc_id").as("gid"),
+              (size(gf.tokens(col("txt"))) >= 3).as("sig")), "txt")
+          .groupBy("gid", "source", "sig").agg(count(lit(1)).as("cnt")),
         graft.CacheRegistry.DataSized)
       val a = gs.select(col("gid").as("ga"), col("source").as("sa"),
         col("cnt").as("ca"))
@@ -3421,11 +3434,21 @@ object TextQueries {
         .select(least(col("sa"), col("sb")).as("source_a"),
           greatest(col("sa"), col("sb")).as("source_b"),
           (col("ca") * col("cb")).as("np"))
-      val withinCross = a.join(b,
+      // Within-group multinomials require the group to have a minhash
+      // SIGNATURE (≥ 3 tokens) — a duplicated short text is not a raw
+      // candidate clique (no shingles, no bands; the textGroupMembers
+      // `sig` contract). Cross path needs no gate: repPairsFor groups
+      // banded, hence signatured.
+      val gsSig = gs.filter(col("sig"))
+      val aw = gsSig.select(col("gid").as("ga"), col("source").as("sa"),
+        col("cnt").as("ca"))
+      val bw = gsSig.select(col("gid").as("gb"), col("source").as("sb"),
+        col("cnt").as("cb"))
+      val withinCross = aw.join(bw,
           col("ga") === col("gb") && col("sa") < col("sb"))
         .select(col("sa").as("source_a"), col("sb").as("source_b"),
           (col("ca") * col("cb")).as("np"))
-      val withinSame = gs.filter(col("cnt") >= 2)
+      val withinSame = gsSig.filter(col("cnt") >= 2)
         .select(col("source").as("source_a"), col("source").as("source_b"),
           expr("(cnt * (cnt - 1)) div 2").as("np"))
       cross.union(withinCross).union(withinSame)

@@ -43,7 +43,19 @@ class CollapseParitySpec extends SparkSpec {
     } ++ Seq(
       (100L, "tiny one", "en", "src0", 8L),
       (101L, "the a the a the a", "en", "src1", 17L),
-      (102L, "another short", "en", "src2", 13L))
+      (102L, "another short", "en", "src2", 13L),
+      // DUPLICATED short texts (< 3 tokens ⇒ no shingles ⇒ no minhash
+      // signature ⇒ the raw banding join emits NOTHING for them). The
+      // within-group collapse paths must not fabricate cliques/losers/
+      // components for these dup groups — the r13-advice parity hole.
+      // Sources span so the q89 multinomial path would fire if ungated.
+      (110L, "dup two", "en", "src0", 7L),
+      (111L, "dup two", "en", "src1", 7L),
+      (112L, "dup two", "en", "src2", 7L),
+      (120L, "", "en", "src0", 0L),
+      (121L, "", "en", "src1", 0L),
+      (130L, "solo", "en", "src0", 4L),
+      (131L, "solo", "en", "src2", 4L))
     rows.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$tmp/documents.parquet")
     // Dup-heavy embeddings: 10 distinct well-separated vectors × 6
@@ -76,6 +88,9 @@ class CollapseParitySpec extends SparkSpec {
     got shouldBe want
     // the dup structure actually fired: within-group cliques exist
     want.size should be >= 12 * (5 * 4 / 2)
+    // duplicated SHORT texts (ids ≥ 110, < 3 tokens) never band in the
+    // raw algorithm — the collapse must not fabricate their cliques
+    want.exists(p => p._1 >= 110L || p._2 >= 110L) shouldBe false
   }
 
   test("q64/q102 group-level CC ≡ CC over the raw pair list") {
