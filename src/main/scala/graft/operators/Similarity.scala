@@ -351,10 +351,31 @@ object Similarity {
     * only) — O(batch · nlist), never a corpus re-assignment. Bucket
     * count is read from the table's catalog metadata so the append
     * can't silently break the bucketed-join contract. Id uniqueness
-    * across appends is the caller's contract, as for any table. */
+    * across appends is the caller's contract, as for any table.
+    *
+    * NOT for fingerprint-memoized indexes (ADVICE r13): tables named
+    * by the 3-arg [[indexName]] (stem + `_f` + corpus fingerprint,
+    * e.g. the shared "ivf" stem) have a lifecycle that assumes their
+    * contents are a PURE FUNCTION of the corpus directory —
+    * [[indexFor]] serves them memoized, [[dropStaleGenerations]]
+    * deletes superseded generations, and a fingerprint-triggered
+    * rebuild would silently DISCARD appended vectors; worse, appending
+    * to the shared stem poisons every oracle-gated consumer
+    * (q42/q47/q66/…) that treats the assigned table as exactly the
+    * corpus assignment. Appendable indexes must be built via
+    * [[buildIndex]] under a caller-owned name; this method rejects
+    * generation-named tables loudly. */
   def appendToIndex(index: IvfIndex, batch: DataFrame,
       idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
     val spark = batch.sparkSession
+    val gen = ".*_f[0-9a-f]{10}(_assigned)?$".r
+    if (gen.matches(index.assignedTable.toLowerCase))
+      throw new IllegalArgumentException(
+        s"${index.assignedTable} is a fingerprint-memoized index " +
+          "(corpus-derived, rebuilt/GC'd on corpus change — appends " +
+          "would be silently discarded and shared-stem consumers " +
+          "poisoned); build an appendable index via buildIndex with a " +
+          "caller-owned name instead")
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(index.assignedTable))
     val numBuckets = meta.bucketSpec.map(_.numBuckets).getOrElse(

@@ -504,12 +504,32 @@ object DocumentStreams {
     * cannot double-publish vocabulary — and re-cleaning a replayed
     * batch against the already-published vocabulary only strips text
     * the failed attempt had already published, the conservative
-    * direction for a dedup gate. */
+    * direction for a dedup gate.
+    *
+    * Width is part of the table's identity (ADVICE r13): a window
+    * hash is meaningless at any other width, so the table records
+    * `graft.spanWidth` in its properties at creation and a restart
+    * against an existing table validates it LOUDLY at start — mixing
+    * widths would silently corrupt every later dedup decision. The
+    * bucket count is likewise read back from catalog metadata on
+    * append (the appendToIndex stance) rather than re-assumed. */
   def spanDedupStream(docs: DataFrame, vocabTable: String, width: Int = 6)(
       onBatch: DataFrame => Unit)(implicit spark: SparkSession)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dedup
     require(width > 0, s"width must be positive: $width")
+    val WidthProp = "graft.spanWidth"
+    if (spark.catalog.tableExists(vocabTable)) {
+      val props = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(vocabTable)).properties
+      val stored = props.get(WidthProp)
+      require(stored.contains(width.toString),
+        s"vocabulary table $vocabTable was built with width=" +
+          s"${stored.getOrElse("<unrecorded — not a span-dedup vocabulary " +
+            "table, or predates width metadata; rebuild it>")} " +
+          s"but this stream was started with width=$width — window hashes " +
+          "of different widths must never mix in one vocabulary")
+    }
     docs.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -529,10 +549,23 @@ object DocumentStreams {
         val delta = if (haveVocab)
           fresh.join(spark.table(vocabTable), Seq("wh"), "left_anti")
         else fresh
+        val numBuckets = if (haveVocab)
+          spark.sessionState.catalog.getTableMetadata(
+              org.apache.spark.sql.catalyst.TableIdentifier(vocabTable))
+            .bucketSpec.map(_.numBuckets).getOrElse(throw
+              new IllegalStateException(
+                s"$vocabTable is not bucketed — not a span-dedup " +
+                  "vocabulary table"))
+        else 16
         graft.sources.FileIO.writeBucketedTable(delta, vocabTable,
-          "wh", 16,
+          "wh", numBuckets,
           if (haveVocab) org.apache.spark.sql.SaveMode.Append
           else org.apache.spark.sql.SaveMode.Overwrite)
+        if (!haveVocab) {
+          spark.sql(s"ALTER TABLE `$vocabTable` " +
+            s"SET TBLPROPERTIES ('$WidthProp' = '$width')")
+          ()
+        }
       }
       .start()
   }

@@ -163,6 +163,18 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap shouldBe reassigned
   }
 
+  test("appendToIndex rejects fingerprint-memoized (shared) index names") {
+    // The shared-stem tables (3-arg indexName: stem_f<fingerprint>) are
+    // memoized as pure functions of the corpus dir — a fingerprint
+    // rebuild would silently discard appended rows, and oracle-gated
+    // consumers treat the assigned table as exactly the corpus
+    // assignment. The append path must refuse them loudly.
+    val idx = Similarity.IvfIndex(
+      "ivf_root_x_f0123456789_centroids", "ivf_root_x_f0123456789_assigned")
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.appendToIndex(idx, corpus)
+  }
+
   test("hash-seeded + Lloyd centroids keep recall on skewed, order-adversarial clusters") {
     // Adversarial for the old first-N seeding: ids 0..15 (the would-be
     // centroids) ALL sit in the dominant cluster, and two small

@@ -463,6 +463,22 @@ class DocumentStreamsSpec extends SparkSpec {
     fresh.join(spark.table(vocabTable), Seq("wh"), "left_anti")
       .count() shouldBe 0L
     spark.table(vocabTable).select("wh").distinct().count() shouldBe before
+
+    // Width is table identity: the created table carries the width in
+    // its properties, and a restart with a DIFFERENT width must fail
+    // loudly at start (mixed-width hashes would silently corrupt every
+    // later dedup decision), while the matching width restarts fine.
+    spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(vocabTable))
+      .properties.get("graft.spanWidth") shouldBe Some("6")
+    val err = intercept[IllegalArgumentException] {
+      DocumentStreams.spanDedupStream(
+        mem.toDF().toDF("doc_id", "text"), vocabTable, width = 5)(_ => ())
+    }
+    err.getMessage should include("width")
+    val q2 = DocumentStreams.spanDedupStream(
+      mem.toDF().toDF("doc_id", "text"), vocabTable, width = 6)(_ => ())
+    q2.stop()
   }
 
   test("passageDedupStreamBloom: a saturated filter drops novel blocks " +
