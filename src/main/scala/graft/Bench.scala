@@ -231,10 +231,18 @@ object Bench {
     }
     val contendedJson =
       windowContended.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Quiet-adjusted headline (VERDICT r13 item 2): a contended record
+    // should carry its own CORRECTED total, not just the flag —
+    // substitute each window_contended row's clean standalone median
+    // for its blown-up in-suite median. On a quiet run (empty
+    // contended set) value_quiet == value by construction, so the two
+    // keys agreeing is itself the window-quality certificate.
+    val totalQuiet =
+      BenchGate.quietTotal(med, standaloneMed, windowContended.toSet)
     val prebuildFailedJson =
       prebuildFailed.map(m => "\"" + m.replace("\\", "\\\\")
         .replace("\"", "\\\"").replace("\n", " ") + "\"").getOrElse("null")
-    val line = s"""{"metric":"total","unit":"sec","runs":$runs,"min_med_max":$spread,"standalone":$standaloneJson,"standalone_failed":$standaloneFailedJson,"prebuild":$prebuildJson,"prebuild_failed":$prebuildFailedJson,"window_contended":$contendedJson,"queries":$qs,"failed":$failed,"value":${fmt(total)},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","unit":"sec","runs":$runs,"min_med_max":$spread,"standalone":$standaloneJson,"standalone_failed":$standaloneFailedJson,"prebuild":$prebuildJson,"prebuild_failed":$prebuildFailedJson,"window_contended":$contendedJson,"queries":$qs,"failed":$failed,"value":${fmt(total)},"value_quiet":${fmt(totalQuiet)},"sf":"$sfDir"}"""
     // Belt and braces: persist the full record where the tail can't
     // truncate it (best-effort — bench must not fail on a read-only cwd).
     try {

@@ -69,4 +69,17 @@ object BenchGate {
     ts.last > spreadFactor * ts.head ||
       prior.exists(p => p > 0 && med > driftFactor * p)
   }
+
+  /** Quiet-adjusted suite total (VERDICT r13 item 2): the sum of
+    * in-suite medians with each `contended` row's clean STANDALONE
+    * median substituted — so a host-contended record carries its own
+    * corrected headline. A contended row with no clean standalone
+    * re-measure (its rerun also failed) keeps its in-suite median:
+    * never invent a number. Empty contended set ⇒ identical to the
+    * plain sum, so `value_quiet == value` certifies a quiet window. */
+  def quietTotal(medians: Seq[(String, Double)],
+      standalone: Map[String, Double], contended: Set[String]): Double =
+    medians.map { case (k, v) =>
+      if (contended(k)) standalone.getOrElse(k, v) else v
+    }.sum
 }

@@ -381,10 +381,105 @@ object Similarity {
     val numBuckets = meta.bucketSpec.map(_.numBuckets).getOrElse(
       throw new IllegalStateException(
         s"${index.assignedTable} is not bucketed — not an IVF assigned table"))
-    val assigned = assignToCentroids(prep(batch, idCol, embCol),
-      spark.table(index.centroidTable), idCol)
+    val assigned = assignUnderIndex(index, batch, idCol, embCol)
     graft.sources.FileIO.writeBucketedTable(assigned, index.assignedTable,
       "bucket", numBuckets, org.apache.spark.sql.SaveMode.Append)
+  }
+
+  /** Assign a batch under an index's FROZEN coarse quantizer — the
+    * shared kernel of [[appendToIndex]] (which folds the result into
+    * the bucketed table) and the streaming delta ingest
+    * ([[graft.streaming.EmbeddingStreams.annIngestStream]], which
+    * commits it as a tagged snapshot version instead). Output matches
+    * the assigned table's schema: (idCol, e, nrm, bucket). */
+  def assignUnderIndex(index: IvfIndex, batch: DataFrame,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    assignToCentroids(prep(batch, idCol, embCol),
+      batch.sparkSession.table(index.centroidTable), idCol)
+
+  /** [[ivfTopK]] over a persisted index PLUS un-compacted delta
+    * assignments (rows shaped like the assigned table — the streaming
+    * ingest's snapshot store): the probe join runs over base ∪ delta.
+    * The base side keeps its bucketed layout; the delta side is
+    * unbucketed so its (small) share of the probe join shuffles —
+    * bounded by ingest volume since the last rebuild/compaction, which
+    * is the LSM-style serving contract (FAISS add-buffer, Lucene
+    * segments): deltas stay cheap because rebuilds fold them in. */
+  def ivfTopKWithDelta(index: IvfIndex, delta: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val q = prep(queries, idCol, embCol)
+      .select(col(idCol).as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    val base = spark.table(index.assignedTable)
+    searchBuckets(base.unionByName(delta.select(base.columns.map(col): _*)),
+      spark.table(index.centroidTable), q, k, nprobe, idCol)
+  }
+
+  /** IVF APPEND-HEALTH census + rebuild trigger (VERDICT r13 item 4) —
+    * the q149/q156 evaluation-gate stance applied to index
+    * maintenance: after [[appendToIndex]] ingest, per trained bucket,
+    * how much of its mass arrived by append and how skewed the bucket
+    * loads have become. `baseCounts` is the (bucket, n_base) census of
+    * the assignment AT BUILD TIME (the trained generation — recorded
+    * then, because the assigned table itself does not distinguish
+    * appended rows); appends only add, so n_app = n_total − n_base
+    * exactly.
+    *
+    * REBUILD POLICY (documented contract, all compares exact integer
+    * arithmetic so the flags are bit-identical at any layout/engine):
+    *   - `flag_skew` (per bucket): n_total · n_buckets > skewFactor ·
+    *     Σn_total — the bucket holds > skewFactor× the mean load, the
+    *     probe-cost skew that makes nprobe tuning meaningless;
+    *   - `flag_stale` (per bucket): 10·n_app ≥ staleTenths·n_total —
+    *     the bucket is mostly post-train mass, i.e. the frozen
+    *     quantizer never saw the distribution it now serves;
+    *   - `rebuild` (global, on every row): total appended fraction
+    *     ≥ rebuildTenths/10, OR any bucket flag fired. When it reads 1,
+    *     re-run [[buildIndex]] over base ∪ appends (T161's documented
+    *     counter-measure); the probe-recall cost of NOT rebuilding is
+    *     what q149 measures.
+    *
+    * Output, one row per non-empty bucket: (bucket, n_base, n_app,
+    * n_total, app_frac, load_factor = n_total/mean, flag_skew,
+    * flag_stale, rebuild), ordered by bucket — frames bounded by nlist
+    * after one scan of the assigned table (census persisted for its
+    * two consumers). */
+  def appendHealth(index: IvfIndex, baseCounts: DataFrame,
+      skewFactor: Int = 4, staleTenths: Int = 6,
+      rebuildTenths: Int = 3): DataFrame = {
+    val spark = baseCounts.sparkSession
+    val census = graft.CacheRegistry.persistTracked(
+      spark.table(index.assignedTable)
+        .groupBy("bucket").agg(count(lit(1)).as("n_total"))
+        .join(baseCounts.select(col("bucket"), col("n_base")),
+          Seq("bucket"), "left")
+        .select(col("bucket"), coalesce(col("n_base"), lit(0L)).as("n_base"),
+          col("n_total"))
+        .withColumn("n_app", col("n_total") - col("n_base")),
+      graft.CacheRegistry.DataSized) // ≤ nlist rows
+    val nb = spark.table(index.centroidTable)
+      .agg(count(lit(1)).as("n_buckets"))
+    val tot = census.agg(sum("n_total").as("tot"), sum("n_app").as("app_tot"))
+    val per = census.crossJoin(broadcast(nb)).crossJoin(broadcast(tot))
+      .withColumn("flag_skew",
+        (col("n_total") * col("n_buckets") >
+          lit(skewFactor.toLong) * col("tot")).cast("long"))
+      .withColumn("flag_stale",
+        (col("n_app") * 10L >=
+          lit(staleTenths.toLong) * col("n_total")).cast("long"))
+    val glob = per.agg(
+      (max(col("flag_skew")) === 1L || max(col("flag_stale")) === 1L ||
+        max(col("app_tot")) * 10L >= lit(rebuildTenths.toLong) *
+          max(col("tot"))).cast("long").as("rebuild"))
+    per.crossJoin(broadcast(glob))
+      .select(col("bucket"), col("n_base"), col("n_app"), col("n_total"),
+        gf.roundz(col("n_app").cast("double") / col("n_total"), 6)
+          .as("app_frac"),
+        gf.roundz((col("n_total") * col("n_buckets")).cast("double")
+          / col("tot"), 6).as("load_factor"),
+        col("flag_skew"), col("flag_stale"), col("rebuild"))
+      .orderBy("bucket")
   }
 
   /** The ONE way to build/reuse the SHARED session IVF index (stem
@@ -435,6 +530,22 @@ object Similarity {
   def indexName(spark: org.apache.spark.sql.SparkSession, prefix: String,
       dir: String): String =
     indexName(prefix, dir) + "_f" + dirFingerprint(spark, dir)
+
+  /** Corpus-keyed name for a GROWN (append-allowed) index: stem + `_g`
+    * + fingerprint — deliberately NOT the `_f` convention
+    * [[appendToIndex]] rejects. `_f` tables are pure corpus functions
+    * served memoized by [[indexFor]]; a `_g` index is built by an
+    * explicit caller flow that owns its build→append sequence. The
+    * fingerprint still keys generations (an in-place corpus rewrite
+    * gets a fresh build; GC via `dropStaleGenerations(..., sep =
+    * "_g")`), and by the same token a rebuild DISCARDS appended rows —
+    * so a `_g` name is only safe when the appends are themselves
+    * derivable from the corpus (the q182 census replay); EXTERNAL
+    * ingest belongs under caller-owned unmanaged names or the
+    * streaming delta store. */
+  def grownIndexName(spark: org.apache.spark.sql.SparkSession,
+      prefix: String, dir: String): String =
+    indexName(prefix, dir) + "_g" + dirFingerprint(spark, dir)
 
   /** 40-bit hex fingerprint of a data directory's RECURSIVE file
     * listing (relative-path:length:mtime rows, sorted — no data
@@ -493,8 +604,8 @@ object Similarity {
     * catalog-native GC (drop via the shared catalog only, no raw
     * filesystem deletes, plus a retention grace window). */
   def dropStaleGenerations(spark: org.apache.spark.sql.SparkSession,
-      stem: String, current: String): Unit = {
-    val pre = stem.toLowerCase + "_f"
+      stem: String, current: String, sep: String = "_f"): Unit = {
+    val pre = stem.toLowerCase + sep
     val keep = current.toLowerCase
     spark.catalog.listTables().collect().map(_.name)
       .filter(n => n.startsWith(pre) && !n.startsWith(keep))

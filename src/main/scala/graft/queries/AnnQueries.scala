@@ -1137,8 +1137,107 @@ object AnnQueries {
         .select(col("cluster"), col("size"),
           gf.roundz(col("s_i"), 6).as("mean_dist"), col("db_score"))
         .orderBy("cluster")
+    },
+
+    // T165 — IVF APPEND-HEALTH census + rebuild trigger: after T161
+    // appends (the vec_id % 7 = 0 slice ingested under the frozen
+    // base-trained quantizer via the REAL appendToIndex), per-bucket
+    // base/appended mass, load skew, and the documented rebuild policy
+    // — the q149/q156 evaluation-gate stance applied to index
+    // MAINTENANCE. Fully oracle-replicated: centroids train on the
+    // base subset only (the q42 CTE chain with `n` = base), and
+    // assigning base ∪ appends in ONE oracle pass ≡ the engine's
+    // build-then-append (assignment under frozen centroids is a
+    // per-vector content function). Every flag is exact integer
+    // arithmetic; the two fractions are single int/int divisions.
+    QueryDef("q182_ivf_append_health",
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings
+         |), nall AS (
+         |  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
+         |), n AS (
+         |  SELECT * FROM nall WHERE vec_id % 7 <> 0
+         |), ${centroidCtes(nCent = 16, trainN = 128, iters = 2)}, assigned AS (
+         |  SELECT vec_id, cent_id AS bucket,
+         |    CASE WHEN vec_id % 7 = 0 THEN 1 ELSE 0 END AS app FROM (
+         |    SELECT c.vec_id, t.cent_id,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ${cos("c.e", "t.ce", "c.nrm", "t.cn")} DESC, t.cent_id) AS arank
+         |    FROM nall c CROSS JOIN cent t
+         |  ) WHERE arank = 1
+         |), census AS (
+         |  SELECT bucket, CAST(sum(1 - app) AS BIGINT) AS n_base,
+         |    CAST(sum(app) AS BIGINT) AS n_app, count(*) AS n_total
+         |  FROM assigned GROUP BY bucket
+         |), nb AS (SELECT count(*) AS n_buckets FROM cent
+         |), tot AS (
+         |  SELECT CAST(sum(n_total) AS BIGINT) AS tot,
+         |    CAST(sum(n_app) AS BIGINT) AS app_tot FROM census
+         |), per AS (
+         |  SELECT bucket, n_base, n_app, n_total,
+         |    CASE WHEN n_total * n_buckets > 4 * tot THEN 1 ELSE 0 END AS flag_skew,
+         |    CASE WHEN n_app * 10 >= 6 * n_total THEN 1 ELSE 0 END AS flag_stale,
+         |    n_buckets, tot, app_tot
+         |  FROM census CROSS JOIN nb CROSS JOIN tot
+         |), gflag AS (
+         |  SELECT CASE WHEN max(flag_skew) = 1 OR max(flag_stale) = 1
+         |    OR max(app_tot) * 10 >= 3 * max(tot) THEN 1 ELSE 0 END AS rebuild
+         |  FROM per
+         |)
+         |SELECT bucket, n_base, n_app, n_total,
+         |  round(CAST(n_app AS DOUBLE) / n_total, 6) + 0.0 AS app_frac,
+         |  round(CAST(n_total * n_buckets AS DOUBLE) / tot, 6) + 0.0 AS load_factor,
+         |  CAST(flag_skew AS BIGINT) AS flag_skew,
+         |  CAST(flag_stale AS BIGINT) AS flag_stale,
+         |  CAST(rebuild AS BIGINT) AS rebuild
+         |FROM per CROSS JOIN gflag
+         |ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val (idx, bcTbl) = grownIvfIndexFor(s, dir)
+      Similarity.appendHealth(idx, s.table(bcTbl))
     }
   )
+
+  /** Session-memoized GROWN index for q182 (T165): the corpus splits
+    * deterministically into base (vec_id % 7 ≠ 0, the trained
+    * generation) and an append slice (% 7 = 0, ~14%); the index
+    * actually LIVES the build→append lifecycle through the real
+    * [[Similarity.buildIndex]] + [[Similarity.appendToIndex]] (T161)
+    * under the `_g` grown-index naming — append-allowed, and
+    * rebuild-on-corpus-change discards appends, which is safe here
+    * because the appends are corpus-derived. The nlist-bounded base
+    * census is collected PRE-append (≤ 16 rows) and written LAST as
+    * `<name>_basecounts`: it is both appendHealth's trained-generation
+    * reference and the memoization witness, so a crash anywhere in the
+    * flow can never serve a half-grown index. */
+  private def grownIvfIndexFor(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : (Similarity.IvfIndex, String) = {
+    val name = Similarity.grownIndexName(s, "ivfgrown", dir)
+    val bcTbl = s"${name}_basecounts"
+    val idx = Similarity.IvfIndex(s"${name}_centroids", s"${name}_assigned")
+    if (!s.catalog.tableExists(bcTbl)) {
+      Similarity.dropStaleGenerations(
+        s, Similarity.indexName("ivfgrown", dir), name, sep = "_g")
+      val emb = Tables.embeddings(s, dir)
+      val built = Similarity.buildIndex(
+        emb.filter(col("vec_id") % 7 =!= 0), name,
+        nCentroids = 16, trainN = 128, iters = 2)
+      val pre = s.table(built.assignedTable)
+        .groupBy("bucket").agg(count(lit(1)).as("n_base"))
+      val rows = pre.collect().toSeq // nlist-bounded (≤ 16 rows)
+      Similarity.appendToIndex(built, emb.filter(col("vec_id") % 7 === 0))
+      s.sql(s"DROP TABLE IF EXISTS `$bcTbl`")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), bcTbl.toLowerCase)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      graft.sources.FileIO.writeWarehouseTable(
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), pre.schema),
+        bcTbl)
+    }
+    (idx, bcTbl)
+  }
 
   /** q157's DCG rank weights 1/ln(r+1), r = 1..5 — ONE constant table
     * (full-precision Double.toString literals) embedded in both

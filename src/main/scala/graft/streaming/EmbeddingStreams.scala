@@ -174,6 +174,62 @@ object EmbeddingStreams {
       }
   }
 
+  /** STREAMING ANN ingest — the T161 streaming twin (VERDICT r13 item
+    * 3): each micro-batch of new vectors is assigned under the index's
+    * FROZEN coarse quantizer ([[graft.operators.Similarity
+    * .assignUnderIndex]], the `IndexIVF.add` contract) and committed
+    * as ONE tagged [[graft.sources.SnapshotStore]] version at
+    * `deltaRoot` — the [[SnapshotSink]] pattern, so at-least-once
+    * foreachBatch replay is exactly-once at the index level: a
+    * replayed micro-batch finds its `batch-N` tag already published
+    * and no-ops.
+    *
+    * Why the delta rides the snapshot store instead of
+    * `appendToIndex`-ing the bucketed table per batch: the store's
+    * manifest commit makes the batch's DATA and its idempotence TAG
+    * one atomic rename — a "check tag, append bucket files, publish
+    * tag" wrapper would leave a crash window between the table append
+    * and the tag publish in which a replay double-appends (and a
+    * saveAsTable append offers no way to detect or undo the partial
+    * fold). Serving reads base ∪ delta
+    * ([[graft.operators.Similarity.ivfTopKWithDelta]]); the delta
+    * folds into the bucketed base at the periodic REBUILD that is
+    * T161's documented counter-measure for quantizer drift anyway (a
+    * single maintenance writer may instead `appendToIndex` the delta's
+    * rows and reset `deltaRoot` — that fold is its transaction to
+    * sequence against readers, the Compaction/T60 stance).
+    *
+    * Retention: [[graft.sources.SnapshotStore.vacuum]]'s `keepLast`
+    * must cover the replay horizon (one batch in practice) — the
+    * SnapshotSink contract. Centroids are never retrained here; id
+    * uniqueness across base + appends is the caller's contract, as
+    * for `appendToIndex`. */
+  def annIngestStream(vectors: DataFrame,
+      index: graft.operators.Similarity.IvfIndex, deltaRoot: String,
+      idCol: String = "vec_id", embCol: String = "embedding")(
+      implicit spark: SparkSession)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        annIngestBatch(index, batch, deltaRoot, id, idCol, embCol)
+        ()
+      }
+      .start()
+
+  /** One micro-batch of [[annIngestStream]] (factored out so replay
+    * idempotence is spec-drivable): assign under the frozen quantizer,
+    * commit as the `batch-<id>`-tagged version — a no-op returning the
+    * already-published version if the tag exists. Empty batches
+    * publish nothing (the SnapshotSink contract). */
+  def annIngestBatch(index: graft.operators.Similarity.IvfIndex,
+      batch: DataFrame, deltaRoot: String, batchId: Long,
+      idCol: String = "vec_id", embCol: String = "embedding")
+      : Option[graft.sources.SnapshotStore.Version] =
+    SnapshotSink.processBatch(
+      graft.operators.Similarity.assignUnderIndex(index, batch, idCol, embCol),
+      deltaRoot, batchId)
+
   /** Batch reference for the spec: ALL ordered pairs (a before b in
     * `order`) within `maxHamming` sketch bits — what the pigeonhole
     * guarantees the stream emits (after (vec_a, vec_b) dedup). */

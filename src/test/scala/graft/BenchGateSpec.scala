@@ -45,6 +45,22 @@ class BenchGateSpec extends AnyFunSuite with Matchers {
     BenchGate.sfSlug("/root/testdata/sf0.1") shouldBe "_root_testdata_sf0_1"
   }
 
+  test("quietTotal substitutes standalone medians for contended rows only") {
+    val med = Seq("q1" -> 0.5, "q113" -> 6.35, "q164" -> 4.56, "q2" -> 1.0)
+    val standalone = Map("q113" -> 1.79, "q164" -> 0.64, "q1" -> 0.48)
+    // Contended rows read their clean standalone; quiet rows (q1, even
+    // though a standalone exists for it) keep the in-suite median.
+    BenchGate.quietTotal(med, standalone, Set("q113", "q164")) shouldBe
+      (0.5 + 1.79 + 0.64 + 1.0) +- 1e-12
+    // Quiet window: empty contended set ⇒ the plain sum (value_quiet == value).
+    BenchGate.quietTotal(med, standalone, Set.empty) shouldBe
+      (0.5 + 6.35 + 4.56 + 1.0) +- 1e-12
+    // A contended row whose rerun ALSO failed keeps its in-suite
+    // median — never invent a number.
+    BenchGate.quietTotal(med, Map.empty, Set("q113")) shouldBe
+      (0.5 + 6.35 + 4.56 + 1.0) +- 1e-12
+  }
+
   test("spread trigger: one stall in the window still fires") {
     BenchGate.needsStandalone(Seq(0.4, 0.5, 1.2), None) shouldBe true
     BenchGate.needsStandalone(Seq(0.4, 0.5, 0.6), None) shouldBe false

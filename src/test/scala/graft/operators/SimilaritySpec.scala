@@ -163,6 +163,38 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap shouldBe reassigned
   }
 
+  test("appendHealth: heavy appends trip the stale/rebuild flags; a light append stays quiet") {
+    import org.apache.spark.sql.functions._
+    // HEAVY: train on 21 vectors, append 69 (77% appended) — every
+    // bucket becomes mostly post-train mass, so flag_stale fires per
+    // bucket and the global rebuild trigger reads 1 on every row.
+    val base = corpus.filter($"vec_id" < 21)
+    val heavy = Similarity.buildIndex(base, "health_heavy", nCentroids = 9)
+    val baseCounts = spark.table(heavy.assignedTable)
+      .groupBy("bucket").agg(count(lit(1)).as("n_base"))
+      .collect().toSeq
+    val bc = spark.createDataFrame(
+      java.util.Arrays.asList(baseCounts: _*),
+      spark.table(heavy.assignedTable)
+        .groupBy("bucket").agg(count(lit(1)).as("n_base")).schema)
+    Similarity.appendToIndex(heavy, corpus.filter($"vec_id" >= 21))
+    val census = Similarity.appendHealth(heavy, bc)
+    census.agg(sum("n_base"), sum("n_app"))
+      .as[(Long, Long)].collect().head shouldBe ((21L, 69L))
+    // n_app = n_total - n_base per bucket, fractions in [0, 1]
+    census.filter($"n_app" + $"n_base" =!= $"n_total").count() shouldBe 0
+    census.select(max("rebuild")).as[Long].collect().head shouldBe 1L
+    census.select(min("rebuild")).as[Long].collect().head shouldBe 1L
+    census.filter($"flag_stale" === 1).count() should be >= 1L
+    // LIGHT: same base, nothing appended — all-zero append mass, no
+    // stale flag anywhere; rebuild may only fire via load skew.
+    val quiet = Similarity.buildIndex(base, "health_quiet", nCentroids = 9)
+    val quietCensus = Similarity.appendHealth(quiet, bc)
+    quietCensus.agg(sum("n_app")).as[Long].collect().head shouldBe 0L
+    quietCensus.filter($"flag_stale" === 1).count() shouldBe 0L
+    quietCensus.select(max("app_frac")).as[Double].collect().head shouldBe 0.0
+  }
+
   test("appendToIndex rejects fingerprint-memoized (shared) index names") {
     // The shared-stem tables (3-arg indexName: stem_f<fingerprint>) are
     // memoized as pure functions of the corpus dir — a fingerprint

@@ -73,6 +73,75 @@ class EmbeddingStreamsSpec extends SparkSpec {
     }
   }
 
+  test("annIngestStream: stream-grown index ≡ batch appendToIndex sequence at covering probes; replay no-ops") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    import graft.sources.SnapshotStore
+    // Deterministic 3-cluster corpus (the SimilaritySpec shape): base
+    // index on ids < 60, stream in the rest as two micro-batches.
+    val all = (0 until 90).map { i =>
+      val base = Array.fill(8)(0.05f)
+      base((i % 3) * 2) = 1.0f + (i / 3) * 0.01f
+      base((i % 3) * 2 + 1) = 0.5f
+      (i.toLong, base.toSeq)
+    }
+    def df(rows: Seq[(Long, Seq[Float])]) = rows.toDF("vec_id", "embedding")
+    val baseRows = all.filter(_._1 < 60)
+    val b1 = all.filter(r => r._1 >= 60 && r._1 < 75)
+    val b2 = all.filter(_._1 >= 75)
+    val deltaRoot = java.nio.file.Files
+      .createTempDirectory("ann_delta").toString
+    val idx = Similarity.buildIndex(df(baseRows), "ann_stream_base",
+      nCentroids = 9)
+
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = EmbeddingStreams.annIngestStream(
+      mem.toDF().toDF("vec_id", "embedding"), idx, deltaRoot)
+    mem.addData(b1)
+    q.processAllAvailable()
+    mem.addData(b2)
+    q.processAllAvailable()
+    q.stop()
+
+    // Stream-grown serving (base ∪ delta) ≡ the batch appendToIndex
+    // twin ≡ brute force, row-identical at covering probes.
+    val queries = df(all.filter(r => Seq(0L, 62L, 89L).contains(r._1)))
+    val got = Similarity.ivfTopKWithDelta(idx,
+        SnapshotStore.read(deltaRoot), queries, k = 4, nprobe = 9)
+      .select("qid", "vec_id", "cos", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val twin = Similarity.buildIndex(df(baseRows), "ann_stream_twin",
+      nCentroids = 9)
+    Similarity.appendToIndex(twin, df(b1))
+    Similarity.appendToIndex(twin, df(b2))
+    val want = Similarity.ivfTopK(twin, queries, k = 4, nprobe = 9,
+        idCol = "vec_id", embCol = "embedding")
+      .select("qid", "vec_id", "cos", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    got shouldBe want
+    got shouldBe Similarity.bruteForceTopK(df(all), queries, k = 4)
+      .select("qid", "vec_id", "cos", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+
+    // Replay no-op: re-driving an already-committed micro-batch finds
+    // its batch-N tag and publishes nothing — version lineage and
+    // delta rows are byte-stable (the SnapshotSink exactly-once
+    // contract carried to the index).
+    val versionsBefore = SnapshotStore.history(deltaRoot).map(_.version)
+    val rowsBefore = SnapshotStore.read(deltaRoot).count()
+    val replayed = EmbeddingStreams.annIngestBatch(idx, df(b1), deltaRoot,
+      batchId = 0L)
+    replayed.map(_.tag) shouldBe Some(Some("batch-0"))
+    SnapshotStore.history(deltaRoot).map(_.version) shouldBe versionsBefore
+    SnapshotStore.read(deltaRoot).count() shouldBe rowsBefore
+    // Empty batches publish no version (foreachBatch fires them on
+    // some triggers; an empty commit per tick would grow the manifest).
+    EmbeddingStreams.annIngestBatch(idx, df(Seq.empty), deltaRoot,
+      batchId = 99L) shouldBe None
+    SnapshotStore.history(deltaRoot).map(_.version) shouldBe versionsBefore
+  }
+
   test("arrival order is the ingest id, not physical row order: reversed multi-partition input keeps orientation deterministic") {
     // After the groupByKey shuffle Spark guarantees nothing about row
     // order inside a bucket group — the state function's orderCol sort
