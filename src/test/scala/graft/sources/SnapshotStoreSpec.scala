@@ -87,6 +87,50 @@ class SnapshotStoreSpec extends SparkSpec {
     Files.list(Paths.get(root, "data")).count() shouldBe 1
   }
 
+  test("readRange prunes a strict subset of directories from footer stats, identical results") {
+    val root = tmp()
+    // Three appends with disjoint key ranges; stats nominated for k.
+    SnapshotStore.append((0 to 9).map(i => (i, s"a$i")).toDF("k", "s"),
+      root, statsCols = Seq("k"))
+    SnapshotStore.append((10 to 19).map(i => (i, s"b$i")).toDF("k", "s"),
+      root, statsCols = Seq("k"))
+    SnapshotStore.append((20 to 29).map(i => (i, s"c$i")).toDF("k", "s"),
+      root, statsCols = Seq("k"))
+    // Manifests actually carry the bounds (round-tripped through JSON).
+    val vs = SnapshotStore.history(root)
+    vs.map(_.dirStats("k")) shouldBe
+      Seq((0.0, 9.0), (10.0, 19.0), (20.0, 29.0))
+
+    val pruned = SnapshotStore.readRange(root, "k", Some(12.0), Some(15.0))
+    val full = SnapshotStore.read(root)
+      .filter($"k" >= 12 && $"k" <= 15)
+    pruned.as[(Int, String)].collect().sortBy(_._1) shouldBe
+      full.as[(Int, String)].collect().sortBy(_._1)
+    // STRICT subset of directories scanned: only the middle commit's
+    // files back the pruned read.
+    val allFiles = SnapshotStore.read(root).inputFiles.toSet
+    val prunedFiles = pruned.inputFiles.toSet
+    prunedFiles should not be empty
+    assert(prunedFiles.subsetOf(allFiles))
+    prunedFiles.size should be < allFiles.size
+    val midDir = Paths.get(root, vs(1).dataDirs.last).toUri.getPath
+    all(prunedFiles.toSeq) should include(midDir)
+
+    // Every dir pruned: schema-correct empty frame, no residual scan.
+    val none = SnapshotStore.readRange(root, "k", Some(-50.0), Some(-40.0))
+    none.columns shouldBe Array("k", "s")
+    none.count() shouldBe 0L
+
+    // A dir WITHOUT recorded stats is conservatively kept — its
+    // in-range rows still return, and an out-of-range probe that
+    // can't prune it still filters exactly.
+    SnapshotStore.append(Seq((13, "nostats")).toDF("k", "s"), root)
+    SnapshotStore.readRange(root, "k", Some(12.0), Some(15.0))
+      .as[(Int, String)].collect().map(_._2).sorted shouldBe
+      Array("b12", "b13", "b14", "b15", "nostats")
+    SnapshotStore.readRange(root, "k", Some(999.0), None).count() shouldBe 0L
+  }
+
   test("append schema mismatch fails loudly; overwrite may change schema") {
     val root = tmp()
     SnapshotStore.append(Seq(1).toDF("v"), root)
