@@ -61,11 +61,23 @@ package object functions {
     * short terms match inside words). Returns a deduped, sorted array so
     * downstream compares are order-insensitive (SURVEY §7.4-2). */
   def extractTags(text: Column, vocab: Seq[String]): Column = {
-    val lowered = lower(text)
-    val hits = vocab.distinct.sorted.map { term =>
-      when(lowered.contains(lit(term.toLowerCase)), lit(term.toLowerCase))
-    }
-    array_sort(array_distinct(filter(array(hits: _*), _.isNotNull)))
+    // ONE Aho–Corasick pass over the lowered bytes ([[phraseScan]])
+    // instead of the unrolled per-term Contains chain — same output
+    // contract (sorted distinct lowercase vocabulary substrings): the
+    // automaton's sorted distinct indices over a byte-order-sorted
+    // term table map monotonically to the binary-sorted term array the
+    // old array_sort produced. Swapped in r14 after BenchCount
+    // attributed q25's 25 s at sf10x to this scan (2 M docs × 51
+    // terms × contains = 51 passes per text; the automaton is one) —
+    // the q131/BenchPhrase measurement (60× at 800 phrases) applied
+    // to the reference's own vocabulary path.
+    val terms = vocab.distinct.map(_.toLowerCase).distinct
+      .sortWith((a, b) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(a)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0)
+    val termArr = array(terms.map(lit): _*)
+    transform(phraseScan(lower(text), terms),
+      i => element_at(termArr, i + 1))
   }
 
   /** Relative-time string → timestamp, measured against an injectable

@@ -410,6 +410,221 @@ object TextQueries {
     viaCross.union(viaSelf)
   }
 
+  /** q30's pipeline factored into STAGES (VERDICT r13 item 1): ONE
+    * definition feeds both the oracle-gated query (`.output`) and the
+    * `graft.BenchQ30` sf1x/sf10x attribution harness, so the measured
+    * stages can never drift from what the suite ships. All frames are
+    * lazy; persistTracked caches drain per materialization, so forcing
+    * a stage pays its whole upstream — the harness reads per-stage
+    * cost as CUMULATIVE DIFFS (prep ≤ candgen ≤ verify ≤ full). */
+  private[graft] final case class Q30Stages(
+      gp: org.apache.spark.sql.DataFrame,
+      candidateShape: org.apache.spark.sql.DataFrame,
+      verifyProbe: org.apache.spark.sql.DataFrame,
+      qual: org.apache.spark.sql.DataFrame,
+      output: org.apache.spark.sql.DataFrame)
+
+  private[graft] def jaccardStages(
+      s: SparkSession, dir: String): Q30Stages = {
+      // Exact-dup collapse BEFORE the quadratic verify: identical
+      // token SETS (same canonical fingerprint) pay the
+      // array_intersect once per distinct pair, not once per doc pair
+      // — on a dup-heavy corpus (10-way replicas: 100× the pairs) the
+      // verify cost tracks DISTINCT content, which is how production
+      // pipelines survive this operator (same principle as q59's
+      // distinct-fingerprint banding). Member pairs are expanded
+      // afterward: cross-group pairs inherit the representative
+      // jaccard, within-group pairs are exactly 1.0. Zero-token docs
+      // are excluded up front — their jaccard is NaN (0/0) in both
+      // engines and never reaches the output.
+      val t = Tables.documents(s, dir)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), col("lang"),
+          org.apache.spark.sql.graft.CatalystBridge.column(
+            graft.plans.ShingleTokens(
+              org.apache.spark.sql.graft.CatalystBridge.expr(trim(col("text"))),
+              1)).as("toks"))
+        .withColumn("ntok", size(col("toks")))
+        .filter(col("ntok") > 0)
+      // Occurrence-order fingerprint, DELIBERATELY not canonical-set:
+      // byte-identical dups (the case that dominates real corpora)
+      // still collapse, while same-set-different-order docs stay in
+      // separate groups — merging them measured SLOWER (PERF.md #11:
+      // giant merged groups concentrate the qualifying-pair
+      // expansion). The verify kernel below still wants sorted input,
+      // so each GROUP (not each pair) sorts one copy of its token
+      // array. collect_list is bounded by the dup group size —
+      // inherent to this operator's contract, whose OUTPUT already
+      // lists every member pair.
+      val groups = t
+        .withColumn("fp", md5(array_join(col("toks"), " ")))
+        .groupBy("lang", "fp")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"),
+          first(col("toks")).as("toks0"), first(col("ntok")).as("ntok"))
+        .withColumn("toks", sort_array(col("toks0")))
+        .drop("toks0")
+      // Candidate generation: triangle-block decomposition, KEPT over
+      // the PPJoin prefix filter after measuring both (PERF #21, the
+      // #11 precedent). The published prefix filter (Chaudhuri/Ganti/
+      // Kaushik SSJoin; Vernica/Carey/Li SIGMOD'10 for the MapReduce
+      // shape) indexes each set's p = |s| - ceil(0.9·|s|) + 1 rarest
+      // tokens and equi-joins on them; on THIS corpus it cut distinct
+      // candidates only 973k → 945k (-3%) while generating 2.2M
+      // pre-distinct pairs plus a df aggregate, a per-group window
+      // sort, and two array re-attach joins — sf1x standalone median
+      // 16 s vs 7 s for the blocked shape. The synthetic vocabulary
+      // is too small for "rare token" selectivity; the size band
+      // already does the pruning prefix filtering would. The groups
+      // frame IS now persisted (the experiment's one keeper): the
+      // fingerprint pipeline above feeds both join sides and the
+      // within-group expansion — one materialization, not three.
+      val gp = graft.CacheRegistry.persistTracked(groups,
+        graft.CacheRegistry.DataSized) // ≤ one row per distinct fingerprint
+      // `lang` alone has ~5 values, so a plain self-equi-join
+      // degenerates to 5 giant tasks no matter how many cores exist.
+      // Each side is replicated across B block ids so the join key
+      // (lang, blk_a, blk_b) fans out to 5·B² balanced cells — the
+      // standard triangle-join parallelization for dense self-joins.
+      val B = 6
+      val g = gp.withColumn("blk",
+        (gf.stableHash(col("fp")) % B).cast("int"))
+      // The probe side must be physically fanned out; explicit count
+      // because AQE would coalesce these byte-tiny but compute-heavy
+      // partitions back together.
+      val a = g.withColumn("blk_b", explode(sequence(lit(0), lit(B - 1))))
+        .withColumnRenamed("blk", "blk_a")
+        .repartition(B * B, col("lang"), col("blk_a"), col("blk_b")).as("a")
+      val b = g.withColumn("blk_a", explode(sequence(lit(0), lit(B - 1))))
+        .withColumnRenamed("blk", "blk_b").as("b")
+      val sizeBand = // necessary condition for J >= 0.9; cheap int math
+        col("a.ntok") * 9 <= col("b.ntok") * 10 &&
+        col("b.ntok") * 9 <= col("a.ntok") * 10
+      // |A ∩ B| via the native two-pointer merge over the sorted
+      // arrays — size(array_intersect(..)) builds a hash set AND an
+      // output array per pair only to throw both away for the scalar;
+      // on millions of candidate pairs that allocation rate (not heap
+      // size) is what stalls the suite. The two-pointer kernel is
+      // O(|A|+|B|) compares with ZERO allocation.
+      val inter = org.apache.spark.sql.graft.CatalystBridge.column(
+        graft.plans.SortedIntersectSize(
+          org.apache.spark.sql.graft.CatalystBridge.expr(col("a.toks")),
+          org.apache.spark.sql.graft.CatalystBridge.expr(col("b.toks"))))
+      // |A∪B| = |A| + |B| - |A∩B| for sets — no concat+distinct array.
+      val candidates = a.join(b,
+          col("a.lang") === col("b.lang") &&
+          col("a.blk_a") === col("b.blk_a") &&
+          col("a.blk_b") === col("b.blk_b") &&
+          col("a.fp") < col("b.fp") && sizeBand)
+        .select(col("a.ids").as("ids_a"), col("b.ids").as("ids_b"),
+          col("a.ntok").as("na"), col("b.ntok").as("nb"), inter.as("inter"))
+      // Stage probe — candidate GENERATION only: the identical
+      // triangle-blocked join with the intersect kernel replaced by a
+      // size sum, so the token arrays still ride the fan-out exchange
+      // (column pruning would otherwise drop them and flatter the
+      // join) but no per-pair merge runs. Consumed by BenchQ30.
+      val candidateShape = a.join(b,
+          col("a.lang") === col("b.lang") &&
+          col("a.blk_a") === col("b.blk_a") &&
+          col("a.blk_b") === col("b.blk_b") &&
+          col("a.fp") < col("b.fp") && sizeBand)
+        .select(sum(size(col("a.toks")) + size(col("b.toks")))
+          .as("szsum"), count(lit(1)).as("n_cand"))
+      // Typed barrier: a Column filter on the jaccard would get pushed
+      // into the join CONDITION, where the intersection would run on
+      // every hash-bucket probe before the cheap band/order
+      // predicates; and a Project computing inter/(na+nb-inter) would
+      // evaluate the intersection TWICE after project collapse. The
+      // closure is opaque to Catalyst: the intersection stays in the
+      // post-join project, computed once per surviving candidate, and
+      // the division is plain JVM arithmetic.
+      import s.implicits._
+      // Qualifying pairs kept at GROUP grain: one row per fingerprint
+      // pair that survives the verify kernel, ids still as arrays.
+      // This is the COLLAPSED representation — k_a·k_b doc pairs ride
+      // in k_a+k_b array slots, so the frame is ~k̄× smaller than the
+      // doc-pair output (sf10x: ~250 k rows of 100-long arrays vs
+      // 2.48 B expanded rows). Persisting HERE (DISK_ONLY, write-once)
+      // is what lets the contract sort see exact output volume without
+      // ever caching anything output-sized: the weights pass below
+      // reads this frame, and the expansion reads it again straight
+      // into the correctly-sized sort shuffle. The verify join
+      // executes exactly once.
+      val qual = graft.CacheRegistry.persistTracked(
+        candidates.as[(Seq[Long], Seq[Long], Int, Int, Int)]
+          .map { case (ia, ib, na, nb, i) =>
+            (ia, ib, i.toDouble / (na + nb - i)) }
+          .filter(_._3 >= 0.9)
+          .toDF("ids_a", "ids_b", "jaccard"),
+        graft.CacheRegistry.OutputSized,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val crossPairs = qual
+        .select(explode(col("ids_a")).as("x"), col("ids_b"), col("jaccard"))
+        .select(col("x"), explode(col("ids_b")).as("y"), col("jaccard"))
+        .select(least(col("x"), col("y")).as("doc_a"),
+          greatest(col("x"), col("y")).as("doc_b"), col("jaccard"))
+      // Within-group pairs: identical token sets, jaccard exactly 1.0.
+      val withinPairs = gp.filter(size(col("ids")) > 1)
+        .select(explode(flatten(transform(col("ids"), (x, i) =>
+          transform(
+            slice(col("ids"), i + lit(2), size(col("ids")) - i - lit(1)),
+            y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"), lit(1.0).as("jaccard"))
+      // Contract ORDER BY with ONE execution and ZERO output-sized
+      // caches (round-7 verdict #1). A plain orderBy range-partitions
+      // its input, and RangePartitioner's sample pass EXECUTES the
+      // whole blocked verify join once before the sort pass executes
+      // it again; round 7's DISK_ONLY cache fixed the double compute
+      // but wrote the output-sized pair frame twice (cache + sort
+      // shuffle — ~90 GB scratch at sf10x, DNF at 99% of disk).
+      // Instead, split bounds for doc_a come from the ALREADY
+      // PERSISTED groups frame: each doc at ascending position p of a
+      // k-dup group is doc_a for exactly (k-1-p) within-group pairs
+      // (+1 smoothing for cross-group matches), so the weighted
+      // doc-id distribution predicts the pair frame's doc_a
+      // distribution without executing the join. RangeSort then
+      // steers bucket i to partition i and sorts within partitions —
+      // the verify join runs exactly once, straight into the sort
+      // shuffle. The two bound actions (min/max + ≤4096-cell collect)
+      // run on the cached gp frame, replacing a sample collect that
+      // executed the output-sized child.
+      val pairs = crossPairs.union(withinPairs)
+        .select(col("doc_a"), col("doc_b"),
+          gf.roundz(col("jaccard"), 4).as("jaccard"))
+      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      // doc_a weight model, BOTH pair families (the sf10x lesson: the
+      // within-group term alone under-predicted 2.48 B pairs as 25 M,
+      // so the sort stayed at 32 partitions and 77 M-row in-partition
+      // sorts OOM'd the heap):
+      //  - within-group (exact): the doc at ascending position p of a
+      //    k-group is doc_a for k−1−p pairs (+1 smoothing);
+      //  - cross-group (from the persisted qual frame): a member of A
+      //    pairs with every member of B and is doc_a for the ~half
+      //    where its id is the smaller — expectation k_b/2 per member
+      //    of A and k_a/2 per member of B. Approximation only skews
+      //    BALANCE (a fat partition spills); order is never affected.
+      // Total predicted weight ≈ true pair count, which is what sizes
+      // the partition count in weightedBounds.
+      val withinWeights = gp
+        .select(size(col("ids")).as("k"),
+          posexplode(col("ids")).as(Seq("pos", "d")))
+        .select(col("d").as("key"),
+          (col("k") - col("pos")).cast("long").as("weight"))
+      val crossWeights = qual
+        .select(size(col("ids_b")).as("kb"), explode(col("ids_a")).as("d"))
+        .select(col("d").as("key"),
+          greatest(col("kb") / 2, lit(1)).cast("long").as("weight"))
+        .unionAll(qual
+          .select(size(col("ids_a")).as("ka"), explode(col("ids_b")).as("d"))
+          .select(col("d").as("key"),
+            greatest(col("ka") / 2, lit(1)).cast("long").as("weight")))
+      val docWeights = withinWeights.unionAll(crossWeights)
+      val bounds = graft.operators.RangeSort.weightedBounds(docWeights, parts)
+      val output = graft.operators.RangeSort.sortedByBounds(
+        pairs, col("doc_a"), bounds, Seq(col("doc_b")))
+      Q30Stages(gp, candidateShape, candidates.select(sum(col("inter"))
+        .as("inter_sum"), count(lit(1)).as("n_cand")), qual, output)
+  }
+
   /** IVF-bucketed embedding near-dup candidate pairs with exact cosine
     * ≥ [[EmbDupThreshold]] — shared by q47 (pair listing) and q66
     * (semantic-dedup clustering). Buckets come from the trained
@@ -767,189 +982,7 @@ object TextQueries {
         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
         |      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      // Exact-dup collapse BEFORE the quadratic verify: identical
-      // token SETS (same canonical fingerprint) pay the
-      // array_intersect once per distinct pair, not once per doc pair
-      // — on a dup-heavy corpus (10-way replicas: 100× the pairs) the
-      // verify cost tracks DISTINCT content, which is how production
-      // pipelines survive this operator (same principle as q59's
-      // distinct-fingerprint banding). Member pairs are expanded
-      // afterward: cross-group pairs inherit the representative
-      // jaccard, within-group pairs are exactly 1.0. Zero-token docs
-      // are excluded up front — their jaccard is NaN (0/0) in both
-      // engines and never reaches the output.
-      val t = Tables.documents(s, dir)
-        .repartition(col("doc_id"))
-        .select(col("doc_id"), col("lang"),
-          org.apache.spark.sql.graft.CatalystBridge.column(
-            graft.plans.ShingleTokens(
-              org.apache.spark.sql.graft.CatalystBridge.expr(trim(col("text"))),
-              1)).as("toks"))
-        .withColumn("ntok", size(col("toks")))
-        .filter(col("ntok") > 0)
-      // Occurrence-order fingerprint, DELIBERATELY not canonical-set:
-      // byte-identical dups (the case that dominates real corpora)
-      // still collapse, while same-set-different-order docs stay in
-      // separate groups — merging them measured SLOWER (PERF.md #11:
-      // giant merged groups concentrate the qualifying-pair
-      // expansion). The verify kernel below still wants sorted input,
-      // so each GROUP (not each pair) sorts one copy of its token
-      // array. collect_list is bounded by the dup group size —
-      // inherent to this operator's contract, whose OUTPUT already
-      // lists every member pair.
-      val groups = t
-        .withColumn("fp", md5(array_join(col("toks"), " ")))
-        .groupBy("lang", "fp")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"),
-          first(col("toks")).as("toks0"), first(col("ntok")).as("ntok"))
-        .withColumn("toks", sort_array(col("toks0")))
-        .drop("toks0")
-      // Candidate generation: triangle-block decomposition, KEPT over
-      // the PPJoin prefix filter after measuring both (PERF #21, the
-      // #11 precedent). The published prefix filter (Chaudhuri/Ganti/
-      // Kaushik SSJoin; Vernica/Carey/Li SIGMOD'10 for the MapReduce
-      // shape) indexes each set's p = |s| - ceil(0.9·|s|) + 1 rarest
-      // tokens and equi-joins on them; on THIS corpus it cut distinct
-      // candidates only 973k → 945k (-3%) while generating 2.2M
-      // pre-distinct pairs plus a df aggregate, a per-group window
-      // sort, and two array re-attach joins — sf1x standalone median
-      // 16 s vs 7 s for the blocked shape. The synthetic vocabulary
-      // is too small for "rare token" selectivity; the size band
-      // already does the pruning prefix filtering would. The groups
-      // frame IS now persisted (the experiment's one keeper): the
-      // fingerprint pipeline above feeds both join sides and the
-      // within-group expansion — one materialization, not three.
-      val gp = graft.CacheRegistry.persistTracked(groups,
-        graft.CacheRegistry.DataSized) // ≤ one row per distinct fingerprint
-      // `lang` alone has ~5 values, so a plain self-equi-join
-      // degenerates to 5 giant tasks no matter how many cores exist.
-      // Each side is replicated across B block ids so the join key
-      // (lang, blk_a, blk_b) fans out to 5·B² balanced cells — the
-      // standard triangle-join parallelization for dense self-joins.
-      val B = 6
-      val g = gp.withColumn("blk",
-        (gf.stableHash(col("fp")) % B).cast("int"))
-      // The probe side must be physically fanned out; explicit count
-      // because AQE would coalesce these byte-tiny but compute-heavy
-      // partitions back together.
-      val a = g.withColumn("blk_b", explode(sequence(lit(0), lit(B - 1))))
-        .withColumnRenamed("blk", "blk_a")
-        .repartition(B * B, col("lang"), col("blk_a"), col("blk_b")).as("a")
-      val b = g.withColumn("blk_a", explode(sequence(lit(0), lit(B - 1))))
-        .withColumnRenamed("blk", "blk_b").as("b")
-      val sizeBand = // necessary condition for J >= 0.9; cheap int math
-        col("a.ntok") * 9 <= col("b.ntok") * 10 &&
-        col("b.ntok") * 9 <= col("a.ntok") * 10
-      // |A ∩ B| via the native two-pointer merge over the sorted
-      // arrays — size(array_intersect(..)) builds a hash set AND an
-      // output array per pair only to throw both away for the scalar;
-      // on millions of candidate pairs that allocation rate (not heap
-      // size) is what stalls the suite. The two-pointer kernel is
-      // O(|A|+|B|) compares with ZERO allocation.
-      val inter = org.apache.spark.sql.graft.CatalystBridge.column(
-        graft.plans.SortedIntersectSize(
-          org.apache.spark.sql.graft.CatalystBridge.expr(col("a.toks")),
-          org.apache.spark.sql.graft.CatalystBridge.expr(col("b.toks"))))
-      // |A∪B| = |A| + |B| - |A∩B| for sets — no concat+distinct array.
-      val candidates = a.join(b,
-          col("a.lang") === col("b.lang") &&
-          col("a.blk_a") === col("b.blk_a") &&
-          col("a.blk_b") === col("b.blk_b") &&
-          col("a.fp") < col("b.fp") && sizeBand)
-        .select(col("a.ids").as("ids_a"), col("b.ids").as("ids_b"),
-          col("a.ntok").as("na"), col("b.ntok").as("nb"), inter.as("inter"))
-      // Typed barrier: a Column filter on the jaccard would get pushed
-      // into the join CONDITION, where the intersection would run on
-      // every hash-bucket probe before the cheap band/order
-      // predicates; and a Project computing inter/(na+nb-inter) would
-      // evaluate the intersection TWICE after project collapse. The
-      // closure is opaque to Catalyst: the intersection stays in the
-      // post-join project, computed once per surviving candidate, and
-      // the division is plain JVM arithmetic.
-      import s.implicits._
-      // Qualifying pairs kept at GROUP grain: one row per fingerprint
-      // pair that survives the verify kernel, ids still as arrays.
-      // This is the COLLAPSED representation — k_a·k_b doc pairs ride
-      // in k_a+k_b array slots, so the frame is ~k̄× smaller than the
-      // doc-pair output (sf10x: ~250 k rows of 100-long arrays vs
-      // 2.48 B expanded rows). Persisting HERE (DISK_ONLY, write-once)
-      // is what lets the contract sort see exact output volume without
-      // ever caching anything output-sized: the weights pass below
-      // reads this frame, and the expansion reads it again straight
-      // into the correctly-sized sort shuffle. The verify join
-      // executes exactly once.
-      val qual = graft.CacheRegistry.persistTracked(
-        candidates.as[(Seq[Long], Seq[Long], Int, Int, Int)]
-          .map { case (ia, ib, na, nb, i) =>
-            (ia, ib, i.toDouble / (na + nb - i)) }
-          .filter(_._3 >= 0.9)
-          .toDF("ids_a", "ids_b", "jaccard"),
-        graft.CacheRegistry.OutputSized,
-        org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      val crossPairs = qual
-        .select(explode(col("ids_a")).as("x"), col("ids_b"), col("jaccard"))
-        .select(col("x"), explode(col("ids_b")).as("y"), col("jaccard"))
-        .select(least(col("x"), col("y")).as("doc_a"),
-          greatest(col("x"), col("y")).as("doc_b"), col("jaccard"))
-      // Within-group pairs: identical token sets, jaccard exactly 1.0.
-      val withinPairs = gp.filter(size(col("ids")) > 1)
-        .select(explode(flatten(transform(col("ids"), (x, i) =>
-          transform(
-            slice(col("ids"), i + lit(2), size(col("ids")) - i - lit(1)),
-            y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
-        .select(col("p.doc_a"), col("p.doc_b"), lit(1.0).as("jaccard"))
-      // Contract ORDER BY with ONE execution and ZERO output-sized
-      // caches (round-7 verdict #1). A plain orderBy range-partitions
-      // its input, and RangePartitioner's sample pass EXECUTES the
-      // whole blocked verify join once before the sort pass executes
-      // it again; round 7's DISK_ONLY cache fixed the double compute
-      // but wrote the output-sized pair frame twice (cache + sort
-      // shuffle — ~90 GB scratch at sf10x, DNF at 99% of disk).
-      // Instead, split bounds for doc_a come from the ALREADY
-      // PERSISTED groups frame: each doc at ascending position p of a
-      // k-dup group is doc_a for exactly (k-1-p) within-group pairs
-      // (+1 smoothing for cross-group matches), so the weighted
-      // doc-id distribution predicts the pair frame's doc_a
-      // distribution without executing the join. RangeSort then
-      // steers bucket i to partition i and sorts within partitions —
-      // the verify join runs exactly once, straight into the sort
-      // shuffle. The two bound actions (min/max + ≤4096-cell collect)
-      // run on the cached gp frame, replacing a sample collect that
-      // executed the output-sized child.
-      val pairs = crossPairs.union(withinPairs)
-        .select(col("doc_a"), col("doc_b"),
-          gf.roundz(col("jaccard"), 4).as("jaccard"))
-      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
-      // doc_a weight model, BOTH pair families (the sf10x lesson: the
-      // within-group term alone under-predicted 2.48 B pairs as 25 M,
-      // so the sort stayed at 32 partitions and 77 M-row in-partition
-      // sorts OOM'd the heap):
-      //  - within-group (exact): the doc at ascending position p of a
-      //    k-group is doc_a for k−1−p pairs (+1 smoothing);
-      //  - cross-group (from the persisted qual frame): a member of A
-      //    pairs with every member of B and is doc_a for the ~half
-      //    where its id is the smaller — expectation k_b/2 per member
-      //    of A and k_a/2 per member of B. Approximation only skews
-      //    BALANCE (a fat partition spills); order is never affected.
-      // Total predicted weight ≈ true pair count, which is what sizes
-      // the partition count in weightedBounds.
-      val withinWeights = gp
-        .select(size(col("ids")).as("k"),
-          posexplode(col("ids")).as(Seq("pos", "d")))
-        .select(col("d").as("key"),
-          (col("k") - col("pos")).cast("long").as("weight"))
-      val crossWeights = qual
-        .select(size(col("ids_b")).as("kb"), explode(col("ids_a")).as("d"))
-        .select(col("d").as("key"),
-          greatest(col("kb") / 2, lit(1)).cast("long").as("weight"))
-        .unionAll(qual
-          .select(size(col("ids_a")).as("ka"), explode(col("ids_b")).as("d"))
-          .select(col("d").as("key"),
-            greatest(col("ka") / 2, lit(1)).cast("long").as("weight")))
-      val docWeights = withinWeights.unionAll(crossWeights)
-      val bounds = graft.operators.RangeSort.weightedBounds(docWeights, parts)
-      graft.operators.RangeSort.sortedByBounds(
-        pairs, col("doc_a"), bounds, Seq(col("doc_b")))
+      jaccardStages(s, dir).output
     },
 
     // Brute-force cosine similarity baseline: for each query vector
@@ -3251,66 +3284,75 @@ object TextQueries {
          |JOIN sizes sa ON sa.doc_id = c.doc_new
          |JOIN sizes sb ON sb.doc_id = c.doc_old
          |ORDER BY c.doc_new, c.doc_old""".stripMargin) { (s, dir) =>
-      val isNew = gf.stableHash(col("doc_id").cast("string")) % 10000 < 1000
-      val sig = shingled(Tables.documents(s, dir))
-        .select(col("doc_id"), (shingleHash(col("tok")) % MinhashP).as("h"))
-        .groupBy("doc_id")
-        .agg(minhashAggs(col("h")).head, minhashAggs(col("h")).tail: _*)
-      val bandStructs = array((0 until Bands).map { b =>
-        struct(lit(b).as("band_idx"), bandCol(b).as("band_hash"))
-      }: _*)
-      val bands = sig
-        .select(col("doc_id"), isNew.as("is_new"),
-          explode(bandStructs).as("bd"))
-        .select(col("doc_id"), col("is_new"),
-          col("bd.band_idx").as("band_idx"),
-          col("bd.band_hash").as("band_hash"))
-      // One pass over the buckets: collect the new and existing
-      // members separately, emit only the cross pairs — bucket sizes
-      // bound the blow-up (LSH's contract), and the asymmetric split
-      // means a bucket full of existing docs emits nothing.
-      val buckets = bands
-        .groupBy("band_idx", "band_hash")
-        .agg(
-          sort_array(collect_list(when(col("is_new"), col("doc_id"))))
-            .as("new_ids"),
-          sort_array(collect_list(when(!col("is_new"), col("doc_id"))))
-            .as("old_ids"))
-        .filter(size(col("new_ids")) > 0 && size(col("old_ids")) > 0)
-      val cand = buckets
-        .select(explode(flatten(transform(col("new_ids"), a =>
-          transform(col("old_ids"), b =>
-            struct(a.as("doc_new"), b.as("doc_old")))))).as("p"))
-        .select(col("p.doc_new").as("doc_new"), col("p.doc_old").as("doc_old"))
-        .distinct()
-      // Exact verify on candidates only: canonical sorted shingle sets
-      // joined in by doc_id (the candidate side is bucket-bounded), a
-      // codegen'd two-pointer intersection per pair.
-      val toks = Tables.documents(s, dir)
+      // DISTINCT-CONTENT COLLAPSE over the shared tables (r14, VERDICT
+      // r13 item 6 — q87 was re-signaturing the full union every run
+      // while textGroupsFor/repPairsFor already carry the corpus'
+      // banding): signatures and band hashes are pure functions of the
+      // trimmed text, so (a) a banded candidate between two docs
+      // exists iff their GROUPS band — the materialized repPairsFor
+      // edge set — or they share a group (≥ 2 members with a shingle
+      // signature), and (b) every raw pair of a rep pair carries the
+      // REP pair's exact jaccard (identical texts ⇒ identical shingle
+      // sets), within-group pairs exactly 1.0. The signature pass thus
+      // runs once per corpus (the shared tables), the verify kernel
+      // once per banded GROUP pair, and the output is an arithmetic
+      // expansion oriented by the is_new flag (a doc_id hash, so dup
+      // groups split across new/old). Parity with the raw asymmetric
+      // banding is pinned by `CollapseParitySpec` on the dup-heavy
+      // fixture.
+      val members = textGroupMembers(s, dir)
+        .withColumn("is_new",
+          gf.stableHash(col("vid").cast("string")) % 10000 < 1000)
+      val news = members.filter(col("is_new"))
+        .select(col("gid"), col("vid").as("doc_new"))
+      val olds = members.filter(!col("is_new"))
+        .select(col("gid"), col("vid").as("doc_old"))
+      // One exact verify per banded rep pair (bucket-bounded list,
+      // canonical sorted shingle sets off the distinct-text table).
+      val toks = textGroupsFor(s, dir)
         .select(col("doc_id"),
           org.apache.spark.sql.graft.CatalystBridge.column(
             graft.plans.ShingleTokens(
-              org.apache.spark.sql.graft.CatalystBridge.expr(trim(col("text"))),
+              org.apache.spark.sql.graft.CatalystBridge.expr(col("txt")),
               3, dedupe = true, sorted = true)).as("toks"))
         .withColumn("n", size(col("toks")))
-      val a = toks.select(col("doc_id").as("doc_new"), col("toks").as("ta"),
-        col("n").as("na"))
-      val b = toks.select(col("doc_id").as("doc_old"), col("toks").as("tb"),
-        col("n").as("nb"))
       val inter = org.apache.spark.sql.graft.CatalystBridge.column(
         graft.plans.SortedIntersectSize(
           org.apache.spark.sql.graft.CatalystBridge.expr(col("ta")),
           org.apache.spark.sql.graft.CatalystBridge.expr(col("tb"))))
+      val repJ = repPairsFor(s, dir)
+        .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta"),
+          col("n").as("na")), "doc_a")
+        .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb"),
+          col("n").as("nb")), "doc_b")
+        .select(col("doc_a").as("ga"), col("doc_b").as("gb"),
+          gf.roundz(inter.cast("double") / (col("na") + col("nb") - inter), 4)
+            .as("jaccard"))
+      // Cross-group expansion in BOTH orientations (the banded-pair
+      // relation is symmetric; the new/old roles are not).
+      val cross = repJ
+        .join(news.withColumnRenamed("gid", "ga"), "ga")
+        .join(olds.withColumnRenamed("gid", "gb"), "gb")
+        .select(col("doc_new"), col("doc_old"), col("jaccard"))
+        .union(repJ
+          .join(news.withColumnRenamed("gid", "gb"), "gb")
+          .join(olds.withColumnRenamed("gid", "ga"), "ga")
+          .select(col("doc_new"), col("doc_old"), col("jaccard")))
+      // Within-group: identical texts, jaccard exactly 1.0 — gated on
+      // the group actually having a shingle signature (the sig
+      // contract: < 3 tokens ⇒ no bands ⇒ no raw candidates).
+      val withinG = members.filter(col("n") >= 2 && col("sig"))
+      val within = withinG.filter(col("is_new"))
+        .select(col("gid"), col("vid").as("doc_new"))
+        .join(withinG.filter(!col("is_new"))
+          .select(col("gid"), col("vid").as("doc_old")), "gid")
+        .select(col("doc_new"), col("doc_old"), lit(1.0).as("jaccard"))
       // Persist before the contract ORDER BY: the sort's range-
-      // partitioner sample pass would otherwise re-execute the verify
-      // join (the q30 note) — the pair frame is output-sized, so
+      // partitioner sample pass would otherwise re-execute the
+      // expansion (the q30 note) — the pair frame is output-sized, so
       // DISK_ONLY (streamed write, no unroll; see CacheRegistry).
-      // Tracked for CacheRegistry.drain() by embedded callers.
       graft.CacheRegistry.persistTracked(
-          cand.join(a, "doc_new").join(b, "doc_old")
-            .select(col("doc_new"), col("doc_old"),
-              gf.roundz(inter.cast("double") / (col("na") + col("nb") - inter), 4)
-                .as("jaccard")),
+          cross.union(within),
           graft.CacheRegistry.OutputSized, // pair frame — can dwarf the input
           org.apache.spark.storage.StorageLevel.DISK_ONLY)
         .orderBy("doc_new", "doc_old")

@@ -158,6 +158,52 @@ class CollapseParitySpec extends SparkSpec {
     want.exists(r => r._1 != r._2) shouldBe true
   }
 
+  test("q87 incremental-dedup collapse ≡ raw asymmetric banding over raw rows") {
+    // Raw reference: banded candidates in either orientation with the
+    // earlier side NEW (10% doc_id-hash flag) and the later side OLD,
+    // verified by exact 3-shingle jaccard over canonical sorted sets —
+    // the pre-collapse q87 algorithm spelled over raw rows.
+    val flags = docs.select(col("doc_id"),
+      (graft.functions.stableHash(col("doc_id").cast("string")) % 10000
+        < 1000).as("nu"))
+    val both = rawPairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(rawPairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    val cand = both
+      .join(flags.select(col("doc_id").as("u"), col("nu")), "u")
+      .join(flags.select(col("doc_id").as("v"), col("nu").as("nv")), "v")
+      .filter(col("nu") && !col("nv"))
+      .select(col("u").as("doc_new"), col("v").as("doc_old"))
+    val toks = docs.select(col("doc_id"),
+      org.apache.spark.sql.graft.CatalystBridge.column(
+        graft.plans.ShingleTokens(
+          org.apache.spark.sql.graft.CatalystBridge.expr(trim(col("text"))),
+          3, dedupe = true, sorted = true)).as("toks"))
+      .withColumn("n", org.apache.spark.sql.functions.size(col("toks")))
+    val inter = org.apache.spark.sql.graft.CatalystBridge.column(
+      graft.plans.SortedIntersectSize(
+        org.apache.spark.sql.graft.CatalystBridge.expr(col("ta")),
+        org.apache.spark.sql.graft.CatalystBridge.expr(col("tb"))))
+    val want = cand
+      .join(toks.select(col("doc_id").as("doc_new"), col("toks").as("ta"),
+        col("n").as("na")), "doc_new")
+      .join(toks.select(col("doc_id").as("doc_old"), col("toks").as("tb"),
+        col("n").as("nb")), "doc_old")
+      .select(col("doc_new"), col("doc_old"),
+        graft.functions.roundz(
+          inter.cast("double") / (col("na") + col("nb") - inter), 4)
+          .as("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+    val got = build("q87_incremental_dedup")
+      .as[(Long, Long, Double)].collect().toSet
+    got shouldBe want
+    // the collapse's clique path fired: within-group new×old pairs
+    // surface at jaccard exactly 1.0
+    want.exists(_._3 == 1.0) shouldBe true
+    // and duplicated SHORT texts (ids ≥ 110, no shingle signature)
+    // never produce candidates in either algorithm
+    want.exists(p => p._1 >= 110L || p._2 >= 110L) shouldBe false
+  }
+
   test("q50/q100 group-level loser set ≡ cleanCorpus over the raw pair list") {
     val gotClean = build("q50_clean_corpus").as[Long].collect().toSet
     val wantClean = graft.operators.Dedup
