@@ -449,8 +449,32 @@ object Similarity {
       skewFactor: Int = 4, staleTenths: Int = 6,
       rebuildTenths: Int = 3): DataFrame = {
     val spark = baseCounts.sparkSession
+    healthCensus(spark.table(index.assignedTable),
+      spark.table(index.centroidTable), baseCounts,
+      skewFactor, staleTenths, rebuildTenths)
+  }
+
+  /** [[appendHealth]] for a STREAM-GROWN index (T164's serving shape):
+    * the same census and rebuild policy with the un-compacted snapshot
+    * DELTA counted as appended mass alongside any bucketed-table
+    * appends — so the rebuild trigger watches exactly what
+    * [[ivfTopKWithDelta]] serves. `delta` is rows shaped like the
+    * assigned table (the ingest stream's snapshot store). */
+  def appendHealthWithDelta(index: IvfIndex, baseCounts: DataFrame,
+      delta: DataFrame, skewFactor: Int = 4, staleTenths: Int = 6,
+      rebuildTenths: Int = 3): DataFrame = {
+    val spark = baseCounts.sparkSession
+    val base = spark.table(index.assignedTable)
+    healthCensus(base.unionByName(delta.select(base.columns.map(col): _*)),
+      spark.table(index.centroidTable), baseCounts,
+      skewFactor, staleTenths, rebuildTenths)
+  }
+
+  private def healthCensus(assigned: DataFrame, centroids: DataFrame,
+      baseCounts: DataFrame, skewFactor: Int, staleTenths: Int,
+      rebuildTenths: Int): DataFrame = {
     val census = graft.CacheRegistry.persistTracked(
-      spark.table(index.assignedTable)
+      assigned
         .groupBy("bucket").agg(count(lit(1)).as("n_total"))
         .join(baseCounts.select(col("bucket"), col("n_base")),
           Seq("bucket"), "left")
@@ -458,8 +482,7 @@ object Similarity {
           col("n_total"))
         .withColumn("n_app", col("n_total") - col("n_base")),
       graft.CacheRegistry.DataSized) // ≤ nlist rows
-    val nb = spark.table(index.centroidTable)
-      .agg(count(lit(1)).as("n_buckets"))
+    val nb = centroids.agg(count(lit(1)).as("n_buckets"))
     val tot = census.agg(sum("n_total").as("tot"), sum("n_app").as("app_tot"))
     val per = census.crossJoin(broadcast(nb)).crossJoin(broadcast(tot))
       .withColumn("flag_skew",

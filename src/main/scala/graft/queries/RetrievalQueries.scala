@@ -372,6 +372,124 @@ object RetrievalQueries {
           Seq(graft.plans.TopKPerKey.desc("rrf"),
             graft.plans.TopKPerKey.asc("doc_id")), TopDocs)
         .orderBy(asc("term"), desc("rrf"), asc("doc_id"))
+    },
+
+    // T166 — query-likelihood retrieval with Dirichlet smoothing
+    // (Zhai & Lafferty 2001, the language-modeling IR baseline next to
+    // q126's BM25): five two-term queries (the probe terms paired in
+    // df order), each document scored by
+    //   Π_t (tf(t,d) + μ·p(t|C)) / (|d| + μ),  μ = 2000
+    // — the PRODUCT form, not the usual Σ log: it is rank-equivalent
+    // and every operation is +,×,÷ on exact integers, so scores are
+    // bit-identical cross-engine BY CONSTRUCTION (no libm ln in the
+    // rank, the q157 stance; rounding is cosmetic, not load-bearing).
+    //
+    // Scale shape — the smoothing term means every doc scores (a
+    // zero-match doc still has Π μ·p_t/(|d|+μ)), but the naive
+    // all-docs × queries scan is NOT needed for exact top-k: for
+    // tf = 0 the score is STRICTLY DECREASING in |d| (numerators
+    // constant), with ties broken by doc_id — so the only zero-match
+    // docs that can reach a top-k are the k smallest by (|d| asc,
+    // doc_id asc), a query-independent TakeOrderedAndProject. Exact
+    // candidates = (union of the query terms' posting lists, a
+    // broadcast semi-join off the persisted tf backbone) ∪ (those k
+    // shortest docs), every frame bounded; the oracle scores ALL
+    // docs, so the shortcut's exactness is itself oracle-gated.
+    QueryDef("q183_query_likelihood",
+      s"""WITH $toksSql, tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+        |), df AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), qt AS (
+        |  SELECT term, row_number() OVER (ORDER BY df DESC, term) AS idx
+        |  FROM (SELECT term, df FROM df ORDER BY df DESC, term LIMIT $NQueryTerms)
+        |), qp AS (
+        |  SELECT term, CAST((idx - 1) // 2 AS BIGINT) AS qid,
+        |    (idx - 1) % 2 + 1 AS pos
+        |  FROM qt
+        |), cf AS (
+        |  SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1
+        |), ctot AS (
+        |  SELECT CAST(sum(tf) AS BIGINT) AS ctot FROM tf
+        |), qm AS (
+        |  SELECT qid,
+        |    max(CASE WHEN pos = 1 THEN cf.cf END) AS cf1,
+        |    max(CASE WHEN pos = 2 THEN cf.cf END) AS cf2
+        |  FROM qp JOIN cf USING (term) GROUP BY qid
+        |), dl AS (
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dln FROM tf GROUP BY 1
+        |), m AS (
+        |  SELECT d.doc_id, q.qid, d.dln,
+        |    CAST(coalesce(max(CASE WHEN qp.pos = 1 THEN tf.tf END), 0) AS BIGINT) AS tf1,
+        |    CAST(coalesce(max(CASE WHEN qp.pos = 2 THEN tf.tf END), 0) AS BIGINT) AS tf2
+        |  FROM dl d
+        |  CROSS JOIN (SELECT DISTINCT qid FROM qp) q
+        |  LEFT JOIN qp ON qp.qid = q.qid
+        |  LEFT JOIN tf ON tf.doc_id = d.doc_id AND tf.term = qp.term
+        |  GROUP BY d.doc_id, q.qid, d.dln
+        |), scored AS (
+        |  SELECT qid, doc_id,
+        |    ((tf1 + $DirichletMu * (CAST(cf1 AS DOUBLE) / ctot)) / (dln + $DirichletMu))
+        |    * ((tf2 + $DirichletMu * (CAST(cf2 AS DOUBLE) / ctot)) / (dln + $DirichletMu)) AS s
+        |  FROM m JOIN qm USING (qid) CROSS JOIN ctot
+        |), ranked AS (
+        |  SELECT qid, doc_id, s,
+        |    row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id) AS rk
+        |  FROM scored
+        |)
+        |SELECT qid, doc_id, round(s, 9) + 0.0 AS score
+        |FROM ranked WHERE rk <= $TopDocs
+        |ORDER BY qid, score DESC, doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tf = graft.CacheRegistry.persistTracked(tfFrame(s, dir),
+        graft.CacheRegistry.DataSized)
+      val dfF = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      // 10-row probe frame → (term, qid, pos); the window runs over 10
+      // rows, never the vocabulary.
+      val qp = dfF.orderBy(desc("df"), asc("term")).limit(NQueryTerms)
+        .withColumn("idx",
+          row_number().over(Window.orderBy(desc("df"), asc("term"))))
+        .select(col("term"), expr("CAST((idx - 1) div 2 AS BIGINT)").as("qid"),
+          expr("(idx - 1) % 2 + 1").as("pos"))
+      val cf = tf.join(broadcast(qp.select("term")), "term")
+        .groupBy("term").agg(sum("tf").as("cf"))
+      val ctot = tf.agg(sum("tf").as("ctot")) // lazy 1-row broadcast
+      val qm = qp.join(cf, "term")
+        .groupBy("qid")
+        .agg(max(when(col("pos") === 1, col("cf"))).as("cf1"),
+          max(when(col("pos") === 2, col("cf"))).as("cf2"))
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dln"))
+      // Matched candidates off the posting lists (broadcast semi-join).
+      val matched = tf.join(broadcast(qp), "term")
+        .groupBy("doc_id", "qid")
+        .agg(coalesce(max(when(col("pos") === 1, col("tf"))), lit(0L)).as("tf1"),
+          coalesce(max(when(col("pos") === 2, col("tf"))), lit(0L)).as("tf2"))
+      // Zero-match candidates: the TopDocs shortest docs — the only
+      // zero-match rows that can reach any query's top-k (score
+      // strictly decreasing in dln at tf = 0, doc_id breaks dln ties).
+      val shortest = dl.orderBy(asc("dln"), asc("doc_id")).limit(TopDocs)
+        .crossJoin(broadcast(qm.select("qid")))
+        .select(col("doc_id"), col("qid"), lit(0L).as("tf1"), lit(0L).as("tf2"))
+      // A shortest doc can also be matched: keep the real tfs.
+      val cand = matched.unionByName(shortest)
+        .groupBy("doc_id", "qid")
+        .agg(max("tf1").as("tf1"), max("tf2").as("tf2"))
+      val mu = lit(DirichletMu)
+      val sExpr =
+        ((col("tf1") + mu * (col("cf1").cast("double") / col("ctot")))
+          / (col("dln") + mu)) *
+        ((col("tf2") + mu * (col("cf2").cast("double") / col("ctot")))
+          / (col("dln") + mu))
+      val scored = cand
+        .join(dl, "doc_id")
+        .join(broadcast(qm), "qid")
+        .crossJoin(broadcast(ctot))
+        .select(col("qid"), col("doc_id"), sExpr.as("s"))
+      graft.plans.TopKPerKey(scored, Seq("qid"),
+          Seq(graft.plans.TopKPerKey.desc("s"),
+            graft.plans.TopKPerKey.asc("doc_id")), TopDocs)
+        .select(col("qid"), col("doc_id"), gf.roundz(col("s"), 9).as("score"))
+        .orderBy(asc("qid"), desc("score"), asc("doc_id"))
     }
   )
 
@@ -379,4 +497,9 @@ object RetrievalQueries {
     * scorer's top-10. `lazy`: referenced from `defs` above. */
   private lazy val RrfK = 60
   private lazy val RankDepth = 10
+
+  /** Dirichlet smoothing mass (Zhai & Lafferty's recommended range is
+    * 500–10000; 2000 is the standard default). Written `2000.0` so
+    * both engines parse the identical double literal. */
+  private lazy val DirichletMu = 2000.0
 }

@@ -5707,6 +5707,112 @@ object TextQueries {
           when(coalesce(col("n_hit"), lit(0L)) > 0, 1L).otherwise(0L)
             .as("contaminated"))
         .orderBy("doc_id")
+    },
+
+    // T167 — MinHash ESTIMATOR calibration census (Broder 1997's
+    // theorem says E[fraction of agreeing signature slots] = Jaccard;
+    // this measures how well the 16-slot estimate actually tracks the
+    // exact value on THIS corpus' candidates): per banded candidate
+    // pair, estimate = agreeing-slots/16 vs exact 3-shingle Jaccard,
+    // censused by |error| decile — the sizing evidence for the
+    // signature-budget knob (T102 plans banding ANALYTICALLY; q156
+    // censuses candidate PRECISION; this censuses the ESTIMATOR, the
+    // third leg). Scale: rides the shared distinct-text tables —
+    // signatures and exact verifies run once per banded GROUP pair,
+    // raw-pair mass expands arithmetically (cross = nA·nB, dup cliques
+    // = C(n,2) at est = J = 1); per-pair means accumulate as
+    // floor(·1e9 + 0.5) micro-longs so cross-engine fold order cannot
+    // drift; the error-band boundary is a float compare on the SAME
+    // exact-ratio doubles both engines compute.
+    QueryDef("q184_minhash_calibration",
+      s"""$lshPairsSql, sz AS (
+         |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+         |), ix AS (
+         |  SELECT p.doc_a, p.doc_b, count(*) AS i
+         |  FROM pairs p
+         |  JOIN sh a ON a.doc_id = p.doc_a
+         |  JOIN sh b ON b.doc_id = p.doc_b AND b.tok = a.tok
+         |  GROUP BY 1, 2
+         |), per AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |    (${(0 until NumHashes).map(i =>
+              s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+              .mkString(" + ")}) / 16.0 AS est,
+         |    CAST(coalesce(ix.i, 0) AS DOUBLE)
+         |      / (za.n + zb.n - coalesce(ix.i, 0)) AS j
+         |  FROM pairs p
+         |  JOIN sig sa ON sa.doc_id = p.doc_a
+         |  JOIN sig sb ON sb.doc_id = p.doc_b
+         |  JOIN sz za ON za.doc_id = p.doc_a
+         |  JOIN sz zb ON zb.doc_id = p.doc_b
+         |  LEFT JOIN ix ON ix.doc_a = p.doc_a AND ix.doc_b = p.doc_b
+         |), quant AS (
+         |  SELECT CAST(floor(abs(est - j) * 10.0) AS BIGINT) AS err_band,
+         |    CAST(floor(est * 1000000000.0 + 0.5) AS BIGINT) AS estq,
+         |    CAST(floor(j * 1000000000.0 + 0.5) AS BIGINT) AS jq
+         |  FROM per
+         |)
+         |SELECT err_band, count(*) AS n_pairs,
+         |  round(CAST(sum(estq) AS DOUBLE) / count(*) / 1000000000.0, 9) + 0.0
+         |    AS mean_est,
+         |  round(CAST(sum(jq) AS DOUBLE) / count(*) / 1000000000.0, 9) + 0.0
+         |    AS mean_jaccard
+         |FROM quant GROUP BY err_band ORDER BY err_band""".stripMargin) { (s, dir) =>
+      val groups = textGroupsFor(s, dir) // shared disk-backed groups
+      val repPairs = repPairsFor(s, dir) // shared banding result
+      val reps = groups.select(col("doc_id"), col("txt").as("text"))
+      val sig = graft.operators.MinHashLsh.signatures(reps, NumHashes)
+      val sa = sig.select(col("doc_id").as("doc_a") +:
+        (0 until NumHashes).map(i => col(s"mh$i").as(s"a_mh$i")): _*)
+      val sb = sig.select(col("doc_id").as("doc_b") +:
+        (0 until NumHashes).map(i => col(s"mh$i").as(s"b_mh$i")): _*)
+      val agree = (0 until NumHashes)
+        .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      val toks = groups
+        .select(col("doc_id"),
+          org.apache.spark.sql.graft.CatalystBridge.column(
+            graft.plans.ShingleTokens(
+              org.apache.spark.sql.graft.CatalystBridge.expr(col("txt")),
+              3, dedupe = true, sorted = true)).as("toks"))
+        .withColumn("n", size(col("toks")))
+      val inter = org.apache.spark.sql.graft.CatalystBridge.column(
+        graft.plans.SortedIntersectSize(
+          org.apache.spark.sql.graft.CatalystBridge.expr(col("ta")),
+          org.apache.spark.sql.graft.CatalystBridge.expr(col("tb"))))
+      val mcnt = groups.select(col("doc_id"), col("n").as("members"))
+      val est = agree / lit(16.0)
+      val jac = inter.cast("double") / (col("na") + col("nb") - inter)
+      val crossQ = repPairs
+        .join(sa, "doc_a").join(sb, "doc_b")
+        .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta"),
+          col("n").as("na")), "doc_a")
+        .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb"),
+          col("n").as("nb")), "doc_b")
+        .join(mcnt.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("members", "ma"), "doc_a")
+        .join(mcnt.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("members", "mb"), "doc_b")
+        .select((col("ma") * col("mb")).as("w"),
+          floor(abs(est - jac) * lit(10.0)).cast("long").as("err_band"),
+          floor(est * lit(1000000000.0) + 0.5).cast("long").as("estq"),
+          floor(jac * lit(1000000000.0) + 0.5).cast("long").as("jq"))
+      // Dup-group cliques: identical texts ⇒ identical signatures AND
+      // identical shingle sets ⇒ est = j = 1 exactly, error band 0 —
+      // gated on the group having a signature (≥ 3 tokens).
+      val within = groups
+        .filter(col("n") >= 2 && size(gf.tokens(col("txt"))) >= 3)
+        .select(expr("(n * (n - 1)) div 2").as("w"),
+          lit(0L).as("err_band"),
+          lit(1000000000L).as("estq"), lit(1000000000L).as("jq"))
+      crossQ.union(within)
+        .groupBy("err_band")
+        .agg(sum("w").as("n_pairs"),
+          gf.roundz(sum(col("estq") * col("w")).cast("double")
+            / sum(col("w")) / lit(1000000000.0), 9).as("mean_est"),
+          gf.roundz(sum(col("jq") * col("w")).cast("double")
+            / sum(col("w")) / lit(1000000000.0), 9).as("mean_jaccard"))
+        .orderBy("err_band")
     }
   )
 

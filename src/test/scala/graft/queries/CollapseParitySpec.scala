@@ -228,6 +228,54 @@ class CollapseParitySpec extends SparkSpec {
     gotSavings shouldBe wantSavings
   }
 
+  test("q184 estimator-calibration census ≡ raw-pair census") {
+    // Raw reference: per RAW banded pair, signature-agreement estimate
+    // (16 slots) vs exact 3-shingle jaccard, micro-long quantized and
+    // censused by error decile — the pre-collapse algorithm.
+    val nH = 16
+    val sig = graft.operators.MinHashLsh.signatures(docs, nH)
+    val sa = sig.select(col("doc_id").as("doc_a") +:
+      (0 until nH).map(i => col(s"mh$i").as(s"a_mh$i")): _*)
+    val sb = sig.select(col("doc_id").as("doc_b") +:
+      (0 until nH).map(i => col(s"mh$i").as(s"b_mh$i")): _*)
+    val agree = (0 until nH)
+      .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val toks = docs.select(col("doc_id"),
+      org.apache.spark.sql.graft.CatalystBridge.column(
+        graft.plans.ShingleTokens(
+          org.apache.spark.sql.graft.CatalystBridge.expr(trim(col("text"))),
+          3, dedupe = true, sorted = true)).as("toks"))
+      .withColumn("n", org.apache.spark.sql.functions.size(col("toks")))
+    val inter = org.apache.spark.sql.graft.CatalystBridge.column(
+      graft.plans.SortedIntersectSize(
+        org.apache.spark.sql.graft.CatalystBridge.expr(col("ta")),
+        org.apache.spark.sql.graft.CatalystBridge.expr(col("tb"))))
+    val est = agree / lit(16.0)
+    val jac = inter.cast("double") / (col("na") + col("nb") - inter)
+    val want = rawPairs
+      .join(sa, "doc_a").join(sb, "doc_b")
+      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta"),
+        col("n").as("na")), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb"),
+        col("n").as("nb")), "doc_b")
+      .select(floor(abs(est - jac) * lit(10.0)).cast("long").as("err_band"),
+        floor(est * lit(1000000000.0) + 0.5).cast("long").as("estq"),
+        floor(jac * lit(1000000000.0) + 0.5).cast("long").as("jq"))
+      .groupBy("err_band")
+      .agg(count(lit(1)).as("n_pairs"),
+        graft.functions.roundz(sum("estq").cast("double")
+          / count(lit(1)) / lit(1000000000.0), 9).as("mean_est"),
+        graft.functions.roundz(sum("jq").cast("double")
+          / count(lit(1)) / lit(1000000000.0), 9).as("mean_jaccard"))
+      .as[(Long, Long, Double, Double)].collect().toSet
+    val got = build("q184_minhash_calibration")
+      .as[(Long, Long, Double, Double)].collect().toSet
+    got shouldBe want
+    // the dup cliques fired: the zero-error band carries them
+    want.find(_._1 == 0L).get._2 should be >= (12L * 5 * 4 / 2)
+  }
+
   test("q47/q66 embedding collapse ≡ raw in-bucket pair stream") {
     import graft.operators.{Dedup, Similarity}
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")

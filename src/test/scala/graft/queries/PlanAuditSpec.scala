@@ -175,7 +175,15 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
     "q175_temperature_mix",
     // q176: the 1-row (g_reps, tot_tok) totals broadcast crossed onto
     // the 5-row literal theta grid — both sides bounded constants.
-    "q176_dedup_survival")
+    "q176_dedup_survival",
+    // q182: the census ∥ 1-row n_buckets ∥ 1-row totals ∥ 1-row
+    // rebuild-flag crosses — every frame ≤ nlist rows (appendHealth's
+    // documented shape).
+    "q182_ivf_append_health",
+    // q183: the 1-row corpus-token total (ctot) broadcast crossed onto
+    // the candidate stream, plus the 5-row query frame onto the
+    // k-shortest docs — the q46/q68 lazy-totals pattern.
+    "q183_query_likelihood")
 
   test("suite-wide: nested-loop joins only as broadcast builds of bounded frames") {
     val offenders = SparkEntry.allDefs.flatMap { d =>

@@ -124,6 +124,21 @@ class EmbeddingStreamsSpec extends SparkSpec {
       .select("qid", "vec_id", "cos", "rank")
       .as[(Long, Long, Double, Long)].collect().toSet
 
+    // T168 composition: the append-health census over the stream-grown
+    // serving set (base ∪ delta) equals the appendToIndex twin's
+    // census — the rebuild trigger watches exactly what
+    // ivfTopKWithDelta serves. Base counts come from idx's assigned
+    // table, which streaming never mutates (appends live in the
+    // delta); the twin's build is deterministic on the same base so
+    // the counts transfer. 30/90 appended = 33% ≥ 30% trips rebuild.
+    val bcH = spark.table(idx.assignedTable)
+      .groupBy("bucket").agg(count(lit(1)).as("n_base"))
+    val hStream = Similarity.appendHealthWithDelta(idx, bcH,
+      SnapshotStore.read(deltaRoot))
+    val hTwin = Similarity.appendHealth(twin, bcH)
+    hStream.collect() shouldBe hTwin.collect()
+    hStream.select(min("rebuild")).as[Long].collect().head shouldBe 1L
+
     // Replay no-op: re-driving an already-committed micro-batch finds
     // its batch-N tag and publishes nothing — version lineage and
     // delta rows are byte-stable (the SnapshotSink exactly-once
