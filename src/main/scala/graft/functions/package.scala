@@ -228,4 +228,15 @@ package object functions {
     org.apache.spark.sql.graft.CatalystBridge.column(
       graft.plans.PhraseScan(
         org.apache.spark.sql.graft.CatalystBridge.expr(text), phrases))
+
+  /** DEFLATE compression ratio of the string's UTF-8 bytes (zlib
+    * level 6) — the compressibility quality signal
+    * ([[graft.plans.DeflateRatio]]): repetitive/boilerplate text
+    * compresses far below natural language, random junk refuses to
+    * compress. NULL for empty/null input; one codegen'd O(len) pass
+    * per row, no shuffle. */
+  def deflateRatio(text: Column): Column =
+    org.apache.spark.sql.graft.CatalystBridge.column(
+      graft.plans.DeflateRatio(
+        org.apache.spark.sql.graft.CatalystBridge.expr(text)))
 }

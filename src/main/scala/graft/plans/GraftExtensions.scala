@@ -104,6 +104,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         InterleaveBits(args.init, intLit(args.last, "interleave_bits width"))))
 
     ext.injectFunction((
+      new FunctionIdentifier("deflate_ratio"),
+      info("deflate_ratio",
+        "deflate_ratio(str) - zlib-level-6 compressed/raw byte ratio (compressibility quality signal); NULL for empty input"),
+      (args: Seq[Expression]) => DeflateRatio(args.head)))
+
+    ext.injectFunction((
       new FunctionIdentifier("freq_sketch"),
       info("freq_sketch",
         "freq_sketch(str, k) - Misra-Gries heavy-hitter aggregate: <=k (item, count_min, err) candidates"),

@@ -183,8 +183,8 @@ object TextQueries {
     Tables.documents(s, dir)
       .select(col("doc_id").as("vid"), trim(col("text")).as("txt"))
       .join(textGroupsFor(s, dir)
-        .select(col("txt"), col("doc_id").as("gid"), col("n"),
-          (size(gf.tokens(col("txt"))) >= 3).as("sig")), "txt")
+        .select(col("txt"), col("doc_id").as("gid"), col("n"), col("sig")),
+          "txt")
       .select("gid", "vid", "n", "sig")
 
   /** LOSER side of the greedy right-side near-dup drop
@@ -296,8 +296,19 @@ object TextQueries {
     * three integers per distinct text, costless for the consumers
     * that ignore them, and exactly q167's census input. */
   private def textGroupsFor(s: SparkSession, dir: String): DataFrame = {
-    val tbl = graft.operators.Similarity.indexName(s, "graft_tgroups", dir)
+    // Stem v2 since r14: the table now carries `sig` (whether the text
+    // produces a minhash signature, i.e. ≥ 3 tokens) MATERIALIZED —
+    // computed once per DISTINCT text at build. The first r14 shape
+    // computed it in the consumers' join projections, i.e. once per
+    // MEMBER row (post-join), which re-tokenized the full corpus per
+    // query at sf10x (q64 4.6 → 21.6 s regression, caught by the
+    // labeled scale run). The stem bump forces regeneration over any
+    // persisted v1 warehouse table; v1 generations of BOTH stems are
+    // GC'd below.
+    val tbl = graft.operators.Similarity.indexName(s, "graft_tgroups2", dir)
     if (!s.catalog.tableExists(tbl)) {
+      graft.operators.Similarity.dropStaleGenerations(
+        s, graft.operators.Similarity.indexName("graft_tgroups2", dir), tbl)
       graft.operators.Similarity.dropStaleGenerations(
         s, graft.operators.Similarity.indexName("graft_tgroups", dir), tbl)
       s.sql(s"DROP TABLE IF EXISTS `$tbl`")
@@ -313,6 +324,7 @@ object TextQueries {
           sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
           sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
           sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+        .withColumn("sig", size(gf.tokens(col("txt"))) >= 3)
       graft.sources.FileIO.writeBucketedTable(df, tbl, "doc_id", 16)
     }
     s.table(tbl)
@@ -858,7 +870,7 @@ object TextQueries {
       // here either (cross-group pairs are gated automatically: a
       // signature-less rep never lands in a band bucket).
       val within = groups
-        .filter(col("n") >= 2 && size(gf.tokens(col("txt"))) >= 3)
+        .filter(col("n") >= 2 && col("sig"))
         .select(lit(0).as("d"),
           expr("(n * (n - 1)) div 2").as("cnt"))
       cross.union(within)
@@ -938,7 +950,7 @@ object TextQueries {
       // raw pairs — gated on the group actually having a shingle
       // signature (< 3 tokens ⇒ no signature ⇒ no raw candidates).
       val within = groups
-        .filter(col("n") >= 2 && size(gf.tokens(col("txt"))) >= 3)
+        .filter(col("n") >= 2 && col("sig"))
         .select(lit(1.0).as("ca"), lit(1.0).as("cb"),
           expr("(n * (n - 1)) div 2").as("cnt"))
       cross.union(within)
@@ -1464,7 +1476,7 @@ object TextQueries {
             lit(splits(j)).as("split_hi"),
             (col(s"n_${splits(i)}") * col(s"n_${splits(j)}")).as("cnt")))
       val within = groups
-        .filter(size(gf.tokens(col("txt"))) >= 3)
+        .filter(col("sig"))
         .select(explode(array(sameCombos: _*)).as("c"))
         .select(col("c.split_lo"), col("c.split_hi"), col("c.cnt"))
       cross.union(within)
@@ -3462,8 +3474,7 @@ object TextQueries {
         Tables.documents(s, dir)
           .select(trim(col("text")).as("txt"), col("source"))
           .join(textGroupsFor(s, dir)
-            .select(col("txt"), col("doc_id").as("gid"),
-              (size(gf.tokens(col("txt"))) >= 3).as("sig")), "txt")
+            .select(col("txt"), col("doc_id").as("gid"), col("sig")), "txt")
           .groupBy("gid", "source", "sig").agg(count(lit(1)).as("cnt")),
         graft.CacheRegistry.DataSized)
       val a = gs.select(col("gid").as("ga"), col("source").as("sa"),
@@ -5119,7 +5130,7 @@ object TextQueries {
           .when(j >= 0.2, "weak").otherwise("chance").as("band"),
           (col("na") * col("nb")).as("cnt"))
       val within = groups
-        .filter(col("n") >= 2 && size(gf.tokens(col("txt"))) >= 3)
+        .filter(col("n") >= 2 && col("sig"))
         .select(lit("dup").as("band"),
           expr("(n * (n - 1)) div 2").as("cnt"))
       val cells = cross.union(within)
@@ -5801,7 +5812,7 @@ object TextQueries {
       // identical shingle sets ⇒ est = j = 1 exactly, error band 0 —
       // gated on the group having a signature (≥ 3 tokens).
       val within = groups
-        .filter(col("n") >= 2 && size(gf.tokens(col("txt"))) >= 3)
+        .filter(col("n") >= 2 && col("sig"))
         .select(expr("(n * (n - 1)) div 2").as("w"),
           lit(0L).as("err_band"),
           lit(1000000000L).as("estq"), lit(1000000000L).as("jq"))

@@ -204,6 +204,14 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     row.isNullAt(2) shouldBe true
   }
 
+  test("deflate_ratio SQL function: compressibility from plain SQL, empty is NULL") {
+    import spark.implicits._
+    spark.sql(s"SELECT deflate_ratio('${"ab " * 50}') AS r")
+      .as[Double].collect().head should be < 0.5
+    spark.sql("SELECT deflate_ratio('') AS r")
+      .collect().head.isNullAt(0) shouldBe true
+  }
+
   test("extract_tags SQL function tags from a literal vocabulary") {
     val got = spark.sql(
       "SELECT extract_tags('Spark and SQL daily', 'spark,sql,python') AS tags")
