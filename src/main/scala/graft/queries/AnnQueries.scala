@@ -1069,6 +1069,112 @@ object AnnQueries {
         .orderBy("qid")
     },
 
+    // T170 — IVF NPROBE SWEEP census: recall@5 of the shared index at
+    // nprobe ∈ {1, 2, 4, 8}, per query, ALL grid points from ONE
+    // scored pass — the operating curve for the probe knob (q149
+    // grades the production point nprobe = 2; this is the T149/T155
+    // survival-curve stance applied to the ANN knob: picking nprobe
+    // against a recall budget should cost one pass, not one index
+    // probe per candidate setting). A candidate's probe rank is a
+    // property of its (query, bucket), so filtering the ONE candidate
+    // stream by prank ≤ p replays exactly what an nprobe = p search
+    // would have scored; ranks run on the bounded-heap TopKPerKey per
+    // (qid, p) — never a windowed sort of the candidate volume — and
+    // the only emitted double is hits/5 (exact). Truth is the q41
+    // brute scan over the bounded query set.
+    QueryDef("q185_nprobe_sweep",
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
+         |), exact_scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id,
+         |    ${cos("q.e", "c.e", "q.nrm", "c.nrm")} AS cos
+         |  FROM n q JOIN n c ON q.vec_id < 8 AND c.vec_id <> q.vec_id
+         |), truth AS (
+         |  SELECT qid, vec_id AS tid FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, vec_id) AS trank
+         |    FROM exact_scored
+         |  ) WHERE trank <= 5
+         |), ${centroidCtes(nCent = 16, trainN = 128, iters = 2)}, assigned AS (
+         |  SELECT vec_id, e, nrm, cent_id AS bucket FROM (
+         |    SELECT c.vec_id, c.e, c.nrm, t.cent_id,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ${cos("c.e", "t.ce", "c.nrm", "t.cn")} DESC, t.cent_id) AS arank
+         |    FROM n c CROSS JOIN cent t
+         |  ) WHERE arank = 1
+         |), probesall AS (
+         |  SELECT qid, qe, qn, cent_id AS bucket, prank FROM (
+         |    SELECT q.vec_id AS qid, q.e AS qe, q.nrm AS qn, t.cent_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cos("q.e", "t.ce", "q.nrm", "t.cn")} DESC, t.cent_id) AS prank
+         |    FROM n q CROSS JOIN cent t WHERE q.vec_id < 8
+         |  ) WHERE prank <= 8
+         |), g(p) AS (VALUES (1), (2), (4), (8)
+         |), ranked AS (
+         |  SELECT qid, p, vec_id,
+         |    row_number() OVER (PARTITION BY qid, p
+         |      ORDER BY cos DESC, vec_id) AS rk
+         |  FROM (
+         |    SELECT p.qid, a.vec_id,
+         |      ${cos("p.qe", "a.e", "p.qn", "a.nrm")} AS cos, p.prank
+         |    FROM assigned a JOIN probesall p ON a.bucket = p.bucket
+         |    WHERE a.vec_id <> p.qid
+         |  ) CROSS JOIN g WHERE prank <= p
+         |), top5 AS (
+         |  SELECT qid, p, vec_id FROM ranked WHERE rk <= 5
+         |)
+         |SELECT t5.qid, CAST(t5.p AS BIGINT) AS nprobe,
+         |  CAST(count(t.tid) AS BIGINT) AS hits,
+         |  round(CAST(count(t.tid) AS DOUBLE) / 5, 6) + 0.0 AS recall_at_5
+         |FROM top5 t5 LEFT JOIN truth t
+         |  ON t5.qid = t.qid AND t5.vec_id = t.tid
+         |GROUP BY t5.qid, t5.p
+         |ORDER BY t5.qid, nprobe""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 8)
+      val truth = Similarity.bruteForceTopK(emb, queries, k = 5)
+        .select(col("qid").as("tqid"), col("vec_id").as("tid"))
+      val idx = Similarity.sharedIvfIndex(emb, dir)
+      val q = queries.select(col("vec_id").as("qid"),
+          transform(col("embedding"), x => x.cast("double")).as("qe"))
+        .withColumn("qn", Similarity.norm(col("qe")))
+      val cent = s.table(idx.centroidTable)
+      val qw = Window.partitionBy("qid").orderBy(desc("qsim"), asc("cent_id"))
+      val probes = broadcast(q).join(broadcast(cent), lit(true))
+        .withColumn("qsim",
+          Similarity.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+        .withColumn("prank", row_number().over(qw))
+        .filter(col("prank") <= 8)
+        .select(col("qid"), col("qe"), col("qn"),
+          col("cent_id").as("bucket"), col("prank"))
+      val cosC = Similarity.dot(col("qe"), col("e")) / (col("qn") * col("nrm"))
+      // ONE candidate stream; prank is a (query, bucket) property, so
+      // the grid filter replays each nprobe setting exactly.
+      val cand = s.table(idx.assignedTable)
+        .join(broadcast(probes), Seq("bucket"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), cosC.as("cos"), col("prank"))
+      val expanded = cand
+        .withColumn("p", explode(array(Seq(1, 2, 4, 8).map(lit): _*)))
+        .filter(col("prank") <= col("p"))
+        .select("qid", "p", "vec_id", "cos")
+      val top5 = graft.plans.TopKPerKey(expanded, Seq("qid", "p"),
+        Seq(graft.plans.TopKPerKey.desc("cos"),
+          graft.plans.TopKPerKey.asc("vec_id")), 5)
+      top5.join(broadcast(truth),
+          col("qid") === col("tqid") && col("vec_id") === col("tid"), "left")
+        .groupBy("qid", "p")
+        .agg(count(col("tid")).as("hits"),
+          gf.roundz(count(col("tid")).cast("double") / 5, 6).as("recall_at_5"))
+        .select(col("qid"), col("p").cast("long").as("nprobe"),
+          col("hits"), col("recall_at_5"))
+        .orderBy("qid", "nprobe")
+    },
+
     // T129 — Davies–Bouldin cluster-quality census (Davies & Bouldin
     // 1979): per cluster of the q148 model, the mean member distance
     // (cohesion) and the DB score max_{j≠i} (s_i + s_j) / d_ij — the
