@@ -183,7 +183,11 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
     // q183: the 1-row corpus-token total (ctot) broadcast crossed onto
     // the candidate stream, plus the 5-row query frame onto the
     // k-shortest docs — the q46/q68 lazy-totals pattern.
-    "q183_query_likelihood")
+    "q183_query_likelihood",
+    // q185: the 8-row query side × nlist-row centroid table probe
+    // cross (q42/q149's broadcast-centroid shape, kept through
+    // prank ≤ 8), plus the bounded truth/top5 attach joins.
+    "q185_nprobe_sweep")
 
   test("suite-wide: nested-loop joins only as broadcast builds of bounded frames") {
     val offenders = SparkEntry.allDefs.flatMap { d =>
