@@ -231,6 +231,9 @@ object Bench {
     }
     val contendedJson =
       windowContended.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Single-pass/standalone-off records cannot self-certify a quiet
+    // window ([[BenchGate.windowCertified]] — VERDICT r14 item 3).
+    val certified = BenchGate.windowCertified(standaloneOn, runs)
     // Quiet-adjusted headline (VERDICT r13 item 2): a contended record
     // should carry its own CORRECTED total, not just the flag —
     // substitute each window_contended row's clean standalone median
@@ -242,7 +245,7 @@ object Bench {
     val prebuildFailedJson =
       prebuildFailed.map(m => "\"" + m.replace("\\", "\\\\")
         .replace("\"", "\\\"").replace("\n", " ") + "\"").getOrElse("null")
-    val line = s"""{"metric":"total","unit":"sec","runs":$runs,"min_med_max":$spread,"standalone":$standaloneJson,"standalone_failed":$standaloneFailedJson,"prebuild":$prebuildJson,"prebuild_failed":$prebuildFailedJson,"window_contended":$contendedJson,"queries":$qs,"failed":$failed,"value":${fmt(total)},"value_quiet":${fmt(totalQuiet)},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","unit":"sec","runs":$runs,"min_med_max":$spread,"standalone":$standaloneJson,"standalone_failed":$standaloneFailedJson,"prebuild":$prebuildJson,"prebuild_failed":$prebuildFailedJson,"window_certified":$certified,"window_contended":$contendedJson,"queries":$qs,"failed":$failed,"value":${fmt(total)},"value_quiet":${fmt(totalQuiet)},"sf":"$sfDir"}"""
     // Belt and braces: persist the full record where the tail can't
     // truncate it (best-effort — bench must not fail on a read-only cwd).
     try {

@@ -70,6 +70,18 @@ object BenchGate {
       prior.exists(p => p > 0 && med > driftFactor * p)
   }
 
+  /** Is this record's quiet-window self-certification MEANINGFUL
+    * (VERDICT r14 item 3)? With standalone re-measures off or a
+    * single-pass run (BENCH_RUNS=1), `window_contended` is empty BY
+    * CONSTRUCTION and `value_quiet == value` vacuously — the r14
+    * sf1x evidence run (332.9 s) read as quiet-certified while its
+    * replicate measured 268.1 s. `window_certified:false` marks such
+    * records so no round mistakes an uncertified single-pass total
+    * for a certified one; it says nothing about whether the window
+    * WAS quiet — only that the record cannot testify either way. */
+  def windowCertified(standaloneOn: Boolean, runs: Int): Boolean =
+    standaloneOn && runs > 1
+
   /** Quiet-adjusted suite total (VERDICT r13 item 2): the sum of
     * in-suite medians with each `contended` row's clean STANDALONE
     * median substituted — so a host-contended record carries its own

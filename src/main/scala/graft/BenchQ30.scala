@@ -51,8 +51,11 @@ object BenchQ30 {
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime()
       f
+      // Capture BEFORE the cache teardown (ADVICE r14): unpersisting
+      // the stage's largest frames is not part of its compute time.
+      val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      (System.nanoTime() - t0) / 1e9
+      dt
     }
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()

@@ -71,13 +71,23 @@ package object functions {
     // terms × contains = 51 passes per text; the automaton is one) —
     // the q131/BenchPhrase measurement (60× at 800 phrases) applied
     // to the reference's own vocabulary path.
+    // Degenerate vocabularies (ADVICE r14): PhraseScan requires ≥ 1
+    // non-empty phrase, so filter empty terms and short-circuit an
+    // empty vocabulary to the empty array the old Contains chain
+    // produced (the '' term's old always-match inclusion is dropped —
+    // a '' "tag" was the degenerate artifact, not a vocabulary hit).
     val terms = vocab.distinct.map(_.toLowerCase).distinct
+      .filter(_.nonEmpty)
       .sortWith((a, b) =>
         org.apache.spark.unsafe.types.UTF8String.fromString(a)
           .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0)
-    val termArr = array(terms.map(lit): _*)
-    transform(phraseScan(lower(text), terms),
-      i => element_at(termArr, i + 1))
+    if (terms.isEmpty)
+      when(text.isNotNull, lit(Array.empty[String]))
+    else {
+      val termArr = array(terms.map(lit): _*)
+      transform(phraseScan(lower(text), terms),
+        i => element_at(termArr, i + 1))
+    }
   }
 
   /** Relative-time string → timestamp, measured against an injectable

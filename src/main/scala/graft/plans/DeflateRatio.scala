@@ -71,7 +71,12 @@ case class DeflateRatio(child: Expression)
 
 object DeflateRatio {
   /** Per-thread Deflater, reset per row — deflaters hold native zlib
-    * state and are expensive to allocate. */
+    * state and are expensive to allocate. Native footprint (ADVICE
+    * r14): nothing calls `end()` explicitly, but on JDK 12+
+    * (JDK-8185582) a GC'd Deflater releases its zlib state through
+    * the JDK's own Cleaner, so an exited thread's value frees with
+    * it; while threads live, Spark's pooled task threads bound the
+    * population at ~#cores deflaters (~64 KB native each). */
   private val local = new ThreadLocal[java.util.zip.Deflater] {
     override def initialValue(): java.util.zip.Deflater =
       new java.util.zip.Deflater(6)

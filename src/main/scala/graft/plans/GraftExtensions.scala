@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.types.{LongType, StringType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType, TimestampType}
 
 /** SparkSessionExtensions entry point — registers the engine's SQL
   * function surface so `spark.sql` users get the same scalar library
@@ -173,9 +173,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Literal.create(null, TimestampType))
       }))
 
-    // extract_tags: unrolled per-term Contains scan (the vocabulary is
-    // a literal, so the whole scan inlines into codegen) → compact →
-    // distinct → sort, identical to graft.functions.extractTags.
+    // extract_tags: routed through the SAME one-pass Aho–Corasick
+    // composition as graft.functions.extractTags (ADVICE r14 — the
+    // unrolled per-term Contains chain this registration kept after
+    // the r14 rewrite was 51 passes per text on the reference vocab,
+    // and its "identical to extractTags" comment had gone stale).
     ext.injectFunction((
       new FunctionIdentifier("extract_tags"),
       info("extract_tags",
@@ -187,14 +189,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"extract_tags vocabulary must be a string literal, got $other")
         }
-        val lowered = Lower(args(0))
-        val hits = vocab.distinct.sorted.map { term =>
-          CaseWhen(
-            Seq((Contains(lowered, Literal(term.toLowerCase)),
-              Literal(term.toLowerCase))),
-            Literal.create(null, StringType))
+        // Same tree as graft.functions.extractTags, built directly in
+        // Catalyst (a Column-composed lambda cannot cross the
+        // FunctionRegistry boundary unresolved): ONE PhraseScan pass,
+        // indices mapped through the sorted term table.
+        val terms = vocab.distinct.map(_.toLowerCase).distinct
+          .filter(_.nonEmpty)
+          .sortWith((a, b) =>
+            org.apache.spark.unsafe.types.UTF8String.fromString(a)
+              .compareTo(
+                org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0)
+        if (terms.isEmpty)
+          If(IsNotNull(args(0)),
+            Literal.create(Array.empty[String], ArrayType(StringType)),
+            Literal.create(null, ArrayType(StringType)))
+        else {
+          val termArr = CreateArray(terms.map(Literal(_)))
+          val i = NamedLambdaVariable("i", IntegerType, nullable = false)
+          ArrayTransform(PhraseScan(Lower(args(0)), terms),
+            LambdaFunction(ElementAt(termArr, Add(i, Literal(1))), Seq(i)))
         }
-        SortArray(ArrayDistinct(ArrayCompact(CreateArray(hits))), Literal(true))
       }))
   }
 }

@@ -270,21 +270,21 @@ object AnnQueries {
         |  round(list_max(ae), 9) + 0.0 AS max_abs_err,
         |  round(list_sum(list_transform(ae, x -> x * x)) / len(ae), 12) + 0.0 AS mse
         |FROM err ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      // ONE fused codegen pass per vector (plans/QuantProfile — the
+      // QuantSweep/SrpSketch pattern): the composed transform →
+      // zip_with → aggregate chain ran four interpreted higher-order
+      // folds per row (HOFs never enter whole-stage codegen — PERF
+      // #T151 measured the same shape at 49×). Bit-parity with the
+      // composed chain is QuantProfileSpec-pinned; hashes unchanged.
+      import org.apache.spark.sql.graft.CatalystBridge
       Tables.embeddings(s, dir)
         .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("e"))
-        .withColumn("scale",
-          array_max(transform(col("e"), x => abs(x))) / 127.0)
-        .withColumn("qv", transform(col("e"), x =>
-          when(col("scale") === 0, lit(0.0))
-            .otherwise(floor(x / col("scale") + 0.5))))
-        .withColumn("ae", zip_with(col("e"), col("qv"),
-          (x, q) => abs(x - q * col("scale"))))
+          CatalystBridge.column(graft.plans.QuantProfile(
+            CatalystBridge.expr(col("embedding")))).as("st"))
         .select(col("vec_id"),
-          gf.roundz(col("scale"), 9).as("scale"),
-          gf.roundz(array_max(col("ae")), 9).as("max_abs_err"),
-          gf.roundz(aggregate(col("ae"), lit(0.0), (a, x) => a + x * x)
-            / size(col("ae")), 12).as("mse"))
+          gf.roundz(col("st.scale"), 9).as("scale"),
+          gf.roundz(col("st.max_abs_err"), 9).as("max_abs_err"),
+          gf.roundz(col("st.mse"), 12).as("mse"))
         .orderBy("vec_id")
     },
 
@@ -1316,7 +1316,7 @@ object AnnQueries {
     * `<name>_basecounts`: it is both appendHealth's trained-generation
     * reference and the memoization witness, so a crash anywhere in the
     * flow can never serve a half-grown index. */
-  private def grownIvfIndexFor(
+  private[queries] def grownIvfIndexFor(
       s: org.apache.spark.sql.SparkSession, dir: String)
       : (Similarity.IvfIndex, String) = {
     val name = Similarity.grownIndexName(s, "ivfgrown", dir)

@@ -51,17 +51,15 @@ object RetrievalQueries {
       |  FROM documents
       |)""".stripMargin
 
-  /** Shared Spark-side `(doc_id, term, tf)` aggregate — ONE token
-    * explode, ONE shuffle; every downstream frame derives from it.
-    * The repartition fans the (often single-file) scan out BEFORE the
-    * explode + partial aggregation (the `shingled()` lesson): without
-    * it the whole tokenize runs in as many tasks as there are input
-    * files. */
+  /** Shared `(doc_id, term, tf)` aggregate — since r15 the
+    * session-materialized warehouse table [[TextQueries.tfFor]]
+    * (bucketed by doc_id), so the four retrieval queries stop paying
+    * the corpus tokenize+shuffle each: the backbone builds once per
+    * (session, corpus) and every tf ⨝ dl / per-doc aggregate is
+    * bucket-local. Values are exact integers — table-vs-inline cannot
+    * diverge. */
   private def tfFrame(s: SparkSession, dir: String): DataFrame =
-    graft.functions.fanOutScan(Tables.documents(s, dir), col("doc_id"))
-      .select(col("doc_id"), explode(graft.functions.tokens(col("text"))).as("term"))
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"))
+    TextQueries.tfFor(s, dir)
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -235,7 +235,15 @@ object TextQueries {
       timed("ivf_index") {
         graft.operators.Similarity.sharedIvfIndex(
           Tables.embeddings(s, dir), dir)
-      })
+      },
+      // q182's memoized build→append lifecycle (VERDICT r14 item 4):
+      // ~15 s at sf10x paid inside q182's first timing unless the
+      // grown index lands here with the other session-materialized
+      // warehouse families.
+      timed("ivfgrown") { AnnQueries.grownIvfIndexFor(s, dir) },
+      // The term-frequency backbone (r15): shared by q46/q61 and the
+      // retrieval family — see [[tfFor]].
+      timed("graft_tf") { tfFor(s, dir) })
   }
 
   /** Session-materialized rolling-hash window frame (doc_id, i, wh),
@@ -268,6 +276,40 @@ object TextQueries {
         .select(col("doc_id"), (col("p").cast("long") + 1L).as("i"),
           col("wh"))
       graft.sources.FileIO.writeBucketedTable(df, tbl, "wh", 16)
+    }
+    s.table(tbl)
+  }
+
+  /** Session-materialized TERM-FREQUENCY backbone `(doc_id, term,
+    * tf)` — the ONE (scan + tokenize + explode + per-doc-term
+    * aggregate) pass that q46 (tf-idf), q61 (OOV rate) and the whole
+    * retrieval family (q126 BM25, q127 posting census, q133 RRF,
+    * q183 query likelihood) were each re-deriving per query — q46
+    * even twice within one query (tf and df branches each re-exploded
+    * the corpus). Everything those queries need derives from this
+    * frame: df(term) = row count per term (one row per (doc, term)),
+    * dl(doc) = Σ tf, cf(term) = Σ tf, total tokens = Σ tf — all exact
+    * integers, so table-vs-inline cannot diverge. Warehouse-backed
+    * like [[windowsFor]] (disk, not executor memory) and BUCKETED BY
+    * `doc_id` so the corpus-sized tf ⨝ dl joins and per-doc
+    * aggregates are bucket-local; term-keyed frames are
+    * vocabulary-sized and broadcast/AQE-handled downstream. */
+  private[queries] def tfFor(s: SparkSession, dir: String): DataFrame = {
+    val tbl = graft.operators.Similarity.indexName(s, "graft_tf", dir)
+    if (!s.catalog.tableExists(tbl)) {
+      graft.operators.Similarity.dropStaleGenerations(
+        s, graft.operators.Similarity.indexName("graft_tf", dir), tbl)
+      s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      val df = Tables.documents(s, dir)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), explode(tokenCol).as("term"))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"))
+      graft.sources.FileIO.writeBucketedTable(df, tbl, "doc_id", 16)
     }
     s.table(tbl)
   }
@@ -1148,11 +1190,12 @@ object TextQueries {
         |SELECT doc_id, term, tfidf FROM ranked WHERE rk = 1
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val toks = Tables.documents(s, dir)
-        .repartition(col("doc_id"))
-        .select(col("doc_id"), explode(tokenCol).as("term"))
-      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      // Shared tf backbone (r15): the old tf and df branches each
+      // re-exploded the corpus — two tokenize passes inside one query.
+      // df(term) = tf row count (one row per (doc, term)) — the same
+      // integer countDistinct(doc_id) produced over the token stream.
+      val tf = tfFor(s, dir)
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       // N as a LAZY broadcast 1-row aggregate (same pattern as the
       // max-SK frame in DimensionUpsert): a driver-side count() here
       // would eagerly scan the whole corpus at plan-build time and then
@@ -1764,17 +1807,21 @@ object TextQueries {
         |  round(1.0 - CAST(count(v.term) AS DOUBLE) / count(*), 6) + 0.0 AS oov_rate
         |FROM toks t LEFT JOIN vocab v USING (term)
         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val toks = Tables.documents(s, dir)
-        .repartition(col("doc_id"))
-        .select(col("doc_id"), explode(tokenCol).as("term"))
-      val dfT = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      // Rides the shared tf backbone (r15): the old shape exploded the
+      // corpus TWICE (df aggregation + the membership join each
+      // re-tokenized). Per-token counts expand arithmetically —
+      // df(term) = tf row count, token totals = Σ tf — exact integers,
+      // so the final division's operands are identical bit-for-bit.
+      val tf = tfFor(s, dir)
+      val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
       // top-10: TakeOrderedAndProject — never a global sort
       val vocab = dfT.orderBy(desc("df"), asc("term")).limit(10)
         .select(col("term"), lit(1).as("in_vocab"))
-      toks.join(broadcast(vocab), Seq("term"), "left")
+      tf.join(broadcast(vocab), Seq("term"), "left")
         .groupBy("doc_id")
         .agg(gf.roundz(lit(1.0) -
-          count(col("in_vocab")).cast("double") / count(lit(1)), 6).as("oov_rate"))
+          sum(when(col("in_vocab").isNotNull, col("tf")).otherwise(0L))
+            .cast("double") / sum(col("tf")), 6).as("oov_rate"))
         .orderBy("doc_id")
     },
 

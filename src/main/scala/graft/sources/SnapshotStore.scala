@@ -280,8 +280,13 @@ object SnapshotStore {
       val rows = st.filter(_.column == c)
       val los = rows.flatMap(r => r.min_double.orElse(r.min_long.map(down)))
       val his = rows.flatMap(r => r.max_double.orElse(r.max_long.map(up)))
+      // A NaN bound would make readRange's lower.forall(_ <= hi)
+      // false and silently prune a matching directory (ADVICE r14) —
+      // record no bound for the column instead, the same conservative
+      // direction as a row group with missing stats.
       if (rows.nonEmpty && los.length == rows.length &&
-          his.length == rows.length)
+          his.length == rows.length &&
+          !los.exists(_.isNaN) && !his.exists(_.isNaN))
         Some(c -> (los.min, his.max))
       else None
     }.toMap

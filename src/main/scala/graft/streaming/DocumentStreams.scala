@@ -557,15 +557,22 @@ object DocumentStreams {
                 s"$vocabTable is not bucketed — not a span-dedup " +
                   "vocabulary table"))
         else 16
-        graft.sources.FileIO.writeBucketedTable(delta, vocabTable,
-          "wh", numBuckets,
-          if (haveVocab) org.apache.spark.sql.SaveMode.Append
-          else org.apache.spark.sql.SaveMode.Overwrite)
         if (!haveVocab) {
-          spark.sql(s"ALTER TABLE `$vocabTable` " +
-            s"SET TBLPROPERTIES ('$WidthProp' = '$width')")
+          // Stamp the width IN the creating DDL (ADVICE r14): the old
+          // write-then-ALTER left a crash window in which the table
+          // existed without its width property, bricking every
+          // restart behind the start-time require. CREATE TABLE with
+          // TBLPROPERTIES is one catalog operation, and the data
+          // append below is crash-safe in both orders (an empty
+          // stamped table restarts cleanly).
+          spark.sql(
+            s"""CREATE TABLE `$vocabTable` (wh BIGINT) USING parquet
+               |CLUSTERED BY (wh) SORTED BY (wh) INTO $numBuckets BUCKETS
+               |TBLPROPERTIES ('$WidthProp' = '$width')""".stripMargin)
           ()
         }
+        graft.sources.FileIO.writeBucketedTable(delta, vocabTable,
+          "wh", numBuckets, org.apache.spark.sql.SaveMode.Append)
       }
       .start()
   }

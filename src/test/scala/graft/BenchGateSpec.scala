@@ -83,4 +83,17 @@ class BenchGateSpec extends AnyFunSuite with Matchers {
     BenchGate.needsStandalone(Seq(0.0, 0.0), Some(1.0)) shouldBe false
     BenchGate.needsStandalone(Seq(1.0), Some(0.0)) shouldBe false
   }
+
+  test("window certification: vacuous records are marked uncertified") {
+    // The median-of-N protocol with standalone re-measures on: the
+    // empty-contended-set certificate is meaningful.
+    BenchGate.windowCertified(standaloneOn = true, runs = 3) shouldBe true
+    // Single-pass evidence runs (BENCH_RUNS=1) or standalone off:
+    // window_contended is empty BY CONSTRUCTION — not a certificate
+    // (VERDICT r14 item 3: the 332.9 s sf1x record read as quiet
+    // while its replicate measured 268.1 s).
+    BenchGate.windowCertified(standaloneOn = true, runs = 1) shouldBe false
+    BenchGate.windowCertified(standaloneOn = false, runs = 3) shouldBe false
+    BenchGate.windowCertified(standaloneOn = false, runs = 1) shouldBe false
+  }
 }

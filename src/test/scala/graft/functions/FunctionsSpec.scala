@@ -43,6 +43,19 @@ class FunctionsSpec extends SparkSpec {
     tags("nothing relevant here") shouldBe Seq.empty
   }
 
+  test("extractTags degenerate vocabularies (ADVICE r14): empty vocab and empty terms") {
+    // Empty vocabulary → empty array (the old Contains chain's
+    // behavior), not a PhraseScan analysis failure.
+    Seq("anything").toDF("t")
+      .select(gf.extractTags($"t", Seq.empty).as("tags"))
+      .as[Seq[String]].collect().head shouldBe Seq.empty
+    // Empty-string terms are dropped, real terms still match (the
+    // old chain's always-true '' inclusion was the artifact).
+    Seq("going strong").toDF("t")
+      .select(gf.extractTags($"t", Seq("", "go")).as("tags"))
+      .as[Seq[String]].collect().head shouldBe Seq("go")
+  }
+
   // ---- parseRelativeTime ------------------------------------------------
 
   private val now = Timestamp.valueOf("2026-01-01 00:00:00")
