@@ -61,6 +61,25 @@ class NgramDupStatsSpec extends SparkSpec {
     native(Seq("a b a b a")) shouldBe Seq((5, 2, 2))
   }
 
+  test("fuzz parity: long, collision-prone and multi-byte streams (r15 packed-id path)") {
+    // Stresses the interning/packed-long kernel: >32 tokens (span
+    // array growth), a large vocabulary (table resizing + probe
+    // chains), shared prefixes/suffixes (byte-equality discrimination),
+    // multi-byte UTF-8 tokens, and near-total repetition.
+    val rnd = new scala.util.Random(151)
+    val vocab = IndexedSeq("x", "xx", "xy", "yx", "ax", "xa", "αβ", "βα",
+      "longtokenwithsharedprefix1", "longtokenwithsharedprefix2", "émü",
+      "a", "b", "c", "d", "e", "f", "g", "h", "0", "00", "000")
+    val texts = Seq.tabulate(100) { k =>
+      val len = 30 + rnd.nextInt(400)
+      (0 until len).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(if (k % 3 == 0) "  " else " ")
+    } ++ Seq(
+      Seq.fill(500)("same").mkString(" "), // d2 = d3 = 1
+      (0 until 300).map(i => s"t$i").mkString(" ")) // all-distinct windows
+    native(texts) shouldBe composed(texts)
+  }
+
   test("null text yields null struct") {
     val rows = Seq[String](null).toDF("t")
       .select(CatalystBridge.column(
