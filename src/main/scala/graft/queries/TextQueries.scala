@@ -243,7 +243,15 @@ object TextQueries {
       timed("ivfgrown") { AnnQueries.grownIvfIndexFor(s, dir) },
       // The term-frequency backbone (r15): shared by q46/q61 and the
       // retrieval family — see [[tfFor]].
-      timed("graft_tf") { tfFor(s, dir) })
+      timed("graft_tf") { tfFor(s, dir) },
+      // Group-level CC of the rep-pair graph (r15): shared by
+      // q64/q102/q181 — see [[textCompsFor]].
+      timed("graft_tcomps") { textCompsFor(s, dir) },
+      // Embedding-side collapsed dup trio (r15): groups, in-bucket
+      // group pairs, self-dups — shared by q47/q66 — plus the
+      // group-level component map over them.
+      timed("embdups") { embDupCollapsed(s, dir) },
+      timed("graft_ecomps") { embCompsFor(s, dir) })
   }
 
   /** Session-materialized rolling-hash window frame (doc_id, i, wh),
@@ -452,9 +460,57 @@ object TextQueries {
     * min member id per group). The O(E log V) fixpoint thus runs over
     * distinct-content edges — d² fewer at duplication factor d.
     * Output: (doc_id, component_id) for every doc in ≥ 1 raw pair. */
+  /** Session-materialized GROUP-level connected components of the
+    * shared rep-pair graph `(gid, component_id)` — the CC fixpoint
+    * (iterative localCheckpoint rounds + convergence checksums, ~5
+    * jobs) that q64, q102 and q181 were each re-running per query on
+    * the IDENTICAL [[repPairsFor]] edges. Labels are component-min
+    * ids — a pure function of the edge set, layout-independent — and
+    * exact longs, so table-vs-inline cannot diverge. This is also the
+    * artifact a real pipeline materializes (the q102 "dedup mapping
+    * table" stance): components are computed once per corpus, then
+    * probed. */
+  private def textCompsFor(s: SparkSession, dir: String): DataFrame = {
+    val tbl = graft.operators.Similarity.indexName(s, "graft_tcomps", dir)
+    if (!s.catalog.tableExists(tbl)) {
+      graft.operators.Similarity.dropStaleGenerations(
+        s, graft.operators.Similarity.indexName("graft_tcomps", dir), tbl)
+      s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      val df = graft.operators.Dedup.connectedComponents(
+        repPairsFor(s, dir), aCol = "doc_a", bCol = "doc_b", idCol = "gid")
+      graft.sources.FileIO.writeBucketedTable(df, tbl, "gid", 16)
+    }
+    s.table(tbl)
+  }
+
+  /** [[textCompsFor]]'s embedding-side twin: group-level CC of the
+    * [[embDupCollapsed]] pair graph, materialized once per (session,
+    * corpus). */
+  private def embCompsFor(s: SparkSession, dir: String): DataFrame = {
+    val tbl = graft.operators.Similarity.indexName(s, "graft_ecomps", dir)
+    if (!s.catalog.tableExists(tbl)) {
+      graft.operators.Similarity.dropStaleGenerations(
+        s, graft.operators.Similarity.indexName("graft_ecomps", dir), tbl)
+      s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      val (_, gpairs, _) = embDupCollapsed(s, dir)
+      val df = graft.operators.Dedup.connectedComponents(
+        gpairs.select(col("ga"), col("gb")),
+        aCol = "ga", bCol = "gb", idCol = "gid")
+      graft.sources.FileIO.writeBucketedTable(df, tbl, "gid", 16)
+    }
+    s.table(tbl)
+  }
+
   private def textDupComponents(s: SparkSession, dir: String): DataFrame = {
-    val comp = graft.operators.Dedup.connectedComponents(
-      repPairsFor(s, dir), aCol = "doc_a", bCol = "doc_b", idCol = "gid")
+    val comp = textCompsFor(s, dir)
     val members = textGroupMembers(s, dir)
     val viaCross = members.join(comp, "gid")
       .select(col("vid").as("doc_id"), col("component_id"))
@@ -706,31 +762,60 @@ object TextQueries {
   private def embDupCollapsed(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     import graft.operators.Similarity
-    val idx = Similarity.sharedIvfIndex(Tables.embeddings(s, dir), dir)
-    val emb = Tables.embeddings(s, dir)
-    val groups = graft.CacheRegistry.persistTracked(
-      emb.groupBy(col("embedding"))
-        .agg(sort_array(collect_list(col("vec_id"))).as("__ids"))
-        .select(element_at(col("__ids"), 1).as("gid"), col("__ids")),
-      graft.CacheRegistry.DataSized) // ≤ one row per distinct vector
-    val reps = s.table(idx.assignedTable)
-      .join(groups.withColumnRenamed("gid", "vec_id"), "vec_id")
-    val a = reps.select(col("vec_id").as("ga"), col("e").as("ea"),
-      col("nrm").as("nra"), col("bucket"), col("__ids").as("ids_a"))
-    val b = reps.select(col("vec_id").as("gb"), col("e").as("eb"),
-      col("nrm").as("nrb"), col("bucket"), col("__ids").as("ids_b"))
-    val cosAB = Similarity.dot(col("ea"), col("eb")) /
-      (col("nra") * col("nrb"))
-    val gpairs = a.join(b, Seq("bucket"))
-      .filter(col("ga") < col("gb") && cosAB >= EmbDupThreshold)
-      .select(col("ga"), col("gb"), cosAB.as("cos"),
-        col("ids_a"), col("ids_b"))
-    val selfCos = Similarity.dot(col("e"), col("e")) /
-      (col("nrm") * col("nrm"))
-    val selfdups = reps.filter(size(col("__ids")) >= 2 &&
-        selfCos >= EmbDupThreshold)
-      .select(col("vec_id").as("gid"), col("__ids"), selfCos.as("cos"))
-    (groups, gpairs, selfdups)
+    // Session-materialized since r15 (the [[repPairsFor]] stance
+    // carried to the embedding side): the distinct-vector groups, the
+    // in-bucket group-pair join (the quadratic half of q47/q66) and
+    // the self-dup frame build once per (session, corpus) and land as
+    // warehouse tables; both consumers then probe. The selfdups table
+    // is written LAST — the memoization witness, so a crash mid-build
+    // can never serve a partial trio. Cosines are computed once at
+    // build and round-trip parquet bit-exactly.
+    val gT = Similarity.indexName(s, "graft_egroups", dir)
+    val pT = Similarity.indexName(s, "graft_egpairs", dir)
+    val sT = Similarity.indexName(s, "graft_eselfdups", dir)
+    if (!s.catalog.tableExists(sT)) {
+      Seq("graft_egroups" -> gT, "graft_egpairs" -> pT,
+        "graft_eselfdups" -> sT).foreach { case (stem, t) =>
+        Similarity.dropStaleGenerations(
+          s, Similarity.indexName(stem, dir), t)
+        s.sql(s"DROP TABLE IF EXISTS `$t`")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
+      val idx = Similarity.sharedIvfIndex(Tables.embeddings(s, dir), dir)
+      val emb = Tables.embeddings(s, dir)
+      val groups = graft.CacheRegistry.persistTracked(
+        emb.groupBy(col("embedding"))
+          .agg(sort_array(collect_list(col("vec_id"))).as("__ids"))
+          .select(element_at(col("__ids"), 1).as("gid"), col("__ids")),
+        graft.CacheRegistry.DataSized) // ≤ one row per distinct vector
+      val reps = s.table(idx.assignedTable)
+        .join(groups.withColumnRenamed("gid", "vec_id"), "vec_id")
+      val a = reps.select(col("vec_id").as("ga"), col("e").as("ea"),
+        col("nrm").as("nra"), col("bucket"), col("__ids").as("ids_a"))
+      val b = reps.select(col("vec_id").as("gb"), col("e").as("eb"),
+        col("nrm").as("nrb"), col("bucket"), col("__ids").as("ids_b"))
+      val cosAB = Similarity.dot(col("ea"), col("eb")) /
+        (col("nra") * col("nrb"))
+      val gpairs = a.join(b, Seq("bucket"))
+        .filter(col("ga") < col("gb") && cosAB >= EmbDupThreshold)
+        .select(col("ga"), col("gb"), cosAB.as("cos"),
+          col("ids_a"), col("ids_b"))
+      val selfCos = Similarity.dot(col("e"), col("e")) /
+        (col("nrm") * col("nrm"))
+      val selfdups = reps.filter(size(col("__ids")) >= 2 &&
+          selfCos >= EmbDupThreshold)
+        .select(col("vec_id").as("gid"), col("__ids"), selfCos.as("cos"))
+      graft.sources.FileIO.writeBucketedTable(groups, gT, "gid", 16)
+      graft.sources.FileIO.writeBucketedTable(gpairs, pT, "ga", 16)
+      graft.sources.FileIO.writeBucketedTable(selfdups, sT, "gid", 16)
+      // groups' tracked persist is reclaimed by the caller's normal
+      // drain (Bench/Verify per-query, CacheRegistry auto-drain when
+      // embedded) — the build only runs once per (session, corpus).
+    }
+    (s.table(gT), s.table(pT), s.table(sT))
   }
 
   /** Raw-parity pair EXPANSION over [[embDupCollapsed]]: a raw pair
@@ -2133,10 +2218,8 @@ object TextQueries {
       // (component = gid). The O(E log V) fixpoint thus runs over
       // distinct-content edges (d² fewer at duplication factor d);
       // the member expansion afterwards is one gid equi-join.
-      val (groups, gpairs, selfdups) = embDupCollapsed(s, dir)
-      val comp = graft.operators.Dedup.connectedComponents(
-        gpairs.select(col("ga"), col("gb")),
-        aCol = "ga", bCol = "gb", idCol = "gid")
+      val (groups, _, selfdups) = embDupCollapsed(s, dir)
+      val comp = embCompsFor(s, dir)
       val members = groups.select(col("gid"),
         explode(col("__ids")).as("vid"))
       val viaCross = members.join(comp, "gid")
@@ -5508,12 +5591,15 @@ object TextQueries {
          |  CAST(max(sz) AS BIGINT) AS max_size,
          |  CAST(sum(mass) AS BIGINT) AS token_mass
          |FROM cl GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
-      val toks = Tables.documents(s, dir)
-        .fanOutScan(col("doc_id"))
-        .select(col("doc_id"),
-          size(gf.tokens(col("text"))).cast("long").as("nt"))
+      // Token mass from the shared tf backbone (r15): Σ tf per doc is
+      // the same integer as size(tokens) — a doc absent from tf has
+      // zero tokens exactly, so the left join + coalesce(0) is
+      // value-identical to the old inner join on a fresh tokenize.
+      val toks = tfFor(s, dir).groupBy("doc_id")
+        .agg(sum("tf").as("nt"))
       val cl = textDupComponents(s, dir)
-        .join(toks, "doc_id")
+        .join(toks, Seq("doc_id"), "left")
+        .withColumn("nt", coalesce(col("nt"), lit(0L)))
         .groupBy("component_id")
         .agg(count(lit(1)).as("sz"), sum("nt").as("mass"))
       cl.groupBy(floor(log2(col("sz"))).cast("long").as("bucket"))
