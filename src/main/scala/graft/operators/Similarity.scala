@@ -704,7 +704,6 @@ object Similarity {
       nCentroids: Int = 16, nprobe: Int = 2,
       trainN: Int = 128, iters: Int = 2,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    import graft.plans.TopKPerKey
     val cent = trainCentroids(corpus, nCentroids, trainN, iters, idCol, embCol)
     // One content group per distinct embedding; ≤ corpus rows, usually
     // far fewer. Persisted: referenced by reps, heads and members (an
@@ -714,15 +713,37 @@ object Similarity {
         .groupBy(col(embCol))
         .agg(sort_array(collect_list(col(idCol))).as("__ids"))
         .select(col(embCol), col("__ids"),
-          element_at(col("__ids"), 1).as("__gid"),
-          slice(col("__ids"), 1, k + 1).as("__head")),
+          element_at(col("__ids"), 1).as("gid")),
       graft.CacheRegistry.DataSized)
-    val reps = prep(groups.select(col("__gid").as(idCol), col(embCol)),
+    val reps = prep(groups.select(col("gid").as(idCol), col(embCol)),
       idCol, embCol)
-    val assigned = assignToCentroids(reps, cent, idCol)
-      .join(groups.select(col("__gid"), col("__head")),
-        col(idCol) === col("__gid"))
-    val scored = reps.join(broadcast(cent), lit(true))
+    val repvec = assignToCentroids(reps, cent, idCol)
+    knnJoinCollapsed(groups.select(col("gid"), col("__ids")),
+      repvec, cent, k, nprobe, idCol)
+  }
+
+  /** [[knnJoin]]'s probe/score/expand tail over PRE-BUILT collapse
+    * frames (r15): `groups` = (gid, __ids) one row per distinct
+    * embedding (gid = min member id), `repvec` = (idCol, e, nrm,
+    * bucket) for exactly the rep ids, `cent` the centroid frame. A
+    * caller holding the session-materialized shared artifacts (the
+    * IVF index's assigned/centroid tables, the embedding dup-group
+    * table) skips the per-run training + groupBy + assignment passes
+    * entirely — bucket/e/nrm are content-determined, so the shared
+    * index's rows for the rep ids are bit-identical to an inline
+    * assignment. ONE implementation of the truncation-exact tail
+    * serves both entries. */
+  def knnJoinCollapsed(groups: DataFrame, repvec: DataFrame,
+      cent: DataFrame, k: Int, nprobe: Int = 2,
+      idCol: String = "vec_id"): DataFrame = {
+    import graft.plans.TopKPerKey
+    val g = graft.CacheRegistry.persistTracked(
+      groups.select(col("gid"), col("__ids"),
+        slice(col("__ids"), 1, k + 1).as("__head")),
+      graft.CacheRegistry.DataSized)
+    val assigned = repvec.join(g.select(col("gid"), col("__head")),
+      col(idCol) === col("gid"))
+    val scored = repvec.drop("bucket").join(broadcast(cent), lit(true))
       .select(col(idCol).as("qgid"), col("e").as("qe"), col("nrm").as("qn"),
         col("cent_id").as("bucket"),
         (dot(col("e"), col("ce")) / (col("nrm") * col("cn"))).as("qsim"))
@@ -735,7 +756,7 @@ object Similarity {
         explode(col("__head")).as("__cand"))
     val gtop = TopKPerKey(cand, Seq("qgid"),
       Seq(TopKPerKey.desc("cos"), TopKPerKey.asc("__cand")), k + 1)
-    val members = groups.select(col("__gid").as("qgid"),
+    val members = g.select(col("gid").as("qgid"),
       explode(col("__ids")).as("qid"))
     val rw = Window.partitionBy("qid").orderBy(desc("cos"), asc("__cand"))
     members.join(gtop, Seq("qgid"))

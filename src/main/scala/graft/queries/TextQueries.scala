@@ -759,7 +759,7 @@ object TextQueries {
     *   - selfdups: (gid, __ids, cos) — dup groups (n ≥ 2) whose
     *     self-cosine survives the threshold (≈ 1, but spelled exactly
     *     — sqrt(d)² ≠ d in floats, so never assume 1.0). */
-  private def embDupCollapsed(s: SparkSession, dir: String)
+  private[queries] def embDupCollapsed(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     import graft.operators.Similarity
     // Session-materialized since r15 (the [[repPairsFor]] stance
