@@ -16,9 +16,9 @@ import graft.{functions => gf}
   * shapes built on ONE shared term-frequency aggregate:
   *
   *   - the token explode is never materialized twice — the
-  *     `(doc_id, term, tf)` frame is the only corpus-sized shuffle,
-  *     persisted once per query and reused for every derived
-  *     aggregate (df, dl, postings);
+  *     `(doc_id, term, tf)` frame is the session-materialized
+  *     warehouse table, scanned (pruned, bucket-local) by every
+  *     derived aggregate (df, dl, postings);
   *   - vocabulary-sized frames (df, query-term sets) ride AQE
   *     broadcasts; the one corpus-sized join (tf ⨝ dl on doc_id) is a
   *     plain shuffled equi-join;
@@ -57,9 +57,15 @@ object RetrievalQueries {
     * the corpus tokenize+shuffle each: the backbone builds once per
     * (session, corpus) and every tf ⨝ dl / per-doc aggregate is
     * bucket-local. Values are exact integers — table-vs-inline cannot
-    * diverge. */
+    * diverge. The backbone also carries `source` (for q35's census);
+    * retrieval never reads it, so project it away HERE — the scan
+    * prunes to 3/4 columns (PlanAuditSpec's ReadSchema-minimality
+    * gate). No persist: the frame is already disk-materialized, and
+    * caching it would pin a corpus-sized frame in executor memory
+    * (the round-10 cache-pressure lesson) while defeating both column
+    * pruning and the bucketed scan. */
   private def tfFrame(s: SparkSession, dir: String): DataFrame =
-    TextQueries.tfFor(s, dir)
+    TextQueries.tfFor(s, dir).select("doc_id", "term", "tf")
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -67,7 +73,7 @@ object RetrievalQueries {
     // highest-df terms (deterministic: df desc, term asc), each scored
     // against every containing document with standard BM25
     // (k1 = 1.2, b = 0.75, idf = ln((N − df + ½)/(df + ½) + 1)), top
-    // TopDocs docs per term. Scale shape: tf persisted once
+    // TopDocs docs per term. Scale shape: tf is the shared disk table
     // (doc×term-bounded — strictly smaller than the token stream);
     // df/dl/avgdl all derive from it; the probe-term set and the 1-row
     // (N, avgdl) frame broadcast; per-term top-k is the bounded-heap
@@ -102,8 +108,7 @@ object RetrievalQueries {
         |)
         |SELECT term, doc_id, score FROM ranked WHERE rk <= $TopDocs
         |ORDER BY term, score DESC, doc_id""".stripMargin) { (s, dir) =>
-      val tf = graft.CacheRegistry.persistTracked(tfFrame(s, dir),
-        graft.CacheRegistry.DataSized) // ≤ one row per (doc, distinct term)
+      val tf = tfFrame(s, dir)
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       // Probe set: global top-k → TakeOrderedAndProject, then broadcast.
       val qterms = df.orderBy(desc("df"), asc("term")).limit(NQueryTerms)
@@ -153,8 +158,7 @@ object RetrievalQueries {
         |SELECT term, df, tf_total, postings
         |FROM agg JOIN prefix USING (term)
         |ORDER BY term""".stripMargin) { (s, dir) =>
-      val tf = graft.CacheRegistry.persistTracked(tfFrame(s, dir),
-        graft.CacheRegistry.DataSized)
+      val tf = tfFrame(s, dir)
       val agg = tf.groupBy("term")
         .agg(count(lit(1)).as("df"), sum("tf").as("tf_total"))
       val prefix = graft.plans.TopKPerKey(tf.select("term", "doc_id"),
@@ -271,7 +275,7 @@ object RetrievalQueries {
     // and 1/(60+r) is one exact IEEE division, so fused scores are
     // bit-identical cross-engine — fusing RANKS instead of raw scores
     // is exactly why RRF is the production default. Scale shape: ONE
-    // persisted tf backbone feeds both scorers; each scorer's
+    // shared tf backbone feeds both scorers; each scorer's
     // per-term top-RankDepth comes off the bounded-heap TopKPerKey
     // (corpus-sized posting lists never sort); ranking, the full
     // outer fuse join and the final top-5 all run on
@@ -326,8 +330,7 @@ object RetrievalQueries {
         |SELECT term, doc_id, rrf FROM top WHERE rk <= $TopDocs
         |ORDER BY term, rrf DESC, doc_id""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val tf = graft.CacheRegistry.persistTracked(tfFrame(s, dir),
-        graft.CacheRegistry.DataSized)
+      val tf = tfFrame(s, dir)
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val qterms = df.orderBy(desc("df"), asc("term")).limit(NQueryTerms)
       val dl = tf.groupBy("doc_id").agg(sum("tf").cast("double").as("dl"))
@@ -390,7 +393,7 @@ object RetrievalQueries {
     // docs that can reach a top-k are the k smallest by (|d| asc,
     // doc_id asc), a query-independent TakeOrderedAndProject. Exact
     // candidates = (union of the query terms' posting lists, a
-    // broadcast semi-join off the persisted tf backbone) ∪ (those k
+    // broadcast semi-join off the shared tf backbone) ∪ (those k
     // shortest docs), every frame bounded; the oracle scores ALL
     // docs, so the shortcut's exactness is itself oracle-gated.
     QueryDef("q183_query_likelihood",
@@ -439,8 +442,7 @@ object RetrievalQueries {
         |FROM ranked WHERE rk <= $TopDocs
         |ORDER BY qid, score DESC, doc_id""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val tf = graft.CacheRegistry.persistTracked(tfFrame(s, dir),
-        graft.CacheRegistry.DataSized)
+      val tf = tfFrame(s, dir)
       val dfF = tf.groupBy("term").agg(count(lit(1)).as("df"))
       // 10-row probe frame → (term, qid, pos); the window runs over 10
       // rows, never the vocabulary.

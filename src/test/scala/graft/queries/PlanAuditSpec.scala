@@ -336,6 +336,11 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
           // 5-column schema IS the LM index — doc, train/held-out
           // half, left/right word, count
           table.startsWith("graft_bigrams_") ||
+          // q35's per-source census genuinely consumes all four tf
+          // backbone columns (doc_id, source, term, tf); every other
+          // consumer projects `source` away and must prune to 3/4
+          // (tfFrame in RetrievalQueries), so only q35 is exempt.
+          (table.startsWith("graft_tf_") && d.name == "q35_token_stats") ||
           fullWidthOk.get(d.name).exists(_.contains(table))
         if (tableWidth >= 3 && readWidth >= tableWidth && !tableOk)
           Some(s"${d.name}[$table $readWidth/$tableWidth]")
@@ -372,18 +377,23 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
     p should not include "SortMergeJoin" // benchmark side must never shuffle-sort
   }
 
-  test("q46/q102: the rank-1 argmaxes plan as hash aggregates, not windows") {
+  test("q46/q102: the rank-1 argmaxes plan as aggregates, not windows") {
     // PERF log #29: max/min(struct(...)) replaces the row_number
     // window for argmax — map-side partial aggregation, no per-key
-    // sort. A reverted window would reappear as a Window node (the
-    // TopKPerKey rewrite can't claim these: its child-size guard and
-    // rank-liveness rules don't always fire, and the aggregate is
-    // strictly better anyway).
+    // sort buffer of rows that get thrown away. A reverted window
+    // would reappear as a Window node (the TopKPerKey rewrite can't
+    // claim these: its child-size guard and rank-liveness rules don't
+    // always fire, and the aggregate is strictly better anyway).
+    // The struct-valued Max buffer is immutable in UnsafeRow terms, so
+    // Spark plans it as a partial+final SortAggregate pair, never
+    // HashAggregate — q46 still has hash aggregates elsewhere (df),
+    // but q102 post-r15 reads everything from the shared warehouse
+    // tables and the two SortAggregates are its only aggregates.
     Seq("q46_tfidf", "q102_cluster_reps").foreach { q =>
       withClue(s"$q: ") {
         val p = plan(q)
         (p should not).include("Window")
-        p should include("HashAggregate")
+        p should include("Aggregate") // hash or the struct-max sort pair
       }
     }
   }
