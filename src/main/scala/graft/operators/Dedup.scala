@@ -94,20 +94,30 @@ object Dedup {
     * covered or token-free docs emit an empty string. */
   private def rebuildWithoutSpans(docs: DataFrame, spans: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    val tok = docs
-      .select(col(idCol), posexplode(gf.tokens(col(textCol)))
-        .as(Seq("p0", "tok")))
-      .select(col(idCol), (col("p0").cast("long") + 1L).as("p"), col("tok"))
-    val kept = tok.join(spans,
-      tok(idCol) === spans("doc_id") &&
-        col("p").between(col("s"), col("e")), "left_anti")
-    val rebuilt = kept.groupBy(idCol)
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("p"), col("tok")))),
-        x => x.getField("tok")), " ").as(textCol))
-    docs.select(col(idCol))
-      .join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+    import org.apache.spark.sql.graft.CatalystBridge
+    // Fused rebuild (r15, PERF #55): the old shape posexploded every
+    // corpus token, anti-joined each against the span list, and paid a
+    // per-doc collect_list + array_sort + array_join — the whole
+    // measured cost of the q173 witness at sf10x. Now the span list
+    // travels as two per-doc position arrays (disjoint ordered islands
+    // ⇒ independently sorted starts/ends stay index-paired) and ONE
+    // codegen'd pass over the token array does skip+rejoin —
+    // [[graft.plans.RemoveSpans]]. The only corpus-sized movement left
+    // is the doc_id-equi join of the skinny span arrays to the text.
+    // Parity (incl. the fully-covered → "" and token-free → "" rows)
+    // is spec-pinned against the old shape in RemoveSpansSpec.
+    val perDoc = spans.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("s"))).as("__ss"),
+        sort_array(collect_list(col("e"))).as("__es"))
+    val emptyPos = typedLit(Array.empty[Long])
+    docs.join(perDoc, docs(idCol) === perDoc("doc_id"), "left")
+      .select(docs(idCol),
+        CatalystBridge.column(graft.plans.RemoveSpans(
+          CatalystBridge.expr(gf.tokens(docs(textCol))),
+          CatalystBridge.expr(coalesce(col("__ss"), emptyPos)),
+          CatalystBridge.expr(coalesce(col("__es"), emptyPos)))).as("__rs"))
+      .select(col(idCol),
+        coalesce(col("__rs.cleaned"), lit("")).as(textCol))
   }
 
   /** ExactSubstr POST-PROCESS — the cleaned-corpus EMITTER (Lee et

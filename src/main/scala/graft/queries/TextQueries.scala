@@ -3068,30 +3068,36 @@ object TextQueries {
          |GROUP BY d.doc_id, len(d.t)
          |ORDER BY d.doc_id""".stripMargin
     }) { (s, dir) =>
+      import org.apache.spark.sql.graft.CatalystBridge
       val L = 6
-      val toks = Tables.documents(s, dir)
-        .fanOutScan(col("doc_id"))
-        .select(col("doc_id"), gf.tokens(col("text")).as("toks"))
+      // Fused rebuild (r15, PERF #55): BenchCount attributed q173's
+      // whole sf10x cost (18.7 s full vs 0.5 s count-only) to the
+      // witness tail — corpus-wide token posexplode + anti-join +
+      // per-doc collect/sort/join/md5. The span list now travels as
+      // two per-doc position arrays (disjoint ordered islands ⇒
+      // independently sorted starts/ends stay index-paired) and ONE
+      // codegen'd [[graft.plans.RemoveSpans]] pass does skip+rejoin;
+      // kept/cleaned are the same integers/bytes (RemoveSpansSpec pins
+      // parity against the explode shape; the oracle pins the rest).
       val spans = graft.operators.Dedup
         .duplicatedSpans(windowsFor(s, dir), L)
-      val tok = toks
-        .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
-        .select(col("doc_id"), (col("p0").cast("long") + 1L).as("p"),
-          col("tok"))
-      val kept = tok.join(spans,
-        tok("doc_id") === spans("doc_id") &&
-          col("p").between(col("s"), col("e")), "left_anti")
-      val rebuilt = kept.groupBy("doc_id")
-        .agg(count(lit(1)).as("kept"),
-          md5(array_join(transform(
-            array_sort(collect_list(struct(col("p"), col("tok")))),
-            x => x.getField("tok")), " ")).as("cleaned_md5"))
-      toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
-        .join(rebuilt, Seq("doc_id"), "left")
+      val perDoc = spans.groupBy("doc_id")
+        .agg(sort_array(collect_list(col("s"))).as("ss"),
+          sort_array(collect_list(col("e"))).as("es"))
+      val emptyPos = typedLit(Array.empty[Long])
+      Tables.documents(s, dir)
+        .fanOutScan(col("doc_id"))
+        .select(col("doc_id"), gf.tokens(col("text")).as("toks"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          CatalystBridge.column(graft.plans.RemoveSpans(
+            CatalystBridge.expr(col("toks")),
+            CatalystBridge.expr(coalesce(col("ss"), emptyPos)),
+            CatalystBridge.expr(coalesce(col("es"), emptyPos)))).as("rs"))
         .select(col("doc_id"), col("n_tokens"),
-          (col("n_tokens") - coalesce(col("kept"), lit(0L)))
-            .as("removed_tokens"),
-          coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"))
+          (col("n_tokens") - col("rs.kept")).as("removed_tokens"),
+          md5(col("rs.cleaned")).as("cleaned_md5"))
         .orderBy("doc_id")
     },
 
